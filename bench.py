@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: time every registered query key at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line.
+
+Timing protocol: each query's full plan is forced with a
+``df.write.format("noop")`` action (runs the whole plan, no
+driver-side materialization cost polluting the measurement is
+impossible to avoid entirely; noop keeps result transfer out).
+A session-wide warmup query amortizes JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import registry
+from downloader_spark.session import get_spark
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app="downloader-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch every table + spin up codegen paths
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(registry().items()):
+        t0 = time.perf_counter()
+        try:
+            force(spec.fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # record failures without sinking the run
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

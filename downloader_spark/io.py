@@ -1,0 +1,58 @@
+"""Loaders for the driver-generated parquet tables (TESTDATA.md).
+
+All queries go through ``load_table`` so filters/projections written
+against the returned DataFrame reach the parquet scan (predicate
+pushdown + column pruning are Catalyst's job once the plan is
+declarative — verify with ``.explain('formatted')``: PushedFilters /
+ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot
+        # read as a timestamp.  Read the raw int64 nanos and truncate
+        # to microseconds — exactly what DuckDB does when it coerces
+        # ns -> its us-precision TIMESTAMP, so oracle comparisons stay
+        # value-identical.  (Runtime-settable SQLConf; safe under any
+        # parent session, including the driver's.)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,7 @@
+"""Side-effect import hub: every module that registers query keys.
+
+Importing this module populates the registry (plans.registry).  Add a
+line per operator module as coverage widens.
+"""
+
+import downloader_spark.operators.reference_core  # noqa: F401

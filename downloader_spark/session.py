@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Defaults are tuned for the driver harness (local[$SPARK_GRAFT_CPUS],
+single JVM) but every setting is the one we'd also want on a real
+cluster reading 100 TB:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic join strategy);
+- Arrow on (all pandas UDF / toPandas traffic is Arrow-batched);
+- session timezone pinned to UTC so timestamp semantics are engine-
+  independent (the DuckDB oracle treats TIMESTAMP as naive/UTC);
+- shuffle partitions sized to the local core count — on a cluster this
+  would be ~2-3x total executor cores, and AQE coalesces down anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app: str = "downloader-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to the core count: at local scale a
+    200-partition shuffle (Spark default) is pure overhead, and AQE's
+    coalescePartitions keeps us safe if a stage is bigger than expected.
+    """
+    n = cpus or default_parallelism()
+    sp = shuffle_partitions or n
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{n}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,21 @@
+from __future__ import annotations
+
+import pytest
+
+from downloader_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_MID = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    # Small parallelism: test-suite latency is dominated by task
+    # scheduling overhead at sf0.001, not by compute.
+    s = get_spark(app="downloader-spark-tests", cpus=4, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
