@@ -37,6 +37,11 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Pin the session timezone: date_format/date_trunc/extract over
+    # TIMESTAMP(_LTZ) are session-tz-dependent, and the oracle engine
+    # (DuckDB) treats naive timestamps as UTC.  Runtime-settable, so it
+    # also holds under the driver's own session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot
         # read as a timestamp.  Read the raw int64 nanos and truncate

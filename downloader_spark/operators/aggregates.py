@@ -1,0 +1,151 @@
+"""Aggregation operators (SURVEY.md §2.B): hash aggregation, exact and
+approximate distinct, rollup/cube grouping sets.
+
+All groupBys here are two-phase (map-side partial + final) by
+Catalyst construction — the shuffle carries combined partials, not
+rows.  Float sums go through DECIMAL (functions/numeric.py) so the
+value hash matches DuckDB regardless of partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downloader_spark.functions.numeric import (
+    dec,
+    money_avg,
+    money_sum,
+    sql_money_avg,
+    sql_money_sum,
+)
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+
+@query(
+    "agg_basic",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_money_sum("l_quantity", "sum_qty", scale=2)},
+           {sql_money_sum("l_extendedprice", "sum_base_price", scale=2)},
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS sum_disc_price,
+           {sql_money_avg("l_quantity", "avg_qty", scale=2)},
+           {sql_money_avg("l_extendedprice", "avg_price", scale=2)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate",),
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: sum/avg/count over a scan
+    filter and a 2-column group.
+
+    The headline aggregation benchmark: one pushed filter, one
+    6-group hash agg, everything whole-stage-codegen'd.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice", 2) * (F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(18,2)"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum("l_quantity", "sum_qty", scale=2),
+        money_sum("l_extendedprice", "sum_base_price", scale=2),
+        F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+        money_avg("l_quantity", "avg_qty", scale=2),
+        money_avg("l_extendedprice", "avg_price", scale=2),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT o_orderpriority) AS n_prio
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("aggregate",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT alongside a plain count.
+
+    Spark plans this as expand + two-stage agg; distinct sets are
+    partially deduped map-side before the shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+@query("agg_approx", tags=("aggregate", "approx"))
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type.
+
+    Rows-only check: sketch estimates are engine-specific and can
+    never hash-match DuckDB's approx_count_distinct.  The point at
+    100 TB: the HLL sketch is constant-size per group, so the shuffle
+    is O(groups), not O(distinct values) like the exact form.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS n,
+           {sql_money_sum("c_acctbal", "total_bal", scale=2)}
+    FROM customer
+    GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+    tags=("aggregate",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets: (segment, nation), (segment), ().
+
+    Spark's rollup expands each input row once per grouping set then
+    hash-aggregates; subtotal rows carry NULL group keys exactly as
+    ANSI ROLLUP does.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.rollup("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("c_acctbal", "total_bal", scale=2),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {sql_money_sum("l_quantity", "sum_qty", scale=2)}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two low-cardinality dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("l_quantity", "sum_qty", scale=2),
+    )

@@ -1,0 +1,340 @@
+"""Relational operator surface (SURVEY.md §2.B): scans, filters, joins,
+set operations.
+
+The reference implements none of these (its only "join" is the MD5
+anti-join of download/common.go:169-190); they enter via the north
+star — the relational surface needed to query the archived data.
+Everything is declarative DataFrame API so Catalyst owns join
+strategy, reordering, pushdown and pruning.
+
+Scale notes per operator in the docstrings; the global rules:
+- dimension tables (region/nation/customer at dim scale) are
+  broadcast — `F.broadcast` is a hint, results identical;
+- fact-fact joins shuffle on their equi keys; range predicates ride
+  along as join conditions, never as post-join filters;
+- no collect()s.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from downloader_spark.functions.numeric import dec, money_sum, sql_money_sum
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DOUBLE) AS net_price
+    FROM lineitem
+    """,
+    tags=("relational", "scan"),
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + projection with a computed column.
+
+    The 4-column select prunes the 11-column lineitem scan to exactly
+    ReadSchema: [l_orderkey, l_linenumber, l_returnflag,
+    l_extendedprice, l_discount].  The money product is computed in
+    DECIMAL per row (exact, engine-independent) then emitted DOUBLE.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (dec("l_extendedprice", 2) * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("net_price"),
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_discount <> 0.0
+    """,
+    tags=("relational", "filter"),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates: BETWEEN, IN, comparison, inequality.
+
+    All four conjuncts push to the parquet scan (PushedFilters) —
+    at 100 TB with date-partitioned layout the shipdate predicate
+    additionally prunes partitions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") != 0.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query(
+    "join_inner",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           {sql_money_sum("o.o_totalprice", "revenue")}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("relational", "join"),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain fact->dim->dim with aggregation.
+
+    customer and nation are broadcast (dimension side is tiny even at
+    sf100: 25 nations, and customers are ~2% of lineitem bytes), so
+    the fact table never shuffles for the join — the only exchange is
+    the final groupBy on n_name, which carries pre-combined partials.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_recent,
+           MAX(o.o_orderdate) AS last_order
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("relational", "join"),
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched build-side rows (customers
+    with no recent orders -> count 0, null last_order)."""
+    customer = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_recent"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH f AS (SELECT o_custkey, COUNT(*) AS n_f FROM orders
+               WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+         p AS (SELECT o_custkey, COUNT(*) AS n_p FROM orders
+               WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+    SELECT COALESCE(f.o_custkey, p.o_custkey) AS custkey, f.n_f, p.n_p
+    FROM f FULL OUTER JOIN p ON f.o_custkey = p.o_custkey
+    """,
+    tags=("relational", "join"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates with disjoint key coverage
+    (customers having only fulfilled or only pending orders survive
+    with a null side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+        .withColumnRenamed("o_custkey", "f_key")
+    )
+    p = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+        .withColumnRenamed("o_custkey", "p_key")
+    )
+    return f.join(p, f.f_key == p.p_key, "outer").select(
+        F.coalesce("f_key", "p_key").alias("custkey"), "n_f", "n_p"
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_pending' AS tag FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    UNION ALL
+    SELECT c_custkey, 'no_pending' AS tag FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    tags=("relational", "join"),
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti join — the anti form is the engine's
+    content-dedup core (ref: download/common.go:169-190 decides
+    "is this file new" by anti-joining the archive on MD5).
+
+    Semi/anti never materialize the probe side's payload columns, so
+    at scale only the join key shuffles.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    cond = customer.c_custkey == pending.o_custkey
+    semi = customer.join(pending, cond, "left_semi").select(
+        "c_custkey", F.lit("has_pending").alias("tag")
+    )
+    anti = customer.join(pending, cond, "left_anti").select(
+        "c_custkey", F.lit("no_pending").alias("tag")
+    )
+    return semi.unionAll(anti)
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT v.user_id, COUNT(*) AS n_pairs
+    FROM (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.p_ts > v.v_ts
+     AND p.p_ts <= v.v_ts + INTERVAL 10 MINUTE
+    GROUP BY v.user_id
+    """,
+    tags=("relational", "join"),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: purchases within 10 minutes after a view by
+    the same user.
+
+    The equi key (user_id) makes this a hash join with the band
+    predicate evaluated inside the join — never a cartesian.  At
+    100 TB you'd additionally bucket both sides by (user_id,
+    time_bucket) so the band probe stays partition-local.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        v.join(
+            p,
+            (v.user_id == p.p_user)
+            & (p.p_ts > v.v_ts)
+            & (p.p_ts <= v.v_ts + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT event_id AS purchase_id, user_id, signup_id
+    FROM (
+        SELECT event_id, user_id, event_type,
+               last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_id
+        FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+    tags=("relational", "join"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest prior match): each purchase paired with the
+    user's most recent signup at-or-before it.
+
+    PySpark has no native ASOF JOIN; the Spark-first composition is a
+    single pass — union both event roles in one partition-sorted
+    window and carry the last non-null match forward
+    (last(ignorenulls) over ROWS UNBOUNDED PRECEDING).  One shuffle on
+    the key, one sort — strictly cheaper than the range-join +
+    row_number alternative, and it's exactly how you'd do it at
+    100 TB (sort-merge friendly, no candidate blow-up).
+
+    Tie rule: ordering is (ts, event_id), so a signup sharing a
+    purchase's timestamp counts as prior iff its event_id is smaller —
+    the oracle encodes the identical rule.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = events.withColumn(
+        "signup_id",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "signup_id"
+    )
+
+
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'f_and_p' AS tag, o_custkey AS custkey FROM
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    UNION ALL
+    SELECT 'f_only' AS tag, o_custkey AS custkey FROM
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    UNION ALL
+    SELECT 'either' AS tag, o_custkey AS custkey FROM
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       UNION
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+    tags=("relational", "setops"),
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION (distinct) / UNION ALL in one result,
+    tagged per branch."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+
+    def tag(df: DataFrame, t: str) -> DataFrame:
+        return df.select(F.lit(t).alias("tag"), F.col("o_custkey").alias("custkey"))
+
+    return (
+        tag(f.intersect(p), "f_and_p")
+        .unionAll(tag(f.subtract(p), "f_only"))
+        .unionAll(tag(f.union(p).distinct(), "either"))
+    )

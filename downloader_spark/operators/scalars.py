@@ -1,0 +1,215 @@
+"""Scalar function library (SURVEY.md §2.B): string, date, math,
+array, JSON, hash — all JVM built-ins (pyspark.sql.functions), all
+inside whole-stage codegen, no Python in the hot path.
+
+Each query is a pure map-stage projection: zero shuffles, and the
+column pruning means the scan reads only the referenced columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_u,
+           lower(p_brand) AS brand_l,
+           substring(p_name, 1, 5) AS name_pre,
+           CAST(length(p_name) AS INT) AS name_len,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_tokens,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           trim(concat(' ', p_type, ' ')) AS type_trim,
+           replace(p_name, ' ', '_') AS name_snake
+    FROM part
+    """,
+    tags=("scalar",),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String library: case, substring, length, regex replace, split,
+    pad, concat, trim, replace (ref analog: the reference's only
+    string ops are path slicing/concat, common.go:95-101 — this is
+    the full library the engine exposes)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_u"),
+        F.lower("p_brand").alias("brand_l"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+        F.size(F.split("p_name", " ")).alias("n_tokens"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_type"), F.lit(" "))).alias("type_trim"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+           CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(extract(month FROM o_orderdate) AS INT) AS mon,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(epoch_us(o_orderdate) / 1000000 AS BIGINT) AS epoch_s,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time library: extract, trunc, diff, interval arithmetic,
+    formatting, epoch conversion (ref analog: the date-partition path
+    prefixes of downloader.go:64 and maxmind.go:40).
+
+    DOW convention gap: Spark dayofweek is 1=Sunday, DuckDB 0=Sunday;
+    the oracle adds 1.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1000000))
+        .cast("bigint")
+        .alias("epoch_s"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS d_abs,
+           sqrt(l_quantity) AS q_sqrt,
+           CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor,
+           l_orderkey % 7 AS key_mod,
+           power(2.0, l_linenumber) AS pow2,
+           round(ln(l_quantity + 1), 6) AS log_q
+    FROM lineitem
+    """,
+    tags=("scalar",),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math library: abs/sqrt/ceil/floor/mod/pow/ln.
+
+    sqrt and single IEEE ops are bit-exact across engines; ln is
+    libm-dependent in the last ulp, so it's rounded to 6dp (a tie
+    within one ulp of a 6dp boundary is the only residual risk).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("d_abs"),
+        F.sqrt("l_quantity").alias("q_sqrt"),
+        F.ceil(F.col("l_extendedprice") / 100).cast("bigint").alias("price_ceil"),
+        F.floor(F.col("l_extendedprice") / 100).cast("bigint").alias("price_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.pow(F.lit(2.0), F.col("l_linenumber")).alias("pow2"),
+        F.round(F.log(F.col("l_quantity") + 1), 6).alias("log_q"),
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dims,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val,
+           round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS min_val,
+           list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 6)) AS head4
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array library over the embedding column: size, element access,
+    min/max, slice, transform (higher-order function).
+
+    These are structural/order ops on float32 values — no float
+    arithmetic — so results are engine-exact after a widening cast.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.transform(
+            F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 6)
+        ).alias("head4"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(json_valid(props) AS BOOLEAN) AS is_json
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events.props payload column — the
+    typed-projection-from-opaque-payload pattern (ref analog: regex
+    field extraction from log lines, routeviews.go:77)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$").isNotNull().alias("is_json"),
+    )
+
+
+@query(
+    "scalar_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256
+    FROM documents
+    """,
+    tags=("scalar", "hash"),
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hashing — the dedup identity of the reference
+    (common.go:183-190 compares MD5 digests).  md5/sha2 are
+    standardized so they hash-match any engine; Spark also exposes
+    xxhash64/crc32 (engine-specific, used internally by the LSH
+    operators, not oracle-checked here).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+    )

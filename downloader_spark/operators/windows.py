@@ -1,0 +1,163 @@
+"""Window-function operators (SURVEY.md §2.B): ranking, analytic
+(lag/lead/first/last), and moving frames.
+
+Every window here uses a total (tie-broken) ordering so ranking and
+frame contents are engine-independent — the generic rule for
+hash-comparable window queries.
+
+Scale: a window = one hash exchange on the partition key + an
+in-partition sort.  Partition keys are chosen to be high-cardinality
+(custkey, user_id) so no single partition dominates; Spark spills
+window buffers if a key is hot, and AQE skew handling covers the
+exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from downloader_spark.functions.numeric import dec
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, rk, rnk, drnk, q4
+    FROM (
+        SELECT o_orderkey, o_orderstatus,
+               row_number() OVER w AS rk,
+               rank()       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS rnk,
+               dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS drnk,
+               ntile(4)     OVER w AS q4
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rk <= 10
+    """,
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile; top-10 per order status.
+
+    row_number and ntile use the tie-broken ordering (price, key);
+    rank/dense_rank rank on price alone — value-based, so ties get
+    equal ranks identically in any engine.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w_total = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_price = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.row_number().over(w_total).alias("rk"),
+            F.rank().over(w_price).alias("rnk"),
+            F.dense_rank().over(w_price).alias("drnk"),
+            F.ntile(4).over(w_total).alias("q4"),
+        )
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@query(
+    "window_lag",
+    oracle="""
+    SELECT event_id,
+           lag(event_id)    OVER w AS prev_id,
+           lead(event_type) OVER w AS next_type,
+           first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value and inter-event gaps per user session
+    stream — the per-key sequential analytics the reference's
+    creation-log ordering implies (seqnum gaps, routeviews.go:25-31).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return events.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_id").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_id"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@query(
+    "window_moving",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS mv3_sum,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv3_n
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 3-row aggregate frame per customer order history.
+
+    The frame sum runs in DECIMAL so partial order never matters;
+    ROWS frames (not RANGE) keep the frame contents deterministic
+    under the tie-broken sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum(dec("o_totalprice", 2)).over(w).cast("double"), 2).alias("mv3_sum"),
+        F.count(F.lit(1)).over(w).alias("mv3_n"),
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT user_id, event_id,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+               AS running_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) per-key sum — the watermark-accumulation
+    shape of the reference's seqnum tracking (downloader.go:61-62),
+    generalized to values."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(dec("value", 2)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("double"),
+            2,
+        ).alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+    )

@@ -4,4 +4,8 @@ Importing this module populates the registry (plans.registry).  Add a
 line per operator module as coverage widens.
 """
 
+import downloader_spark.operators.aggregates  # noqa: F401
 import downloader_spark.operators.reference_core  # noqa: F401
+import downloader_spark.operators.relational  # noqa: F401
+import downloader_spark.operators.scalars  # noqa: F401
+import downloader_spark.operators.windows  # noqa: F401
