@@ -50,6 +50,7 @@ def main() -> None:
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    failed = sorted(k for k, v in timings.items() if v < 0)
     print(
         json.dumps(
             {
@@ -59,6 +60,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                # A thrown query is excluded from the total, which would
+                # otherwise make a breakage look like a speedup — surface
+                # it in the JSON line, not just stderr.
+                "n_failed": len(failed),
+                "failed": failed,
             }
         )
     )

@@ -49,6 +49,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ns -> its us-precision TIMESTAMP, so oracle comparisons stay
         # value-identical.  (Runtime-settable SQLConf; safe under any
         # parent session, including the driver's.)
+        # ORACLE-VERSION DEPENDENCY: the pinned DuckDB 1.0.0 coerces
+        # TIMESTAMP(NANOS) to us-precision TIMESTAMP on read; newer
+        # DuckDB preserves TIMESTAMP_NS.  If the oracle engine is ever
+        # upgraded, add an explicit us-truncating cast in every events
+        # oracle, or the ns tail would silently diverge.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         return df.withColumn(

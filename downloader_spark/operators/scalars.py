@@ -65,7 +65,7 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002,
            o_orderdate + INTERVAL 30 DAY AS due_date,
            strftime(o_orderdate, '%Y-%m') AS ym,
-           CAST(epoch_us(o_orderdate) / 1000000 AS BIGINT) AS epoch_s,
+           epoch_us(o_orderdate) // 1000000 AS epoch_s,
            CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
     FROM orders
     """,
@@ -91,9 +91,12 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
-        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1000000))
-        .cast("bigint")
-        .alias("epoch_s"),
+        # Integer floor-division on both sides (not double divide + cast):
+        # double→bigint casts truncate in Spark but round in DuckDB, and
+        # only midnight-aligned inputs hide the difference.
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000").alias(
+            "epoch_s"
+        ),
         F.dayofweek("o_orderdate").alias("dow"),
     )
 
@@ -142,7 +145,10 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
            round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val,
            round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS min_val,
-           list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 6)) AS head4
+           array_to_string(
+             list_transform(embedding[1:4],
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+             ',') AS head4
     FROM embeddings
     """,
     tags=("scalar", "array"),
@@ -153,6 +159,12 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     These are structural/order ops on float32 values — no float
     arithmetic — so results are engine-exact after a widening cast.
+    The slice is emitted as a comma-joined string of 1e6-scaled
+    integers, not an array column: the driver's pandas canonicalizer
+    cannot sort/hash list cells (CORRECTNESS_r01 TypeError), and
+    integer→string formatting is engine-identical where float→string
+    is not.  round() is half-away-from-zero in both engines (Java
+    HALF_UP == DuckDB's rule).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
@@ -162,8 +174,12 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
-        F.transform(
-            F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 6)
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+            ),
+            ",",
         ).alias("head4"),
     )
 
@@ -173,7 +189,8 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-           CAST(json_valid(props) AS BOOLEAN) AS is_json
+           CASE WHEN props IS NULL THEN NULL
+                ELSE CAST(json_valid(props) AS BOOLEAN) END AS is_json
     FROM events
     """,
     tags=("scalar", "json"),
@@ -186,7 +203,11 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
-        F.get_json_object("props", "$").isNotNull().alias("is_json"),
+        # NULL input propagates NULL on both sides (isNotNull alone would
+        # yield false where the oracle's json_valid yields NULL).
+        F.when(F.col("props").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.get_json_object("props", "$").isNotNull())
+        .alias("is_json"),
     )
 
 
