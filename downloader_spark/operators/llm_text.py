@@ -1,0 +1,291 @@
+"""LLM-data-pipeline text analysis operators (SURVEY.md §2.B, north
+star): corpus stats, language ID, quality scoring, token counting,
+document fingerprinting — all over the ``documents`` table.
+
+Every operator here is a map-stage projection or a single hash
+aggregation built from JVM regex/string built-ins — no Python in the
+hot path, so the plans are whole-stage-codegen'd and shuffle at most
+once (on the groupBy key).  At 100 TB the per-doc queries are
+embarrassingly parallel scans; ``text_stats`` shuffles only the
+5-row-per-lang partial aggregates.
+
+Cross-engine exactness rules used throughout:
+- token/char counts are ints (bit-exact);
+- ratios are a SINGLE double division of exact ints, rounded to 6dp —
+  identical operand, identical order, identical result;
+- regexes avoid lookaround so Java regex (Spark) and RE2 (DuckDB)
+  agree;
+- the docs corpus is single-space separated with no leading/trailing
+  whitespace (asserted in tests), so ``split(text, ' ')`` tokenizes
+  identically in both engines.
+
+Reference analog: the reference's only text processing is regex field
+extraction over log lines (routeviews.go:77); this module is the
+corpus-scale generalization the north star asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, non-alnum runs, each
+# optionally glued to one preceding space (GPT-2's pattern minus the
+# lookahead, which RE2 cannot run).
+BPE_ISH = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+# Tiny deterministic stopword profiles for the n-gram language-ID
+# heuristic.  Scores are whole-word match counts; prediction is the
+# argmax with a fixed tie-break order (en > de > fr > es > zh).
+LANG_PROFILES = {
+    "en": r"\b(the|a|of|and|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+    "zh": r"\b(de|le|shi|he|zai)\b",
+}
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS total_chars,
+           round(CAST(sum(len(text)) AS DOUBLE) / count(*), 2) AS avg_chars,
+           CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS BIGINT)
+             AS total_tokens,
+           CAST(min(len(text)) AS BIGINT) AS min_chars,
+           CAST(max(len(text)) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, char totals, token
+    totals, length extrema.  One partial+final hash aggregation; the
+    shuffle carries |langs| rows per map partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count("text", F.lit("[a-zA-Z0-9]+"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.round(
+                F.sum(F.length("text")).cast("double") / F.count("*"), 2
+            ).alias("avg_chars"),
+            F.sum(n_tokens).alias("total_tokens"),
+            F.min(F.length("text")).alias("min_chars"),
+            F.max(F.length("text")).alias("max_chars"),
+        )
+    )
+
+
+def _lang_scores(col):
+    return {
+        lang: F.regexp_count(col, F.lit(pat)) for lang, pat in LANG_PROFILES.items()
+    }
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is)\\b')) AS INT) AS s_en,
+             CAST(len(regexp_extract_all(text, '\\b(der|die|das|und|ist)\\b')) AS INT) AS s_de,
+             CAST(len(regexp_extract_all(text, '\\b(le|la|les|et|est)\\b')) AS INT) AS s_fr,
+             CAST(len(regexp_extract_all(text, '\\b(el|los|las|y|es)\\b')) AS INT) AS s_es,
+             CAST(len(regexp_extract_all(text, '\\b(de|le|shi|he|zai)\\b')) AS INT) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_zh THEN 'es'
+             ELSE 'zh'
+           END AS pred_lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_zh THEN 'es'
+             ELSE 'zh'
+           END = lang AS hit
+    FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: per-language whole-word
+    profile counts, argmax with a fixed tie-break.  The heuristic (not
+    the corpus label) is the contract — the oracle replicates the
+    scoring exactly, and ``hit`` records agreement with the label.
+    Pure map stage; at scale this is a scan-speed classifier."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = _lang_scores(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[s[lang].alias(f"s_{lang}") for lang in LANG_PROFILES],
+    )
+    c = {lang: F.col(f"s_{lang}") for lang in LANG_PROFILES}
+    pred = (
+        F.when(
+            (c["en"] >= c["de"])
+            & (c["en"] >= c["fr"])
+            & (c["en"] >= c["es"])
+            & (c["en"] >= c["zh"]),
+            F.lit("en"),
+        )
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]) & (c["de"] >= c["zh"]), "de")
+        .when((c["fr"] >= c["es"]) & (c["fr"] >= c["zh"]), "fr")
+        .when(c["es"] >= c["zh"], "es")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        "s_en",
+        "s_de",
+        "s_fr",
+        "s_es",
+        "s_zh",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("hit"),
+    )
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS INT) AS alnum_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS distinct_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS INT) AS bpe_pieces,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS ttr
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, alnum-run regex,
+    and a BPE-ish pre-tokenizer regex (GPT-2's pattern sans
+    lookahead), plus distinct-token count and type-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-zA-Z0-9]+")).alias("alnum_tokens"),
+        F.size(F.array_distinct(ws)).alias("distinct_tokens"),
+        F.regexp_count("text", F.lit(BPE_ISH)).alias("bpe_pieces"),
+        F.round(
+            F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 6
+        ).alias("ttr"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(text) AS INT) AS n_chars_m,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS INT) AS alpha_chars,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS digit_chars,
+             CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS INT) AS punct_chars,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m, alpha_chars, digit_chars, punct_chars,
+           round(CAST(alpha_chars AS DOUBLE) / n_chars_m, 6) AS alpha_ratio,
+           round(CAST(punct_chars AS DOUBLE) / n_chars_m, 6) AS punct_ratio,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
+           n_chars_m >= 100 AND n_chars_m <= 2000 AS len_ok,
+           round(0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                 + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars_m)
+                 + 0.2 * (CASE WHEN n_chars_m >= 100 AND n_chars_m <= 2000
+                               THEN 1.0 ELSE 0.0 END), 6) AS quality
+    FROM m
+    """,
+    tags=("llm", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: char-class ratios, length gate,
+    type-token ratio, and a fixed-weight composite score.  The
+    composite is evaluated in one double expression with identical
+    operation order on both engines, so 6dp rounding is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars_m = F.length("text")
+    alpha = F.regexp_count("text", F.lit("[a-zA-Z]"))
+    digit = F.regexp_count("text", F.lit("[0-9]"))
+    punct = F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]"))
+    ws = F.split("text", " ")
+    n_tokens = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    len_ok = (n_chars_m >= 100) & (n_chars_m <= 2000)
+    ttr = n_distinct.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_chars_m.alias("n_chars_m"),
+        alpha.alias("alpha_chars"),
+        digit.alias("digit_chars"),
+        punct.alias("punct_chars"),
+        F.round(alpha.cast("double") / n_chars_m, 6).alias("alpha_ratio"),
+        F.round(punct.cast("double") / n_chars_m, 6).alias("punct_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        len_ok.alias("len_ok"),
+        F.round(
+            F.lit(0.5) * ttr
+            + F.lit(0.3) * (alpha.cast("double") / n_chars_m)
+            + F.lit(0.2) * F.when(len_ok, 1.0).otherwise(0.0),
+            6,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(n) AS fp_md5,
+           CAST(concat('0x', substring(md5(n), 1, 15)) AS BIGINT) AS fp_int60,
+           md5(array_to_string(list_sort(list_distinct(string_split(n, ' '))), ' '))
+             AS fp_sorted_sig
+    FROM norm
+    """,
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: a normalization fingerprint (lowercase,
+    strip non-alnum, collapse whitespace → md5), a 60-bit integer form
+    of it (first 15 hex chars — fits signed 64-bit on both engines),
+    and a bag-of-words signature (md5 of the sorted distinct token
+    set).  The int60 form is the join key a 100 TB dedup would
+    hash-partition on — 8 bytes instead of a 32-char string."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    fp = F.md5(n)
+    return docs.select(
+        "doc_id",
+        fp.alias("fp_md5"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp_int60"),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split(n, " "))), " ")
+        ).alias("fp_sorted_sig"),
+    )
