@@ -90,19 +90,43 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx", tags=("aggregate", "approx"))
+@query(
+    "agg_approx",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "approx"),
+)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type.
 
-    Rows-only check: sketch estimates are engine-specific and can
-    never hash-match DuckDB's approx_count_distinct.  The point at
-    100 TB: the HLL sketch is constant-size per group, so the shuffle
-    is O(groups), not O(distinct values) like the exact form.
+    Sketch estimates are engine-specific and can never hash-match
+    DuckDB's estimator, so the raw estimate is not emitted.  The
+    checkable surface instead: the exact distinct count plus
+    ``approx_ok`` = "the HLL estimate is within 10% of exact" (rsd is
+    0.02, so a passing run proves the sketch actually ran and
+    converged; Spark's HLL is deterministic for a given dataset, so
+    the boolean is stable).  The oracle asserts TRUE.
+
+    The point at 100 TB: the HLL sketch is constant-size per group, so
+    the shuffle is O(groups), not O(distinct values) like the exact
+    form — keep the exact column only at validation scale.
     """
     events = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.countDistinct("user_id")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n"),
+        exact.alias("exact_users"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.1 * exact.cast("double")
+        ).alias("approx_ok"),
     )
 
 
