@@ -1,0 +1,467 @@
+"""Near-duplicate detection suite (SURVEY.md §2.B north star):
+MinHash+LSH, SimHash, inverted-index n-gram Jaccard, and
+embedding-cosine near-dup — the four standard LLM-corpus dedup
+families, each designed for 100 TB and each *exactly* checkable.
+
+The exactness trick: every randomized ingredient is replaced by a
+deterministic, engine-portable one — hashes are the first 15 hex
+chars of md5 (a 60-bit int both Spark ``conv(...,16,10)`` and DuckDB
+``'0x...'::BIGINT`` decode identically; verified bit-equal), so the
+DuckDB oracle replicates the *algorithm*, not just the intent.
+Similarities are emitted as integer parts-per-million (floor
+division) — no float-rounding ambiguity anywhere.
+
+Scale design (the part that matters at 100 TB):
+- candidate generation is always a shuffle on a hash key (band hash /
+  shingle / sign-bucket), never an all-pairs product;
+- stop-shingle frequency caps bound the worst-case fanout of the
+  inverted index (a shingle shared by d docs creates O(d²) pairs);
+- exact verification joins only the candidate set back to the
+  per-doc shingle arrays;
+- per-doc signatures (simhash) are one map pass with an
+  array-accumulator fold — O(tokens) per doc, no shuffle at all.
+
+Reference analog: the reference's dedup identity is the content MD5
+(/root/reference/download/common.go:183-190); these operators extend
+that exact-hash identity to similarity identities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+# ---------------------------------------------------------------- shared
+
+# 60-bit deterministic hash, identical in both engines (bit-equality
+# verified: conv(substring(md5(x),1,15),16,10) == '0x'||hex::BIGINT).
+def _spark_h60(arg_sql: str) -> str:
+    return f"CAST(conv(substring(md5({arg_sql}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _duck_h60(arg_sql: str) -> str:
+    return f"CAST(concat('0x', substring(md5({arg_sql}), 1, 15)) AS BIGINT)"
+
+
+# Word 3-gram shingles over normalized text; degenerate (<3-token)
+# docs collapse to one whole-text shingle so the set is never empty.
+_SPARK_SHINGLES = """
+CASE WHEN size(toks) >= 3
+     THEN array_distinct(transform(sequence(0, size(toks) - 3),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+     ELSE array(concat_ws(' ', toks)) END
+"""
+
+_DUCK_SHINGLES = """
+CASE WHEN len(toks) >= 3
+     THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+     ELSE [array_to_string(toks, ' ')] END
+"""
+
+_SPARK_NORM = "split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' ')"
+_DUCK_NORM = (
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct word-3-gram shingle set per document."""
+    return docs.select(
+        "doc_id", F.expr(_SPARK_NORM).alias("toks")
+    ).select("doc_id", F.expr(_SPARK_SHINGLES.replace("\n", " ")).alias("sh"))
+
+
+_DUCK_SHINGLE_CTE = f"""
+    toks AS (SELECT doc_id, {_DUCK_NORM} AS toks FROM documents),
+    shingled AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM toks)
+"""
+
+# ---------------------------------------------------------------- minhash
+
+N_HASHES = 12
+N_BANDS = 6  # r = 2 rows/band -> LSH threshold ~ (1/6)^(1/2) ~ 0.41
+MINHASH_JACCARD_T = 0.5  # verified-pair keep threshold (inter*2 >= union)
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    sigs AS (
+      SELECT doc_id, sh,
+             list_transform(generate_series(0, {N_HASHES - 1}),
+               i -> list_aggregate(
+                      list_transform(sh, s -> {_duck_h60("concat(i, ':', s)")}),
+                      'min')) AS sig
+      FROM shingled
+    ),
+    bands AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, {N_BANDS - 1}),
+               b -> concat(b, ':', md5(concat(sig[2*b+1], ',', sig[2*b+2]))))) AS band
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS inter_size,
+           CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS INT)
+             AS union_size,
+           CAST(len(list_intersect(sa.sh, sb.sh)) * 1000000
+                // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                AS BIGINT) AS jacc_ppm
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.sh, sb.sh)) * 2
+          >= len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-verified.
+
+    Pipeline: per-doc 3-gram shingle set → 12 deterministic
+    md5-derived minhashes → 6 bands of 2 → shuffle on band hash →
+    candidate pairs within a band → exact Jaccard verification on the
+    candidate set only → keep pairs with Jaccard >= 0.5 (integer
+    compare inter*2 >= union; similarity emitted as ppm floor).
+
+    NEVER all-pairs: the only O(N²)-shaped step is within-band pairs,
+    and banding is precisely the device that keeps bands small.  The
+    band hash is a uniform md5, so the shuffle is skew-free.  The
+    oracle replicates the full algorithm (same hashes, same bands), so
+    LSH's false negatives cannot cause a mismatch — and recall against
+    brute force is pinned separately in tests with planted near-dups.
+    """
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Core MinHash+LSH pipeline over any (doc_id, text) DataFrame."""
+    shingled = shingles_of(docs)
+    sigs = shingled.withColumn(
+        "sig",
+        F.expr(
+            f"""transform(sequence(0, {N_HASHES - 1}),
+                i -> array_min(transform(sh,
+                       s -> {_spark_h60("concat(CAST(i AS STRING), ':', s)")})))"""
+        ),
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {N_BANDS - 1}),
+                    b -> concat(CAST(b AS STRING), ':',
+                                md5(concat(CAST(sig[2*b] AS STRING), ',',
+                                           CAST(sig[2*b+1] AS STRING)))))"""
+            )
+        ).alias("band"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_size", inter)
+        .withColumn("union_size", union)
+        .filter(F.col("inter_size") * 2 >= F.col("union_size"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            "union_size",
+            F.expr("CAST(inter_size * 1000000 DIV union_size AS BIGINT)").alias(
+                "jacc_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 60
+
+# DuckDB has no fold-with-initial-value, so the oracle computes each
+# bit's signed vote with its own list_sum — O(bits * tokens), fine at
+# oracle scale.  The Spark side uses the one-pass array-accumulator
+# fold (O(tokens)), which is the shape you'd run at 100 TB.
+_DUCK_SIMHASH = " + ".join(
+    f"""CASE WHEN list_sum(list_transform(th,
+          x -> CASE WHEN (x >> {k}) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        THEN CAST(1 AS BIGINT) << {k} ELSE 0 END"""
+    for k in range(SIMHASH_BITS)
+)
+
+_SPARK_SIMHASH = f"""
+aggregate(
+  zip_with(
+    aggregate(th, array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),
+      (acc, x) -> zip_with(acc,
+                    transform(sequence(0, {SIMHASH_BITS - 1}),
+                      k -> IF((shiftright(x, k) & 1) = 1,
+                              CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
+                    (a, v) -> a + v)),
+    sequence(0, {SIMHASH_BITS - 1}),
+    (votes, k) -> IF(votes > 0, shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT))),
+  CAST(0 AS BIGINT), (a, v) -> a + v)
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_DUCK_NORM}) AS dt FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(len(dt) AS INT) AS n_tokens_d,
+             list_transform(dt, t -> {_duck_h60("t")}) AS th
+      FROM toks
+    ),
+    sims AS (SELECT doc_id, n_tokens_d, {_DUCK_SIMHASH} AS simhash FROM hashed)
+    SELECT doc_id, n_tokens_d, simhash,
+           (simhash >> 0) & 32767 AS band0,
+           (simhash >> 15) & 32767 AS band1,
+           (simhash >> 30) & 32767 AS band2,
+           (simhash >> 45) & 32767 AS band3
+    FROM sims
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit SimHash fingerprint plus its 4 x 15-bit LSH
+    bands (Charikar bit-majority over deterministic md5 token hashes).
+
+    Near-dup candidates are pairs matching on any band (hamming <= 3
+    guaranteed caught at 4 bands); the pair hunt itself is exercised
+    in tests with planted duplicates — this key exact-checks the
+    signature computation, which is the hard part to get identical.
+
+    Spark computes the bit votes in ONE array-accumulator fold over
+    the token hashes (O(tokens) per doc, map-only, no shuffle); the
+    oracle recomputes each bit independently.  Both reduce to the same
+    integer."""
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """Core SimHash signature computation over (doc_id, text)."""
+    hashed = docs.select(
+        "doc_id",
+        F.expr(f"array_distinct({_SPARK_NORM})").alias("dt"),
+    ).select(
+        "doc_id",
+        F.size("dt").alias("n_tokens_d"),
+        F.expr(f"transform(dt, t -> {_spark_h60('t')})").alias("th"),
+    )
+    sims = hashed.select(
+        "doc_id",
+        "n_tokens_d",
+        F.expr(_SPARK_SIMHASH.replace("\n", " ")).alias("simhash"),
+    )
+    return sims.select(
+        "doc_id",
+        "n_tokens_d",
+        "simhash",
+        *[
+            F.expr(f"(simhash >> {15 * i}) & 32767").alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+STOP_SHINGLE_DF = 50  # drop shingles appearing in more docs (fanout cap)
+NGRAM_JACCARD_T = 5  # keep pairs with jaccard >= 1/5 (inter*5 >= union)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    inv AS (
+      SELECT unnest(sh) AS s, doc_id FROM shingled
+    ),
+    keep AS (
+      SELECT s FROM inv GROUP BY s HAVING count(*) <= {STOP_SHINGLE_DF}
+    ),
+    inv2 AS (SELECT i.s, i.doc_id FROM inv i JOIN keep k ON i.s = k.s),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS inter_size,
+           CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS INT)
+             AS union_size,
+           CAST(len(list_intersect(sa.sh, sb.sh)) * 1000000
+                // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                AS BIGINT) AS jacc_ppm
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.sh, sb.sh)) * {NGRAM_JACCARD_T}
+          >= len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
+    index: candidates = pairs sharing >= 1 (non-stop) shingle, then
+    exact set Jaccard >= 0.2 on the candidate set.
+
+    The stop-shingle document-frequency cap ({STOP_SHINGLE_DF}) is the
+    scale guard: a shingle shared by d docs contributes O(d²)
+    candidate pairs, so ubiquitous shingles must be dropped — they
+    carry no discriminative signal anyway (classic PPJoin-family
+    prefix filtering, simplified).  Candidate generation shuffles on
+    the shingle string; verification joins only candidates."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Core inverted-index exact-Jaccard pipeline over (doc_id, text)."""
+    shingled = shingles_of(docs)
+    inv = shingled.select(F.explode("sh").alias("s"), "doc_id")
+    keep = inv.groupBy("s").count().filter(F.col("count") <= STOP_SHINGLE_DF).select("s")
+    inv2 = inv.join(keep, "s")
+    a = inv2.alias("a")
+    b = inv2.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_size", inter)
+        .withColumn("union_size", union)
+        .filter(F.col("inter_size") * NGRAM_JACCARD_T >= F.col("union_size"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            "union_size",
+            F.expr("CAST(inter_size * 1000000 DIV union_size AS BIGINT)").alias(
+                "jacc_ppm"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------- embedding dup
+
+SIGN_BITS = 8  # sign-LSH bucket over the first 8 dims -> 256 buckets
+EMBED_COS_T = 0.35
+
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_DUCK_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+_SPARK_SIGN_BUCKET = f"""
+aggregate(zip_with(slice(embedding, 1, {SIGN_BITS}), sequence(0, {SIGN_BITS - 1}),
+  (x, k) -> IF(x >= CAST(0.0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT))),
+  CAST(0 AS BIGINT), (a, v) -> a + v)
+"""
+
+_DUCK_SIGN_BUCKET = " + ".join(
+    f"CASE WHEN embedding[{k + 1}] >= 0 THEN CAST(1 AS BIGINT) << {k} ELSE 0 END"
+    for k in range(SIGN_BITS)
+)
+
+
+@query(
+    "dedup_embed",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_DUCK_SIGN_BUCKET} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             {_DUCK_DOT.format(a="x.embedding", b="y.embedding")} AS dot,
+             {_DUCK_DOT.format(a="x.embedding", b="x.embedding")} AS na,
+             {_DUCK_DOT.format(a="y.embedding", b="y.embedding")} AS nb
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b,
+           CAST(floor(dot / sqrt(na * nb) * 1000000) AS BIGINT) AS cos_ppm
+    FROM pairs
+    WHERE dot / sqrt(na * nb) >= {EMBED_COS_T}
+    """,
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via deterministic sign-LSH
+    (random-hyperplane LSH with the axis-aligned planes e_1..e_8):
+    bucket on the sign pattern of the first {SIGN_BITS} dims, compare
+    only within-bucket, keep cosine >= {EMBED_COS_T}.
+
+    Cosine is a left-fold of double products in identical order on
+    both engines (0.0+x == x, so Spark's init-value fold equals
+    DuckDB's first-element fold bit-for-bit); emitted as floor-ppm.
+    At 100 TB: widen SIGN_BITS so bucket population stays bounded, or
+    use multiple sign-bucket tables for recall — the shuffle key is
+    the bucket id either way, never an all-pairs product."""
+    return embed_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def embed_pairs(emb: DataFrame) -> DataFrame:
+    """Core sign-LSH cosine near-dup pipeline over (vec_id, embedding)."""
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_SPARK_SIGN_BUCKET.replace("\n", " ")).alias("bucket"),
+    )
+    x = b.alias("x")
+    y = b.alias("y")
+    dot = F.expr(_SPARK_DOT.format(a="x.embedding", b="y.embedding"))
+    na = F.expr(_SPARK_DOT.format(a="x.embedding", b="x.embedding"))
+    nb = F.expr(_SPARK_DOT.format(a="y.embedding", b="y.embedding"))
+    pairs = (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            dot.alias("dot"),
+            na.alias("na"),
+            nb.alias("nb"),
+        )
+    )
+    cos = F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        pairs.filter(cos >= EMBED_COS_T)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(cos * 1000000).cast("bigint").alias("cos_ppm"),
+        )
+    )
