@@ -1,0 +1,162 @@
+"""Embedding similarity search (SURVEY.md §2.B north star):
+brute-force cosine top-k as the exactness baseline, and an
+IVF-partitioned variant as the scale path.
+
+Cosine determinism: dot products and norms are left-folds of double
+products in identical order on both engines (Spark ``aggregate`` with
+0.0 init == DuckDB ``list_reduce`` first-element init, since
+0.0 + x == x), so scores are bit-identical and top-k ordering cannot
+diverge.  Scores are emitted as floor-ppm integers; ranking
+tie-breaks on vec_id.
+
+Scale design:
+- the query set is small and BROADCAST — scoring is map-side, no
+  shuffle of the corpus;
+- top-k uses the two-phase pattern: per-salt-bucket partial top-k
+  (bounds any one window partition to corpus/64), then final top-k
+  over 64*k survivors per query.  A single window partitioned only by
+  query_id would funnel the whole corpus through |queries| reducers —
+  the classic straggler at 100 TB;
+- the IVF variant prunes the scan to the query's coarse partition
+  (here the pretrained cluster id in ``label``; nprobe=1), trading
+  recall for a |corpus|/|clusters| scan — the standard ANN shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors; the rest is corpus
+TOP_K = 10
+SALT_BUCKETS = 64
+
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_DUCK_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Broadcast-join every query against the corpus and score cosine."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = corpus.select("vec_id", "embedding")
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    nq = F.expr(_SPARK_DOT.format(a="q_emb", b="q_emb"))
+    nc = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    return (
+        c.join(F.broadcast(q))
+        .withColumn("cos", dot / F.sqrt(nq * nc))
+    )
+
+
+def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Two-phase per-group top-k: salt-local then final."""
+    local_w = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(SALT_BUCKETS))
+    ).orderBy(F.col("cos").desc(), F.col("vec_id"))
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("lr", F.row_number().over(local_w))
+        .filter(F.col("lr") <= k)
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.floor(F.col("cos") * 1000000).cast("bigint").alias("cos_ppm"),
+            "rank",
+        )
+    )
+
+
+@query(
+    "sim_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")}
+               / sqrt({_DUCK_DOT.format(a="q.q_emb", b="q.q_emb")}
+                      * {_DUCK_DOT.format(a="c.embedding", b="c.embedding")}) AS cos
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, vec_id,
+           CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOP_K}: every query vector (vec_id <
+    {N_QUERIES}, broadcast) against the whole corpus — the exactness
+    baseline every ANN variant is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return topk_per_query(_scored(queries, corpus))
+
+
+IVF_TOP_K = 5
+
+
+@query(
+    "sim_search_ivf",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id >= {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")}
+               / sqrt({_DUCK_DOT.format(a="q.q_emb", b="q.q_emb")}
+                      * {_DUCK_DOT.format(a="c.embedding", b="c.embedding")}) AS cos
+      FROM q JOIN c ON q.label = c.label
+    )
+    SELECT query_id, vec_id,
+           CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {IVF_TOP_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-{IVF_TOP_K}: probe only the query's coarse
+    partition (cluster id in ``label``, nprobe=1).  The equi-join on
+    label IS the inverted-file scan prune — at 100 TB, with the corpus
+    written partitioned by cluster id, Catalyst turns it into
+    partition pruning and each query touches |corpus|/|clusters| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "label",
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    nq = F.expr(_SPARK_DOT.format(a="q_emb", b="q_emb"))
+    nc = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    scored = (
+        corpus.join(F.broadcast(queries), "label")
+        .withColumn("cos", dot / F.sqrt(nq * nc))
+    )
+    return topk_per_query(scored, k=IVF_TOP_K)

@@ -6,6 +6,7 @@ line per operator module as coverage widens.
 
 import downloader_spark.operators.aggregates  # noqa: F401
 import downloader_spark.operators.llm_dedup  # noqa: F401
+import downloader_spark.operators.llm_similarity  # noqa: F401
 import downloader_spark.operators.llm_text  # noqa: F401
 import downloader_spark.operators.reference_core  # noqa: F401
 import downloader_spark.operators.relational  # noqa: F401
