@@ -62,6 +62,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan.  Always pass an explicit schema in production paths —
+    inferSchema is a full extra pass over the data (fatal at 100 TB).
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def load_json(
+    spark: SparkSession, path: str, schema: str | None = None, **options: str
+) -> DataFrame:
+    """JSON-lines scan; explicit schema skips the inference pass."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def load_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw line scan (one ``value`` column) — the entry point for the
+    regex-parse ingestion pattern (creation logs, SURVEY §1.1/D3)."""
+    return spark.read.text(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() use."""
     for name in TABLES:

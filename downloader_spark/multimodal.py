@@ -1,0 +1,142 @@
+"""Multimodal columns (SURVEY.md §2.B north star): opaque binary
+payloads + typed metadata in one DataFrame, with decode /
+feature-extract stages as Arrow-batched Python stages.
+
+Model: an image/audio/video corpus at 100 TB is a DataFrame with a
+``binary`` content column and typed metadata columns — exactly the
+shape ``spark.read.format('binaryFile')`` produces (path, length,
+modificationTime, content), and exactly how the reference treats its
+payloads (opaque byte streams, /root/reference/download/common.go:106
+``io.Copy`` — bytes are never parsed).
+
+The decode step is STUBBED: the real image/audio codecs aren't in
+this container, so ``decode_image_features`` derives a deterministic
+fake feature vector from the bytes (clearly marked; swap the body for
+PIL/ffmpeg in production).  Everything AROUND the stub — the
+binaryFile scan, the mapInPandas batch plumbing, the schema contract,
+the partition behavior — is real and tested.
+
+Scale notes: binaryFile scans parallelize per file;
+``spark.sql.files.maxPartitionBytes`` governs packing of small files
+into tasks.  The mapInPandas stage is Arrow-batched
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory
+= batch_rows * payload size) and pipelines with the scan — no
+shuffle anywhere in decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_FAKE_FEATURES = 8
+
+BINARY_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def scan_binary(spark: SparkSession, directory: str, glob: str = "*") -> DataFrame:
+    """binaryFile scan over a directory: one row per file with the
+    payload as an opaque binary column plus metadata."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(directory)
+    )
+
+
+def with_media_metadata(binary_df: DataFrame) -> DataFrame:
+    """Typed metadata projection over a binary scan: basename, file
+    extension as the media container hint, size, and content digest —
+    all JVM-side (the payload is NOT shipped to Python here)."""
+    return binary_df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("file"),
+        F.lower(F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1)).alias("ext"),
+        F.col("length").alias("size_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+        "content",
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("n_features", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _fake_decode(content: bytes) -> np.ndarray:
+    """STUB decoder: derives N_FAKE_FEATURES deterministic floats in
+    [0, 1) from the payload's sha256.  Replace with a real codec
+    (PIL / torchaudio / ffmpeg) in production — the container has no
+    media libraries, and the Spark-side contract (batch shape, schema,
+    determinism) is what this repo tests."""
+    d = hashlib.sha256(content).digest()
+    ints = np.frombuffer(d[: N_FAKE_FEATURES * 4], dtype=">u4").astype(np.float64)
+    return ints / 2**32
+
+
+def decode_image_features(binary_df: DataFrame) -> DataFrame:
+    """Decode/feature-extract stage over a binary corpus via
+    mapInPandas: Arrow-batched, pipelined with the scan, no shuffle.
+    Output schema is fixed (file, size_bytes, n_features, features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "file": pdf["path"].str.extract(r"([^/]+)$")[0],
+                    "size_bytes": pdf["length"],
+                    "n_features": N_FAKE_FEATURES,
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def sample_frames(binary_df: DataFrame, every_n_bytes: int = 65536) -> DataFrame:
+    """Frame-sampling stub shaped like video frame extraction: emits
+    one row per sampled 'frame' (here: per every_n_bytes chunk
+    boundary, deterministically) — demonstrates the one-to-many
+    mapInPandas expansion a real frame sampler needs."""
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_digest", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"file": [], "frame_idx": [], "frame_digest": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[-1]
+                data = bytes(content)
+                n = max(1, len(data) // every_n_bytes)
+                for i in range(n):
+                    chunk = data[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    out["file"].append(name)
+                    out["frame_idx"].append(i)
+                    out["frame_digest"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, schema=schema)

@@ -1,0 +1,71 @@
+"""Sinks: partitioned Parquet writes matching the reference's
+date-partitioned object layout.
+
+The reference derives its archive layout from the ingest timestamp —
+``Maxmind/<YYYY/MM/DD/>`` built at /root/reference/downloader.go:64
+and maxmind.go:38-40 — and publishes non-atomically (write, then
+delete if dup, common.go:106-130).  The Spark translation inverts
+that: dedup BEFORE write, then rely on the job-commit protocol for
+atomicity (SURVEY §4.3.4), and express the path scheme as Hive-style
+``year=/month=/day=`` partitions so Catalyst prunes them on date
+predicates for free.
+
+Scale notes: ``partitionBy`` writes one file per (task, partition
+value) — repartition on the partition columns first so each output
+partition is written by few tasks (avoids the small-files explosion
+at 1000 executors).  ``maxRecordsPerFile`` bounds file size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DATE_PARTS = ("year", "month", "day")
+
+
+def with_date_partitions(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Derive the reference's YYYY/MM/DD partition columns from an
+    event-time column (downloader.go:64 equivalent)."""
+    return (
+        df.withColumn("year", F.year(ts_col))
+        .withColumn("month", F.month(ts_col))
+        .withColumn("day", F.dayofmonth(ts_col))
+    )
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Write a date-partitioned Parquet archive.
+
+    Repartitioning on the partition columns keeps the file count at
+    O(partitions), not O(tasks x partitions); AQE coalescing then
+    right-sizes the shuffle.  The write is transactional per job —
+    the dedup-before-write replacement for the reference's
+    write-then-delete (common.go:123-129).
+    """
+    out = with_date_partitions(df, ts_col)
+    (
+        out.repartition(*[F.col(c) for c in DATE_PARTS])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*DATE_PARTS)
+        .parquet(path)
+    )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """General partitioned Parquet write (co-located layout for
+    downstream partition-pruned scans / bucketed-style joins)."""
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
