@@ -1,0 +1,21 @@
+"""Structured Streaming forms of the reference's incremental core."""
+
+from downloader_spark.streaming.incremental import (
+    EVENTS_STREAM_SCHEMA,
+    latest_pointer_stream,
+    run_to_memory,
+    stream_from_parquet_dir,
+    streaming_dedup,
+    streaming_late_filter,
+    tumbling_counts,
+)
+
+__all__ = [
+    "EVENTS_STREAM_SCHEMA",
+    "latest_pointer_stream",
+    "run_to_memory",
+    "stream_from_parquet_dir",
+    "streaming_dedup",
+    "streaming_late_filter",
+    "tumbling_counts",
+]

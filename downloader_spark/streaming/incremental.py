@@ -1,0 +1,136 @@
+"""Genuine Structured Streaming wrappers for the reference's
+incremental semantics (SURVEY Phase 3 tail): watermarked dedup (A5),
+windowed aggregation, late-data drop (A3/D4), and the foreachBatch
+latest-pointer upsert (A7).
+
+Correctness story: the exact-checked surface is the batch forms
+(operators/streaming_windows.py, operators/reference_core.py); these
+streaming forms are validated by EQUIVALENCE — run the stream with
+Trigger.AvailableNow over the same files and assert the final state
+matches the batch answer (tests/test_streaming_equivalence.py).
+That's the same validation the reference applies to its incremental
+loop (end-to-end fixture runs asserting final watermark/objects,
+routeviews_test.go:16-102).
+
+Scale notes: streaming state (dedup keys, open windows) lives in the
+state store keyed by the same columns the batch plans shuffle on —
+content hash for dedup, time bucket for windows, user for sessions —
+so partitioning behavior carries over 1:1.  Watermarks bound state
+size; without them streaming dedup state grows without limit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_from_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    schema: str = EVENTS_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a Parquet directory (schema mandatory —
+    streaming reads never infer).  ``max_files_per_trigger`` slices
+    the backlog into micro-batches, which tests use to prove
+    incremental state handling across batches."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_dedup(
+    events: DataFrame,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stateful content-hash dedup: the streaming form of A5
+    (dedup_exact_hash).  ``dropDuplicates`` on the digest keeps the
+    first-seen row per content; the watermark bounds the state store
+    to one delay-window of digests."""
+    return (
+        events.withColumn("h", F.md5(F.col("props")))
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicates(["h"])
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming tumbling-window counts per event type — the streaming
+    form of stream_tumbling (same groupBy keys, same buckets)."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def streaming_late_filter(
+    events: DataFrame, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """Watermarked pass-through: rows arriving later than the
+    watermark delay past max(event time) are dropped by the engine
+    on aggregation/dedup; exposed here as the annotated stream."""
+    return events.withWatermark("ts", watermark_delay)
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Drain the full backlog into an in-memory table
+    (Trigger.AvailableNow) — the test sink."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def latest_pointer_stream(
+    events: DataFrame,
+    upsert: Callable[[DataFrame, int], None],
+) -> StreamingQuery:
+    """The A7 'current pointer' maintenance as a foreachBatch stream:
+    each micro-batch is reduced to its per-user latest row
+    (max_by over (ts, event_id) — a pre-aggregation, so the batch
+    handed to ``upsert`` is tiny), and ``upsert`` merges it into
+    durable state.  This is the transactional-commit shape the ingest
+    pipeline uses: state advances only after the batch commit
+    (routeviews.go:60-62 parity)."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        latest = batch_df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+        ).select("user_id", "m.ts", "m.event_id", "m.event_type", "m.value")
+        upsert(latest, batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

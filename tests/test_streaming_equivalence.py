@@ -1,0 +1,110 @@
+"""Streaming-vs-batch equivalence (SURVEY Phase 3 tail): the genuine
+Structured Streaming forms must converge to the same final state as
+the exact-checked batch plans when fed the same files.
+
+The stream is split into multiple micro-batches (maxFilesPerTrigger=1
+over several files) so the state store actually carries state across
+batches — a single-batch run would not exercise incrementality.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.streaming import (
+    latest_pointer_stream,
+    run_to_memory,
+    stream_from_parquet_dir,
+    streaming_dedup,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events at sf0.001 rewritten as several clean-microsecond parquet
+    files (the raw driver file is TIMESTAMP(NANOS), which streaming
+    schemas can't take) — 4 files so maxFilesPerTrigger=1 yields 4
+    micro-batches, ordered by time so watermarks advance naturally."""
+    out = tmp_path_factory.mktemp("stream") / "events"
+    ev = load_table(spark, SF_DIR, "events")
+    ev.orderBy("ts").coalesce(1).sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(str(out))
+    # re-split into 4 time-ordered files
+    whole = spark.read.parquet(str(out))
+    n = whole.count()
+    per = (n + 3) // 4
+    ranked = whole.orderBy("ts").withColumn(
+        "part", (F.monotonically_increasing_id() / per).cast("int")
+    )
+    out2 = tmp_path_factory.mktemp("stream") / "events4"
+    for i in range(4):
+        ranked.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(out2))
+    return str(out2)
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, events_dir):
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory(streaming_dedup(stream), "dedup_out", output_mode="append")
+    got = spark.table("dedup_out")
+
+    batch = spark.read.parquet(events_dir).withColumn("h", F.md5("props"))
+    # one survivor per distinct content hash
+    assert got.count() == batch.select("h").distinct().count()
+    assert got.select("h").distinct().count() == got.count()
+    assert {r.h for r in got.select("h").collect()} == {
+        r.h for r in batch.select("h").distinct().collect()
+    }
+
+
+def test_streaming_tumbling_matches_batch_windows(spark, events_dir):
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory(
+        tumbling_counts(stream), "tumbling_out", output_mode="complete"
+    )
+    got = spark.table("tumbling_out")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_latest_pointer_stream_matches_batch_latest(spark, events_dir):
+    # durable "current" state folded across micro-batches
+    state: dict[int, tuple] = {}
+
+    def upsert(latest_df, batch_id):
+        for r in latest_df.collect():
+            key = (r.ts, r.event_id)
+            if r.user_id not in state or key > (state[r.user_id][0], state[r.user_id][1]):
+                state[r.user_id] = (r.ts, r.event_id, r.event_type, r.value)
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    latest_pointer_stream(stream, upsert)
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m"))
+        .select("user_id", "m.ts", "m.event_id", "m.event_type", "m.value")
+    )
+    expect = {
+        r.user_id: (r.ts, r.event_id, r.event_type, r.value) for r in batch.collect()
+    }
+    assert state == expect
