@@ -203,9 +203,10 @@ def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     row as row_number()=1 over (ts DESC, event_id DESC) — (ts,
     event_id) leads the struct, and event_id is unique so the
     comparison never reaches the payload fields.  Unlike the window
-    form this is partially aggregated map-side (one combiner row per
-    key per partition crosses the shuffle) and needs no in-partition
-    sort — the 100 TB shape.
+    form this is partially aggregated map-side (Spark plans
+    SortAggregate with partial_max: one combiner row per key per
+    partition crosses the shuffle, and the only sort is by the
+    grouping key, never the ordering column) — the 100 TB shape.
     """
     events = load_table(spark, sf_dir, "events")
     return (
@@ -240,7 +241,7 @@ def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Struct-max aggregation, not a window sort: identical pick to
     row_number()=1 over (o_orderdate DESC, o_orderkey DESC), but
-    map-side combinable with no in-partition sort (see latest_per_key).
+    map-side combinable (see latest_per_key).
     """
     orders = load_table(spark, sf_dir, "orders")
     return (

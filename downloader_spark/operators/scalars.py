@@ -190,16 +190,28 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
            CASE WHEN props IS NULL THEN NULL
-                ELSE CAST(json_valid(props) AS BOOLEAN) END AS is_json
+                ELSE CAST(json_valid(props) AS BOOLEAN) END AS is_json,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+           CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled,
+           'k' AS first_key
     FROM events
     """,
     tags=("scalar", "json"),
 )
 def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON extraction over the events.props payload column — the
-    typed-projection-from-opaque-payload pattern (ref analog: regex
-    field extraction from log lines, routeviews.go:77)."""
+    """JSON + map operations over the events.props payload column —
+    the typed-projection-from-opaque-payload pattern (ref analog:
+    regex field extraction from log lines, routeviews.go:77).
+
+    Three extraction styles, all JVM-side: path extraction
+    (get_json_object), schema-on-read (from_json to a typed struct),
+    and map-typed parsing (from_json to map<string,int> + map ops).
+    The oracle replicates the VALUES via DuckDB's json functions —
+    struct/map columns themselves never appear in the output (driver
+    hasher constraint), only fields projected from them."""
     events = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    as_map = F.from_json("props", "map<string,int>")
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
@@ -208,6 +220,9 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("props").isNull(), F.lit(None).cast("boolean"))
         .otherwise(F.get_json_object("props", "$").isNotNull())
         .alias("is_json"),
+        parsed.getField("k").alias("k_typed"),
+        (F.element_at(as_map, "k") * 2).alias("k_doubled"),
+        F.element_at(F.map_keys(as_map), 1).alias("first_key"),
     )
 
 

@@ -81,6 +81,47 @@ def _median_chars(n_chars: pd.Series) -> float:
 
 
 @query(
+    "udtf_grouped_map",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(n_chars * 1000000 // sum(n_chars) OVER (PARTITION BY lang)
+                AS BIGINT) AS share_ppm,
+           CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS group_n
+    FROM documents
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (UDTF-style) transform via ``applyInPandas``: each
+    language group arrives as one pandas DataFrame and is mapped to an
+    output frame of the same length — the flatMap-per-group shape
+    (SURVEY §2.B UDTF row).  The body computes each doc's integer
+    share of its group's characters (floor ppm — exact), so the
+    whole-group dependency (the group total) is what makes this a
+    genuinely grouped transform rather than a scalar UDF.
+
+    Scale: one shuffle on the group key, Arrow-batched per group;
+    group size bounds executor memory (fine for bounded groups like
+    languages; use salted sub-groups for unbounded keys)."""
+
+    def share(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = int(pdf["n_chars"].sum())
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "share_ppm": (pdf["n_chars"].astype("int64") * 1_000_000) // total,
+                "group_n": len(pdf),
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").applyInPandas(
+        share, schema="doc_id long, lang string, share_ppm long, group_n long"
+    )
+
+
+@query(
     "udaf_grouped",
     oracle="""
     SELECT lang,
