@@ -69,3 +69,35 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted Parquet table write.
+
+    Bucketing pre-shuffles the data ONCE at write time: every
+    subsequent equi-join or aggregation on the bucket columns between
+    tables bucketed the same way runs with NO exchange (verified by
+    plan assertion in tests).  At 100 TB this is the difference
+    between re-shuffling the fact table per query and never shuffling
+    it again — the write-side analog of the reference's path-encoded
+    partition scheme (SURVEY §1.1/D2).
+
+    Bucketing requires the table catalog (bucket metadata lives
+    there), hence ``saveAsTable`` with an explicit path rather than a
+    bare ``parquet(path)``.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )

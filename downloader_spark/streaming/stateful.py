@@ -1,0 +1,52 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §1.4/D4: the reference's per-source watermark is exactly this
+kind of keyed incremental state, advanced batch by batch at
+routeviews.go:60-62).
+
+``running_totals`` maintains per-key cumulative (count, sum) across
+micro-batches — the canonical custom-state shape Spark's built-in
+aggregations can't express when the update logic grows conditions
+(per-key thresholds, custom eviction, ...).  State is a tiny tuple
+per key in the state store, partitioned on the group key — the same
+hash distribution every batch aggregation in this repo shuffles on.
+
+Validated by equivalence: after draining a multi-batch backlog, the
+last emitted row per key must equal the batch groupBy answer
+(tests/test_streaming_equivalence.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n long, total double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum(value)) across micro-batches.
+    Emits the updated running totals for every key seen in the batch
+    (output mode: update)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -88,3 +88,36 @@ def test_date_partitioned_write_roundtrip_and_pruning(spark, tmp_path):
         (F.month("ts") == 1) & (F.dayofmonth("ts") == 1)
     ).count()
     assert pruned.count() == expect == pruned.select("event_id").distinct().count()
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    from downloader_spark.sinks import write_bucketed
+
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    # disable auto-broadcast: at real scale neither side of a
+    # fact-to-fact join broadcasts; the point of bucketing is the
+    # shuffle-free sort-merge join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            orders, "orders_b", str(tmp_path / "orders_b"), ["o_orderkey"], 8
+        )
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b",
+            str(tmp_path / "li_b"),
+            ["o_orderkey"],
+            8,
+        )
+        joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: no shuffle on either side
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -108,3 +108,35 @@ def test_latest_pointer_stream_matches_batch_latest(spark, events_dir):
         r.user_id: (r.ts, r.event_id, r.event_type, r.value) for r in batch.collect()
     }
     assert state == expect
+
+
+def test_stateful_running_totals_matches_batch(spark, events_dir):
+    from downloader_spark.streaming.stateful import running_totals
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the LAST update per user is the final running total
+    import pandas as pd  # noqa: F401
+
+    updates = spark.table("running_out").toPandas()
+    final = updates.groupby("user_id").last()
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert sorted(final.index) == sorted(batch.index)
+    for uid in batch.index:
+        assert final.loc[uid, "n"] == batch.loc[uid, "n"]
+        assert abs(final.loc[uid, "total"] - batch.loc[uid, "total"]) < 1e-6
