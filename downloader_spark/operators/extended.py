@@ -1,0 +1,173 @@
+"""Extended engine surface: pivot, exact percentiles, distribution
+windows, edit distance, and deterministic dataset splitting — the
+long-tail operators a training-data pipeline reaches for after the
+core relational set (SURVEY §2.B north-star widening).
+
+Everything here stays JVM-side and exact-checkable; the dataset
+split in particular is the reproducibility-critical one — hash-based
+assignment means the same document lands in the same split on any
+engine, any cluster size, any run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.operators.llm_dedup import _duck_h60, _spark_h60
+from downloader_spark.plans.registry import query
+
+PIVOT_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT lang,
+           {", ".join(f"CAST(sum(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{s}" for s in PIVOT_SOURCES)}
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-language doc counts spread across source columns.
+    The pivot values are EXPLICIT — with an unspecified value list
+    Spark runs an extra distinct-collect job to discover them (a
+    driver round-trip you never want at 100 TB).  Plans as one
+    two-phase hash aggregation, same as any groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    pivoted = (
+        docs.groupBy("lang")
+        .pivot("source", PIVOT_SOURCES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "lang",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in PIVOT_SOURCES],
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           round(CAST(median(o_totalprice) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90,
+           round(CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE), 4) AS p99,
+           round(CAST(min(o_totalprice) AS DOUBLE), 4) AS p0
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "percentile"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    == DuckDB ``quantile_cont``: identical (1-f)*a + f*b interpolation
+    on identical sorted doubles — verified bit-equal).  Exact
+    percentile sorts each group; for sketch-sized state at 100 TB the
+    engine also exposes approx_percentile (KLL/GK), which — like any
+    sketch — is engine-specific and not oracle-comparable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.round(F.min("o_totalprice").cast("double"), 4).alias("p0"),
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1))
+    and cume_dist — both single-division doubles of exact ints, so
+    6dp rounding is engine-identical.  Tie-broken ordering keeps the
+    rank basis total."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "scalar_levenshtein",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_type) AS INT) AS d_name_type,
+           CAST(levenshtein(p_name, reverse(p_name)) AS INT) AS d_palindrome,
+           round(CAST(levenshtein(p_name, p_type) AS DOUBLE)
+                 / greatest(len(p_name), len(p_type)), 6) AS d_norm
+    FROM part
+    """,
+    tags=("scalar", "similarity"),
+)
+def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (exact integer, identical DP in both engines) +
+    the length-normalized ratio used as a near-dup similarity gate.
+    Map-only; at scale this is the verify step after candidate
+    blocking, never an all-pairs metric."""
+    part = load_table(spark, sf_dir, "part")
+    d1 = F.levenshtein("p_name", "p_type")
+    return part.select(
+        "p_partkey",
+        d1.alias("d_name_type"),
+        F.levenshtein(F.col("p_name"), F.reverse(F.col("p_name"))).alias("d_palindrome"),
+        F.round(
+            d1.cast("double") / F.greatest(F.length("p_name"), F.length("p_type")), 6
+        ).alias("d_norm"),
+    )
+
+
+SPLIT_BUCKETS = 100
+TRAIN_UPTO = 80  # [0,80) train, [80,90) val, [90,100) test
+
+
+@query(
+    "sample_split",
+    oracle=f"""
+    SELECT doc_id,
+           {_duck_h60("concat('split:', CAST(doc_id AS VARCHAR))")} % {SPLIT_BUCKETS}
+             AS bucket,
+           CASE WHEN {_duck_h60("concat('split:', CAST(doc_id AS VARCHAR))")} % {SPLIT_BUCKETS} < {TRAIN_UPTO} THEN 'train'
+                WHEN {_duck_h60("concat('split:', CAST(doc_id AS VARCHAR))")} % {SPLIT_BUCKETS} < {TRAIN_UPTO + 10} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket — the
+    reproducible-split primitive every training pipeline needs:
+    membership depends only on the key (never on partitioning, row
+    order, or engine), so reruns and backfills land every doc in the
+    same split.  80/10/10 over {SPLIT_BUCKETS} md5-derived buckets;
+    pure map stage.  (Spark's df.sample is seed-dependent ON
+    PARTITIONING — it is NOT reproducible under repartition, which is
+    why hash-gating is the standard instead.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"{_spark_h60('concat(' + chr(39) + 'split:' + chr(39) + ', CAST(doc_id AS STRING))')} % {SPLIT_BUCKETS}"
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_UPTO, "train")
+        .when(bucket < TRAIN_UPTO + 10, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

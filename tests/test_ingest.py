@@ -300,3 +300,40 @@ def test_current_table_is_derived_from_inventory(spark, tmp_path, rv_spec):
     assert stats.n_objects == 3 and stats.n_distinct == 3
     m = {(r.metric, r.label): r.value for r in dl.metrics_df().collect()}
     assert ("downloader_last_success_time_seconds", "") in m
+
+
+def test_full_cycle_all_three_sources(spark, tmp_path, rv_spec):
+    """The downloader.go:59-103 shape: one cycle over Maxmind + both
+    RouteViews sources; last-success gauge advances only on an
+    all-green cycle."""
+    rv6 = routeviews_source(
+        "routeviews-ipv6",
+        LOG_URL,
+        "RouteViewIPv6/",
+        "RouteViewIPv6/current/routeview.pfx2as.gz",
+    )
+    mm = maxmind_sources("2023/11/16/", "20231116T120000Z-")[0]
+    responses = _responses()
+    responses[mm.url] = b"geolite-bytes"
+    store = InMemoryStore()
+    dl = _mk_downloader(spark, tmp_path, FakeFetcher(responses), store)
+    assert dl.run_cycle([mm, rv_spec, rv6])
+    assert dl.last_success_time is not None
+    # all three current pointers exist
+    assert store.get("Maxmind/current/GeoLite2-City.tar.gz") == b"geolite-bytes"
+    assert store.exists("RouteViewIPv4/current/routeview.pfx2as.gz")
+    assert store.exists("RouteViewIPv6/current/routeview.pfx2as.gz")
+    # both incremental watermarks advanced independently
+    assert dl.watermarks.get("routeviews-ipv4") == 1102
+    assert dl.watermarks.get("routeviews-ipv6") == 1102
+    # inventory: 1 maxmind + 3 v4 + 3 v6
+    assert dl.inventory.load(spark).count() == 7
+    cur = {r.dataset for r in dl.current_table().collect()}
+    assert cur == {"maxmind-geolite2-city", "routeviews-ipv4", "routeviews-ipv6"}
+
+    # a failing source makes the cycle not-ok and freezes the gauge
+    bad = SourceSpec(name="broken", kind="snapshot", url="http://fake.test/404")
+    t0 = dl.last_success_time
+    assert not dl.run_cycle([mm, bad])
+    assert dl.last_success_time == t0
+    assert dl.failed_downloads["broken"] == 1

@@ -1,0 +1,38 @@
+"""Round-trip tests for the non-parquet loaders (csv/json/text)."""
+
+from __future__ import annotations
+
+from downloader_spark.io import load_csv, load_json, load_table, load_text
+from tests.conftest import SF_DIR
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
+    nation = load_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.coalesce(1).write.option("header", "true").csv(out)
+    back = load_csv(
+        spark, out, schema="n_nationkey long, n_name string, n_regionkey long"
+    )
+    assert back.count() == nation.count()
+    assert {f.name for f in back.schema.fields} >= {"n_nationkey", "n_name"}
+    got = {r.n_nationkey: r.n_name for r in back.collect()}
+    want = {r.n_nationkey: r.n_name for r in nation.collect()}
+    assert got == want
+
+
+def test_json_roundtrip(spark, tmp_path):
+    region = load_table(spark, SF_DIR, "region")
+    out = str(tmp_path / "region_json")
+    region.coalesce(1).write.json(out)
+    back = load_json(spark, out, schema="r_regionkey long, r_name string")
+    assert {r.r_name for r in back.collect()} == {
+        r.r_name for r in region.collect()
+    }
+
+
+def test_text_scan_line_shape(spark, tmp_path):
+    p = tmp_path / "log.txt"
+    p.write_text("# comment\n123 4567890123 some/path\n")
+    df = load_text(spark, str(p))
+    assert [f.name for f in df.schema.fields] == ["value"]
+    assert df.count() == 2
