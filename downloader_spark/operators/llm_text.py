@@ -26,7 +26,7 @@ corpus-scale generalization the north star asks for.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from downloader_spark.io import load_table
@@ -252,6 +252,44 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality"),
     )
+
+
+@query(
+    "text_vocab",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counted AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    )
+    SELECT tok, n,
+           CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+    FROM counted
+    QUALIFY rank <= 50
+    """,
+    tags=("llm", "text"),
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global top-50 tokens by corpus frequency
+    (tie-broken lexicographically) — the first step of tokenizer
+    training.  Explode → two-phase count aggregation →
+    TakeOrderedAndProject for the global top-k (Spark never sorts the
+    full vocabulary for an ORDER BY + LIMIT).  At 100 TB the count
+    table is |vocab| rows — tiny next to the corpus — and the
+    explode/count is the canonical map-side-combinable word count."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    # global top-k FIRST (TakeOrderedAndProject: per-partition heads,
+    # no full sort), then rank the 50 survivors — the unbounded-window
+    # rank over the whole vocab would funnel it into one partition
+    top = counted.orderBy(F.col("n").desc(), F.col("tok")).limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 @query(

@@ -4,6 +4,7 @@ from downloader_spark.streaming.incremental import (
     EVENTS_STREAM_SCHEMA,
     latest_pointer_stream,
     run_to_memory,
+    session_counts,
     stream_from_parquet_dir,
     streaming_dedup,
     streaming_late_filter,
@@ -14,6 +15,7 @@ __all__ = [
     "EVENTS_STREAM_SCHEMA",
     "latest_pointer_stream",
     "run_to_memory",
+    "session_counts",
     "stream_from_parquet_dir",
     "streaming_dedup",
     "streaming_late_filter",

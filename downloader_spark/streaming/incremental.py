@@ -84,6 +84,28 @@ def tumbling_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming session windows per user — the streaming form of
+    stream_session (same gap rule, same session bounds).  Session
+    state merges across micro-batches in the state store, keyed by
+    (user_id, open session)."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n",
+        )
+    )
+
+
 def streaming_late_filter(
     events: DataFrame, watermark_delay: str = "1 hour"
 ) -> DataFrame:

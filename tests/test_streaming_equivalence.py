@@ -140,3 +140,25 @@ def test_stateful_running_totals_matches_batch(spark, events_dir):
     for uid in batch.index:
         assert final.loc[uid, "n"] == batch.loc[uid, "n"]
         assert abs(final.loc[uid, "total"] - batch.loc[uid, "total"]) < 1e-6
+
+
+def test_streaming_session_matches_batch_sessions(spark, events_dir):
+    from downloader_spark.streaming import session_counts
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory(session_counts(stream), "session_out", output_mode="complete")
+    got = spark.table("session_out")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n",
+        )
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
