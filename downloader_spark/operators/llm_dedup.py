@@ -110,7 +110,6 @@ _DUCK_SHINGLE_CTE = f"""
 
 N_HASHES = 12
 N_BANDS = 6  # r = 2 rows/band -> LSH threshold ~ (1/6)^(1/2) ~ 0.41
-MINHASH_JACCARD_T = 0.5  # verified-pair keep threshold (inter*2 >= union)
 
 
 @query(
