@@ -133,6 +133,37 @@ def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scalar_explode",
+    oracle="""
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+             AS val_scaled
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+    tags=("scalar", "explode"),
+)
+def scalar_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with ordinality (``posexplode``): array column →
+    one row per element with its position — the flatten step feeding
+    long-format pipelines (the dedup suite's shingle explode is this
+    same generator).  Values emitted as 1e6-scaled ints (float32 cast
+    exact, round identical).  Generate is pipelined with the scan —
+    no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias(
+            "val_scaled"
+        ),
+    )
+
+
 SPLIT_BUCKETS = 100
 TRAIN_UPTO = 80  # [0,80) train, [80,90) val, [90,100) test
 
