@@ -156,6 +156,87 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+      FROM events
+    ),
+    buckets AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, b.bucket FROM types t CROSS JOIN buckets b),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             {sql_money_sum("value", "val_sum")}
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.bucket,
+           COALESCE(a.n, 0) AS n,
+           COALESCE(a.val_sum, 0.0) AS val_sum
+    FROM grid g LEFT JOIN agg a
+      ON a.event_type = g.event_type AND a.bucket = g.bucket
+    """,
+    tags=("streaming", "timeseries"),
+)
+def rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (the hypertable/time-series resample
+    shape): a dense (event_type x hour) grid from the stream's bounds,
+    left-joined with the hourly aggregates, empty buckets filled with
+    zeros — downstream consumers (charts, anomaly detectors, training
+    windows) need the dense series, not the sparse one.
+
+    Scale: the grid is |types| x |hours| — generated from a 1-row
+    bounds aggregate via sequence+explode, it costs nothing next to
+    the event scan; the join key (type, hour-bucket) is the same key
+    the aggregation shuffles on, and the tiny grid side broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    buckets = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(buckets))
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("n"), money_sum("value", "val_sum"))
+    return (
+        grid.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("val_sum", F.lit(0.0)).alias("val_sum"),
+        )
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (small x small only — the grid/expansion
+    primitive; rollup_gapfill is its real use).  Any large-side cross
+    product is a design bug, which is why the plan-quality suite
+    asserts no OTHER registered plan contains a CartesianProduct."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@query(
     "stream_late_filter",
     oracle="""
     SELECT event_id, ts, user_id, event_type
