@@ -79,6 +79,111 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           round(CAST(median(o_totalprice) AS DOUBLE), 4) AS p50_exact,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "approx"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch with a verifiable surface (same pattern as
+    agg_approx): the raw approx_percentile estimate is engine-specific,
+    so the checked output is the exact median plus ``approx_ok`` =
+    "the sketch's p50 is within 2% of exact" — a passing hash proves
+    the sketch ran and converged.  At 100 TB only the sketch survives:
+    its state is O(1/accuracy) per group vs the exact form's
+    sort-the-group."""
+    orders = load_table(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, 0.5)")
+    approx = F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(exact, 4).alias("p50_exact"),
+        (F.abs(approx - exact) <= 0.02 * exact).alias("approx_ok"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_30m,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 2)
+             AS vsum_30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frames"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval RANGE frame: per user, rolling 30-minute count/sum —
+    the event-time sliding aggregate expressed as a window frame.
+    Spark's rangeBetween needs a numeric ordering column, so the
+    frame runs on microsecond epochs (bit-equivalent to DuckDB's
+    INTERVAL arithmetic, which is also µs-precision); the sum is
+    decimal-exact per functions/numeric.py."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_30m"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"), 2
+        ).alias("vsum_30m"),
+    )
+
+
+PROFILE_COLS = ["user_id", "event_type", "value", "props"]
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'user_id' AS col, CAST(count(*) - count(user_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'props', CAST(count(*) - count(props) AS BIGINT),
+           CAST(count(DISTINCT props) AS BIGINT) FROM events
+    """,
+    tags=("profiling",),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiling: null and distinct counts per
+    column in ONE scan — the aggregates all compute side by side and
+    ``stack`` melts the single result row to long form (the oracle
+    spells it as UNION ALL; Spark reads the table once)."""
+    events = load_table(spark, sf_dir, "events")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    one = events.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col, n_null, n_distinct)"
+        )
+    )
+
+
+@query(
     "window_distribution",
     oracle="""
     SELECT event_id, event_type,
