@@ -162,3 +162,54 @@ def test_streaming_session_matches_batch_sessions(spark, events_dir):
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_streaming_dedup_checkpoint_restart_recovery(spark, events_dir, tmp_path):
+    """Durability: a checkpointed dedup stream stopped and restarted
+    over a grown input directory must process only the new files and
+    keep its dedup state — no survivor is ever emitted twice across
+    runs (the fix for the reference's volatile watermark, SURVEY
+    §4.3.3, demonstrated end-to-end)."""
+    import shutil
+    import os
+
+    src_files = sorted(
+        f for f in os.listdir(events_dir) if f.endswith(".parquet")
+    )
+    assert len(src_files) >= 2
+    input_dir = str(tmp_path / "input")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    def run_once():
+        stream = stream_from_parquet_dir(spark, input_dir, max_files_per_trigger=1)
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: first half of the files
+    half = len(src_files) // 2
+    for f in src_files[:half]:
+        shutil.copy(os.path.join(events_dir, f), input_dir)
+    run_once()
+    n_first = spark.read.parquet(out_dir).count()
+    assert n_first > 0
+
+    # run 2 (restart over the same checkpoint): add the rest
+    for f in src_files[half:]:
+        shutil.copy(os.path.join(events_dir, f), input_dir)
+    run_once()
+
+    got = spark.read.parquet(out_dir)
+    batch = spark.read.parquet(input_dir).withColumn("h", F.md5("props"))
+    # exactly one survivor per distinct content hash ACROSS both runs
+    assert got.count() == batch.select("h").distinct().count()
+    assert got.select("h").distinct().count() == got.count()
