@@ -132,3 +132,30 @@ def test_sample_split_matches_python_md5_model(spark):
     # deterministic across re-evaluation
     again = {r.doc_id: r.split for r in sample_split(spark, SF_DIR).collect()}
     assert again == {r.doc_id: r.split for r in rows}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(docs_strategy)
+def test_minhash_pairs_subset_of_ngram_pairs(spark, token_lists):
+    """Every LSH-found pair (Jaccard >= 0.5) must also be found by the
+    exhaustive inverted-index method (threshold 0.2), with identical
+    exact inter/union values — LSH may miss pairs, never invent or
+    mis-measure them."""
+    from downloader_spark.operators.llm_dedup import minhash_pairs
+
+    texts = [" ".join(toks) for toks in token_lists]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    mh = {
+        (r.doc_a, r.doc_b): (r.inter_size, r.union_size)
+        for r in minhash_pairs(df).collect()
+    }
+    ng = {
+        (r.doc_a, r.doc_b): (r.inter_size, r.union_size)
+        for r in ngram_jaccard_pairs(df).collect()
+    }
+    for pair, iv in mh.items():
+        assert pair in ng and ng[pair] == iv
