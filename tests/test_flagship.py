@@ -30,3 +30,17 @@ def test_contract_shape(spark):
     assert set(oracles) <= set(qs)
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+
+
+def test_flagship_via_ingest_builds_and_queries_derived_state(spark, tmp_path):
+    from downloader_spark.plans.flagship import flagship_via_ingest
+    from tests.conftest import SF_DIR
+
+    out = flagship_via_ingest(spark, SF_DIR, str(tmp_path / "state"), n_objects=20)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.dataset == "flagship-events"
+    assert r.current_name.startswith("Events/2024/01/ev-")
+    # content dedup happened inside ingest: distinct <= objects
+    assert 1 <= r.n_distinct <= r.n_objects <= 20
