@@ -1,0 +1,89 @@
+"""SQL-API surface: subquery predicates and a CTE analytics query
+run through ``spark.sql`` over registered views — proof that the
+engine's second front door (ANSI SQL text, not just the DataFrame
+API) covers the same semantics with the same exactness discipline.
+
+Catalyst rewrites both subquery forms into joins (IN → left-semi,
+NOT EXISTS → left-anti — the same physical shape as the reference's
+dedup anti-join, A5), so the SQL surface costs nothing over the
+DataFrame one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+
+@query(
+    "filter_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders o
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+      )
+    """,
+    tags=("filter", "subquery"),
+)
+def filter_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery predicates: uncorrelated IN and correlated NOT EXISTS.
+    Catalyst decorrelates both into a left-semi and a left-anti join
+    (visible in the plan) — no per-row re-execution ever happens."""
+    for t in ("orders", "customer", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders o
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+          )
+        """
+    )
+
+
+_Q3_BODY = """
+WITH rev AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS revenue
+  FROM lineitem
+  WHERE l_shipdate > DATE '2024-03-15'
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey,
+       round(CAST(r.revenue AS DOUBLE), 2) AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN rev r ON r.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '2024-03-15'
+ORDER BY r.revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+@query(
+    "sql_q3_cte",
+    oracle=_Q3_BODY,
+    tags=("sql", "cte", "join", "aggregate"),
+)
+def sql_q3_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped analytics through ``spark.sql``: CTE, two
+    joins, a decimal-exact revenue aggregate, global top-10.  The SQL
+    text is IDENTICAL on both engines (the exactness discipline makes
+    the dialects converge).  Plan: pushed date/segment filters,
+    broadcast customer, partial-aggregated revenue, and the ORDER
+    BY+LIMIT becomes TakeOrderedAndProject — never a full sort."""
+    for t in ("orders", "customer", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3_BODY)
