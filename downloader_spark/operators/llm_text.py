@@ -293,6 +293,59 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfr FROM toks GROUP BY tok
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.tok,
+             round(t.tf * ln(n.n_docs / d.dfr), 6) AS tfidf
+      FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 3
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf * ln(N/df).  Long-format word counts (map-side combinable),
+    document frequencies joined back on the token (the df table is
+    |vocab| rows — broadcast), top-3 via per-doc window.  ln is
+    libm-correct on both engines; 6dp rounding absorbs the last ulp
+    (same discipline as scalar_math)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfr"))
+    n_docs = docs.count()  # driver scalar: one count job, O(1) result
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfr")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     WITH norm AS (

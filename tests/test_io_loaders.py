@@ -36,3 +36,22 @@ def test_text_scan_line_shape(spark, tmp_path):
     df = load_text(spark, str(p))
     assert [f.name for f in df.schema.fields] == ["value"]
     assert df.count() == 2
+
+
+def test_json_corrupt_records_are_captured_not_fatal(spark, tmp_path):
+    """PERMISSIVE schema-on-read: malformed lines land in the corrupt
+    column instead of failing the scan — at 100 TB a handful of bad
+    records must never kill the job."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\nNOT-JSON\n{"a": }\n')
+    df = load_json(
+        spark,
+        str(p),
+        schema="a long, _corrupt string",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    rows = df.collect()
+    good = [r.a for r in rows if r.a is not None]
+    bad = [r._corrupt for r in rows if r._corrupt is not None]
+    assert sorted(good) == [1, 2]
+    assert len(bad) == 2

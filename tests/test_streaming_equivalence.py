@@ -213,3 +213,36 @@ def test_streaming_dedup_checkpoint_restart_recovery(spark, events_dir, tmp_path
     # exactly one survivor per distinct content hash ACROSS both runs
     assert got.count() == batch.select("h").distinct().count()
     assert got.select("h").distinct().count() == got.count()
+
+
+def test_progress_listener_captures_batch_metrics(spark, events_dir):
+    from downloader_spark.streaming.metrics import ProgressCapture
+
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    try:
+        stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("memory")
+            .queryName("metrics_probe")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously
+        import time
+
+        total_rows = spark.read.parquet(events_dir).count()
+        for _ in range(40):
+            if cap.rows_in.get("metrics_probe", 0) >= total_rows:
+                break
+            time.sleep(0.25)
+        assert cap.rows_in["metrics_probe"] == total_rows
+        assert cap.batches["metrics_probe"] >= 4  # one per input file
+        assert cap.last_progress_ts is not None
+        m = {(r.metric, r.label): r.value for r in cap.metrics_df(spark).collect()}
+        assert m[("streaming_rows_in_total", "metrics_probe")] == float(total_rows)
+    finally:
+        spark.streams.removeListener(cap)
