@@ -113,6 +113,46 @@ def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_query(_scored(queries, corpus))
 
 
+@query(
+    "embed_centroids",
+    oracle="""
+    WITH comps AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS centroid_q
+    FROM comps
+    GROUP BY label, pos
+    """,
+    tags=("llm", "embedding", "centroid"),
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid computation — the k-means / IVF-training
+    update step — over QUANTIZED components: ``floor(v * 1000)`` maps
+    each float32 to an integer (exact: the product fits a double, and
+    floor has no rounding midpoints), so the cross-row sum is
+    associative and engine/order-independent.  Raw float centroids
+    cannot be exact-checked: their sum depends on partial-aggregation
+    order.  Long format (label, pos) keys the shuffle — |labels| x
+    dims cells, partial-aggregated map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000).cast("bigint").alias("q"),
+    )
+    return comps.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("q").cast("double") / F.count("*"), 6).alias("centroid_q"),
+    )
+
+
 IVF_TOP_K = 5
 
 
