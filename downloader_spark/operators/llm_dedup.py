@@ -220,11 +220,22 @@ def _verified_pairs(ss: DataFrame, cand: DataFrame, keep_ratio: int) -> DataFram
     """Exact-Jaccard verification of candidate pairs against the
     long-format shingle sets: inter = co-occurrence count through the
     postings, union from per-doc set sizes.  Keeps pairs with
-    inter * keep_ratio >= union (jaccard >= 1/keep_ratio)."""
+    inter * keep_ratio >= union (jaccard >= 1/keep_ratio).
+
+    The postings are semi-join-filtered to candidate doc_ids first:
+    the candidate set is tiny next to the corpus, so the verification
+    joins move O(candidate docs x shingles) rows instead of the whole
+    posting table."""
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ssc = ss.join(cand_docs, "doc_id", "left_semi")
     sizes = ss.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     inter = (
-        cand.join(ss.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
-        .join(ss.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        cand.join(ssc.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(ssc.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -34,15 +34,17 @@ def filter_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subquery predicates: uncorrelated IN and correlated NOT EXISTS.
     Catalyst decorrelates both into a left-semi and a left-anti join
     (visible in the plan) — no per-row re-execution ever happens."""
+    # ds_-prefixed view names: the session is shared with the driver
+    # harness, and clobbering generically-named views would be rude
     for t in ("orders", "customer", "lineitem"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"ds_{t}")
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, o_orderstatus
-        FROM orders o
-        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        FROM ds_orders o
+        WHERE o_custkey IN (SELECT c_custkey FROM ds_customer WHERE c_acctbal > 5000)
           AND NOT EXISTS (
-            SELECT 1 FROM lineitem l
+            SELECT 1 FROM ds_lineitem l
             WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
           )
         """
@@ -80,10 +82,14 @@ LIMIT 10
 def sql_q3_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped analytics through ``spark.sql``: CTE, two
     joins, a decimal-exact revenue aggregate, global top-10.  The SQL
-    text is IDENTICAL on both engines (the exactness discipline makes
-    the dialects converge).  Plan: pushed date/segment filters,
+    text is identical on both engines up to view-name prefixes (the
+    exactness discipline makes the dialects converge).  Plan: pushed date/segment filters,
     broadcast customer, partial-aggregated revenue, and the ORDER
     BY+LIMIT becomes TakeOrderedAndProject — never a full sort."""
     for t in ("orders", "customer", "lineitem"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_Q3_BODY)
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"ds_{t}")
+    return spark.sql(
+        _Q3_BODY.replace("FROM lineitem", "FROM ds_lineitem")
+        .replace("FROM customer", "FROM ds_customer")
+        .replace("JOIN orders", "JOIN ds_orders")
+    )
