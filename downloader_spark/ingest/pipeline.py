@@ -124,6 +124,33 @@ class Downloader:
             raise last_err
         return outcomes
 
+    def run_forever(
+        self,
+        sources: list[SourceSpec],
+        interval_s: float = 24 * 3600,
+        deviation_s: float = 4 * 3600,
+        max_cycles: int | None = None,
+        rng=None,
+    ) -> int:
+        """The reference's main loop (loopOverURLsForever,
+        downloader.go:59-103): run cycles forever, sleeping a
+        uniformly-jittered interval between them (24h ± 2h defaults,
+        downloader.go:22,26 — the anti-thundering-herd jitter).
+        ``max_cycles`` bounds the loop for tests; returns the number
+        of fully-successful cycles."""
+        from downloader_spark.ingest.retry import gen_uniform_sleep_time
+
+        ok_cycles = 0
+        cycle = 0
+        while max_cycles is None or cycle < max_cycles:
+            if self.run_cycle(sources):
+                ok_cycles += 1
+            cycle += 1
+            if max_cycles is not None and cycle >= max_cycles:
+                break
+            self.sleep(gen_uniform_sleep_time(interval_s, deviation_s, rng))
+        return ok_cycles
+
     # ------------------------------------------------------------ item
 
     def _download_one(self, spec: SourceSpec, url: str) -> str:

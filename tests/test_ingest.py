@@ -337,3 +337,30 @@ def test_full_cycle_all_three_sources(spark, tmp_path, rv_spec):
     assert not dl.run_cycle([mm, bad])
     assert dl.last_success_time == t0
     assert dl.failed_downloads["broken"] == 1
+
+
+def test_run_forever_cycles_with_jittered_sleep(spark, tmp_path, rv_spec):
+    slept: list[float] = []
+    dl = Downloader(
+        spark,
+        InMemoryStore(),
+        FakeFetcher(_responses()),
+        str(tmp_path / "state"),
+        retry_min_s=1,
+        retry_max_s=4,
+        sleep=slept.append,
+    )
+    ok = dl.run_forever(
+        [rv_spec],
+        interval_s=3600,
+        deviation_s=600,
+        max_cycles=3,
+        rng=random.Random(0),
+    )
+    assert ok == 3
+    # slept between cycles (not after the last), inside the jitter band
+    inter_cycle = [s for s in slept if s > 100]
+    assert len(inter_cycle) == 2
+    assert all(3300 <= s <= 3900 for s in inter_cycle)
+    # watermark done after cycle 1; later cycles fetch only the log
+    assert dl.watermarks.get(rv_spec.name) == 1102

@@ -121,3 +121,27 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_binary_corpus_dedup_pipeline(spark, tmp_path):
+    """Integration: binary scan -> content digest -> exact dedup —
+    the reference's archive dedup (A5) applied to a multimodal corpus."""
+    import shutil
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"payload-one")
+    (d / "b.bin").write_bytes(b"payload-two")
+    shutil.copy(d / "a.bin", d / "c.bin")  # duplicate content
+
+    meta = with_media_metadata(scan_binary(spark, str(d), glob="*.bin"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_md5").orderBy("file")
+    kept = (
+        meta.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("file", "content_md5")
+    )
+    rows = {r.file for r in kept.collect()}
+    assert rows == {"a.bin", "b.bin"}  # c.bin deduped against a.bin
