@@ -112,6 +112,80 @@ def decode_image_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
+MODALITIES = ("image", "audio", "video")
+
+
+def extract_features(binary_df: DataFrame, modality: str = "image") -> DataFrame:
+    """Modality-tagged feature extraction over a binary corpus: same
+    Arrow-batched plumbing as ``decode_image_features`` with the
+    modality folded into the (stubbed) feature derivation, so image /
+    audio / video corpora produce distinct, deterministic features.
+    Swap ``_fake_decode`` for the real per-modality codec in
+    production; schema and batch shape are the contract."""
+    if modality not in MODALITIES:
+        raise ValueError(f"unknown modality {modality!r}; expected {MODALITIES}")
+
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(modality.encode() + b":" + bytes(c))
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "file": pdf["path"].str.extract(r"([^/]+)$")[0],
+                    "modality": modality,
+                    "features": [f.tolist() for f in feats],
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=schema)
+
+
+def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize stage, STUBBED: emits the target geometry plus a
+    deterministic digest of (payload, geometry) standing in for the
+    resized bytes — the real body is one PIL call.  The Spark shape
+    is what matters: map-only, Arrow-batched, output payload column
+    typed binary so downstream stages (feature extract, partitioned
+    write) compose unchanged."""
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                hashlib.sha256(
+                    f"{width}x{height}:".encode() + bytes(c)
+                ).digest()
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "file": pdf["path"].str.extract(r"([^/]+)$")[0],
+                    "width": width,
+                    "height": height,
+                    "resized": resized,
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=schema)
+
+
 def sample_frames(binary_df: DataFrame, every_n_bytes: int = 65536) -> DataFrame:
     """Frame-sampling stub shaped like video frame extraction: emits
     one row per sampled 'frame' (here: per every_n_bytes chunk

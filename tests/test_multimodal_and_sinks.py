@@ -145,3 +145,30 @@ def test_binary_corpus_dedup_pipeline(spark, tmp_path):
     )
     rows = {r.file for r in kept.collect()}
     assert rows == {"a.bin", "b.bin"}  # c.bin deduped against a.bin
+
+
+def test_extract_features_per_modality_distinct_and_deterministic(binary_df):
+    from downloader_spark.multimodal import extract_features
+
+    img = {r.file: r.features for r in extract_features(binary_df, "image").collect()}
+    aud = {r.file: r.features for r in extract_features(binary_df, "audio").collect()}
+    img2 = {r.file: r.features for r in extract_features(binary_df, "image").collect()}
+    assert img == img2  # deterministic
+    assert set(img) == set(aud)
+    # modality folds into the derivation: different features per modality
+    assert all(img[f] != aud[f] for f in img)
+    with pytest.raises(ValueError):
+        extract_features(binary_df, "hologram")
+
+
+def test_resize_images_stub_shapes(binary_df):
+    from downloader_spark.multimodal import resize_images
+
+    out = {r.file: r for r in resize_images(binary_df, 224, 224).collect()}
+    assert len(out) == 10
+    for r in out.values():
+        assert (r.width, r.height) == (224, 224)
+        assert isinstance(bytes(r.resized), bytes) and len(bytes(r.resized)) == 32
+    # geometry changes the output payload
+    out2 = {r.file: r for r in resize_images(binary_df, 64, 64).collect()}
+    assert all(bytes(out[f].resized) != bytes(out2[f].resized) for f in out)
