@@ -108,3 +108,26 @@ def test_batch_ingest_watermark_stops_at_first_failure(spark, ctx):
     # 1102/1103 downloaded fine (they'll be deduped on refetch)
     assert summary["watermark"] == 1100
     assert summary["published"] == 3  # 1100, 1102, 1103 all new content
+
+
+def test_commit_failure_leaves_no_partial_catalog(spark, ctx):
+    """If promotion fails mid-commit the inventory is never appended:
+    the catalog stays consistent (at-least-once + idempotent publish —
+    a rerun refetches and the content dedup absorbs everything that
+    did land)."""
+    import os
+
+    store = LocalFSStore(ctx["root"])
+    # sabotage one final path: a directory where the object must go
+    os.makedirs(os.path.join(ctx["root"], "RV/2023/11/f-1101.gz"))
+    with pytest.raises(OSError):
+        batch_ingest(
+            spark,
+            ctx["spec"],
+            ctx["items"],
+            store,
+            _store_factory(ctx["root"]),
+            ctx["inv"],
+        )
+    # nothing cataloged -> the next (repaired) run re-ingests cleanly
+    assert ctx["inv"].load(spark).count() == 0

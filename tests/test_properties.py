@@ -159,3 +159,22 @@ def test_minhash_pairs_subset_of_ngram_pairs(spark, token_lists):
     }
     for pair, iv in mh.items():
         assert pair in ng and ng[pair] == iv
+
+
+def test_null_and_empty_text_are_handled_not_fatal(spark):
+    """NULL text drops out of the shingle/signature pipelines (no rows,
+    no crash); empty text contributes its single degenerate shingle.
+    Pins the semantics so a refactor can't turn nulls into NPEs."""
+    from downloader_spark.operators.llm_dedup import (
+        ngram_jaccard_pairs,
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd"), (1, None), (2, "")], "doc_id long, text string"
+    )
+    sh = {(r.doc_id, r.s) for r in shingle_sets(df).collect()}
+    assert sh == {(0, "aa bb cc"), (0, "bb cc dd"), (2, "")}
+    sigs = {r.doc_id for r in simhash_signatures(df).collect()}
+    assert sigs == {0, 2}  # null-text doc produces no signature
+    assert ngram_jaccard_pairs(df).count() == 0
