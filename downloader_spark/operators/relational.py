@@ -304,6 +304,49 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_fwd",
+    oracle="""
+    SELECT event_id AS purchase_id, user_id,
+           last_value(CASE WHEN event_type = 'signup' THEN event_id END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS next_signup_id
+    FROM events
+    QUALIFY event_type = 'purchase'
+    """,
+    tags=("relational", "join"),
+)
+def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (nearest FOLLOWING match): each purchase
+    paired with the user's next signup at-or-after it — the mirror of
+    join_asof, composed the same single-pass way with a FOLLOWING
+    window frame carrying the first non-null match backward.  Same
+    one-shuffle/one-sort scale shape.
+
+    The oracle expresses the same pick as last-non-null over the
+    DESCENDING order's preceding frame — scanning from the stream's
+    end, the most recent signup seen is exactly the first one at or
+    after the current row in ascending order."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = events.withColumn(
+        "next_signup_id",
+        F.first(
+            F.when(F.col("event_type") == "signup", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "next_signup_id"
+    )
+
+
+@query(
     "set_ops",
     oracle="""
     SELECT 'f_and_p' AS tag, o_custkey AS custkey FROM
