@@ -5,6 +5,7 @@ from downloader_spark.streaming.incremental import (
     latest_pointer_stream,
     run_to_memory,
     session_counts,
+    sliding_counts,
     stream_from_parquet_dir,
     streaming_dedup,
     streaming_late_filter,
@@ -16,6 +17,7 @@ __all__ = [
     "latest_pointer_stream",
     "run_to_memory",
     "session_counts",
+    "sliding_counts",
     "stream_from_parquet_dir",
     "streaming_dedup",
     "streaming_late_filter",

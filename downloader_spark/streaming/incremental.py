@@ -84,6 +84,26 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming sliding windows — the streaming form of
+    stream_sliding (every event lands in window/slide buckets)."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -246,3 +246,93 @@ def test_progress_listener_captures_batch_metrics(spark, events_dir):
         assert m[("streaming_rows_in_total", "metrics_probe")] == float(total_rows)
     finally:
         spark.streams.removeListener(cap)
+
+
+def test_streaming_sliding_matches_batch_windows(spark, events_dir):
+    from downloader_spark.streaming import sliding_counts
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory(sliding_counts(stream), "sliding_out", output_mode="complete")
+    got = spark.table("sliding_out")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n",
+        )
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_watermark_drops_late_data_in_genuine_stream(spark, tmp_path):
+    """THE watermark semantics proof, across checkpointed runs: after
+    run 1 checkpoints a watermark, a late event arriving in run 2 is
+    DROPPED (numRowsDroppedByWatermark=1) and its window never reaches
+    the append-mode output, while the on-time event aggregates in.
+    (Within a single run this Spark build filters with the previous
+    batch's watermark, so the drop is only observable across a
+    restart — which is also the durable-watermark semantics the
+    reference needs, SURVEY §4.3.3.)"""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        agg = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "1 minute").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("win_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1: 30 on-time events -> watermark checkpoints at 12:00:19
+    rows1 = [(i, base + i * sec, 1, "a", 1.0, "{}") for i in range(30)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    # run 2: one on-time + one LATE event (11:50 << watermark)
+    rows2 = [
+        (100, base + 40 * sec, 1, "a", 1.0, "{}"),
+        (101, base - dt.timedelta(minutes=10), 1, "a", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = run()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+
+    # run 3: push the watermark far past every open window to flush them
+    rows3 = [(200, base + dt.timedelta(minutes=10), 1, "a", 1.0, "{}")]
+    spark.createDataFrame(rows3, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    got = {r.win_start: r.n for r in spark.read.parquet(out).collect()}
+    late_window = base - dt.timedelta(minutes=10)
+    assert late_window not in got  # the dropped event never surfaced
+    assert got[base] == 31  # 30 on-time + the run-2 on-time event
