@@ -173,8 +173,16 @@ def test_streaming_dedup_checkpoint_restart_recovery(spark, events_dir, tmp_path
     import shutil
     import os
 
+    # order files by their EVENT TIME, not by (random-uuid) name: run 1
+    # must see the earlier half, else run 2's files are > 1h behind the
+    # checkpointed watermark and dropDuplicates drops them as late —
+    # which is correct streaming semantics, but not this test's topic
+    candidates = [f for f in os.listdir(events_dir) if f.endswith(".parquet")]
     src_files = sorted(
-        f for f in os.listdir(events_dir) if f.endswith(".parquet")
+        candidates,
+        key=lambda f: spark.read.parquet(os.path.join(events_dir, f))
+        .agg(F.min("ts"))
+        .collect()[0][0],
     )
     assert len(src_files) >= 2
     input_dir = str(tmp_path / "input")
