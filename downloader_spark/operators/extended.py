@@ -79,6 +79,66 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_collect",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           CAST(count(DISTINCT o_orderpriority) AS INT) AS n_prio
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-list aggregation made deterministic: raw
+    collect_list order depends on partitioning and can never
+    hash-match, so the exposed form is sorted-distinct-joined
+    (collect_set → array_sort → array_join == DuckDB's ordered
+    string_agg DISTINCT).  The collected domain must be small
+    (a group's distinct values live in one reducer's memory) — for
+    large domains use explode-side aggregation instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.countDistinct("o_orderpriority").cast("int").alias("n_prio"),
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
+           CAST(count(*) FILTER (WHERE o_orderpriority LIKE '1-%') AS BIGINT)
+             AS n_urgent,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "filter"),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause (conditional) aggregation: several differently-
+    predicated counts in ONE pass over the group — the idiom that
+    replaces N separate filtered scans.  Same SQL on both engines."""
+    for t in ("orders",):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"ds_{t}")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               count(*) FILTER (WHERE o_orderpriority LIKE '1-%') AS n_urgent,
+               count(*) AS n
+        FROM ds_orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
     "agg_approx_percentile",
     oracle="""
     SELECT o_orderstatus,
