@@ -118,10 +118,19 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     form — keep the exact column only at validation scale.
     """
     events = load_table(spark, sf_dir, "events")
+    # Pre-aggregate to distinct (event_type, user_id) pairs first: the
+    # exact distinct count becomes a plain count(*), and the HLL sketch
+    # is duplicate-insensitive so feeding it deduped values yields the
+    # same estimate — one hash shuffle instead of countDistinct's
+    # expand + double aggregation (measured ~1.8x r01 -> comfortably
+    # under with this shape).
+    pairs = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
     approx = F.approx_count_distinct("user_id", rsd=0.02)
-    exact = F.countDistinct("user_id")
-    return events.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+    exact = F.count(F.lit(1))
+    return pairs.groupBy("event_type").agg(
+        F.sum("n_rows").alias("n"),
         exact.alias("exact_users"),
         (
             F.abs(approx.cast("double") - exact.cast("double"))
