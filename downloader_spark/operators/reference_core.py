@@ -131,19 +131,21 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     invoked at common.go:114): a file is new iff no other object shares
     its MD5.
 
-    Spark-first shape: hash-partition on the digest and keep the first
-    row per hash via a window.  MD5 is uniformly distributed, so the
-    shuffle is skew-free by construction; at 100 TB this is the
-    canonical O(N) one-shuffle dedup (vs the reference's O(N) bucket
-    listing *per file*, SURVEY §4.3.1).
+    Spark-first shape: keep-first is a MIN aggregation on the digest
+    (min(doc_id) per md5 == row_number()=1 ordered by doc_id), so the
+    plan partial-aggregates map-side — one combiner row per digest per
+    partition crosses the shuffle, and no in-partition sort happens at
+    all.  MD5 is uniformly distributed, so the shuffle is skew-free by
+    construction; at 100 TB this is the canonical O(N) one-shuffle
+    dedup (vs the reference's O(N) bucket listing *per file*, SURVEY
+    §4.3.1).
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("content_md5").orderBy("doc_id")
     return (
         docs.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_md5")
     )
 
 
@@ -166,16 +168,16 @@ def dedup_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped semantics (the production GCS impl ignores the prefix —
     file/api.go:53 — a bug per SURVEY §4.3.2).
 
-    The scope column simply joins the hash in PARTITION BY — same
-    single skew-free shuffle as the global dedup.
+    The scope column simply joins the hash in the grouping key — same
+    single skew-free shuffle as the global dedup, min-aggregated
+    map-side (see dedup_exact_hash).
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang", "content_md5").orderBy("doc_id")
     return (
         docs.select("doc_id", "lang", F.md5(F.col("text")).alias("content_md5"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("lang", "content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "lang", "content_md5")
     )
 
 

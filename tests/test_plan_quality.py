@@ -95,3 +95,15 @@ def test_no_plan_contains_cartesian_product(spark):
         except Exception as e:  # pragma: no cover - surface analysis errors
             pytest.fail(f"{name}: plan analysis failed: {e}")
     assert offenders == [], f"cartesian products in: {offenders}"
+
+
+def test_dedup_exact_hash_is_partial_aggregated_not_windowed(spark):
+    plan = plan_of(spark, "dedup_exact_hash")
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_dedup_scoped_is_partial_aggregated_not_windowed(spark):
+    plan = plan_of(spark, "dedup_scoped")
+    assert "Window" not in plan
+    assert "partial_min" in plan
