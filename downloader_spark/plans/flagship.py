@@ -14,7 +14,7 @@ the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from downloader_spark.io import load_table
@@ -77,17 +77,36 @@ def flagship_via_ingest(
 
 
 def flagship(spark: SparkSession, sf_dir: str, watermark: int = 100) -> DataFrame:
+    """Both stages are struct-extremum AGGREGATIONS, not window sorts
+    (same rewrite as latest_per_key/dedup_exact_hash): keep-first per
+    digest = min(struct(event_id, ...)), latest per user =
+    max(struct(ts, event_id, ...)).  Each partial-aggregates map-side
+    and skips the in-partition sort — the plan is two sortless hash
+    shuffles end to end."""
     events = load_table(spark, sf_dir, "events")
-    dedup_w = Window.partitionBy("content_md5").orderBy("event_id")
-    latest_w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
+    firsts = (
         events.filter(F.col("event_id") > watermark)
         .withColumn("content_md5", F.md5(F.col("props")))
-        .withColumn("rn", F.row_number().over(dedup_w))
-        .filter(F.col("rn") == 1)
-        .withColumn("rk", F.row_number().over(latest_w))
-        .filter(F.col("rk") == 1)
-        .select("user_id", "event_id", "ts", "event_type", "content_md5")
+        .groupBy("content_md5")
+        .agg(F.min(F.struct("event_id", "ts", "user_id", "event_type")).alias("m"))
+        .select(
+            "content_md5",
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.ts").alias("ts"),
+            F.col("m.user_id").alias("user_id"),
+            F.col("m.event_type").alias("event_type"),
+        )
+    )
+    return (
+        firsts.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "event_type", "content_md5")).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.content_md5").alias("content_md5"),
+        )
     )
