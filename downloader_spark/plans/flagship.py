@@ -6,10 +6,10 @@ file/api.go:81-87) — i.e. "fetch only new log entries, drop content
 duplicates, maintain the current pointer per dataset" as a single
 declarative DataFrame plan over the events table.
 
-Plan shape at scale: one pushed-down scan filter, then two hash
-shuffles (digest, then key), each skew-free.  Catalyst fuses the two
-window evaluations with the projections around them; nothing touches
-the driver.
+Plan shape at scale: one pushed-down scan filter, then two SORTLESS
+hash shuffles (digest, then key) — both stages are struct-extremum
+aggregations that partial-aggregate map-side; nothing touches the
+driver.
 """
 
 from __future__ import annotations
