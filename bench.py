@@ -38,6 +38,16 @@ def main() -> None:
     # warmup: touch every table + spin up codegen paths
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
+    # ... including the heavy dedup/window codegen paths, exercised at
+    # the smallest SF so the first timed query isn't charged for
+    # one-time JVM/codegen setup (alphabetical order put ~5s of warmup
+    # inside dedup_minhash's measurement otherwise)
+    warm = registry()
+    for key in ("dedup_minhash", "window_rank", "stream_tumbling"):
+        try:
+            force(warm[key].fn(spark, "/root/testdata/sf0.001"))
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, spec in sorted(registry().items()):
