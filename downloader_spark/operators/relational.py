@@ -368,16 +368,32 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION (distinct) / UNION ALL in one result,
-    tagged per branch."""
+    tagged per branch.
+
+    Single-scan formulation: the naive three-branch plan scans orders
+    once per set operator (and shuffles each branch); computing the
+    per-key membership flags with ONE conditional aggregation turns
+    all three set operations into row-local boolean tests on the
+    (custkey, has_f, has_p) table — one scan, one shuffle, and the
+    set semantics fall out of the flags (INTERSECT = both, EXCEPT =
+    first-only, UNION = either).  The tagged explode replicates rows
+    per qualifying branch."""
     orders = load_table(spark, sf_dir, "orders")
-    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    p = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
-
-    def tag(df: DataFrame, t: str) -> DataFrame:
-        return df.select(F.lit(t).alias("tag"), F.col("o_custkey").alias("custkey"))
-
-    return (
-        tag(f.intersect(p), "f_and_p")
-        .unionAll(tag(f.subtract(p), "f_only"))
-        .unionAll(tag(f.union(p).distinct(), "either"))
+    flags = (
+        orders.filter(F.col("o_orderstatus").isin("F", "P"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderstatus") == "F").alias("has_f"),
+            F.max(F.col("o_orderstatus") == "P").alias("has_p"),
+        )
+    )
+    tags = F.array_compact(
+        F.array(
+            F.when(F.col("has_f") & F.col("has_p"), "f_and_p"),
+            F.when(F.col("has_f") & ~F.col("has_p"), "f_only"),
+            F.when(F.col("has_f") | F.col("has_p"), "either"),
+        )
+    )
+    return flags.select(
+        F.explode(tags).alias("tag"), F.col("o_custkey").alias("custkey")
     )
