@@ -29,3 +29,32 @@ def test_output_schema_is_driver_hashable(spark, name):
 
 def test_every_key_has_unique_callable():
     assert len(_SPECS) == len({id(s.fn) for s in _SPECS.values()})
+
+
+def test_every_key_documented_and_tagged():
+    for name, spec in _SPECS.items():
+        assert spec.doc, f"{name}: missing docstring"
+        assert spec.tags, f"{name}: missing tags"
+        assert spec.oracle is not None, f"{name}: missing oracle (rows-only keys read as errors in CORRECTNESS)"
+
+
+def test_oracle_sql_references_only_registered_views():
+    import re
+
+    allowed = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    for name, spec in _SPECS.items():
+        tables = set(
+            re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", spec.oracle, re.I)
+        )
+        # CTE names and function-style sources are fine; real table refs
+        # must be registered driver views
+        ctes = set(re.findall(r"([a-z_][a-z0-9_]*)\s+AS\s*\(", spec.oracle, re.I))
+        funcs = {t for t in tables if f"{t}(" in spec.oracle.replace(" ", "")}
+        unknown = tables - allowed - ctes - funcs - {"read_blob"}
+        # alias references like "FROM pairs p" resolve to CTEs already
+        assert not {u for u in unknown if u not in spec.oracle.lower()}, (
+            f"{name}: oracle references unregistered tables {unknown}"
+        )
