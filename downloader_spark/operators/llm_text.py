@@ -254,6 +254,85 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+_STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+@query(
+    "text_clean",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text, '{_STOP_RE}', '', 'g'),
+                               ' +', ' ', 'g')) AS cleaned,
+           CAST(len(text) - len(trim(regexp_replace(
+                  regexp_replace(text, '{_STOP_RE}', '', 'g'), ' +', ' ', 'g')))
+                AS INT) AS removed_chars
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-strip normalization: remove a fixed stopword list,
+    collapse whitespace, report chars removed — the cleaning step
+    before shingling/vocab in a training pipeline.  Map-only JVM
+    regex; same pattern text in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace("text", _STOP_RE, ""), " +", " ")
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        (F.length("text") - F.length(cleaned)).cast("int").alias("removed_chars"),
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT concat(a.tok, ' ', b.tok) AS bigram
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    counted AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bigrams GROUP BY bigram
+    )
+    SELECT bigram, n,
+           CAST(row_number() OVER (ORDER BY n DESC, bigram) AS INT) AS rank
+    FROM counted
+    QUALIFY rank <= 20
+    """,
+    tags=("llm", "text", "ngram"),
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency analysis: top-20 word bigrams globally
+    (the n-gram statistics pass of corpus analysis).  Spark builds
+    bigrams with the same posexplode + lead window the shingle
+    pipeline uses (codegen'd, one shuffle on doc_id), counts with a
+    map-side-combinable aggregation, then global top-k before
+    ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        t.withColumn("nxt", F.lead("tok", 1).over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
+    counted = bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
+    top = counted.orderBy(F.col("n").desc(), F.col("bigram")).limit(20)
+    wr = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return top.withColumn("rank", F.row_number().over(wr))
+
+
 @query(
     "text_vocab",
     oracle="""
