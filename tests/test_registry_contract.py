@@ -58,3 +58,62 @@ def test_oracle_sql_references_only_registered_views():
         assert not {u for u in unknown if u not in spec.oracle.lower()}, (
             f"{name}: oracle references unregistered tables {unknown}"
         )
+
+
+def test_queries_rotation_puts_unconfirmed_keys_first(tmp_path, monkeypatch):
+    """__spark_entry__.queries() orders least-recently-confirmed first.
+
+    The driver verifies a bounded prefix of queries() per round, so the
+    entry adapter must rotate: keys with no passing CORRECTNESS entry lead,
+    then keys whose last pass is oldest.  Simulated with synthetic
+    CORRECTNESS files in an isolated directory.
+    """
+    import importlib
+    import json
+
+    se = importlib.import_module("__spark_entry__")
+    all_keys = list(_SPECS)
+    r1 = {k: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+          for k in all_keys[:5]}
+    # key 0 regressed in r2 (err) => its last PASS stays r1
+    r2 = dict(r1)
+    r2[all_keys[0]] = {"rows_match": False, "schema_match": True,
+                       "hash_match": False, "err": "boom"}
+    r2[all_keys[5]] = {"rows_match": True, "schema_match": True,
+                       "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+    monkeypatch.setattr(se, "_HERE", str(tmp_path))
+
+    ranked = list(se.queries())
+    assert set(ranked) == set(all_keys)
+    never = [k for k in all_keys if k not in set(all_keys[:6])]
+    # never-confirmed first (in registry order), then r1-only, then r2
+    assert ranked[: len(never)] == never
+    r1_only = [all_keys[0]] + all_keys[1:5]
+    assert set(ranked[len(never): len(never) + 5]) == set(r1_only)
+    assert ranked[-1] == all_keys[5]
+
+
+def test_queries_rotation_live_files_cover_unconfirmed_in_prefix():
+    """With the repo's real CORRECTNESS history, every key not green in the
+    latest round sits inside the driver's 50-key sample window."""
+    import glob
+    import importlib
+    import json
+    import os
+
+    se = importlib.import_module("__spark_entry__")
+    files = sorted(glob.glob(os.path.join(se._HERE, "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no driver correctness files present")
+    latest = json.load(open(files[-1]))
+    green_latest = {
+        k for k, r in latest.items()
+        if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+    }
+    ranked = list(se.queries())
+    stale = [k for k in ranked if k not in green_latest]
+    if len(stale) > 50:
+        pytest.skip("more stale keys than one sample window; rotation still maximal")
+    assert all(ranked.index(k) < 50 for k in stale)
