@@ -54,13 +54,22 @@ def streaming_dedup(
     watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """Stateful content-hash dedup: the streaming form of A5
-    (dedup_exact_hash).  ``dropDuplicates`` on the digest keeps the
-    first-seen row per content; the watermark bounds the state store
-    to one delay-window of digests."""
+    (dedup_exact_hash).  Keeps the first-seen row per digest.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the state store really is
+    bounded: a digest's state is evicted once the watermark passes its
+    event time + ``watermark_delay``.  (Plain ``dropDuplicates(["h"])``
+    never evicts when the event-time column is not part of the dedup
+    subset — state grows without bound.)  The trade is standard
+    streaming semantics: two identical payloads whose event times are
+    more than ``watermark_delay`` apart can each be emitted once; pick
+    the delay to cover the reference's dedup horizon (its inventory
+    check is global, so batch `dedup_exact_hash` remains the exact
+    form and this is the bounded-state incremental form)."""
     return (
         events.withColumn("h", F.md5(F.col("props")))
         .withWatermark("ts", watermark_delay)
-        .dropDuplicates(["h"])
+        .dropDuplicatesWithinWatermark(["h"])
     )
 
 

@@ -50,8 +50,15 @@ def events_dir(spark, tmp_path_factory):
 
 
 def test_streaming_dedup_matches_batch_distinct(spark, events_dir):
+    # delay spans the whole fixture (30 days of events) so no digest's
+    # state is evicted mid-run and the stream converges to exactly the
+    # batch distinct; shorter delays trade exactness for bounded state
     stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
-    run_to_memory(streaming_dedup(stream), "dedup_out", output_mode="append")
+    run_to_memory(
+        streaming_dedup(stream, watermark_delay="45 days"),
+        "dedup_out",
+        output_mode="append",
+    )
     got = spark.table("dedup_out")
 
     batch = spark.read.parquet(events_dir).withColumn("h", F.md5("props"))
@@ -61,6 +68,41 @@ def test_streaming_dedup_matches_batch_distinct(spark, events_dir):
     assert {r.h for r in got.select("h").collect()} == {
         r.h for r in batch.select("h").distinct().collect()
     }
+
+
+def test_streaming_dedup_state_is_evicted_after_watermark(spark, tmp_path):
+    """The bounded-state contract: with dropDuplicatesWithinWatermark a
+    digest older than the delay is evicted, so a far-later identical
+    payload re-emits (exactly-once-within-horizon, not global)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10, "a", 1.0, "same-payload"),
+        (2, base + dt.timedelta(minutes=2), 11, "a", 1.0, "other"),
+        # 10 days later: closing this batch advances the watermark far past
+        # the first digest's (event time + 1h) expiry...
+        (3, base + dt.timedelta(days=10), 12, "a", 1.0, "advancer"),
+        # ...and the NEXT batch's cleanup phase evicts it (eviction uses the
+        # watermark computed from prior batches, so one extra batch is needed)
+        (4, base + dt.timedelta(days=10, minutes=1), 13, "a", 1.0, "advancer2"),
+        # duplicate payload arrives after eviction => re-emits
+        (5, base + dt.timedelta(days=10, minutes=2), 14, "a", 1.0, "same-payload"),
+    ]
+    src = str(tmp_path / "ev")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, r in enumerate(rows):  # one file per row => one micro-batch each
+        spark.createDataFrame([r], cols).coalesce(1).write.mode("append").parquet(src)
+    stream = stream_from_parquet_dir(spark, src, max_files_per_trigger=1)
+    run_to_memory(
+        streaming_dedup(stream, watermark_delay="1 hour"),
+        "dedup_evict_out",
+        output_mode="append",
+    )
+    got = spark.table("dedup_evict_out")
+    # the duplicate payload survives twice: once per watermark horizon
+    assert got.filter(F.col("props") == "same-payload").count() == 2
+    assert got.count() == 5
 
 
 def test_streaming_tumbling_matches_batch_windows(spark, events_dir):
@@ -193,7 +235,7 @@ def test_streaming_dedup_checkpoint_restart_recovery(spark, events_dir, tmp_path
     def run_once():
         stream = stream_from_parquet_dir(spark, input_dir, max_files_per_trigger=1)
         q = (
-            streaming_dedup(stream)
+            streaming_dedup(stream, watermark_delay="45 days")
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt)
