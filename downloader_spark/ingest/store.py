@@ -79,7 +79,10 @@ class LocalFSStore:
 
     def _p(self, name: str) -> str:
         p = os.path.join(self.root, name)
-        if not os.path.realpath(p).startswith(os.path.realpath(self.root)):
+        # commonpath, not startswith: a bare prefix check would admit a
+        # sibling directory like "<root>-other"
+        root = os.path.realpath(self.root)
+        if os.path.commonpath([root, os.path.realpath(p)]) != root:
             raise ValueError(f"name escapes store root: {name!r}")
         return p
 
