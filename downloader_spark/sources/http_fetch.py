@@ -50,6 +50,7 @@ class HttpFetchReader(DataSourceReader):
         return [_UrlPartition(u) for u in self.urls]
 
     def read(self, partition: _UrlPartition) -> Iterator[tuple]:
+        import urllib.error
         import urllib.request
 
         url = partition.url
@@ -57,6 +58,12 @@ class HttpFetchReader(DataSourceReader):
             with urllib.request.urlopen(url, timeout=self.timeout_s) as resp:  # noqa: S310
                 data = resp.read()
                 status = getattr(resp, "status", 200) or 200
+        except urllib.error.HTTPError as e:
+            # non-2xx raises in urllib: surface the REAL status code so
+            # downstream retry policy can distinguish 404 (permanent)
+            # from 503 (transient); -1 stays transport-error-only
+            yield (url, int(e.code), 0, "", None)
+            return
         except Exception:  # noqa: BLE001 - failure is data, not an abort
             yield (url, -1, 0, "", None)
             return

@@ -52,3 +52,43 @@ def test_fetch_source_composes_with_dedup(spark, fixture_urls, tmp_path):
     )
     kept = df.groupBy("md5").agg(F.min("url").alias("url"), F.first("size").alias("size"))
     assert kept.count() == len(files)
+
+
+def test_fetch_source_surfaces_real_http_status(spark):
+    """Non-2xx responses raise HTTPError inside urllib; the reader must
+    surface the REAL code (404 vs 503 drives retry permanence), keeping
+    -1 for transport-level failures only."""
+    import http.server
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/ok":
+                body = b"hello"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/gone":
+                self.send_error(404)
+            else:
+                self.send_error(503)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        urls = [f"http://127.0.0.1:{port}/{p}" for p in ("ok", "gone", "busy")]
+        register(spark)
+        df = spark.read.format("httpfetch").option("urls", "\n".join(urls)).load()
+        rows = {r.url.rsplit("/", 1)[-1]: r for r in df.collect()}
+        assert rows["ok"].status == 200
+        assert bytes(rows["ok"].content) == b"hello"
+        assert rows["gone"].status == 404
+        assert rows["gone"].content is None
+        assert rows["busy"].status == 503
+    finally:
+        srv.shutdown()
