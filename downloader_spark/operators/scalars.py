@@ -193,7 +193,8 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(json_valid(props) AS BOOLEAN) END AS is_json,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
            CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled,
-           'k' AS first_key
+           CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+                ELSE json_keys(props)[1] END AS first_key
     FROM events
     """,
     tags=("scalar", "json"),
