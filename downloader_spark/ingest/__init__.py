@@ -16,7 +16,13 @@ Spark-native form, fixing its four recorded weaknesses (SURVEY §4.3):
 
 from downloader_spark.ingest.config import SourceSpec, maxmind_sources, routeviews_source
 from downloader_spark.ingest.inventory import InventoryTable
-from downloader_spark.ingest.pipeline import Downloader
+from downloader_spark.ingest.notify import (
+    CollectingNotifier,
+    NewFileEvent,
+    Notifier,
+    PrintingNotifier,
+)
+from downloader_spark.ingest.pipeline import Downloader, render_prometheus_text
 from downloader_spark.ingest.retry import (
     PermanentError,
     gen_uniform_sleep_time,
@@ -26,16 +32,21 @@ from downloader_spark.ingest.store import InMemoryStore, LocalFSStore, Store
 from downloader_spark.ingest.watermark import WatermarkStore
 
 __all__ = [
+    "CollectingNotifier",
     "Downloader",
     "InMemoryStore",
     "InventoryTable",
     "LocalFSStore",
+    "NewFileEvent",
+    "Notifier",
     "PermanentError",
+    "PrintingNotifier",
     "SourceSpec",
     "Store",
     "WatermarkStore",
     "gen_uniform_sleep_time",
     "maxmind_sources",
+    "render_prometheus_text",
     "routeviews_source",
     "run_with_retry",
 ]

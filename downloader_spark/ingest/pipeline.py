@@ -30,6 +30,7 @@ from downloader_spark.ingest.config import SourceSpec
 from downloader_spark.ingest.fetcher import Fetcher
 from downloader_spark.ingest.inventory import InventoryTable
 from downloader_spark.ingest.logparse import gen_work_items
+from downloader_spark.ingest.notify import NewFileEvent, Notifier
 from downloader_spark.ingest.retry import PermanentError, run_with_retry
 from downloader_spark.ingest.store import Store, md5_hex
 from downloader_spark.ingest.watermark import WatermarkStore
@@ -45,6 +46,7 @@ class Downloader:
         retry_min_s: float = 60.0,
         retry_max_s: float = 480.0,
         sleep=time.sleep,
+        notifier: Notifier | None = None,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -54,9 +56,11 @@ class Downloader:
         self.retry_min_s = retry_min_s
         self.retry_max_s = retry_max_s
         self.sleep = sleep
-        # metrics/metrics.go:29-52 counter parity
+        self.notifier = notifier  # A16 post-commit hook (notify.py)
+        # metrics/metrics.go:13-53 counter parity
         self.failed_downloads: Counter[str] = Counter()
         self.error_count: Counter[str] = Counter()
+        self.routeviews_url_errors: Counter[str] = Counter()
         self.last_success_time: float | None = None
 
     # ------------------------------------------------------------ cycle
@@ -94,12 +98,18 @@ class Downloader:
         parse log, filter past watermark, ingest in log order,
         advance the checkpointed watermark per item only while
         error-free."""
-        log_text = run_with_retry(
-            lambda: self.fetcher.fetch(spec.url),
-            self.retry_min_s,
-            self.retry_max_s,
-            self.sleep,
-        ).decode()
+        try:
+            log_text = run_with_retry(
+                lambda: self.fetcher.fetch(spec.url),
+                self.retry_min_s,
+                self.retry_max_s,
+                self.sleep,
+            ).decode()
+        except Exception:
+            # metrics.go:45-52: URL-list retrieval failures get their
+            # own labeled counter
+            self.routeviews_url_errors[spec.name] += 1
+            raise
         work = gen_work_items(
             self.spark, log_text, spec.url, self.watermarks.get(spec.name)
         )
@@ -180,6 +190,10 @@ class Downloader:
                 )
             ],
         )
+        # A16 post-commit notification: fires once per published object,
+        # never for duplicates (we returned above) or failures (we raised)
+        if self.notifier is not None:
+            self.notifier.publish(NewFileEvent(name, digest, spec.name, len(data)))
         if spec.current_name:
             try:
                 self.store.copy(name, spec.current_name)
@@ -203,6 +217,9 @@ class Downloader:
         ] + [
             ("downloader_error_total", k, float(v))
             for k, v in sorted(self.error_count.items())
+        ] + [
+            ("downloader_downloader_routeviews_url_error_total", k, float(v))
+            for k, v in sorted(self.routeviews_url_errors.items())
         ]
         if self.last_success_time is not None:
             rows.append(
@@ -211,3 +228,84 @@ class Downloader:
         return self.spark.createDataFrame(
             rows, "metric string, label string, value double"
         )
+
+    def prometheus_text(self) -> str:
+        """The /metrics exposition the reference serves on :9090
+        (downloader.go:52) rendered as Prometheus text format 0.0.4.
+
+        Name/HELP/TYPE and label names match metrics/metrics.go:13-53
+        exactly (its lint gate, metrics_test.go:10-16, checks HELP
+        presence, _total counter suffixes, and snake_case names — all
+        honored here).  Serve this string from any HTTP handler to
+        complete A15 parity."""
+        return render_prometheus_text(
+            failed_downloads=self.failed_downloads,
+            error_count=self.error_count,
+            routeviews_url_errors=self.routeviews_url_errors,
+            last_success_time=self.last_success_time,
+        )
+
+
+def _escape_label_value(v: str) -> str:
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def _format_value(v: float) -> str:
+    # Prometheus renders integral samples without a trailing .0
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
+
+
+def render_prometheus_text(
+    failed_downloads: dict[str, float] | None = None,
+    error_count: dict[str, float] | None = None,
+    routeviews_url_errors: dict[str, float] | None = None,
+    last_success_time: float | None = None,
+) -> str:
+    """Prometheus text exposition for the reference's four metrics
+    (metrics/metrics.go:13-53): HELP + TYPE header per family, one
+    sample line per label value, label values escaped per the format
+    spec.  Families with no samples are omitted (promauto registers
+    them eagerly; text output only carries observed series)."""
+    families = [
+        (
+            "downloader_download_failed_total",
+            "counter",
+            "Increments every time a download maxes out our number of retries.",
+            "download_type",
+            failed_downloads or {},
+        ),
+        (
+            "downloader_error_total",
+            "counter",
+            "The current number of unresolved errors encountered while "
+            "attempting to download the latest maxmind and routeviews data.",
+            "source",
+            error_count or {},
+        ),
+        (
+            "downloader_downloader_routeviews_url_error_total",
+            "counter",
+            "The number of errors that occured with retrieving the "
+            "Routeviews URL list.",
+            "source",
+            routeviews_url_errors or {},
+        ),
+    ]
+    out: list[str] = []
+    for name, mtype, help_text, label, samples in families:
+        if not samples:
+            continue
+        out.append(f"# HELP {name} {help_text}")
+        out.append(f"# TYPE {name} {mtype}")
+        for k, v in sorted(samples.items()):
+            out.append(f'{name}{{{label}="{_escape_label_value(k)}"}} {_format_value(v)}')
+    if last_success_time is not None:
+        out.append(
+            "# HELP downloader_last_success_time_seconds "
+            "The time that ALL the downloads last completed successfully."
+        )
+        out.append("# TYPE downloader_last_success_time_seconds gauge")
+        out.append(
+            f"downloader_last_success_time_seconds {_format_value(last_success_time)}"
+        )
+    return "\n".join(out) + ("\n" if out else "")
