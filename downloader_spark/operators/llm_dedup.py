@@ -442,8 +442,10 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------- embedding dup
 
-SIGN_BITS = 8  # sign-LSH bucket over the first 8 dims -> 256 buckets
+SIGN_BITS = 8  # default LSH width: 2^8 buckets (the exact-check width)
+EMBED_DIM = 64  # testdata embeddings.parquet dimensionality
 EMBED_COS_T = 0.35
+LSH_SEED = "dedup-embed-hyperplanes-v1"
 
 _SPARK_DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -454,16 +456,89 @@ _DUCK_DOT = (
     " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
 )
 
-_SPARK_SIGN_BUCKET = f"""
-aggregate(zip_with(slice(embedding, 1, {SIGN_BITS}), sequence(0, {SIGN_BITS - 1}),
-  (x, k) -> IF(x >= CAST(0.0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT))),
-  CAST(0 AS BIGINT), (a, v) -> a + v)
-"""
 
-_DUCK_SIGN_BUCKET = " + ".join(
-    f"CASE WHEN embedding[{k + 1}] >= 0 THEN CAST(1 AS BIGINT) << {k} ELSE 0 END"
-    for k in range(SIGN_BITS)
-)
+def hyperplane_signs(bits: int, dim: int, seed: str = LSH_SEED) -> list[list[int]]:
+    """±1 coefficients of ``bits`` pseudo-random hyperplanes in R^dim,
+    derived deterministically from md5 so BOTH engines can inline the
+    same literals: random-hyperplane LSH without an RNG (the
+    verifiable-surface pattern).  Random full-dimensional hyperplanes
+    spread correlated corpora across buckets where the old axis-aligned
+    planes (sign of the first k dims) collapsed them into a handful."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def derive_sign_bits(
+    n_vecs: int,
+    target_bucket_pop: int = 64,
+    min_bits: int = 8,
+    max_bits: int = 24,
+) -> int:
+    """LSH width scaled to corpus size: enough buckets that the
+    EXPECTED bucket population stays ~target, so within-bucket pair
+    work grows linearly with the corpus instead of quadratically.
+    2^24 buckets ~ 1e9-vector corpora at pop 64; widen max_bits (or
+    multi-probe several tables) beyond that."""
+    import math
+
+    if n_vecs <= target_bucket_pop:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n_vecs / target_bucket_pop))))
+
+
+def _spark_bucket_expr(
+    signs: list[list[int]], thresholds: list[float] | None = None
+) -> str:
+    """Bucket id = sign pattern of the hyperplane dots, packed into a
+    BIGINT.  Each dot folds (embedding · s_j) in index order with a
+    0.0 init — bit-identical to the DuckDB form below, so the SIGN
+    (hence the bucket) can never disagree across engines.
+
+    ``thresholds[j]`` shifts bit j's cut to ``dot >= t_j``: passing
+    t_j = s_j·mean(embeddings) centers the hyperplanes on the corpus
+    (dot_j(x - mu) = dot_j(x) - dot_j(mu)), the anti-skew move for
+    corpora with a large common component."""
+    terms = []
+    for j, row in enumerate(signs):
+        t = 0.0 if thresholds is None else thresholds[j]
+        arr = "array(" + ",".join(f"CAST({s} AS DOUBLE)" for s in row) + ")"
+        dot = (
+            f"aggregate(zip_with(embedding, {arr}, "
+            "(x, s) -> CAST(x AS DOUBLE) * s), "
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        )
+        terms.append(
+            f"IF({dot} >= CAST({t!r} AS DOUBLE), "
+            f"shiftleft(CAST(1 AS BIGINT), {j}), CAST(0 AS BIGINT))"
+        )
+    return " + ".join(terms)
+
+
+def _duck_bucket_expr(signs: list[list[int]]) -> str:
+    terms = []
+    for j, row in enumerate(signs):
+        arr = "[" + ",".join(f"CAST({s} AS DOUBLE)" for s in row) + "]"
+        dot = (
+            f"list_reduce(list_transform(list_zip(embedding, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+        )
+        terms.append(
+            f"CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) << {j} "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(terms)
+
+
+_DUCK_SIGN_BUCKET = _duck_bucket_expr(hyperplane_signs(SIGN_BITS, EMBED_DIM))
 
 
 @query(
@@ -488,27 +563,79 @@ _DUCK_SIGN_BUCKET = " + ".join(
     tags=("llm", "dedup", "embedding"),
 )
 def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via deterministic sign-LSH
-    (random-hyperplane LSH with the axis-aligned planes e_1..e_8):
-    bucket on the sign pattern of the first {SIGN_BITS} dims, compare
-    only within-bucket, keep cosine >= {EMBED_COS_T}.
+    """Embedding-cosine near-dup pairs via deterministic
+    random-hyperplane sign-LSH: bucket on the sign pattern of
+    {SIGN_BITS} md5-seeded hyperplane dots, compare only
+    within-bucket, keep cosine >= {EMBED_COS_T}.
 
-    Cosine is a left-fold of double products in identical order on
-    both engines (0.0+x == x, so Spark's init-value fold equals
-    DuckDB's first-element fold bit-for-bit); emitted as floor-ppm.
-    At 100 TB: widen SIGN_BITS so bucket population stays bounded, or
-    use multiple sign-bucket tables for recall — the shuffle key is
+    Cosine and every hyperplane dot are left-folds of double products
+    in identical order on both engines (0.0+x == x, so Spark's
+    init-value fold equals DuckDB's first-element fold bit-for-bit);
+    emitted as floor-ppm.  The exact-check runs at the fixed
+    {SIGN_BITS}-bit width (the oracle is a static string); the scale
+    path is ``embed_pairs(emb)`` with sign_bits=None, which derives
+    the width from the corpus size (derive_sign_bits) so expected
+    bucket population stays ~constant — within-bucket pair work grows
+    linearly, not O(N²/2^bits) at a frozen width.  The shuffle key is
     the bucket id either way, never an all-pairs product."""
-    return embed_pairs(load_table(spark, sf_dir, "embeddings"))
+    return embed_pairs(
+        load_table(spark, sf_dir, "embeddings"), sign_bits=SIGN_BITS
+    )
 
 
-def embed_pairs(emb: DataFrame) -> DataFrame:
-    """Core sign-LSH cosine near-dup pipeline over (vec_id, embedding)."""
-    b = emb.select(
+def sign_buckets(
+    emb: DataFrame,
+    sign_bits: int | None = None,
+    dim: int = EMBED_DIM,
+    center: bool | None = None,
+) -> DataFrame:
+    """(vec_id, embedding, bucket) under deterministic hyperplane LSH.
+
+    ``sign_bits=None`` (the scale path) counts the corpus, derives the
+    LSH width, and CENTERS the hyperplanes on the corpus mean — a
+    corpus whose vectors share a large common component (the usual
+    shape of real embedding models) would otherwise bias every
+    hyperplane's sign the same way and pile up in a few buckets.
+    Centering costs one 64-double mean collect; the per-bit cut
+    becomes dot >= s_j·mu, still a static scalar in the plan.
+    Explicit ``sign_bits`` (the static-oracle check) defaults to
+    uncentered so the oracle SQL stays a fixed string."""
+    if sign_bits is None:
+        sign_bits = derive_sign_bits(emb.count())
+        if center is None:
+            center = True
+    signs = hyperplane_signs(sign_bits, dim)
+    thresholds = None
+    if center:
+        mean_rows = (
+            emb.select(F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        mu = [0.0] * dim
+        for r in mean_rows:
+            if r.pos < dim:
+                mu[r.pos] = float(r.m)
+        thresholds = [sum(s * m for s, m in zip(row, mu)) for row in signs]
+    return emb.select(
         "vec_id",
         "embedding",
-        F.expr(_SPARK_SIGN_BUCKET.replace("\n", " ")).alias("bucket"),
+        F.expr(_spark_bucket_expr(signs, thresholds)).alias("bucket"),
     )
+
+
+def embed_pairs(
+    emb: DataFrame, sign_bits: int | None = None, dim: int = EMBED_DIM
+) -> DataFrame:
+    """Core sign-LSH cosine near-dup pipeline over (vec_id, embedding).
+
+    ``sign_bits=None`` (the scale path) counts the corpus and derives
+    the LSH width (centered hyperplanes); pass an explicit width for a
+    static-oracle check.  ``dim`` bounds the hyperplane dimensionality
+    (Spark's zip_with truncates to the shorter side, so shorter
+    embeddings just use the hyperplanes' prefix)."""
+    b = sign_buckets(emb, sign_bits=sign_bits, dim=dim)
     x = b.alias("x")
     y = b.alias("y")
     dot = F.expr(_SPARK_DOT.format(a="x.embedding", b="y.embedding"))
