@@ -1,0 +1,343 @@
+"""Analytics surface extensions (round 3): grouping sets, unpivot/melt,
+exact moment-based correlation aggregates, and multi-probe IVF search.
+
+Same contract as every operator module: each key is a Spark
+DataFrame plan plus a DuckDB oracle computing identical values with
+identical column names; float arithmetic either rides exact integer /
+decimal moments or performs the same double operations on identical
+operands (bit-equal per IEEE-754), so order-insensitive value hashes
+match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from downloader_spark.functions.numeric import money_sum, sql_money_sum
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {sql_money_sum("l_quantity", "sum_qty", scale=2)}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with non-hierarchical sets — the general
+    form that rollup/cube (agg_rollup, agg_cube) are sugar for:
+    per-returnflag totals, per-linestatus totals, and the grand total
+    in ONE pass.  Spark expands each row once per set then
+    hash-aggregates (same Expand->partial->final shape as cube, with
+    3 sets instead of 4); decimal-exact quantity sums per
+    functions/numeric."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("l_quantity", "sum_qty", scale=2),
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+           l_quantity AS value
+    FROM lineitem WHERE l_orderkey % 100 = 7
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+    FROM lineitem WHERE l_orderkey % 100 = 7
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'disc', l_discount
+    FROM lineitem WHERE l_orderkey % 100 = 7
+    """,
+    tags=("reshape",),
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape (melt) — the inverse of agg_pivot: three
+    measure columns become (metric, value) rows.  Values pass through
+    untouched (no arithmetic => no float-order hazard).  Spark's
+    ``unpivot`` is a zero-shuffle Expand: each input row emits one row
+    per measure map-side, so it composes with downstream aggregation
+    without extra exchanges.  The metric names are re-labelled to the
+    oracle's literals via the unpivot value-alias syntax."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 7
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("disc"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["qty", "price", "disc"],
+        "metric",
+        "value",
+    )
+
+
+_CORR_MOMENTS = """
+      SELECT lang,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM (SELECT lang,
+                   n_chars AS x,
+                   CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS y
+            FROM documents)
+      GROUP BY lang
+"""
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+    WITH m AS ({_CORR_MOMENTS})
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_docs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS corr_xy,
+           round((sxy - sx * sy / n) / n, 6) AS covar_pop_xy,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_yx
+    FROM m
+    """,
+    tags=("aggregate", "statistics"),
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — Pearson correlation, population
+    covariance, regression slope — per language, between document
+    length (n_chars) and space count.
+
+    The built-in ``corr``/``covar_pop`` accumulate running doubles
+    whose value depends on partial-aggregation order, so they can
+    never be hash-compared across engines.  Instead the five raw
+    moments are summed EXACTLY as integers (associative, any
+    partitioning), cast once to double, and combined with the textbook
+    formulas in identical operation order on both engines — every
+    double op has identical operands, so results are bit-equal.  Same
+    one-shuffle partial-aggregate plan a built-in corr would produce.
+    In production the built-ins are fine; this form is the verifiable
+    surface (and what you'd use for a deterministic data release)."""
+    docs = load_table(spark, sf_dir, "documents")
+    xy = docs.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        ).cast("bigint").alias("y"),
+    )
+    m = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "lang",
+        n.cast("bigint").alias("n_docs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_xy"),
+        F.round((sxy - sx * sy / n) / n, 6).alias("covar_pop_xy"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope_yx"),
+    )
+
+
+# ------------------------------------------------------- multi-probe IVF
+
+N_QUERIES = 5
+NPROBE = 2
+MP_TOP_K = 5
+
+# Quantized-integer centroid geometry: component q = floor(v * 1000)
+# (exact for float32 in double), centroid kept as the integer SUM
+# vector (not the mean) so every dot/norm below is exact bigint
+# arithmetic — order-independent, hence oracle-replicable.  Ranking by
+# sum-vector cosine equals ranking by mean-vector cosine: the 1/n
+# scale cancels in cosine.
+_DUCK_QCOMPS = """
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings WHERE vec_id >= {nq}
+"""
+
+
+@query(
+    "sim_search_multiprobe",
+    oracle=f"""
+    WITH comps AS ({_DUCK_QCOMPS.format(nq=N_QUERIES)}),
+    cent AS (
+      SELECT label, pos, SUM(q) AS cq FROM comps GROUP BY label, pos
+    ),
+    cnorm AS (
+      SELECT label, SUM(cq * cq) AS c2 FROM cent GROUP BY label
+    ),
+    qcomps AS (
+      SELECT vec_id AS query_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qq
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    qdots AS (
+      SELECT q.query_id, c.label, SUM(q.qq * c.cq) AS dot_q
+      FROM qcomps q JOIN cent c ON q.pos = c.pos
+      GROUP BY q.query_id, c.label
+    ),
+    probes AS (
+      SELECT query_id, label,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(dot_q AS DOUBLE) / sqrt(CAST(c2 AS DOUBLE)) DESC,
+                        label
+             ) AS cr
+      FROM qdots JOIN cnorm USING (label)
+      QUALIFY cr <= {NPROBE}
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id >= {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_reduce(list_transform(list_zip(q.q_emb, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+               / sqrt(list_reduce(list_transform(list_zip(q.q_emb, q.q_emb),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+                 * list_reduce(list_transform(list_zip(c.embedding, c.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y))
+               AS cos
+      FROM q
+      JOIN probes p ON p.query_id = q.query_id
+      JOIN c ON c.label = p.label
+    )
+    SELECT query_id, vec_id,
+           CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {MP_TOP_K}
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def sim_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: each query scans its {NPROBE} NEAREST
+    coarse clusters (by genuine centroid cosine, not a fixed label) —
+    the standard recall-vs-scan-cost dial between nprobe=1
+    (sim_search_ivf) and brute force (sim_search).
+
+    The probe-selection geometry is exact: quantized components
+    (floor(v*1000)) summed into integer centroid vectors, integer
+    query·centroid dots, one double division per (query, centroid) on
+    identical operands — so both engines pick identical probe sets and
+    the hash check covers the whole pipeline, not just the rescoring.
+
+    Scale shape: centroid stats are |labels| x dims cells
+    (map-side partial-aggregated); the probe table is |queries| x
+    nprobe rows, BROADCAST into the corpus join so the corpus only
+    shuffles... never — it's scanned map-side with partition pruning
+    when the corpus is stored partitioned by label.  Final top-k
+    reuses the salted two-phase pattern via row_number windows over
+    per-query survivors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    comps = corpus.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000).cast("bigint").alias("q"),
+    )
+    cent = comps.groupBy("label", "pos").agg(F.sum("q").alias("cq"))
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.col("cq") * F.col("cq")).alias("c2")
+    )
+    qcomps = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .select(
+            "query_id",
+            "pos",
+            F.floor(F.col("v").cast("double") * 1000).cast("bigint").alias("qq"),
+        )
+    )
+    qdots = (
+        qcomps.join(cent, "pos")
+        .groupBy("query_id", "label")
+        .agg(F.sum(F.col("qq") * F.col("cq")).alias("dot_q"))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        (
+            F.col("dot_q").cast("double") / F.sqrt(F.col("c2").cast("double"))
+        ).desc(),
+        "label",
+    )
+    probes = (
+        qdots.join(cnorm, "label")
+        .withColumn("cr", F.row_number().over(probe_w))
+        .filter(F.col("cr") <= NPROBE)
+        .select("query_id", "label")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_q = queries.join(probes, "query_id")
+
+    dot_expr = (
+        "aggregate(zip_with(q_emb, embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nq_expr = (
+        "aggregate(zip_with(q_emb, q_emb, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nc_expr = (
+        "aggregate(zip_with(embedding, embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = corpus.join(F.broadcast(probe_q), "label").withColumn(
+        "cos",
+        F.expr(dot_expr) / F.sqrt(F.expr(nq_expr) * F.expr(nc_expr)),
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= MP_TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.floor(F.col("cos") * 1000000).cast("bigint").alias("cos_ppm"),
+            "rank",
+        )
+    )

@@ -107,3 +107,27 @@ def test_dedup_scoped_is_partial_aggregated_not_windowed(spark):
     plan = plan_of(spark, "dedup_scoped")
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+def test_agg_grouping_sets_expands_then_partial_aggregates(spark):
+    plan = plan_of(spark, "agg_grouping_sets")
+    # Expand (one row per grouping set) feeding two-phase aggregation:
+    # partials BEFORE the exchange so each set combines map-side
+    assert "Expand" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert plan.index("Expand") > plan.index("Exchange")  # Expand below it
+
+
+def test_unpivot_is_shuffle_free(spark):
+    plan = plan_of(spark, "unpivot_long")
+    assert "Expand" in plan
+    assert "Exchange" not in plan  # melt is a map-side row expansion
+
+
+def test_multiprobe_broadcasts_probes_never_cartesian(spark):
+    plan = plan_of(spark, "sim_search_multiprobe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the corpus side joins the (tiny) probe table via broadcast: the
+    # corpus itself is never shuffled for scoring
+    assert "BroadcastHashJoin" in plan
