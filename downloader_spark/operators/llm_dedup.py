@@ -111,18 +111,49 @@ _DUCK_SHINGLE_CTE = f"""
 N_HASHES = 12
 N_BANDS = 6  # r = 2 rows/band -> LSH threshold ~ (1/6)^(1/2) ~ 0.41
 
+# One md5 per shingle, not N_HASHES: the 12 hash functions are a
+# universal family h_i(x) = (a_i * x + b_i) mod P over the md5-derived
+# 60-bit value folded to 31 bits — md5 is ~50x the cost of a
+# multiply-add, and this stage dominated the whole pipeline (the
+# 12-md5 form measured 7.4 s at sf0.1; this one ~halves it).  The
+# a_i/b_i constants are themselves md5-derived (deterministic, no RNG)
+# and inlined as literals in BOTH engines' SQL.  P = 2^31-1 keeps
+# every product < 2^62: no bigint overflow under Spark's ANSI mode.
+MINHASH_P = 2_147_483_647
+
+
+def _minhash_consts() -> tuple[list[int], list[int]]:
+    import hashlib
+
+    def h(tag: str, i: int) -> int:
+        return int(hashlib.md5(f"minhash-{tag}:{i}".encode()).hexdigest()[:7], 16)
+
+    a = [h("a", i) % (MINHASH_P - 1) + 1 for i in range(N_HASHES)]  # 1..P-1
+    b = [h("b", i) % MINHASH_P for i in range(N_HASHES)]
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _minhash_consts()
+
 
 @query(
     "dedup_minhash",
     oracle=f"""
     WITH {_DUCK_SHINGLE_CTE},
+    hps AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> {_duck_h60("s")} % {MINHASH_P}) AS hp
+      FROM shingled
+    ),
     sigs AS (
       SELECT doc_id, sh,
              list_transform(generate_series(0, {N_HASHES - 1}),
                i -> list_aggregate(
-                      list_transform(sh, s -> {_duck_h60("concat(i, ':', s)")}),
+                      list_transform(hp,
+                        x -> ({MINHASH_A}[i + 1] * x + {MINHASH_B}[i + 1])
+                             % {MINHASH_P}),
                       'min')) AS sig
-      FROM shingled
+      FROM hps
     ),
     bands AS (
       SELECT doc_id,
@@ -174,15 +205,21 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     Long-format all the way: the 12 minhashes are 12 ``min()``
     AGGREGATES over the (doc_id, shingle) rows — partial-aggregated
     map-side, whole-stage-codegen'd, one shuffle on doc_id (reused
-    from shingle_sets' own exchange).  Band hashes are then a cheap
-    row-wise md5 over the 12-column signature row.  Candidate
-    verification computes |A∩B| as a co-occurrence COUNT (join the
-    candidate pairs through the shingle rows), never materializing
-    or intersecting arrays."""
+    from shingle_sets' own exchange).  Each shingle row is md5'd ONCE;
+    the 12 functions are codegen'd multiply-adds over that value (see
+    MINHASH_A/B above).  Band hashes are then a cheap row-wise md5
+    over the 12-column signature row.  Candidate verification computes
+    |A∩B| as a co-occurrence COUNT (join the candidate pairs through
+    the shingle rows), never materializing or intersecting arrays."""
     ss = shingle_sets(docs)
-    sigs = ss.groupBy("doc_id").agg(
+    hp = ss.withColumn(
+        "hp", F.expr(f"pmod({_spark_h60('s')}, {MINHASH_P})")
+    )
+    sigs = hp.groupBy("doc_id").agg(
         *[
-            F.min(F.expr(_spark_h60(f"concat('{i}', ':', s)"))).alias(f"m{i}")
+            F.min(
+                F.expr(f"pmod({MINHASH_A[i]} * hp + {MINHASH_B[i]}, {MINHASH_P})")
+            ).alias(f"m{i}")
             for i in range(N_HASHES)
         ]
     )
