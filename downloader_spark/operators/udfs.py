@@ -135,9 +135,43 @@ def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDAF per language: exact integer sum
     and integer median (both order-independent, so exact-checkable
-    against DuckDB despite arbitrary partitioning)."""
+    against DuckDB despite arbitrary partitioning).
+
+    Scale caveat: GROUPED_AGG gives parallelism <= #groups and ships
+    each FULL group through one Python worker — fine for a bounded
+    key like language (5 groups; the ~2 s bench cost is Python worker
+    startup, not the plan), wrong for unbounded/skewed keys.  For
+    those, use ``udaf_grouped_salted`` below: a salted two-phase form
+    whose phase-1 parallelism is #groups x n_salts and whose per-task
+    group slice is 1/n_salts of the data."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         _sum_chars("n_chars").alias("total_chars"),
         _median_chars("n_chars").alias("median_chars"),
+    )
+
+
+def udaf_grouped_salted(
+    docs: DataFrame, n_salts: int = 32
+) -> DataFrame:
+    """The unbounded-key form of ``udaf_grouped``'s sum: salt each row
+    by a hash of its id, run the pandas UDAF per (group, salt) — so no
+    Python worker ever sees more than ~1/n_salts of a hot group — then
+    combine the partials with a built-in sum.  Only DECOMPOSABLE
+    aggregates can ride this (sum/count/min/max, any commutative
+    monoid); a holistic statistic like the median cannot be salted —
+    route it to the engine's percentile machinery instead (see
+    agg_percentile), which is exactly what the direct key does for
+    bounded groups.
+
+    Output: (lang, total_chars), equal to the direct form's sum column
+    for every group under any partitioning."""
+    salted = docs.withColumn(
+        "_salt", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(n_salts))
+    )
+    partials = salted.groupBy("lang", "_salt").agg(
+        _sum_chars("n_chars").alias("partial_chars")
+    )
+    return partials.groupBy("lang").agg(
+        F.sum("partial_chars").cast("long").alias("total_chars")
     )

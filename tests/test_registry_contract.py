@@ -117,3 +117,28 @@ def test_queries_rotation_live_files_cover_unconfirmed_in_prefix():
     if len(stale) > 50:
         pytest.skip("more stale keys than one sample window; rotation still maximal")
     assert all(ranked.index(k) < 50 for k in stale)
+
+
+def test_udaf_salted_equals_direct(spark):
+    """The salted two-phase pandas UDAF must produce exactly the direct
+    GROUPED_AGG sums, per group, regardless of salt count — including
+    under a skewed group (one lang with 10x the rows)."""
+    import random
+
+    from downloader_spark.operators.udfs import udaf_grouped_salted, _sum_chars
+
+    rng = random.Random(3)
+    rows = [(i, "hot", rng.randrange(1, 5000)) for i in range(5000)] + [
+        (10_000 + i, f"cold{i % 7}", rng.randrange(1, 5000)) for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    direct = {
+        r.lang: r.total
+        for r in docs.groupBy("lang").agg(_sum_chars("n_chars").alias("total")).collect()
+    }
+    for n_salts in (1, 8, 32):
+        salted = {
+            r.lang: r.total_chars
+            for r in udaf_grouped_salted(docs, n_salts=n_salts).collect()
+        }
+        assert salted == direct
