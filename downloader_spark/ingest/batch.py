@@ -189,13 +189,16 @@ def batch_ingest(
         if spec.current_name and appended:
             store.copy(appended[-1][0], spec.current_name)
 
-        # executor-side staging sweep over every fetched item
+        # executor-side staging sweep over every fetched item (also
+        # removes legacy un-seqnum'd '_staging/{name}' objects left by
+        # earlier interrupted runs, so they can't accumulate forever)
         def _cleanup(part: Iterator) -> None:
             exec_store = store_factory()
             for r in part:
-                key = staging_key(int(r.seqnum), r.name)
-                if exec_store.exists(key):
-                    exec_store.delete(key)
+                for key in (staging_key(int(r.seqnum), r.name),
+                            STAGING_PREFIX + r.name):
+                    if exec_store.exists(key):
+                        exec_store.delete(key)
 
         ok_df.select("seqnum", "name").foreachPartition(_cleanup)
 

@@ -111,11 +111,14 @@ _CORR_MOMENTS = """
     WITH m AS ({_CORR_MOMENTS})
     SELECT lang,
            CAST(n AS BIGINT) AS n_docs,
-           round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
-                 6) AS corr_xy,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE round((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                           6) END AS corr_xy,
            round((sxy - sx * sy / n) / n, 6) AS covar_pop_xy,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_yx
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                END AS slope_yx
     FROM m
     """,
     tags=("aggregate", "statistics"),
@@ -134,8 +137,19 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     double op has identical operands, so results are bit-equal.  Same
     one-shuffle partial-aggregate plan a built-in corr would produce.
     In production the built-ins are fine; this form is the verifiable
-    surface (and what you'd use for a deterministic data release)."""
-    docs = load_table(spark, sf_dir, "documents")
+    surface (and what you'd use for a deterministic data release).
+
+    Degenerate groups (single doc, or zero variance in either
+    variable) yield NULL corr/slope via an explicit zero-denominator
+    CASE on BOTH engines — Spark 4's ANSI mode turns double division
+    by zero into a query-killing error and DuckDB turns it into NaN,
+    so the guard is correctness-critical, not cosmetic."""
+    return corr_stats(load_table(spark, sf_dir, "documents"))
+
+
+def corr_stats(docs: DataFrame) -> DataFrame:
+    """Core moment-based correlation pipeline over (lang, text,
+    n_chars) rows; see agg_corr for the determinism story."""
     xy = docs.select(
         "lang",
         F.col("n_chars").alias("x"),
@@ -153,16 +167,20 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
     return m.select(
         "lang",
         n.cast("bigint").alias("n_docs"),
-        F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
+        F.when(
+            (var_x == 0) | (var_y == 0), F.lit(None).cast("double")
+        ).otherwise(
+            F.round((n * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)), 6)
         ).alias("corr_xy"),
         F.round((sxy - sx * sy / n) / n, 6).alias("covar_pop_xy"),
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope_yx"),
+        F.when(var_x == 0, F.lit(None).cast("double")).otherwise(
+            F.round((n * sxy - sx * sy) / var_x, 6)
+        ).alias("slope_yx"),
     )
 
 
@@ -211,7 +229,9 @@ _DUCK_QCOMPS = """
       SELECT query_id, label,
              row_number() OVER (
                PARTITION BY query_id
-               ORDER BY CAST(dot_q AS DOUBLE) / sqrt(CAST(c2 AS DOUBLE)) DESC,
+               ORDER BY CASE WHEN c2 = 0 THEN NULL
+                             ELSE CAST(dot_q AS DOUBLE) / sqrt(CAST(c2 AS DOUBLE))
+                             END DESC NULLS LAST,
                         label
              ) AS cr
       FROM qdots JOIN cnorm USING (label)
@@ -225,20 +245,27 @@ _DUCK_QCOMPS = """
       SELECT q.query_id, c.vec_id,
              list_reduce(list_transform(list_zip(q.q_emb, c.embedding),
                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
-               / sqrt(list_reduce(list_transform(list_zip(q.q_emb, q.q_emb),
-                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
-                 * list_reduce(list_transform(list_zip(c.embedding, c.embedding),
-                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y))
-               AS cos
+               AS dot,
+             list_reduce(list_transform(list_zip(q.q_emb, q.q_emb),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+               * list_reduce(list_transform(list_zip(c.embedding, c.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+               AS nn
       FROM q
       JOIN probes p ON p.query_id = q.query_id
       JOIN c ON c.label = p.label
+    ),
+    cosd AS (
+      SELECT query_id, vec_id,
+             CASE WHEN nn = 0 THEN NULL ELSE dot / sqrt(nn) END AS cos
+      FROM scored
     )
     SELECT query_id, vec_id,
            CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm,
            CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, vec_id) AS INT) AS rank
-    FROM scored
+                                   ORDER BY cos DESC NULLS LAST, vec_id) AS INT)
+             AS rank
+    FROM cosd
     QUALIFY rank <= {MP_TOP_K}
     """,
     tags=("llm", "similarity", "ann"),
@@ -293,9 +320,11 @@ def sim_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("qq") * F.col("cq")).alias("dot_q"))
     )
     probe_w = Window.partitionBy("query_id").orderBy(
-        (
+        F.when(F.col("c2") == 0, F.lit(None).cast("double"))
+        .otherwise(
             F.col("dot_q").cast("double") / F.sqrt(F.col("c2").cast("double"))
-        ).desc(),
+        )
+        .desc_nulls_last(),
         "label",
     )
     probes = (
@@ -324,12 +353,17 @@ def sim_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    # zero-norm guard: ANSI Spark errors on double div-by-zero where
+    # DuckDB yields NaN — both sides emit NULL instead (NULLS LAST)
+    nn = F.expr(nq_expr) * F.expr(nc_expr)
     scored = corpus.join(F.broadcast(probe_q), "label").withColumn(
         "cos",
-        F.expr(dot_expr) / F.sqrt(F.expr(nq_expr) * F.expr(nc_expr)),
+        F.when(nn == 0, F.lit(None).cast("double")).otherwise(
+            F.expr(dot_expr) / F.sqrt(nn)
+        ),
     )
     rank_w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), "vec_id"
+        F.col("cos").desc_nulls_last(), "vec_id"
     )
     return (
         scored.withColumn("rank", F.row_number().over(rank_w))

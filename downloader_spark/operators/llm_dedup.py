@@ -543,13 +543,22 @@ def _spark_bucket_expr(
     ``thresholds[j]`` shifts bit j's cut to ``dot >= t_j``: passing
     t_j = s_j·mean(embeddings) centers the hyperplanes on the corpus
     (dot_j(x - mu) = dot_j(x) - dot_j(mu)), the anti-skew move for
-    corpora with a large common component."""
+    corpora with a large common component.
+
+    Length mismatch: ``zip_with`` PADS the shorter side with NULLs
+    (it does not truncate), and one NULL product folds the whole dot
+    to NULL — which would silently send every vector to bucket 0.
+    Both sides are therefore sliced to the common length first, so an
+    embedding shorter than the hyperplane dimensionality genuinely
+    uses the hyperplanes' prefix."""
+    dim = len(signs[0]) if signs else 0
     terms = []
     for j, row in enumerate(signs):
         t = 0.0 if thresholds is None else thresholds[j]
         arr = "array(" + ",".join(f"CAST({s} AS DOUBLE)" for s in row) + ")"
         dot = (
-            f"aggregate(zip_with(embedding, {arr}, "
+            f"aggregate(zip_with(slice(embedding, 1, {dim}), "
+            f"slice({arr}, 1, least(size(embedding), {dim})), "
             "(x, s) -> CAST(x AS DOUBLE) * s), "
             "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
         )
@@ -595,7 +604,7 @@ _DUCK_SIGN_BUCKET = _duck_bucket_expr(hyperplane_signs(SIGN_BITS, EMBED_DIM))
     SELECT vec_a, vec_b,
            CAST(floor(dot / sqrt(na * nb) * 1000000) AS BIGINT) AS cos_ppm
     FROM pairs
-    WHERE dot / sqrt(na * nb) >= {EMBED_COS_T}
+    WHERE na * nb <> 0 AND dot / sqrt(na * nb) >= {EMBED_COS_T}
     """,
     tags=("llm", "dedup", "embedding"),
 )
@@ -669,9 +678,13 @@ def embed_pairs(
 
     ``sign_bits=None`` (the scale path) counts the corpus and derives
     the LSH width (centered hyperplanes); pass an explicit width for a
-    static-oracle check.  ``dim`` bounds the hyperplane dimensionality
-    (Spark's zip_with truncates to the shorter side, so shorter
-    embeddings just use the hyperplanes' prefix)."""
+    static-oracle check.  ``dim`` bounds the hyperplane dimensionality;
+    shorter embeddings use the hyperplanes' prefix via explicit
+    common-length slicing in the bucket expression (zip_with would
+    NULL-pad, not truncate — see _spark_bucket_expr).  Zero-norm
+    vectors are excluded before the cosine: Spark's ANSI mode errors
+    on double division by zero and DuckDB's NaN compares greater than
+    every threshold."""
     b = sign_buckets(emb, sign_bits=sign_bits, dim=dim)
     x = b.alias("x")
     y = b.alias("y")
@@ -688,9 +701,15 @@ def embed_pairs(
             nb.alias("nb"),
         )
     )
-    cos = F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))
+    # when-guard, not a separate filter: Catalyst may reorder merged
+    # conjuncts, and ANSI division by zero errors eagerly — CASE
+    # branches are the only reliable lazy evaluation
+    nn = F.col("na") * F.col("nb")
+    cos = F.when(nn == 0, F.lit(None).cast("double")).otherwise(
+        F.col("dot") / F.sqrt(nn)
+    )
     return (
-        pairs.filter(cos >= EMBED_COS_T)
+        pairs.filter(cos >= EMBED_COS_T)  # NULL cos never passes
         .select(
             "vec_a",
             "vec_b",

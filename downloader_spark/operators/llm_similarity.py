@@ -53,9 +53,12 @@ def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
     nq = F.expr(_SPARK_DOT.format(a="q_emb", b="q_emb"))
     nc = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
-    return (
-        c.join(F.broadcast(q))
-        .withColumn("cos", dot / F.sqrt(nq * nc))
+    # zero-norm guard: ANSI Spark errors on double div-by-zero (DuckDB
+    # yields NaN, which compares GREATER) — emit NULL on both engines
+    nn = nq * nc
+    return c.join(F.broadcast(q)).withColumn(
+        "cos",
+        F.when(nn == 0, F.lit(None).cast("double")).otherwise(dot / F.sqrt(nn)),
     )
 
 
@@ -63,9 +66,9 @@ def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     """Two-phase per-group top-k: salt-local then final."""
     local_w = Window.partitionBy(
         "query_id", F.pmod(F.col("vec_id"), F.lit(SALT_BUCKETS))
-    ).orderBy(F.col("cos").desc(), F.col("vec_id"))
+    ).orderBy(F.col("cos").desc_nulls_last(), F.col("vec_id"))
     final_w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id")
+        F.col("cos").desc_nulls_last(), F.col("vec_id")
     )
     return (
         scored.withColumn("lr", F.row_number().over(local_w))
@@ -89,16 +92,22 @@ def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
     scored AS (
       SELECT q.query_id, c.vec_id,
-             {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")}
-               / sqrt({_DUCK_DOT.format(a="q.q_emb", b="q.q_emb")}
-                      * {_DUCK_DOT.format(a="c.embedding", b="c.embedding")}) AS cos
+             {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")} AS dot,
+             {_DUCK_DOT.format(a="q.q_emb", b="q.q_emb")}
+               * {_DUCK_DOT.format(a="c.embedding", b="c.embedding")} AS nn
       FROM q CROSS JOIN c
+    ),
+    cosd AS (
+      SELECT query_id, vec_id,
+             CASE WHEN nn = 0 THEN NULL ELSE dot / sqrt(nn) END AS cos
+      FROM scored
     )
     SELECT query_id, vec_id,
            CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm,
            CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, vec_id) AS INT) AS rank
-    FROM scored
+                                   ORDER BY cos DESC NULLS LAST, vec_id) AS INT)
+             AS rank
+    FROM cosd
     QUALIFY rank <= {TOP_K}
     """,
     tags=("llm", "similarity"),
@@ -165,16 +174,22 @@ IVF_TOP_K = 5
           WHERE vec_id >= {N_QUERIES}),
     scored AS (
       SELECT q.query_id, c.vec_id,
-             {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")}
-               / sqrt({_DUCK_DOT.format(a="q.q_emb", b="q.q_emb")}
-                      * {_DUCK_DOT.format(a="c.embedding", b="c.embedding")}) AS cos
+             {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")} AS dot,
+             {_DUCK_DOT.format(a="q.q_emb", b="q.q_emb")}
+               * {_DUCK_DOT.format(a="c.embedding", b="c.embedding")} AS nn
       FROM q JOIN c ON q.label = c.label
+    ),
+    cosd AS (
+      SELECT query_id, vec_id,
+             CASE WHEN nn = 0 THEN NULL ELSE dot / sqrt(nn) END AS cos
+      FROM scored
     )
     SELECT query_id, vec_id,
            CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm,
            CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, vec_id) AS INT) AS rank
-    FROM scored
+                                   ORDER BY cos DESC NULLS LAST, vec_id) AS INT)
+             AS rank
+    FROM cosd
     QUALIFY rank <= {IVF_TOP_K}
     """,
     tags=("llm", "similarity"),
@@ -195,8 +210,9 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
     nq = F.expr(_SPARK_DOT.format(a="q_emb", b="q_emb"))
     nc = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
-    scored = (
-        corpus.join(F.broadcast(queries), "label")
-        .withColumn("cos", dot / F.sqrt(nq * nc))
+    nn = nq * nc
+    scored = corpus.join(F.broadcast(queries), "label").withColumn(
+        "cos",
+        F.when(nn == 0, F.lit(None).cast("double")).otherwise(dot / F.sqrt(nn)),
     )
     return topk_per_query(scored, k=IVF_TOP_K)

@@ -241,3 +241,21 @@ def test_localfs_store_rejects_escapes_and_sibling_prefix(tmp_path):
     with pytest.raises(ValueError):
         store.put("../store-other/evil.bin", b"x")
     assert os.listdir(sibling) == []
+
+
+def test_cleanup_sweeps_legacy_staging_objects(spark, ctx):
+    """Objects staged under the pre-seqnum '_staging/{name}' format by
+    an interrupted older run must still be swept by the next batch."""
+    store = LocalFSStore(ctx["root"])
+    legacy = STAGING_PREFIX + "RV/2023/11/f-1100.gz"
+    store.put(legacy, b"orphan-bytes")
+    batch_ingest(
+        spark,
+        ctx["spec"],
+        ctx["items"],
+        store,
+        _store_factory(ctx["root"]),
+        ctx["inv"],
+    )
+    assert not store.exists(legacy)
+    assert [n for n in store.list() if n.startswith(STAGING_PREFIX)] == []

@@ -142,3 +142,57 @@ def test_udaf_salted_equals_direct(spark):
             for r in udaf_grouped_salted(docs, n_salts=n_salts).collect()
         }
         assert salted == direct
+
+
+def test_corr_degenerate_groups_yield_null_not_error(spark):
+    """Spark 4 ANSI mode errors on double division by zero, so a
+    single-doc or zero-variance group must take the NULL branch of the
+    guard, never the division."""
+    from downloader_spark.operators.analytics_ext import corr_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", 3, "single"),       # one doc => zero variance
+            (2, "x y", 3, "novar"),        # two docs, identical x and y
+            (3, "p q", 3, "novar"),
+            (4, "m n o", 5, "ok"),         # healthy group
+            (5, "s", 1, "ok"),
+        ],
+        "doc_id long, text string, n_chars long, lang string",
+    )
+    rows = {r.lang: r for r in corr_stats(docs).collect()}
+    assert rows["single"].corr_xy is None
+    assert rows["single"].slope_yx is None
+    assert rows["novar"].corr_xy is None
+    assert rows["ok"].corr_xy is not None
+
+
+def test_sign_buckets_short_embeddings_still_spread(spark):
+    """zip_with NULL-pads mismatched lengths (it does not truncate):
+    without explicit common-length slicing, every sub-64-dim vector
+    would fold its hyperplane dots to NULL and land in bucket 0."""
+    import random
+
+    from downloader_spark.operators.llm_dedup import sign_buckets
+
+    rng = random.Random(5)
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(16)]) for i in range(64)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sign_buckets(emb, sign_bits=8).groupBy("bucket").count().collect()
+    assert len(got) > 10  # genuinely spread, not collapsed into bucket 0
+
+
+def test_embed_pairs_zero_norm_vector_is_excluded_not_fatal(spark):
+    from downloader_spark.operators.llm_dedup import embed_pairs
+
+    rows = [
+        (0, [1.0] * 16),
+        (1, [1.0] * 16),      # near-identical of 0
+        (2, [0.0] * 16),      # zero norm: undefined cosine
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_a, r.vec_b) for r in embed_pairs(emb, sign_bits=4).collect()}
+    assert (0, 1) in got
+    assert all(2 not in pair for pair in got)
