@@ -1,0 +1,226 @@
+"""Composite pipeline + event-analytics keys (round 3).
+
+`pipeline_corpus` composes the training-data primitives — quality
+gate, exact content dedup, deterministic split — into the ONE query a
+corpus-prep user actually runs, proving the operators compose without
+re-verifying each piece by hand.  `events_funnel` and
+`events_retention` are the two standard event-analytics shapes
+(ordered-step conversion, cohort retention) expressed as single-scan
+aggregations.
+
+Same exactness rules as everywhere: md5-derived 60-bit hashes for
+identity/splits, integer epoch arithmetic for time bucketing, NULL
+guards on any divisible-by-zero denominator, identical aliases both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+# Shared 60-bit portable hash (see llm_dedup for the bit-equality story)
+
+
+def _spark_h60(arg_sql: str) -> str:
+    return f"CAST(conv(substring(md5({arg_sql}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _duck_h60(arg_sql: str) -> str:
+    return f"CAST(concat('0x', substring(md5({arg_sql}), 1, 15)) AS BIGINT)"
+
+
+QUALITY_MIN_PPM = 400_000  # composite quality >= 0.40 survives
+
+
+@query(
+    "pipeline_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                          / len(string_split(text, ' ')))
+                   + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                            / length(text))
+                   + 0.2 * (CASE WHEN length(text) BETWEEN 100 AND 2000
+                                 THEN 1.0 ELSE 0.0 END), 6) AS quality
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE CAST(floor(quality * 1000000) AS BIGINT) >= {QUALITY_MIN_PPM}
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
+      FROM gated GROUP BY md5(text)
+    )
+    SELECT d.doc_id, g.lang, g.quality, d.content_md5,
+           CASE WHEN {_duck_h60("concat('split:', CAST(d.doc_id AS VARCHAR))")} % 100 < 80
+                THEN 'train'
+                WHEN {_duck_h60("concat('split:', CAST(d.doc_id AS VARCHAR))")} % 100 < 90
+                THEN 'val' ELSE 'test' END AS split
+    FROM deduped d JOIN gated g ON g.doc_id = d.doc_id
+    """,
+    tags=("llm", "pipeline", "composite"),
+)
+def pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-prep pipeline as ONE declarative plan:
+    quality-score every document (text_quality's exact composite),
+    gate at quality >= 0.40 (compared in floor-ppm so the float
+    boundary is unambiguous), exact-dedup the survivors by content md5
+    keeping the lowest doc_id (dedup_exact_hash's struct-min shape),
+    and assign the deterministic 80/10/10 split (sample_split's hash
+    gate).  This is the composition a real training-data user runs
+    nightly; Catalyst pipelines it into scan → map → one dedup shuffle
+    → map, with the quality gate pushed below the shuffle so only
+    surviving docs are exchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    alpha = F.regexp_count("text", F.lit("[a-zA-Z]"))
+    ws = F.split("text", " ")
+    ttr = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    len_ok = (n_chars >= 100) & (n_chars <= 2000)
+    quality = F.round(
+        F.lit(0.5) * ttr
+        + F.lit(0.3) * (alpha.cast("double") / n_chars)
+        + F.lit(0.2) * F.when(len_ok, 1.0).otherwise(0.0),
+        6,
+    )
+    gated = docs.select("doc_id", "lang", "text", quality.alias("quality")).filter(
+        F.floor(F.col("quality") * 1000000).cast("bigint") >= QUALITY_MIN_PPM
+    )
+    deduped = (
+        gated.groupBy(F.md5("text").alias("content_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    split_bucket = F.expr(
+        f"{_spark_h60(chr(39) + 'split:' + chr(39) + ' || CAST(doc_id AS STRING)')} % 100"
+    )
+    return (
+        deduped.join(gated, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            "content_md5",
+            F.when(split_bucket < 80, "train")
+            .when(split_bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+FUNNEL_WINDOW_S = 3600  # step B must follow step A within an hour
+
+
+@query(
+    "events_funnel",
+    oracle=f"""
+    WITH steps AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS step_view,
+           CAST(count(CASE WHEN t_click > t_view
+                           AND t_click - t_view <= {FUNNEL_WINDOW_S * 1_000_000}
+                           THEN 1 END) AS BIGINT) AS step_click,
+           CAST(count(CASE WHEN t_click > t_view
+                           AND t_click - t_view <= {FUNNEL_WINDOW_S * 1_000_000}
+                           AND t_purchase > t_click
+                           AND t_purchase - t_click <= {FUNNEL_WINDOW_S * 1_000_000}
+                           THEN 1 END) AS BIGINT) AS step_purchase
+    FROM steps
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (view → click → purchase, each step within
+    an hour of the previous): the standard conversion query.  One scan,
+    one shuffle on user_id — the per-user step times are conditional
+    MIN aggregates (map-side combinable), and the step predicates are
+    integer microsecond comparisons (no timestamp arithmetic
+    ambiguity).  At 100 TB this is the shape that works: no ordering
+    window, no self-join per step pair."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    w_us = FUNNEL_WINDOW_S * 1_000_000
+    did_click = (
+        (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_click") - F.col("t_view") <= w_us)
+    )
+    did_purchase = did_click & (
+        (F.col("t_purchase") > F.col("t_click"))
+        & (F.col("t_purchase") - F.col("t_click") <= w_us)
+    )
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count(F.when(did_click, 1)).alias("step_click"),
+        F.count(F.when(did_purchase, 1)).alias("step_purchase"),
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts)) // 86400000000 AS BIGINT) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) - f.cohort_day
+               AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=("events", "retention"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted as active per whole-day offset since their cohort day.
+    Day bucketing is integer floor-division of epoch microseconds —
+    no timezone/calendar ambiguity between engines.  Two shuffles
+    (first-seen per user, then the (cohort, offset) rollup of the
+    deduplicated activity), both on uniform keys; the firsts table
+    joins back broadcast-or-hash as the optimizer prefers."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer floor-division (DIV), matching DuckDB's `//` — a double
+    # division + cast would risk FP-truncation mismatches
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (day - F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )

@@ -131,3 +131,22 @@ def test_multiprobe_broadcasts_probes_never_cartesian(spark):
     # the corpus side joins the (tiny) probe table via broadcast: the
     # corpus itself is never shuffled for scoring
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_corpus_gates_before_dedup_shuffle(spark):
+    plan = plan_of(spark, "pipeline_corpus")
+    # quality gate is a Filter below the dedup Exchange: only survivors
+    # are shuffled
+    assert "Exchange" in plan
+    first_exchange = plan.index("Exchange")
+    assert "Filter" in plan[first_exchange:], "gate must sit below the shuffle"
+    assert "CartesianProduct" not in plan
+
+
+def test_events_funnel_is_single_aggregation_pass(spark):
+    plan = plan_of(spark, "events_funnel")
+    # conditional-MIN shape: partial aggregates before the user_id
+    # exchange, and NO window/sort operators anywhere
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
