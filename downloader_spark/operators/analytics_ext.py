@@ -238,34 +238,33 @@ _DUCK_QCOMPS = """
       QUALIFY cr <= {NPROBE}
     ),
     q AS (SELECT vec_id AS query_id, embedding AS q_emb
-          FROM embeddings WHERE vec_id < {N_QUERIES}),
+          FROM embeddings WHERE vec_id < {N_QUERIES}
+            AND list_reduce(list_transform(list_zip(embedding, embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                  (x, y) -> x + y) <> 0),
     c AS (SELECT vec_id, embedding, label FROM embeddings
-          WHERE vec_id >= {N_QUERIES}),
+          WHERE vec_id >= {N_QUERIES}
+            AND list_reduce(list_transform(list_zip(embedding, embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                  (x, y) -> x + y) <> 0),
     scored AS (
       SELECT q.query_id, c.vec_id,
              list_reduce(list_transform(list_zip(q.q_emb, c.embedding),
                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
-               AS dot,
-             list_reduce(list_transform(list_zip(q.q_emb, q.q_emb),
-               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
-               * list_reduce(list_transform(list_zip(c.embedding, c.embedding),
-                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
-               AS nn
+               / sqrt(list_reduce(list_transform(list_zip(q.q_emb, q.q_emb),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+                 * list_reduce(list_transform(list_zip(c.embedding, c.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y))
+               AS cos
       FROM q
       JOIN probes p ON p.query_id = q.query_id
       JOIN c ON c.label = p.label
-    ),
-    cosd AS (
-      SELECT query_id, vec_id,
-             CASE WHEN nn = 0 THEN NULL ELSE dot / sqrt(nn) END AS cos
-      FROM scored
     )
     SELECT query_id, vec_id,
            CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm,
            CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC NULLS LAST, vec_id) AS INT)
-             AS rank
-    FROM cosd
+                                   ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM scored
     QUALIFY rank <= {MP_TOP_K}
     """,
     tags=("llm", "similarity", "ann"),
@@ -290,7 +289,18 @@ def sim_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the salted two-phase pattern via row_number windows over
     per-query survivors."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    # zero-norm vectors (undefined cosine) are excluded once, per
+    # vector — see llm_similarity._norm_nonzero for why a per-pair
+    # guard is both slower and insufficient
+    nonzero = (
+        F.expr(
+            "aggregate(zip_with(embedding, embedding, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        != 0
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).filter(nonzero)
     comps = corpus.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     ).select(
@@ -333,8 +343,12 @@ def sim_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cr") <= NPROBE)
         .select("query_id", "label")
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .filter(nonzero)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
     )
     probe_q = queries.join(probes, "query_id")
 
@@ -353,14 +367,11 @@ def sim_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    # zero-norm guard: ANSI Spark errors on double div-by-zero where
-    # DuckDB yields NaN — both sides emit NULL instead (NULLS LAST)
-    nn = F.expr(nq_expr) * F.expr(nc_expr)
+    # unguarded division is safe: queries and corpus pre-filtered to
+    # norm != 0 above
     scored = corpus.join(F.broadcast(probe_q), "label").withColumn(
         "cos",
-        F.when(nn == 0, F.lit(None).cast("double")).otherwise(
-            F.expr(dot_expr) / F.sqrt(nn)
-        ),
+        F.expr(dot_expr) / F.sqrt(F.expr(nq_expr) * F.expr(nc_expr)),
     )
     rank_w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc_nulls_last(), "vec_id"

@@ -44,22 +44,25 @@ _DUCK_DOT = (
 )
 
 
+def _norm_nonzero() -> object:
+    """Per-vector zero-norm predicate: ANSI Spark errors on double
+    div-by-zero and DuckDB's NaN compares GREATER, so undefined-cosine
+    vectors are excluded ONCE per vector (a per-pair nullif/CASE guard
+    would re-evaluate the interpreted norm fold per inline site)."""
+    return F.expr(_SPARK_DOT.format(a="embedding", b="embedding")) != 0
+
+
 def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     """Broadcast-join every query against the corpus and score cosine."""
-    q = queries.select(
+    q = queries.filter(_norm_nonzero()).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = corpus.select("vec_id", "embedding")
+    c = corpus.filter(_norm_nonzero()).select("vec_id", "embedding")
     dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
     nq = F.expr(_SPARK_DOT.format(a="q_emb", b="q_emb"))
     nc = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
-    # zero-norm guard: ANSI Spark errors on double div-by-zero (DuckDB
-    # yields NaN, which compares GREATER) — emit NULL on both engines
-    nn = nq * nc
-    return c.join(F.broadcast(q)).withColumn(
-        "cos",
-        F.when(nn == 0, F.lit(None).cast("double")).otherwise(dot / F.sqrt(nn)),
-    )
+    # unguarded: both sides pre-filtered to norm != 0
+    return c.join(F.broadcast(q)).withColumn("cos", dot / F.sqrt(nq * nc))
 
 
 def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -88,26 +91,22 @@ def topk_per_query(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     "sim_search",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
-               FROM embeddings WHERE vec_id < {N_QUERIES}),
-    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
+               FROM embeddings WHERE vec_id < {N_QUERIES}
+                 AND {_DUCK_DOT.format(a="embedding", b="embedding")} <> 0),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}
+            AND {_DUCK_DOT.format(a="embedding", b="embedding")} <> 0),
     scored AS (
       SELECT q.query_id, c.vec_id,
-             {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")} AS dot,
-             {_DUCK_DOT.format(a="q.q_emb", b="q.q_emb")}
-               * {_DUCK_DOT.format(a="c.embedding", b="c.embedding")} AS nn
+             {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")}
+               / sqrt({_DUCK_DOT.format(a="q.q_emb", b="q.q_emb")}
+                      * {_DUCK_DOT.format(a="c.embedding", b="c.embedding")}) AS cos
       FROM q CROSS JOIN c
-    ),
-    cosd AS (
-      SELECT query_id, vec_id,
-             CASE WHEN nn = 0 THEN NULL ELSE dot / sqrt(nn) END AS cos
-      FROM scored
     )
     SELECT query_id, vec_id,
            CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm,
            CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC NULLS LAST, vec_id) AS INT)
-             AS rank
-    FROM cosd
+                                   ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM scored
     QUALIFY rank <= {TOP_K}
     """,
     tags=("llm", "similarity"),
@@ -169,27 +168,23 @@ IVF_TOP_K = 5
     "sim_search_ivf",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label
-               FROM embeddings WHERE vec_id < {N_QUERIES}),
+               FROM embeddings WHERE vec_id < {N_QUERIES}
+                 AND {_DUCK_DOT.format(a="embedding", b="embedding")} <> 0),
     c AS (SELECT vec_id, embedding, label FROM embeddings
-          WHERE vec_id >= {N_QUERIES}),
+          WHERE vec_id >= {N_QUERIES}
+            AND {_DUCK_DOT.format(a="embedding", b="embedding")} <> 0),
     scored AS (
       SELECT q.query_id, c.vec_id,
-             {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")} AS dot,
-             {_DUCK_DOT.format(a="q.q_emb", b="q.q_emb")}
-               * {_DUCK_DOT.format(a="c.embedding", b="c.embedding")} AS nn
+             {_DUCK_DOT.format(a="q.q_emb", b="c.embedding")}
+               / sqrt({_DUCK_DOT.format(a="q.q_emb", b="q.q_emb")}
+                      * {_DUCK_DOT.format(a="c.embedding", b="c.embedding")}) AS cos
       FROM q JOIN c ON q.label = c.label
-    ),
-    cosd AS (
-      SELECT query_id, vec_id,
-             CASE WHEN nn = 0 THEN NULL ELSE dot / sqrt(nn) END AS cos
-      FROM scored
     )
     SELECT query_id, vec_id,
            CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm,
            CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC NULLS LAST, vec_id) AS INT)
-             AS rank
-    FROM cosd
+                                   ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM scored
     QUALIFY rank <= {IVF_TOP_K}
     """,
     tags=("llm", "similarity"),
@@ -201,18 +196,20 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     written partitioned by cluster id, Catalyst turns it into
     partition pruning and each query touches |corpus|/|clusters| rows."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "label",
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .filter(_norm_nonzero())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "label",
+        )
     )
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).filter(_norm_nonzero())
     dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
     nq = F.expr(_SPARK_DOT.format(a="q_emb", b="q_emb"))
     nc = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
-    nn = nq * nc
     scored = corpus.join(F.broadcast(queries), "label").withColumn(
-        "cos",
-        F.when(nn == 0, F.lit(None).cast("double")).otherwise(dot / F.sqrt(nn)),
+        "cos", dot / F.sqrt(nq * nc)
     )
     return topk_per_query(scored, k=IVF_TOP_K)
