@@ -208,14 +208,20 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_chars_m, alpha_chars, digit_chars, punct_chars,
-           round(CAST(alpha_chars AS DOUBLE) / n_chars_m, 6) AS alpha_ratio,
-           round(CAST(punct_chars AS DOUBLE) / n_chars_m, 6) AS punct_ratio,
+           CASE WHEN n_chars_m = 0 THEN NULL
+                ELSE round(CAST(alpha_chars AS DOUBLE) / n_chars_m, 6)
+                END AS alpha_ratio,
+           CASE WHEN n_chars_m = 0 THEN NULL
+                ELSE round(CAST(punct_chars AS DOUBLE) / n_chars_m, 6)
+                END AS punct_ratio,
            round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
            n_chars_m >= 100 AND n_chars_m <= 2000 AS len_ok,
-           round(0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-                 + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars_m)
-                 + 0.2 * (CASE WHEN n_chars_m >= 100 AND n_chars_m <= 2000
-                               THEN 1.0 ELSE 0.0 END), 6) AS quality
+           CASE WHEN n_chars_m = 0 THEN NULL
+                ELSE round(0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                     + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars_m)
+                     + 0.2 * (CASE WHEN n_chars_m >= 100 AND n_chars_m <= 2000
+                                   THEN 1.0 ELSE 0.0 END), 6)
+                END AS quality
     FROM m
     """,
     tags=("llm", "text"),
@@ -224,7 +230,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: char-class ratios, length gate,
     type-token ratio, and a fixed-weight composite score.  The
     composite is evaluated in one double expression with identical
-    operation order on both engines, so 6dp rounding is exact."""
+    operation order on both engines, so 6dp rounding is exact.
+
+    Empty documents (n_chars = 0) yield NULL ratios/quality via an
+    explicit guard on both engines — ANSI Spark would error on the
+    division, DuckDB would emit NaN.  (ttr needs no guard:
+    split('', ' ') is [''], so n_tokens >= 1 always.)"""
     docs = load_table(spark, sf_dir, "documents")
     n_chars_m = F.length("text")
     alpha = F.regexp_count("text", F.lit("[a-zA-Z]"))
@@ -235,21 +246,27 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = F.size(F.array_distinct(ws))
     len_ok = (n_chars_m >= 100) & (n_chars_m <= 2000)
     ttr = n_distinct.cast("double") / n_tokens
+
+    def nonempty(col):
+        return F.when(n_chars_m == 0, F.lit(None).cast("double")).otherwise(col)
+
     return docs.select(
         "doc_id",
         n_chars_m.alias("n_chars_m"),
         alpha.alias("alpha_chars"),
         digit.alias("digit_chars"),
         punct.alias("punct_chars"),
-        F.round(alpha.cast("double") / n_chars_m, 6).alias("alpha_ratio"),
-        F.round(punct.cast("double") / n_chars_m, 6).alias("punct_ratio"),
+        nonempty(F.round(alpha.cast("double") / n_chars_m, 6)).alias("alpha_ratio"),
+        nonempty(F.round(punct.cast("double") / n_chars_m, 6)).alias("punct_ratio"),
         F.round(ttr, 6).alias("ttr"),
         len_ok.alias("len_ok"),
-        F.round(
-            F.lit(0.5) * ttr
-            + F.lit(0.3) * (alpha.cast("double") / n_chars_m)
-            + F.lit(0.2) * F.when(len_ok, 1.0).otherwise(0.0),
-            6,
+        nonempty(
+            F.round(
+                F.lit(0.5) * ttr
+                + F.lit(0.3) * (alpha.cast("double") / n_chars_m)
+                + F.lit(0.2) * F.when(len_ok, 1.0).otherwise(0.0),
+                6,
+            )
         ).alias("quality"),
     )
 

@@ -41,12 +41,14 @@ QUALITY_MIN_PPM = 400_000  # composite quality >= 0.40 survives
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang, text,
-             round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
-                          / len(string_split(text, ' ')))
-                   + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-                            / length(text))
-                   + 0.2 * (CASE WHEN length(text) BETWEEN 100 AND 2000
-                                 THEN 1.0 ELSE 0.0 END), 6) AS quality
+             CASE WHEN length(text) = 0 THEN NULL
+                  ELSE round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                               / len(string_split(text, ' ')))
+                       + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                                / length(text))
+                       + 0.2 * (CASE WHEN length(text) BETWEEN 100 AND 2000
+                                     THEN 1.0 ELSE 0.0 END), 6)
+                  END AS quality
       FROM documents
     ),
     gated AS (
@@ -83,11 +85,15 @@ def pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.split("text", " ")
     ttr = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
     len_ok = (n_chars >= 100) & (n_chars <= 2000)
-    quality = F.round(
-        F.lit(0.5) * ttr
-        + F.lit(0.3) * (alpha.cast("double") / n_chars)
-        + F.lit(0.2) * F.when(len_ok, 1.0).otherwise(0.0),
-        6,
+    # empty docs get NULL quality (ANSI div-by-zero guard) and are
+    # dropped by the gate below, on both engines
+    quality = F.when(n_chars == 0, F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.lit(0.5) * ttr
+            + F.lit(0.3) * (alpha.cast("double") / n_chars)
+            + F.lit(0.2) * F.when(len_ok, 1.0).otherwise(0.0),
+            6,
+        )
     )
     gated = docs.select("doc_id", "lang", "text", quality.alias("quality")).filter(
         F.floor(F.col("quality") * 1000000).cast("bigint") >= QUALITY_MIN_PPM
