@@ -1,0 +1,142 @@
+"""Iterative graph operator: connected-components clustering of the
+near-duplicate pair graph (the canonicalization step after any pair
+finder — "which docs are the SAME content group, transitively").
+
+This is the engine's one genuinely ITERATIVE operator: Spark runs
+min-label propagation to a fixpoint (driver-controlled loop, fully
+distributed per round), while the DuckDB oracle computes the same
+components with a recursive CTE — two independent algorithms, one
+answer, so the hash check validates the fixpoint itself.
+
+Scale notes: label propagation converges in O(component diameter)
+rounds — near-dup clusters are shallow (dozens of docs, diameter
+2-4), so a handful of rounds suffices; each round is one hash join +
+aggregation on the edge list.  ``localCheckpoint`` truncates the
+lineage so plans don't grow with rounds.  At 100 TB with adversarial
+long-chain graphs you'd switch to the large-star/small-star
+alternation (O(log n) rounds); the per-round dataflow is the same
+join shape.
+
+Reference analog: the reference's identity is a flat md5 equality
+(file/api.go:53) — components of EXACT-dup edges are trivially the
+md5 groups; this operator generalizes the identity to transitive
+NEAR-dup similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.operators.llm_dedup import (
+    EMBED_COS_T,
+    SIGN_BITS,
+    _DUCK_DOT,
+    _DUCK_SIGN_BUCKET,
+    embed_pairs,
+)
+from downloader_spark.plans.registry import query
+
+MAX_ROUNDS = 15  # >> any real near-dup component diameter
+
+
+def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """(node, cluster_id=min node id in its component) for every node
+    appearing in ``edges`` (columns: a, b).
+
+    Min-label propagation: every node starts labelled with itself;
+    each round a node takes the minimum label among itself and its
+    neighbors; the fixpoint assigns every component its minimum node
+    id — a unique, partition-independent answer."""
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding, {_DUCK_SIGN_BUCKET} AS bucket
+      FROM embeddings
+      WHERE {_DUCK_DOT.format(a="embedding", b="embedding")} <> 0
+    ),
+    pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             {_DUCK_DOT.format(a="x.embedding", b="y.embedding")} AS dot,
+             {_DUCK_DOT.format(a="x.embedding", b="x.embedding")} AS na,
+             {_DUCK_DOT.format(a="y.embedding", b="y.embedding")} AS nb
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    e AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      WHERE dot / sqrt(na * nb) >= {EMBED_COS_T}
+    ),
+    bidir AS (
+      SELECT a, b FROM e UNION SELECT b, a FROM e
+      UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM bidir
+      UNION
+      SELECT r.a, d.b FROM reach r JOIN bidir d ON r.b = d.a
+    )
+    SELECT a AS vec_id, min(b) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters over the embedding-cosine
+    pair graph (dedup_embed's pairs): every vector that shares a
+    near-dup edge — directly or through intermediates — gets the same
+    ``cluster_id`` (the component's minimum vec_id), which is the
+    canonical-representative assignment a dedup pipeline keeps.
+
+    Spark side: iterative min-label propagation (connected_components
+    above).  Oracle side: a recursive-CTE transitive closure.  The two
+    algorithms share nothing but the edge list, so a matching hash
+    certifies the fixpoint, not just the plumbing."""
+    pairs = embed_pairs(
+        load_table(spark, sf_dir, "embeddings"), sign_bits=SIGN_BITS
+    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    return connected_components(pairs).select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )

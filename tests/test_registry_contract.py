@@ -196,3 +196,20 @@ def test_embed_pairs_zero_norm_vector_is_excluded_not_fatal(spark):
     got = {(r.vec_a, r.vec_b) for r in embed_pairs(emb, sign_bits=4).collect()}
     assert (0, 1) in got
     assert all(2 not in pair for pair in got)
+
+
+def test_connected_components_long_chain_and_islands(spark):
+    """Min-label propagation must converge past its per-round horizon:
+    a 9-node chain has diameter 8 (several propagation rounds), and
+    separate islands must keep distinct cluster ids."""
+    from downloader_spark.operators.graph_ops import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 19)]          # 10..19 one component
+    island = [(100, 101), (101, 102)]                    # 100..102
+    pair = [(7, 3)]                                      # min id 3
+    edges = spark.createDataFrame(chain + island + pair, "a long, b long")
+    got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert {got[n] for n in range(10, 20)} == {10}
+    assert {got[n] for n in (100, 101, 102)} == {100}
+    assert got[7] == got[3] == 3
+    assert len(got) == 10 + 3 + 2
