@@ -178,3 +178,110 @@ def test_null_and_empty_text_are_handled_not_fatal(spark):
     sigs = {r.doc_id for r in simhash_signatures(df).collect()}
     assert sigs == {0, 2}  # null-text doc produces no signature
     assert ngram_jaccard_pairs(df).count() == 0
+
+
+# ------------------------------------------------------- event analytics
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),            # user_id
+        st.integers(min_value=0, max_value=10_000),       # seconds offset
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _events_df(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(seconds=s), u, t, 1.0, "{}")
+        for i, (u, s, t) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+
+def model_funnel(rows, window_s=3600):
+    firsts: dict[tuple[int, str], int] = {}
+    for u, s, t in rows:
+        k = (u, t)
+        if k not in firsts or s < firsts[k]:
+            firsts[k] = s
+    users = {u for u, _, _ in rows}
+    n_view = n_click = n_purchase = 0
+    for u in users:
+        tv = firsts.get((u, "view"))
+        tc = firsts.get((u, "click"))
+        tp = firsts.get((u, "purchase"))
+        if tv is None:
+            continue
+        n_view += 1
+        if tc is not None and tc > tv and tc - tv <= window_s:
+            n_click += 1
+            if tp is not None and tp > tc and tp - tc <= window_s:
+                n_purchase += 1
+    return len(users), n_view, n_click, n_purchase
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy)
+def test_events_funnel_matches_python_model(spark, rows):
+    import downloader_spark.operators.pipeline_ext as px
+    from downloader_spark.operators.pipeline_ext import events_funnel
+
+    df = _events_df(spark, rows)
+    orig = px.load_table
+    px.load_table = lambda s, d, n: df
+    try:
+        got = events_funnel(spark, "ignored").collect()[0]
+    finally:
+        px.load_table = orig
+    assert (
+        got.n_users, got.step_view, got.step_click, got.step_purchase
+    ) == model_funnel(rows)
+
+
+def model_retention(rows):
+    # cohort_day/day_offset in whole days since epoch; base date fixed
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    epoch = dt.datetime(1970, 1, 1)
+    day_of = lambda s: int(
+        ((base + dt.timedelta(seconds=s)) - epoch).total_seconds() // 86400
+    )
+    first: dict[int, int] = {}
+    for u, s, _t in rows:
+        d = day_of(s)
+        if u not in first or d < first[u]:
+            first[u] = d
+    cells: dict[tuple[int, int], set[int]] = {}
+    for u, s, _t in rows:
+        key = (first[u], day_of(s) - first[u])
+        cells.setdefault(key, set()).add(u)
+    return {k: len(v) for k, v in cells.items()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy)
+def test_events_retention_matches_python_model(spark, rows):
+    import downloader_spark.operators.pipeline_ext as px
+    from downloader_spark.operators.pipeline_ext import events_retention
+
+    df = _events_df(spark, rows)
+    orig = px.load_table
+    px.load_table = lambda s, d, n: df
+    try:
+        got = {
+            (r.cohort_day, r.day_offset): r.active_users
+            for r in events_retention(spark, "ignored").collect()
+        }
+    finally:
+        px.load_table = orig
+    assert got == model_retention(rows)
