@@ -196,11 +196,19 @@ MP_TOP_K = 5
 # arithmetic — order-independent, hence oracle-replicable.  Ranking by
 # sum-vector cosine equals ranking by mean-vector cosine: the 1/n
 # scale cancels in cosine.
-_DUCK_QCOMPS = """
+_DUCK_NORM_NONZERO = (
+    "list_reduce(list_transform(list_zip(embedding, embedding), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) <> 0"
+)
+
+# centroid inputs carry the SAME zero-norm filter as the Spark side's
+# corpus — asymmetric filtering would shift the integer centroid sums
+# and hence the probe ranking
+_DUCK_QCOMPS = f"""
       SELECT label,
              generate_subscripts(embedding, 1) - 1 AS pos,
              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
-      FROM embeddings WHERE vec_id >= {nq}
+      FROM embeddings WHERE vec_id >= {{nq}} AND {_DUCK_NORM_NONZERO}
 """
 
 
@@ -238,15 +246,9 @@ _DUCK_QCOMPS = """
       QUALIFY cr <= {NPROBE}
     ),
     q AS (SELECT vec_id AS query_id, embedding AS q_emb
-          FROM embeddings WHERE vec_id < {N_QUERIES}
-            AND list_reduce(list_transform(list_zip(embedding, embedding),
-                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-                  (x, y) -> x + y) <> 0),
+          FROM embeddings WHERE vec_id < {N_QUERIES} AND {_DUCK_NORM_NONZERO}),
     c AS (SELECT vec_id, embedding, label FROM embeddings
-          WHERE vec_id >= {N_QUERIES}
-            AND list_reduce(list_transform(list_zip(embedding, embedding),
-                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-                  (x, y) -> x + y) <> 0),
+          WHERE vec_id >= {N_QUERIES} AND {_DUCK_NORM_NONZERO}),
     scored AS (
       SELECT q.query_id, c.vec_id,
              list_reduce(list_transform(list_zip(q.q_emb, c.embedding),
@@ -288,19 +290,13 @@ def sim_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the corpus is stored partitioned by label.  Final top-k
     reuses the salted two-phase pattern via row_number windows over
     per-query survivors."""
+    from downloader_spark.operators.llm_similarity import _norm_nonzero
+
     emb = load_table(spark, sf_dir, "embeddings")
     # zero-norm vectors (undefined cosine) are excluded once, per
     # vector — see llm_similarity._norm_nonzero for why a per-pair
     # guard is both slower and insufficient
-    nonzero = (
-        F.expr(
-            "aggregate(zip_with(embedding, embedding, "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        != 0
-    )
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).filter(nonzero)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).filter(_norm_nonzero())
     comps = corpus.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     ).select(
@@ -345,7 +341,7 @@ def sim_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = (
         emb.filter(F.col("vec_id") < N_QUERIES)
-        .filter(nonzero)
+        .filter(_norm_nonzero())
         .select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
         )

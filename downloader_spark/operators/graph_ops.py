@@ -61,6 +61,7 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -84,9 +85,18 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
             .limit(1)
             .count()
         )
+        labels.unpersist()  # free the previous round's cached blocks
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning a non-fixpoint would split components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds the round budget); raise max_rounds "
+            "or switch to large-star/small-star for adversarial graphs"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -194,9 +194,46 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quality-composite weights and expressions, single-sourced: both the
+# text_quality key and the pipeline_corpus composite (pipeline_ext)
+# must score documents IDENTICALLY, on both engines.
+QUALITY_W_TTR = 0.5
+QUALITY_W_ALPHA = 0.3
+QUALITY_W_LEN = 0.2
+QUALITY_LEN_LO, QUALITY_LEN_HI = 100, 2000
+
+
+def spark_quality_column():
+    """The guarded composite quality score over a ``text`` column:
+    NULL for empty documents (ANSI div-by-zero / DuckDB-NaN guard)."""
+    n_chars = F.length("text")
+    alpha = F.regexp_count("text", F.lit("[a-zA-Z]"))
+    ws = F.split("text", " ")
+    ttr = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+    len_ok = (n_chars >= QUALITY_LEN_LO) & (n_chars <= QUALITY_LEN_HI)
+    return F.when(n_chars == 0, F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.lit(QUALITY_W_TTR) * ttr
+            + F.lit(QUALITY_W_ALPHA) * (alpha.cast("double") / n_chars)
+            + F.lit(QUALITY_W_LEN) * F.when(len_ok, 1.0).otherwise(0.0),
+            6,
+        )
+    )
+
+
+DUCK_QUALITY_EXPR = f"""CASE WHEN length(text) = 0 THEN NULL
+                  ELSE round({QUALITY_W_TTR} * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                               / len(string_split(text, ' ')))
+                       + {QUALITY_W_ALPHA} * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                                / length(text))
+                       + {QUALITY_W_LEN} * (CASE WHEN length(text) BETWEEN {QUALITY_LEN_LO} AND {QUALITY_LEN_HI}
+                                     THEN 1.0 ELSE 0.0 END), 6)
+                  END"""
+
+
 @query(
     "text_quality",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT doc_id,
              CAST(len(text) AS INT) AS n_chars_m,
@@ -215,11 +252,12 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE round(CAST(punct_chars AS DOUBLE) / n_chars_m, 6)
                 END AS punct_ratio,
            round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
-           n_chars_m >= 100 AND n_chars_m <= 2000 AS len_ok,
+           n_chars_m >= {QUALITY_LEN_LO} AND n_chars_m <= {QUALITY_LEN_HI} AS len_ok,
            CASE WHEN n_chars_m = 0 THEN NULL
-                ELSE round(0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-                     + 0.3 * (CAST(alpha_chars AS DOUBLE) / n_chars_m)
-                     + 0.2 * (CASE WHEN n_chars_m >= 100 AND n_chars_m <= 2000
+                ELSE round({QUALITY_W_TTR} * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                     + {QUALITY_W_ALPHA} * (CAST(alpha_chars AS DOUBLE) / n_chars_m)
+                     + {QUALITY_W_LEN} * (CASE WHEN n_chars_m >= {QUALITY_LEN_LO}
+                                   AND n_chars_m <= {QUALITY_LEN_HI}
                                    THEN 1.0 ELSE 0.0 END), 6)
                 END AS quality
     FROM m
@@ -244,7 +282,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.split("text", " ")
     n_tokens = F.size(ws)
     n_distinct = F.size(F.array_distinct(ws))
-    len_ok = (n_chars_m >= 100) & (n_chars_m <= 2000)
+    len_ok = (n_chars_m >= QUALITY_LEN_LO) & (n_chars_m <= QUALITY_LEN_HI)
     ttr = n_distinct.cast("double") / n_tokens
 
     def nonempty(col):
@@ -260,14 +298,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         nonempty(F.round(punct.cast("double") / n_chars_m, 6)).alias("punct_ratio"),
         F.round(ttr, 6).alias("ttr"),
         len_ok.alias("len_ok"),
-        nonempty(
-            F.round(
-                F.lit(0.5) * ttr
-                + F.lit(0.3) * (alpha.cast("double") / n_chars_m)
-                + F.lit(0.2) * F.when(len_ok, 1.0).otherwise(0.0),
-                6,
-            )
-        ).alias("quality"),
+        spark_quality_column().alias("quality"),
     )
 
 

@@ -20,18 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from downloader_spark.io import load_table
+from downloader_spark.operators.llm_dedup import _duck_h60, _spark_h60
+from downloader_spark.operators.llm_text import (
+    DUCK_QUALITY_EXPR,
+    spark_quality_column,
+)
 from downloader_spark.plans.registry import query
-
-# Shared 60-bit portable hash (see llm_dedup for the bit-equality story)
-
-
-def _spark_h60(arg_sql: str) -> str:
-    return f"CAST(conv(substring(md5({arg_sql}), 1, 15), 16, 10) AS BIGINT)"
-
-
-def _duck_h60(arg_sql: str) -> str:
-    return f"CAST(concat('0x', substring(md5({arg_sql}), 1, 15)) AS BIGINT)"
-
 
 QUALITY_MIN_PPM = 400_000  # composite quality >= 0.40 survives
 
@@ -41,14 +35,7 @@ QUALITY_MIN_PPM = 400_000  # composite quality >= 0.40 survives
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang, text,
-             CASE WHEN length(text) = 0 THEN NULL
-                  ELSE round(0.5 * (len(list_distinct(string_split(text, ' ')))::DOUBLE
-                               / len(string_split(text, ' ')))
-                       + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
-                                / length(text))
-                       + 0.2 * (CASE WHEN length(text) BETWEEN 100 AND 2000
-                                     THEN 1.0 ELSE 0.0 END), 6)
-                  END AS quality
+             {DUCK_QUALITY_EXPR} AS quality
       FROM documents
     ),
     gated AS (
@@ -80,22 +67,11 @@ def pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     → map, with the quality gate pushed below the shuffle so only
     surviving docs are exchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    n_chars = F.length("text")
-    alpha = F.regexp_count("text", F.lit("[a-zA-Z]"))
-    ws = F.split("text", " ")
-    ttr = F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
-    len_ok = (n_chars >= 100) & (n_chars <= 2000)
-    # empty docs get NULL quality (ANSI div-by-zero guard) and are
-    # dropped by the gate below, on both engines
-    quality = F.when(n_chars == 0, F.lit(None).cast("double")).otherwise(
-        F.round(
-            F.lit(0.5) * ttr
-            + F.lit(0.3) * (alpha.cast("double") / n_chars)
-            + F.lit(0.2) * F.when(len_ok, 1.0).otherwise(0.0),
-            6,
-        )
-    )
-    gated = docs.select("doc_id", "lang", "text", quality.alias("quality")).filter(
+    # the SHARED quality composite (llm_text.spark_quality_column):
+    # empty docs score NULL and are dropped by the gate on both engines
+    gated = docs.select(
+        "doc_id", "lang", "text", spark_quality_column().alias("quality")
+    ).filter(
         F.floor(F.col("quality") * 1000000).cast("bigint") >= QUALITY_MIN_PPM
     )
     deduped = (

@@ -135,11 +135,15 @@ def test_multiprobe_broadcasts_probes_never_cartesian(spark):
 
 def test_pipeline_corpus_gates_before_dedup_shuffle(spark):
     plan = plan_of(spark, "pipeline_corpus")
-    # quality gate is a Filter below the dedup Exchange: only survivors
-    # are shuffled
+    # the quality gate's own predicate (the 400000-ppm threshold, a
+    # literal that appears nowhere else) must sit BELOW the dedup
+    # Exchange in the plan text: only gate survivors are shuffled.
+    # (A bare "Filter after Exchange" check is vacuous — scan-level
+    # isnotnull filters always print below the first Exchange.)
     assert "Exchange" in plan
     first_exchange = plan.index("Exchange")
-    assert "Filter" in plan[first_exchange:], "gate must sit below the shuffle"
+    assert "400000" in plan[first_exchange:], "gate must sit below the shuffle"
+    assert "400000" not in plan[:first_exchange], "gate leaked above the shuffle"
     assert "CartesianProduct" not in plan
 
 
