@@ -23,7 +23,8 @@ from downloader_spark.io import load_table
 from downloader_spark.operators.llm_dedup import _duck_h60, _spark_h60
 from downloader_spark.operators.llm_text import (
     DUCK_QUALITY_EXPR,
-    spark_quality_column,
+    quality_stat_columns,
+    spark_quality_from_stats,
 )
 from downloader_spark.plans.registry import query
 
@@ -67,32 +68,43 @@ def pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     → map, with the quality gate pushed below the shuffle so only
     surviving docs are exchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    # the SHARED quality composite (llm_text.spark_quality_column):
+    # the SHARED quality composite (llm_text), in the two-stage
+    # stats-then-formula shape so the regexp/split trees evaluate once;
     # empty docs score NULL and are dropped by the gate on both engines
-    gated = docs.select(
-        "doc_id", "lang", "text", spark_quality_column().alias("quality")
+    stats = docs.select("doc_id", "lang", "text", *quality_stat_columns())
+    gated = stats.select(
+        "doc_id",
+        "lang",
+        "text",
+        spark_quality_from_stats(
+            F.col("q_n_chars"),
+            F.col("q_alpha"),
+            F.col("q_n_tokens"),
+            F.col("q_n_distinct"),
+        ).alias("quality"),
     ).filter(
         F.floor(F.col("quality") * 1000000).cast("bigint") >= QUALITY_MIN_PPM
     )
-    deduped = (
+    # struct-min dedup carries the survivor's payload through the ONE
+    # aggregation — no join back to `gated`, whose lineage (the quality
+    # stats) would otherwise be recomputed on both sides of the join
+    survivors = (
         gated.groupBy(F.md5("text").alias("content_md5"))
-        .agg(F.min("doc_id").alias("doc_id"))
+        .agg(F.min(F.struct("doc_id", "lang", "quality")).alias("m"))
+        .select("content_md5", "m.doc_id", "m.lang", "m.quality")
     )
     split_bucket = F.expr(
         f"{_spark_h60(chr(39) + 'split:' + chr(39) + ' || CAST(doc_id AS STRING)')} % 100"
     )
-    return (
-        deduped.join(gated, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "quality",
-            "content_md5",
-            F.when(split_bucket < 80, "train")
-            .when(split_bucket < 90, "val")
-            .otherwise("test")
-            .alias("split"),
-        )
+    return survivors.select(
+        "doc_id",
+        "lang",
+        "quality",
+        "content_md5",
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 
