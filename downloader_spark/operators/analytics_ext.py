@@ -1,5 +1,6 @@
 """Analytics surface extensions (round 3): grouping sets, unpivot/melt,
-exact moment-based correlation aggregates, and multi-probe IVF search.
+exact moment-based correlation aggregates, deterministic mode,
+URL parsing, and multi-probe IVF search.
 
 Same contract as every operator module: each key is a Spark
 DataFrame plan plus a DuckDB oracle computing identical values with
@@ -181,6 +182,97 @@ def corr_stats(docs: DataFrame) -> DataFrame:
         F.when(var_x == 0, F.lit(None).cast("double")).otherwise(
             F.round((n * sxy - sx * sy) / var_x, 6)
         ).alias("slope_yx"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag,
+           l_linestatus AS mode_status,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM counts
+    QUALIFY row_number() OVER (
+      PARTITION BY l_returnflag ORDER BY cnt DESC, l_linestatus DESC
+    ) = 1
+    """,
+    tags=("aggregate", "mode"),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group — the
+    aggregate SQL's ``mode()`` leaves tie order unspecified, so it can
+    never be hash-compared; this form pins ties to the greatest value
+    via a struct-max over (count, value), which partial-aggregates
+    map-side (no window, no second shuffle beyond the count's own)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(F.max(F.struct("cnt", "l_linestatus")).alias("m"))
+        .select(
+            "l_returnflag",
+            F.col("m.l_linestatus").alias("mode_status"),
+            F.col("m.cnt").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "scalar_url",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             concat('https://archive.example.com:8080/ds/',
+                    replace(lower(o_orderpriority), ' ', '-'), '/',
+                    CAST(o_orderkey AS VARCHAR),
+                    '.gz?ver=', CAST(o_orderkey % 7 AS VARCHAR),
+                    '&fmt=parquet') AS url
+      FROM orders WHERE o_orderkey % 50 = 1
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?#]([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]ver=([^&#]*)', 1) AS ver
+    FROM u
+    """,
+    tags=("scalar", "url"),
+)
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — the function family behind the reference's
+    URL→object naming (common.go:95-101 lifts path segments out of
+    source URLs with regexes).  Spark's ``parse_url`` (HOST excludes
+    the port, PATH keeps the leading slash, QUERY takes a key) against
+    a pure-regex oracle: two independent parsers, same fields.  URLs
+    are synthesized deterministically from orders so the fixture needs
+    no URL column."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 == 1
+    )
+    url = F.concat(
+        F.lit("https://archive.example.com:8080/ds/"),
+        F.regexp_replace(F.lower("o_orderpriority"), " ", "-"),
+        F.lit("/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(".gz?ver="),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("&fmt=parquet"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ver")).alias("ver"),
     )
 
 
