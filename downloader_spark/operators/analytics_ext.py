@@ -207,7 +207,8 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate SQL's ``mode()`` leaves tie order unspecified, so it can
     never be hash-compared; this form pins ties to the greatest value
     via a struct-max over (count, value), which partial-aggregates
-    map-side (no window, no second shuffle beyond the count's own)."""
+    map-side.  No window; the struct-max's own exchange only carries
+    the tiny (group, value) counts table."""
     li = load_table(spark, sf_dir, "lineitem")
     counts = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt")

@@ -223,11 +223,19 @@ def quality_stat_columns() -> list:
     ]
 
 
-def spark_quality_from_stats(n_chars, alpha, n_tokens, n_distinct):
+def spark_quality_from_stats(
+    n_chars=None, alpha=None, n_tokens=None, n_distinct=None
+):
     """The guarded composite quality score from precomputed stats
     columns: NULL for empty documents (ANSI div-by-zero / DuckDB-NaN
-    guard).  Pass cheap column refs, not expression trees — see
-    quality_stat_columns."""
+    guard).  Defaults to the column names quality_stat_columns emits,
+    so callers that keep those aliases just write
+    ``spark_quality_from_stats()``.  Pass cheap column refs, not
+    expression trees — see quality_stat_columns."""
+    n_chars = F.col("q_n_chars") if n_chars is None else n_chars
+    alpha = F.col("q_alpha") if alpha is None else alpha
+    n_tokens = F.col("q_n_tokens") if n_tokens is None else n_tokens
+    n_distinct = F.col("q_n_distinct") if n_distinct is None else n_distinct
     ttr = n_distinct.cast("double") / n_tokens
     len_ok = (n_chars >= QUALITY_LEN_LO) & (n_chars <= QUALITY_LEN_HI)
     return F.when(n_chars == 0, F.lit(None).cast("double")).otherwise(

@@ -76,12 +76,7 @@ def pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "text",
-        spark_quality_from_stats(
-            F.col("q_n_chars"),
-            F.col("q_alpha"),
-            F.col("q_n_tokens"),
-            F.col("q_n_distinct"),
-        ).alias("quality"),
+        spark_quality_from_stats().alias("quality"),
     ).filter(
         F.floor(F.col("quality") * 1000000).cast("bigint") >= QUALITY_MIN_PPM
     )

@@ -213,3 +213,30 @@ def test_connected_components_long_chain_and_islands(spark):
     assert {got[n] for n in (100, 101, 102)} == {100}
     assert got[7] == got[3] == 3
     assert len(got) == 10 + 3 + 2
+
+
+def test_pipeline_corpus_dedup_keeps_min_doc_payload(spark):
+    """The fixture has no duplicate texts, so the struct-min dedup's
+    survivor selection is otherwise untested: with real duplicates the
+    LOWEST doc_id must win and carry ITS OWN lang/quality payload."""
+    import downloader_spark.operators.pipeline_ext as px
+
+    good = "word " * 60 + "anchor ending text here now"  # passes the gate
+    docs = spark.createDataFrame(
+        [
+            (5, good, "de", "s", len(good)),
+            (2, good, "en", "s", len(good)),   # same text, lowest id
+            (9, good, "fr", "s", len(good)),
+            (3, good + " unique", "it", "s", len(good) + 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = px.load_table
+    px.load_table = lambda s, d, n: docs
+    try:
+        rows = {r.doc_id: r for r in px.pipeline_corpus(spark, "x").collect()}
+    finally:
+        px.load_table = orig
+    assert set(rows) == {2, 3}           # one survivor per content
+    assert rows[2].lang == "en"           # the min doc's OWN payload
+    assert rows[3].lang == "it"
