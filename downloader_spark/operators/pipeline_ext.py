@@ -16,7 +16,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from downloader_spark.io import load_table
@@ -164,6 +164,53 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_view").alias("step_view"),
         F.count(F.when(did_click, 1)).alias("step_click"),
         F.count(F.when(did_purchase, 1)).alias("step_purchase"),
+    )
+
+
+SESSION_GAP_S = 1800  # 30-minute inactivity closes a session
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN prev_us IS NULL
+                         OR epoch_us(ts) - prev_us > {SESSION_GAP_S * 1_000_000}
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_idx
+    FROM (
+        SELECT event_id, user_id, ts,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events
+    )
+    """,
+    tags=("events", "sessionize"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session-id assignment (gaps-and-islands): an event
+    starts a new session when more than {SESSION_GAP_S}s of inactivity
+    precede it; ``session_idx`` is the user's running session ordinal.
+    This is the row-level companion to stream_session's per-session
+    aggregates — the form you need to JOIN session context back onto
+    events.  One shuffle on user_id, one sort, two window passes over
+    the same frame (lag + running sum — Spark plans them in a single
+    Window node); gap arithmetic in integer µs, tie order
+    (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros("ts")
+    prev_us = F.lag(us).over(order_w)
+    new_session = F.when(
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_session).over(run_w).cast("bigint").alias("session_idx"),
     )
 
 

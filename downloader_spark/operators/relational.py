@@ -346,6 +346,65 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOL_S = 7 * 24 * 3600  # tolerance: match must be within a week
+
+
+@query(
+    "join_asof_tol",
+    oracle=f"""
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN sts IS NOT NULL
+                     AND epoch_us(ts) - sts <= {ASOF_TOL_S * 1_000_000}
+                THEN sid END AS signup_id
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               last_value(CASE WHEN event_type = 'signup'
+                               THEN epoch_us(ts) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sts,
+               last_value(CASE WHEN event_type = 'signup'
+                               THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+    tags=("relational", "join"),
+)
+def join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof's ``tolerance``):
+    the nearest prior signup counts only if it happened within
+    {ASOF_TOL_S} seconds of the purchase; staler matches yield NULL.
+
+    Same single-pass shape as join_asof — the window carries the last
+    signup's (time, id) forward; the tolerance is then one integer-µs
+    comparison per row.  No extra shuffle over the plain as-of.  The
+    oracle carries the two fields in two IGNORE-NULLS windows over the
+    identical frame (they always come from the same signup row)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup = F.when(
+        F.col("event_type") == "signup",
+        F.struct(
+            F.unix_micros("ts").alias("sts"), F.col("event_id").alias("sid")
+        ),
+    )
+    marked = events.withColumn("m", F.last(signup, ignorenulls=True).over(w))
+    within = (
+        F.col("m").isNotNull()
+        & (F.unix_micros("ts") - F.col("m.sts") <= ASOF_TOL_S * 1_000_000)
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(within, F.col("m.sid")).alias("signup_id"),
+    )
+
+
 @query(
     "set_ops",
     oracle="""
