@@ -185,6 +185,42 @@ def corr_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+HIST_BIN_WIDTH = 5000  # fixed-width price bins
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(floor(l_extendedprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS bin_total
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("aggregate", "histogram"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over price: bin id is a floor division
+    (identical doubles floor identically — no boundary ambiguity),
+    counts plus a decimal-exact per-bin total.  One map-side-combined
+    shuffle on the bin id; fixed widths avoid the two-pass
+    min/max-then-bin shape that data-dependent bounds would force
+    (for those, compute bounds once and broadcast them)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / HIST_BIN_WIDTH)
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum("l_extendedprice", "bin_total", scale=2),
+        )
+    )
+
+
 @query(
     "agg_mode",
     oracle="""

@@ -240,3 +240,13 @@ def test_pipeline_corpus_dedup_keeps_min_doc_payload(spark):
     assert set(rows) == {2, 3}           # one survivor per content
     assert rows[2].lang == "en"           # the min doc's OWN payload
     assert rows[3].lang == "it"
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_every_key_executes_on_tiny_sf(spark, name):
+    """EXECUTE every plan at sf0.001 — the smallest fixture surfaces
+    empty groups, degenerate variances, and sparse joins that sf0.01
+    never hits; under Spark's ANSI mode those turned into runtime
+    DIVIDE_BY_ZERO crashes twice this round (dedup_embed, agg_corr).
+    Building the plan (the schema test above) does not run it."""
+    _SPECS[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
