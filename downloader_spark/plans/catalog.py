@@ -6,6 +6,7 @@ line per operator module as coverage widens.
 
 import downloader_spark.operators.aggregates  # noqa: F401
 import downloader_spark.operators.analytics_ext  # noqa: F401
+import downloader_spark.operators.corpus_hygiene  # noqa: F401
 import downloader_spark.operators.extended  # noqa: F401
 import downloader_spark.operators.graph_ops  # noqa: F401
 import downloader_spark.operators.llm_dedup  # noqa: F401
