@@ -154,3 +154,18 @@ def test_events_funnel_is_single_aggregation_pass(spark):
     assert "partial_min" in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    plan = plan_of(spark, "text_contamination")
+    # the benchmark shingle set joins the corpus via broadcast: the
+    # corpus postings are never shuffled for the semi-join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_url_is_single_aggregation(spark):
+    plan = plan_of(spark, "dedup_url")
+    # canonicalize map-side, one combined shuffle on the canonical URL
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan and "partial_min" in plan
