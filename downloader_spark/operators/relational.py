@@ -346,6 +346,41 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+           o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 25 = 0
+    """,
+    tags=("relational", "join", "skew"),
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join as a CHECKED surface: the explicit hot-key
+    scatter (big side salted across 16 buckets, small side replicated
+    per bucket, join on (key, salt)) must produce EXACTLY the plain
+    inner join's rows — the oracle is that plain join, so the
+    semantics-preservation claim is hash-verified, not just unit-
+    tested.  This is the planner-independent skew remedy for when
+    AQE's skew splitting can't apply (broadcast-ineligible hot keys,
+    non-sort-merge plans); see functions/skew.py."""
+    from downloader_spark.functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 25 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    return salted_join(
+        li, o, "l_orderkey", n_salts=16, salt_by="l_linenumber"
+    ).select("l_orderkey", "l_linenumber", "o_custkey", "o_orderpriority")
+
+
 ASOF_TOL_S = 7 * 24 * 3600  # tolerance: match must be within a week
 
 
