@@ -43,22 +43,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # also holds under the driver's own session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot
-        # read as a timestamp.  Read the raw int64 nanos and truncate
-        # to microseconds — exactly what DuckDB does when it coerces
-        # ns -> its us-precision TIMESTAMP, so oracle comparisons stay
-        # value-identical.  (Runtime-settable SQLConf; safe under any
-        # parent session, including the driver's.)
-        # ORACLE-VERSION DEPENDENCY: the pinned DuckDB 1.0.0 coerces
-        # TIMESTAMP(NANOS) to us-precision TIMESTAMP on read; newer
-        # DuckDB preserves TIMESTAMP_NS.  If the oracle engine is ever
-        # upgraded, add an explicit us-truncating cast in every events
-        # oracle, or the ns tail would silently diverge.
+        # events.ts has shipped as either parquet TIMESTAMP(MICROS)
+        # (reads as TIMESTAMP_NTZ) or TIMESTAMP(NANOS) (unreadable as a
+        # timestamp in Spark 4 without nanosAsLong) depending on the
+        # driver's generator version.  Normalize both to the session's
+        # TIMESTAMP_LTZ at microsecond precision — with the session tz
+        # pinned to UTC above, that is value-identical to the DuckDB
+        # oracle's naive/UTC TIMESTAMP, so `unix_micros`/`date_format`
+        # over ts agree across engines either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # nanos layout: truncate ns -> us exactly as DuckDB coerces
+            # TIMESTAMP(NANOS) to its us-precision TIMESTAMP
+            return df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        # micros layout: NTZ -> LTZ is a value no-op under UTC
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

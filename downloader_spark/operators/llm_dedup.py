@@ -582,18 +582,39 @@ def _spark_bucket_expr(
 
 
 def _duck_bucket_expr(signs: list[list[int]]) -> str:
-    terms = []
-    for j, row in enumerate(signs):
-        arr = "[" + ",".join(f"CAST({s} AS DOUBLE)" for s in row) + "]"
-        dot = (
-            f"list_reduce(list_transform(list_zip(embedding, {arr}), "
-            "p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
-        )
-        terms.append(
-            f"CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) << {j} "
-            "ELSE CAST(0 AS BIGINT) END"
-        )
-    return " + ".join(terms)
+    """DuckDB mirror of ``_spark_bucket_expr``, including its
+    common-length dispatch: DuckDB's ``list_zip`` NULL-PADS the
+    shorter list, one NULL product folds the dot to NULL, and a NULL
+    comparison makes CASE take the 0-bit branch — so without the
+    explicit slice a short vector would land in bucket 0 here while
+    Spark computes real sign bits, a latent cross-engine hash
+    mismatch for any non-{dim}-dim fixture."""
+    dim = len(signs[0]) if signs else 0
+
+    def bucket_sum(emb_sql: str, arr_of) -> str:
+        terms = []
+        for j, row in enumerate(signs):
+            arr = "[" + ",".join(f"CAST({s} AS DOUBLE)" for s in row) + "]"
+            dot = (
+                f"list_reduce(list_transform(list_zip({emb_sql}, {arr_of(arr)}), "
+                "p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+            )
+            terms.append(
+                f"CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) << {j} "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        return " + ".join(terms)
+
+    plain = bucket_sum("embedding", lambda a: a)
+    emb_long = bucket_sum(f"list_slice(embedding, 1, {dim})", lambda a: a)
+    emb_short = bucket_sum(
+        "embedding", lambda a: f"list_slice({a}, 1, len(embedding))"
+    )
+    return (
+        f"CASE WHEN len(embedding) = {dim} THEN {plain} "
+        f"WHEN len(embedding) > {dim} THEN {emb_long} "
+        f"ELSE {emb_short} END"
+    )
 
 
 _DUCK_SIGN_BUCKET = _duck_bucket_expr(hyperplane_signs(SIGN_BITS, EMBED_DIM))

@@ -111,13 +111,15 @@ FUNNEL_WINDOW_S = 3600  # step B must follow step A within an hour
     oracle=f"""
     WITH steps AS (
       SELECT user_id,
+             CAST(min(epoch_us(ts)) // 3600000000 AS BIGINT) AS cohort_hour,
              min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
              min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
              min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
                AS t_purchase
       FROM events GROUP BY user_id
     )
-    SELECT CAST(count(*) AS BIGINT) AS n_users,
+    SELECT cohort_hour,
+           CAST(count(*) AS BIGINT) AS n_users,
            CAST(count(t_view) AS BIGINT) AS step_view,
            CAST(count(CASE WHEN t_click > t_view
                            AND t_click - t_view <= {FUNNEL_WINDOW_S * 1_000_000}
@@ -128,17 +130,21 @@ FUNNEL_WINDOW_S = 3600  # step B must follow step A within an hour
                            AND t_purchase - t_click <= {FUNNEL_WINDOW_S * 1_000_000}
                            THEN 1 END) AS BIGINT) AS step_purchase
     FROM steps
+    GROUP BY cohort_hour
     """,
     tags=("events", "funnel"),
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel (view → click → purchase, each step within
-    an hour of the previous): the standard conversion query.  One scan,
-    one shuffle on user_id — the per-user step times are conditional
-    MIN aggregates (map-side combinable), and the step predicates are
+    an hour of the previous), broken out by first-seen-hour cohort —
+    the standard conversion query with the cohort dimension a real
+    funnel report carries.  One scan, one shuffle on user_id — the
+    per-user step times and the cohort hour are conditional-MIN / MIN
+    aggregates (map-side combinable), and the step predicates are
     integer microsecond comparisons (no timestamp arithmetic
-    ambiguity).  At 100 TB this is the shape that works: no ordering
-    window, no self-join per step pair."""
+    ambiguity).  The second rollup shuffles only one row per user.  At
+    100 TB this is the shape that works: no ordering window, no
+    self-join per step pair."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
 
@@ -146,6 +152,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.min(F.when(F.col("event_type") == t, us))
 
     steps = ev.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts) DIV 3600000000")).alias("cohort_hour"),
         first_ts("view").alias("t_view"),
         first_ts("click").alias("t_click"),
         first_ts("purchase").alias("t_purchase"),
@@ -159,7 +166,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t_purchase") > F.col("t_click"))
         & (F.col("t_purchase") - F.col("t_click") <= w_us)
     )
-    return steps.agg(
+    return steps.groupBy("cohort_hour").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.count("t_view").alias("step_view"),
         F.count(F.when(did_click, 1)).alias("step_click"),

@@ -57,7 +57,7 @@ WITH rev AS (
          SUM(CAST(l_extendedprice AS DECIMAL(18,4))
              * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS revenue
   FROM lineitem
-  WHERE l_shipdate > DATE '2024-03-15'
+  WHERE l_shipdate > DATE '1996-03-15'
   GROUP BY l_orderkey
 )
 SELECT o.o_orderkey,
@@ -68,7 +68,7 @@ FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN rev r ON r.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < DATE '2024-03-15'
+  AND o.o_orderdate < DATE '1996-03-15'
 ORDER BY r.revenue DESC, o.o_orderkey
 LIMIT 10
 """

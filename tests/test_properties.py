@@ -208,25 +208,37 @@ def _events_df(spark, rows):
 
 
 def model_funnel(rows, window_s=3600):
+    """Per-cohort-hour funnel counts, keyed by the user's first-seen
+    hour (whole hours since epoch, matching the operator's integer
+    floor-division bucketing of the fixture's 2024-01-01 base)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    base_us = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
     firsts: dict[tuple[int, str], int] = {}
+    first_seen: dict[int, int] = {}
     for u, s, t in rows:
         k = (u, t)
         if k not in firsts or s < firsts[k]:
             firsts[k] = s
-    users = {u for u, _, _ in rows}
-    n_view = n_click = n_purchase = 0
-    for u in users:
+        if u not in first_seen or s < first_seen[u]:
+            first_seen[u] = s
+    out: dict[int, list[int]] = {}
+    for u, s0 in first_seen.items():
+        cohort = (base_us + s0 * 1_000_000) // 3_600_000_000
+        acc = out.setdefault(cohort, [0, 0, 0, 0])
+        acc[0] += 1
         tv = firsts.get((u, "view"))
         tc = firsts.get((u, "click"))
         tp = firsts.get((u, "purchase"))
         if tv is None:
             continue
-        n_view += 1
+        acc[1] += 1
         if tc is not None and tc > tv and tc - tv <= window_s:
-            n_click += 1
+            acc[2] += 1
             if tp is not None and tp > tc and tp - tc <= window_s:
-                n_purchase += 1
-    return len(users), n_view, n_click, n_purchase
+                acc[3] += 1
+    return {c: tuple(v) for c, v in out.items()}
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
@@ -239,12 +251,13 @@ def test_events_funnel_matches_python_model(spark, rows):
     orig = px.load_table
     px.load_table = lambda s, d, n: df
     try:
-        got = events_funnel(spark, "ignored").collect()[0]
+        got = events_funnel(spark, "ignored").collect()
     finally:
         px.load_table = orig
-    assert (
-        got.n_users, got.step_view, got.step_click, got.step_purchase
-    ) == model_funnel(rows)
+    assert {
+        r.cohort_hour: (r.n_users, r.step_view, r.step_click, r.step_purchase)
+        for r in got
+    } == model_funnel(rows)
 
 
 def model_retention(rows):
