@@ -488,9 +488,16 @@ _SPARK_DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
     " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
+# DuckDB's list_reduce has no init value and ERRORS on an empty input
+# list, while Spark's aggregate(..., 0.0, ...) folds an empty zip to
+# 0.0 (so zero-length embeddings are dropped cleanly by the norm != 0
+# filter).  Both-empty is the only erroring shape — list_zip of one
+# empty and one non-empty side NULL-pads to a non-empty list — so the
+# guard mirrors Spark's 0.0 exactly where DuckDB would raise.
 _DUCK_DOT = (
-    "list_reduce(list_transform(list_zip({a}, {b}),"
-    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    "CASE WHEN len({a}) = 0 AND len({b}) = 0 THEN CAST(0.0 AS DOUBLE)"
+    " ELSE list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) END"
 )
 
 
@@ -610,8 +617,15 @@ def _duck_bucket_expr(signs: list[list[int]]) -> str:
     emb_short = bucket_sum(
         "embedding", lambda a: f"list_slice({a}, 1, len(embedding))"
     )
+    # A zero-length embedding would make every list_zip in emb_short
+    # empty and list_reduce raises on empty input; Spark's side folds
+    # each dot to 0.0 and 0.0 >= 0 sets every bit.  Emit that constant
+    # sign pattern directly (the row is norm-filtered out either way —
+    # this branch only keeps the oracle from erroring wholesale).
+    all_bits = (1 << len(signs)) - 1 if signs else 0
     return (
-        f"CASE WHEN len(embedding) = {dim} THEN {plain} "
+        f"CASE WHEN len(embedding) = 0 THEN CAST({all_bits} AS BIGINT) "
+        f"WHEN len(embedding) = {dim} THEN {plain} "
         f"WHEN len(embedding) > {dim} THEN {emb_long} "
         f"ELSE {emb_short} END"
     )

@@ -38,9 +38,13 @@ _SPARK_DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
     " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
+# Guarded like llm_dedup._DUCK_DOT: DuckDB's list_reduce errors on an
+# empty list (both-empty zip) where Spark's aggregate init folds to
+# 0.0, so a zero-length embedding must degrade to 0.0 → norm-filtered.
 _DUCK_DOT = (
-    "list_reduce(list_transform(list_zip({a}, {b}),"
-    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    "CASE WHEN len({a}) = 0 AND len({b}) = 0 THEN CAST(0.0 AS DOUBLE)"
+    " ELSE list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) END"
 )
 
 

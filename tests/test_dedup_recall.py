@@ -95,3 +95,53 @@ def test_embed_pairs_finds_planted_neighbors(spark):
     got = {(r.vec_a, r.vec_b): r.cos_ppm for r in embed_pairs(df).collect()}
     for i in range(3):
         assert got[(i, 100 + i)] >= 999_000, got
+
+
+def test_duck_dot_guard_matches_spark_on_empty_embedding():
+    """ADVICE r4: DuckDB's list_reduce raises on an empty list while
+    Spark's aggregate(..., 0.0, ...) folds it to 0.0; the _DUCK_DOT
+    guard must make a zero-length embedding degrade to 0.0 (and thus
+    be dropped by the norm != 0 filter) instead of erroring the whole
+    oracle."""
+    import duckdb
+
+    from downloader_spark.operators import llm_dedup, llm_similarity
+
+    con = duckdb.connect()
+    for mod in (llm_dedup, llm_similarity):
+        val = con.execute(
+            "SELECT "
+            + mod._DUCK_DOT.format(a="[]::DOUBLE[]", b="[]::DOUBLE[]")
+        ).fetchone()[0]
+        assert val == 0.0, mod.__name__
+    con.close()
+
+
+def test_dedup_embed_oracle_survives_empty_embedding(spark, tmp_path):
+    """End-to-end: the dedup_embed oracle SQL and the Spark pipeline
+    both run on a corpus CONTAINING a zero-length embedding and agree
+    exactly (the empty vector is norm-filtered on both engines)."""
+    import duckdb
+
+    from downloader_spark.operators.llm_dedup import SIGN_BITS
+    from downloader_spark.plans.registry import registry
+    from tests.oracle import assert_matches_oracle
+
+    rng = random.Random(23)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((100, [float(x * 1.01) for x in base[0]]))  # planted near-dup
+    rows.append((999, []))  # zero-length embedding: must not error
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pq = str(tmp_path / "embeddings_parquet")
+    df.coalesce(1).write.parquet(pq)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    spec = registry()["dedup_embed"]
+    got = embed_pairs(spark.read.parquet(pq), sign_bits=SIGN_BITS)
+    assert_matches_oracle(got, con, spec.oracle, "dedup_embed_empty_vec")
+    assert got.filter("vec_a = 999 OR vec_b = 999").count() == 0
+    con.close()

@@ -196,7 +196,12 @@ events_strategy = st.lists(
 def _events_df(spark, rows):
     import datetime as dt
 
-    base = dt.datetime(2024, 1, 1)
+    # tz-aware base: PySpark's non-Arrow createDataFrame converts NAIVE
+    # datetimes through the process-local timezone (time.mktime), so on
+    # a non-UTC runner naive fixtures would shift every instant by the
+    # local offset and the absolute cohort-hour keys below would move.
+    # An aware datetime pins the instant regardless of runner TZ.
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     data = [
         (i, base + dt.timedelta(seconds=s), u, t, 1.0, "{}")
         for i, (u, s, t) in enumerate(rows)
