@@ -16,6 +16,7 @@ Spark-native form, fixing its four recorded weaknesses (SURVEY §4.3):
 
 from downloader_spark.ingest.config import SourceSpec, maxmind_sources, routeviews_source
 from downloader_spark.ingest.inventory import InventoryTable
+from downloader_spark.ingest.metrics_server import MetricsServer
 from downloader_spark.ingest.notify import (
     CollectingNotifier,
     NewFileEvent,
@@ -37,6 +38,7 @@ __all__ = [
     "InMemoryStore",
     "InventoryTable",
     "LocalFSStore",
+    "MetricsServer",
     "NewFileEvent",
     "Notifier",
     "PermanentError",

@@ -245,6 +245,15 @@ class Downloader:
             last_success_time=self.last_success_time,
         )
 
+    def serve_metrics(self, port: int = 9090, host: str = "127.0.0.1"):
+        """Bind the exposition to a socket — the runtime counterpart of
+        prometheusx.MustServeMetrics() (downloader.go:52; served on
+        :9090 per Dockerfile:26-28).  Returns the MetricsServer; each
+        scrape re-renders, so counters are read at scrape time."""
+        from downloader_spark.ingest.metrics_server import MetricsServer
+
+        return MetricsServer(self.prometheus_text, port=port, host=host)
+
 
 def _escape_label_value(v: str) -> str:
     return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")

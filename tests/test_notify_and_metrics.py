@@ -210,3 +210,50 @@ def test_downloader_prometheus_text_and_url_error_counter(spark, tmp_path):
         'downloader_downloader_routeviews_url_error_total{source="routeviews-ipv4"} 1'
         in text
     )
+
+
+def test_metrics_endpoint_serves_live_exposition(spark, tmp_path):
+    """The reference binds /metrics at startup
+    (prometheusx.MustServeMetrics(), downloader.go:52; :9090 per
+    Dockerfile:26-28).  serve_metrics() is the runtime counterpart:
+    GET /metrics against a real socket must golden-match
+    prometheus_text() AFTER a fake-store cycle, re-render per scrape
+    (pull model), and 404 any other path."""
+    import urllib.error
+    import urllib.request
+
+    responses = {
+        LOG_URL: LOG_FIXTURE.encode(),
+        _url("2023/11/routeviews-rv2-20231114-1200.pfx2as.gz"): b"payload-1100",
+        _url("2023/11/routeviews-rv2-20231115-1200.pfx2as.gz"): b"payload-1101",
+        _url("2023/11/routeviews-rv2-20231116-1200.pfx2as.gz"): b"payload-1102",
+    }
+    dl = _mk(spark, tmp_path, responses, None)
+    assert dl.run_cycle([_rv_spec()])
+
+    with dl.serve_metrics(port=0) as srv:  # ephemeral port for the test
+        with urllib.request.urlopen(srv.url, timeout=10) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == (
+                "text/plain; version=0.0.4; charset=utf-8"
+            )
+            body = resp.read().decode("utf-8")
+        assert body == dl.prometheus_text()
+        assert "downloader_last_success_time_seconds" in body
+
+        # scrape-time rendering: a counter bumped AFTER bind shows up
+        dl.error_count["Client Setup"] += 1
+        with urllib.request.urlopen(srv.url, timeout=10) as resp:
+            assert 'downloader_error_total{source="Client Setup"} 1' in (
+                resp.read().decode("utf-8")
+            )
+
+        try:
+            urllib.request.urlopen(srv.url.replace("/metrics", "/other"), timeout=10)
+            raise AssertionError("non-/metrics path must 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+    # after close() the socket is released: a new server can rebind it
+    srv2 = dl.serve_metrics(port=srv.port)
+    srv2.close()
