@@ -38,14 +38,18 @@ def main() -> None:
     # warmup: touch every table + spin up codegen paths
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
-    # ... including the heavy dedup/window codegen paths, exercised at
-    # the smallest SF so the first timed query isn't charged for
-    # one-time JVM/codegen setup (alphabetical order put ~5s of warmup
-    # inside dedup_minhash's measurement otherwise)
-    warm = registry()
-    for key in ("dedup_minhash", "window_rank", "stream_tumbling"):
+    # ... and compile EVERY key's plan once at the smallest SF so no
+    # timed measurement is charged for one-time whole-stage-codegen
+    # compilation.  Warming only a hand-picked trio left ~1-1.5 s of
+    # cold-codegen inside each unwarmed complex key (measured:
+    # dedup_ngram_jaccard 4.6 s cold vs 2.9 s steady-state at sf0.1),
+    # which is exactly the uniform sub-second drift the round-3 review
+    # flagged — per-plan compilation noise, not plan regressions.  The
+    # warmup pass is ~0.1-0.3 s/key at sf0.001; steady-state is what
+    # the numbers are for.
+    for name, spec in sorted(registry().items()):
         try:
-            force(warm[key].fn(spark, "/root/testdata/sf0.001"))
+            force(spec.fn(spark, "/root/testdata/sf0.001"))
         except Exception:
             pass
 

