@@ -12,10 +12,11 @@ Scale notes: label propagation converges in O(component diameter)
 rounds — near-dup clusters are shallow (dozens of docs, diameter
 2-4), so a handful of rounds suffices; each round is one hash join +
 aggregation on the edge list.  ``localCheckpoint`` truncates the
-lineage so plans don't grow with rounds.  At 100 TB with adversarial
-long-chain graphs you'd switch to the large-star/small-star
-alternation (O(log n) rounds); the per-round dataflow is the same
-join shape.
+lineage so plans don't grow with rounds.  Adversarial long-chain
+graphs that blow the round budget fall back to the
+large-star/small-star alternation (_star_components, O(log n)
+rounds, Kiveris et al. SoCC'14) — same per-round join shape, so the
+100 TB posture is identical.
 
 Reference analog: the reference's identity is a flat md5 equality
 (file/api.go:53) — components of EXACT-dup edges are trivially the
@@ -41,7 +42,70 @@ from downloader_spark.plans.registry import query
 MAX_ROUNDS = 15  # >> any real near-dup component diameter
 
 
-def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+def _star_components(sym: DataFrame, parts: int, max_rounds: int = 40) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log n)-round path for ADVERSARIAL graphs whose diameter defeats
+    plain label propagation (a 1M-hop chain needs 1M propagation
+    rounds but ~20 star rounds).
+
+    Each half-round rewires every node's neighbors to its local
+    minimum m(u) = min(N(u) ∪ {u}): large-star moves strictly-larger
+    neighbors, small-star the rest; both keep (u, m(u)) so a
+    component can never fall apart, and every added edge stays inside
+    u's component so components can never merge.  The per-node label
+    min(N(u) ∪ {u}) is non-increasing, so an unchanged label sum
+    after a full round is the fixpoint — at which point every node's
+    local minimum IS its component minimum and doubles as the output.
+
+    ``sym`` must be the symmetric (src, dst) edge set.  One join +
+    one aggregation per half-round, lineage truncated per round —
+    identical dataflow shape to the propagation path, just O(log n)
+    of them."""
+    sym = sym.filter(F.col("src") != F.col("dst"))
+    prev_sum = None
+    for _ in range(max_rounds):
+        for phase_large in (True, False):
+            m = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+                "src", F.least(F.col("mn"), F.col("src")).alias("m")
+            )
+            cond = F.col("dst") > F.col("src") if phase_large else (
+                F.col("dst") < F.col("src")
+            )
+            moved = (
+                sym.join(m, "src")
+                .filter(cond)
+                .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            )
+            self_edge = m.filter(F.col("src") != F.col("m")).select(
+                F.col("src").alias("a"), F.col("m").alias("b")
+            )
+            e = moved.union(self_edge).filter(F.col("a") != F.col("b"))
+            sym = (
+                e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                .union(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+                .distinct()
+                .repartition(parts, "dst")
+                .localCheckpoint()
+            )
+        labels = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+            "src", F.least(F.col("mn"), F.col("src")).alias("label")
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            return labels.select(F.col("src").alias("node"), F.col("label").alias("cluster_id"))
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"_star_components did not converge in {max_rounds} rounds — "
+        "not expected for any graph (O(log n) bound); investigate"
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = MAX_ROUNDS,
+    on_nonconverge: str = "star",
+) -> DataFrame:
     """(node, cluster_id=min node id in its component) for every node
     appearing in ``edges`` (columns: a, b).
 
@@ -49,6 +113,14 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     each round a node takes the minimum label among itself and its
     neighbors; the fixpoint assigns every component its minimum node
     id — a unique, partition-independent answer.
+
+    ``on_nonconverge`` governs the pathological case where the
+    component diameter exceeds ``max_rounds`` (a >15-hop chain —
+    never a real near-dup cluster shape): "star" (default) reruns
+    with the O(log n) large-star/small-star alternation and still
+    returns the exact components; "raise" keeps the strict behavior
+    (a silent non-fixpoint would split components, so there is no
+    silent option).
 
     The per-round joins run at a partition count sized to the edge
     list (~100k edges/partition, floor 2): iterative jobs pay fixed
@@ -106,11 +178,17 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
             break
         prev_sum = new_sum
     if not converged:
-        # silently returning a non-fixpoint would split components
+        if on_nonconverge == "star":
+            # A graph whose diameter exceeds the round budget is the
+            # adversarial long-chain case — rerun with the O(log n)
+            # large-star/small-star alternation instead of silently
+            # returning a non-fixpoint (which would split components).
+            labels.unpersist()
+            return _star_components(sym, parts)
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
             "(component diameter exceeds the round budget); raise max_rounds "
-            "or switch to large-star/small-star for adversarial graphs"
+            "or pass on_nonconverge='star' for adversarial graphs"
         )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
