@@ -367,3 +367,49 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+STRAT_K = 40  # per-stratum balanced-subsample size
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_duck_h60("concat('strat:', CAST(doc_id AS VARCHAR))")},
+                        doc_id) AS strat_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(strat_rank AS BIGINT) AS strat_rank
+    FROM ranked WHERE strat_rank <= {STRAT_K}
+    """,
+    tags=("sampling", "llm", "training-data"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language subsample: exactly min({STRAT_K}, n) docs
+    per lang, chosen by md5-hash rank — the class-balancing step of a
+    training-data mix (a uniform sample keeps majority-language skew;
+    rank-by-deterministic-hash makes the balanced pick reproducible
+    across runs AND engines, where any RNG-based sampler could not be
+    oracle-checked at all).
+
+    One shuffle on lang; the per-stratum sort ranks by the 60-bit
+    hash (ties broken by doc_id — a total order, so row_number is
+    deterministic).  Stratum cardinality is bounded by the language
+    count, so at 100 TB the sort partitions are the hot spot: for
+    huge strata switch to the two-phase form — hash-threshold
+    pre-filter to ~2-3k candidates per stratum (map-only, no sort),
+    then rank the survivors; same answer, sort input shrunk by
+    orders of magnitude."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _spark_h60("concat('strat:', CAST(doc_id AS STRING))")
+    w = Window.partitionBy("lang").orderBy(F.expr(h), "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("strat_rank")
+        )
+        .filter(F.col("strat_rank") <= STRAT_K)
+    )

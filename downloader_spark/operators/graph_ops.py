@@ -243,3 +243,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("vec_id"), "cluster_id"
     )
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding, {_DUCK_SIGN_BUCKET} AS bucket
+      FROM embeddings
+      WHERE {_DUCK_DOT.format(a="embedding", b="embedding")} <> 0
+    ),
+    pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             {_DUCK_DOT.format(a="x.embedding", b="y.embedding")} AS dot,
+             {_DUCK_DOT.format(a="x.embedding", b="x.embedding")} AS na,
+             {_DUCK_DOT.format(a="y.embedding", b="y.embedding")} AS nb
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    e AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      WHERE dot / sqrt(na * nb) >= {EMBED_COS_T}
+    ),
+    bidir AS (
+      SELECT a, b FROM e UNION SELECT b, a FROM e
+      UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM bidir
+      UNION
+      SELECT r.a, d.b FROM reach r JOIN bidir d ON r.b = d.a
+    ),
+    comp AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(max(vec_id) AS BIGINT) AS max_member
+    FROM comp GROUP BY cluster_id
+    """,
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size + extremal member of the near-dup components —
+    the table a dedup policy reads ("keep one per cluster" shrinkage
+    = Σ(size-1); size outliers flag template/boilerplate families
+    worth inspecting before deleting).  One row per component keeps
+    the checked surface as wide as the cluster count, and max_member
+    anchors the hash to membership, not just cardinality.
+
+    Reuses the full iterative pipeline (embed_pairs → min-label
+    propagation with the star fallback) and adds one aggregation over
+    its output — the point is that the ITERATIVE operator's result
+    composes downstream like any DataFrame, lineage truncation and
+    all."""
+    pairs = embed_pairs(
+        load_table(spark, sf_dir, "embeddings"), sign_bits=SIGN_BITS
+    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    return (
+        connected_components(pairs)
+        .groupBy(F.col("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max("node").alias("max_member"),
+        )
+    )

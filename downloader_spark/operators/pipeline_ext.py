@@ -267,3 +267,86 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+ATTRIB_LOOKBACK_S = 30 * 86400  # 30-day touch-attribution window before a purchase
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    framed AS (
+      SELECT user_id, event_id, event_type,
+        arg_min(event_id, printf('%020d:%020d', us, event_id))
+          FILTER (event_type IN ('view','click'))
+          OVER w AS first_touch_id,
+        arg_min(event_type, printf('%020d:%020d', us, event_id))
+          FILTER (event_type IN ('view','click'))
+          OVER w AS first_touch_type,
+        arg_max(event_id, printf('%020d:%020d', us, event_id))
+          FILTER (event_type IN ('view','click'))
+          OVER w AS last_touch_id,
+        arg_max(event_type, printf('%020d:%020d', us, event_id))
+          FILTER (event_type IN ('view','click'))
+          OVER w AS last_touch_type,
+        CAST(count(CASE WHEN event_type IN ('view','click') THEN 1 END)
+             OVER w AS BIGINT) AS n_touches
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN {ATTRIB_LOOKBACK_S * 1_000_000} PRECEDING
+                   AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, first_touch_id, first_touch_type,
+           last_touch_id, last_touch_type, n_touches
+    FROM framed WHERE event_type = 'purchase'
+    """,
+    tags=("events", "attribution", "window"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution: every purchase is
+    annotated with the earliest and latest view/click in the
+    {ATTRIB_LOOKBACK_S}s before it (purchases with no prior touch keep
+    NULLs — unattributed conversions are a real category, not an
+    error).
+
+    ONE range-frame window over (user, event-time µs) computes first
+    touch, last touch, and the touch count together: first/last are
+    conditional struct-extrema over the frame (min/max of
+    (us, event_id, type) — total order, tie-broken by event_id), so
+    no self-join, no per-purchase scan, one shuffle on user_id.  The
+    range frame ends at us-1: a same-microsecond touch never
+    attributes to its own instant's purchase, identically in both
+    engines.  The oracle mirrors the extrema with arg_min/arg_max
+    over a fixed-width sortable (us, id) string key."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-ATTRIB_LOOKBACK_S * 1_000_000, -1)
+    )
+    touch = F.col("event_type").isin("view", "click")
+    tkey = F.when(
+        touch, F.struct(us.alias("us"), F.col("event_id").alias("id"),
+                        F.col("event_type").alias("typ"))
+    )
+    framed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.min(tkey).over(w).alias("ft"),
+        F.max(tkey).over(w).alias("lt"),
+        F.count(F.when(touch, 1)).over(w).alias("n_touches"),
+    )
+    return framed.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ft.id").alias("first_touch_id"),
+        F.col("ft.typ").alias("first_touch_type"),
+        F.col("lt.id").alias("last_touch_id"),
+        F.col("lt.typ").alias("last_touch_type"),
+        "n_touches",
+    )

@@ -169,3 +169,13 @@ def test_dedup_url_is_single_aggregation(spark):
     # canonicalize map-side, one combined shuffle on the canonical URL
     assert plan.count("Exchange") == 1
     assert "partial_count" in plan and "partial_min" in plan
+
+
+def test_join_ip_prefix_broadcasts_prefixes_single_equi_join(spark):
+    """LPM must stay a broadcast equi-join on (start, plen): no range
+    predicate, no cartesian, and the prefix dimension on the build
+    side — the property that keeps per-IP work O(ladder) at 100 TB."""
+    plan = plan_of(spark, "join_ip_prefix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
