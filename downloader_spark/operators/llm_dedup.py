@@ -818,3 +818,98 @@ def embed_pairs(
             F.floor(cos * 1000000).cast("bigint").alias("cos_ppm"),
         )
     )
+
+
+NEW_BATCH_MOD = 10  # vec_id % 10 == 0 plays the "newly arrived batch"
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_DUCK_SIGN_BUCKET} AS bucket
+      FROM embeddings
+      WHERE {_DUCK_DOT.format(a="embedding", b="embedding")} <> 0
+    ),
+    newb AS (SELECT * FROM b WHERE vec_id % {NEW_BATCH_MOD} = 0),
+    corp AS (SELECT * FROM b WHERE vec_id % {NEW_BATCH_MOD} <> 0),
+    scored AS (
+      SELECT n.vec_id AS new_id, c.vec_id AS match_id,
+             {_DUCK_DOT.format(a="n.embedding", b="c.embedding")} AS dot,
+             {_DUCK_DOT.format(a="n.embedding", b="n.embedding")} AS na,
+             {_DUCK_DOT.format(a="c.embedding", b="c.embedding")} AS nb
+      FROM newb n JOIN corp c ON n.bucket = c.bucket
+    ),
+    kept AS (
+      SELECT new_id, match_id,
+             CAST(floor(dot / sqrt(na * nb) * 1000000) AS BIGINT) AS cos_ppm
+      FROM scored
+    )
+    SELECT new_id,
+           arg_max(match_id, printf('%020d:%020d', cos_ppm + 1000000, match_id))
+             AS match_id,
+           max(cos_ppm) AS cos_ppm
+    FROM kept GROUP BY new_id
+    """,
+    tags=("llm", "dedup", "embedding", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: the newly-arrived batch (vec_id %
+    {NEW_BATCH_MOD} == 0 stands in for today's crawl) is matched
+    against the EXISTING corpus through the shared sign-LSH buckets,
+    and each new vector reports its best in-bucket neighbor by cosine
+    (ties broken by match_id; the ingest policy applies its own
+    keep/drop threshold downstream) — the "is this new document
+    already in my training set?" query a growing corpus runs every
+    ingest cycle, without ever re-pairing corpus-vs-corpus.  The
+    oracle's sortable tie-break key shifts cos_ppm by +1e6 because a
+    below-zero cosine would break zero-padded lexicographic order.
+
+    Bipartite shape, not self-join: candidates come from the bucket
+    equi-join of a SMALL new side against the big corpus — here the
+    new side broadcasts (an ingest batch is orders of magnitude
+    smaller than the corpus); at equal scales both sides shuffle on
+    the uniform bucket key.  Corpus work is O(|new| x bucket
+    population), never O(|corpus|^2); the best-match reduction is a
+    struct-max aggregate (map-side combinable), mirrored in the
+    oracle by arg_max over a fixed-width sortable (cos_ppm, id) key."""
+    norm = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    b = sign_buckets(
+        load_table(spark, sf_dir, "embeddings"), sign_bits=SIGN_BITS
+    ).filter(norm != 0)
+    newb = b.filter(F.col("vec_id") % NEW_BATCH_MOD == 0).select(
+        F.col("vec_id").alias("new_id"),
+        F.col("embedding").alias("n_emb"),
+        "bucket",
+    )
+    corp = b.filter(F.col("vec_id") % NEW_BATCH_MOD != 0).select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    dot = F.expr(_SPARK_DOT.format(a="n_emb", b="c_emb"))
+    na = F.expr(_SPARK_DOT.format(a="n_emb", b="n_emb"))
+    nb = F.expr(_SPARK_DOT.format(a="c_emb", b="c_emb"))
+    kept = (
+        corp.join(F.broadcast(newb), "bucket")
+        .select(
+            "new_id",
+            "match_id",
+            dot.alias("dot"),
+            na.alias("na"),
+            nb.alias("nb"),
+        )
+        .select(
+            "new_id",
+            "match_id",
+            F.expr(
+                "CAST(floor(dot / sqrt(na * nb) * 1000000) AS BIGINT)"
+            ).alias("cos_ppm"),
+        )
+    )
+    best = kept.groupBy("new_id").agg(
+        F.max(F.struct(F.col("cos_ppm"), F.col("match_id"))).alias("m")
+    )
+    return best.select(
+        "new_id", F.col("m.match_id").alias("match_id"), F.col("m.cos_ppm").alias("cos_ppm")
+    )

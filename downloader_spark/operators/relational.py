@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from downloader_spark.functions.numeric import dec, money_sum, sql_money_sum
+from downloader_spark.operators.llm_dedup import _duck_h60, _spark_h60
 from downloader_spark.io import load_table
 from downloader_spark.plans.registry import query
 
@@ -490,4 +491,131 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flags.select(
         F.explode(tags).alias("tag"), F.col("o_custkey").alias("custkey")
+    )
+
+
+# 62-bit words sidestep 1<<63 sign-overflow divergence risk entirely
+BLOOM_WORD_BITS = 62
+BLOOM_WORDS = 66            # m = 4092 bits — sized for a ~25% FP rate at
+BLOOM_K = 2                 # sf0.01 so the false-positive accounting is
+                            # exercised by real rows, not vacuously zero
+BLOOM_MEMBER_MIN_PRICE = 450_000  # 'big-spender' member set: ~2/3 of
+                            # customers qualify, so real non-members exist
+                            # for the filter to false-positive on
+
+
+def _bloom_pos(engine_h60, i: int, key_sql: str, cast_ty: str) -> str:
+    arg = f"concat('bloom{i}:', CAST({key_sql} AS {cast_ty}))"
+    m = BLOOM_WORDS * BLOOM_WORD_BITS
+    return f"({engine_h60(arg)} % {m})"
+
+
+@query(
+    "join_bloom_prune",
+    oracle=f"""
+    WITH members AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_totalprice > 450000),
+    bloom AS (
+      SELECT pos // {BLOOM_WORD_BITS} AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (pos % {BLOOM_WORD_BITS})) AS bits
+      FROM (
+        SELECT {_bloom_pos(_duck_h60, 0, "o_custkey", "VARCHAR")} AS pos FROM members
+        UNION ALL
+        SELECT {_bloom_pos(_duck_h60, 1, "o_custkey", "VARCHAR")} FROM members
+      ) GROUP BY 1
+    ),
+    probe AS (
+      SELECT c_custkey, c_nationkey,
+             {_bloom_pos(_duck_h60, 0, "c_custkey", "VARCHAR")} AS p0,
+             {_bloom_pos(_duck_h60, 1, "c_custkey", "VARCHAR")} AS p1
+      FROM customer
+    ),
+    checked AS (
+      SELECT p.c_custkey, p.c_nationkey,
+             CASE WHEN ((b0.bits >> (p.p0 % {BLOOM_WORD_BITS})) & 1) = 1
+                   AND ((b1.bits >> (p.p1 % {BLOOM_WORD_BITS})) & 1) = 1
+                  THEN 1 ELSE 0 END AS bloom_pass,
+             CASE WHEN m.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS actual
+      FROM probe p
+      LEFT JOIN bloom b0 ON b0.word_idx = p.p0 // {BLOOM_WORD_BITS}
+      LEFT JOIN bloom b1 ON b1.word_idx = p.p1 // {BLOOM_WORD_BITS}
+      LEFT JOIN members m ON m.o_custkey = p.c_custkey
+    )
+    SELECT c_nationkey AS nationkey,
+           CAST(sum(bloom_pass) AS BIGINT) AS n_candidates,
+           CAST(sum(actual) AS BIGINT) AS n_actual,
+           CAST(sum(bloom_pass) - sum(actual) AS BIGINT) AS n_false_pos
+    FROM checked GROUP BY c_nationkey
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning with exact false-positive
+    accounting: the big-spender custkey set (any order over {BLOOM_MEMBER_MIN_PRICE}) is compressed into a
+    {BLOOM_WORDS}x{BLOOM_WORD_BITS}-bit filter (k={BLOOM_K}
+    md5-derived positions, bit_or word aggregation), every customer
+    probes it, and the per-nation rollup reports candidates vs true
+    members vs false positives.
+
+    This is the runtime-filter pattern that saves the big shuffle at
+    100 TB: build the ~KB filter on the small/aggregated side,
+    broadcast it, and drop most non-matching probe rows BEFORE the
+    expensive join — here the filter is {BLOOM_WORDS} (word, bits)
+    rows, deliberately undersized so the FP column proves the
+    accounting runs on real rows (a production filter sizes m for
+    ~1% FP).  Every position is md5-derived, so DuckDB rebuilds the
+    identical filter and the FP counts match exactly — bloom
+    behavior itself is under test, not just the join result.  No
+    sign-overflow trap: {BLOOM_WORD_BITS}-bit words keep 1<<bit
+    positive in both engines."""
+    members = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > BLOOM_MEMBER_MIN_PRICE)
+        .select("o_custkey")
+        .distinct()
+    )
+    pos_exprs = [
+        _bloom_pos(_spark_h60, i, "o_custkey", "STRING") for i in range(BLOOM_K)
+    ]
+    positions = members.select(
+        F.explode(F.array(*[F.expr(p) for p in pos_exprs])).alias("pos")
+    )
+    bloom = positions.groupBy(
+        F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word_idx")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(CAST(1 AS BIGINT), pos % {BLOOM_WORD_BITS}))"
+        ).alias("bits")
+    )
+    probe = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr(_bloom_pos(_spark_h60, 0, "c_custkey", "STRING")).alias("p0"),
+        F.expr(_bloom_pos(_spark_h60, 1, "c_custkey", "STRING")).alias("p1"),
+    )
+    b0 = bloom.select(F.col("word_idx").alias("w0"), F.col("bits").alias("bits0"))
+    b1 = bloom.select(F.col("word_idx").alias("w1"), F.col("bits").alias("bits1"))
+    checked = (
+        probe.join(F.broadcast(b0), F.expr(f"p0 DIV {BLOOM_WORD_BITS}") == F.col("w0"), "left")
+        .join(F.broadcast(b1), F.expr(f"p1 DIV {BLOOM_WORD_BITS}") == F.col("w1"), "left")
+        .join(
+            F.broadcast(members.select(F.col("o_custkey").alias("c_custkey"))
+                        .withColumn("is_member", F.lit(1))),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            F.expr(
+                f"CASE WHEN (shiftright(bits0, CAST(p0 % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
+                f" AND (shiftright(bits1, CAST(p1 % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
+                " THEN 1 ELSE 0 END"
+            ).alias("bloom_pass"),
+            F.coalesce(F.col("is_member"), F.lit(0)).alias("actual"),
+        )
+    )
+    return checked.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.sum("bloom_pass").alias("n_candidates"),
+        F.sum("actual").alias("n_actual"),
+        (F.sum("bloom_pass") - F.sum("actual")).alias("n_false_pos"),
     )

@@ -8,6 +8,7 @@ from downloader_spark.streaming.incremental import (
     sliding_counts,
     stream_from_parquet_dir,
     streaming_dedup,
+    stream_stream_join,
     streaming_late_filter,
     tumbling_counts,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "sliding_counts",
     "stream_from_parquet_dir",
     "streaming_dedup",
+    "stream_stream_join",
     "streaming_late_filter",
     "tumbling_counts",
 ]

@@ -135,6 +135,44 @@ def session_counts(
     )
 
 
+def stream_stream_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark_delay: str = "45 days",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Genuine stream-stream inner join: each purchase pairs with the
+    same user's views in the preceding ``within`` interval — the
+    streaming form of the attribution join (events_attribution is the
+    batch form).
+
+    Both sides carry watermarks and the join predicate carries a
+    TIME-RANGE constraint; together they are what lets Structured
+    Streaming bound the join state (a view's buffered row is evicted
+    once the purchase-side watermark passes v_ts + within — without
+    the range condition the state store would grow forever waiting
+    for arbitrarily-late matches).  Columns are disambiguated BEFORE
+    the join: stream-stream joins forbid referencing ambiguous
+    attributes across sides."""
+    v = views.withWatermark("ts", watermark_delay).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", watermark_delay).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND p_ts > v_ts "
+            f"AND p_ts <= v_ts + INTERVAL {within}"
+        ),
+    ).select("v_user", "view_id", "purchase_id")
+
+
 def streaming_late_filter(
     events: DataFrame, watermark_delay: str = "1 hour"
 ) -> DataFrame:

@@ -179,3 +179,12 @@ def test_join_ip_prefix_broadcasts_prefixes_single_equi_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_join_bloom_prune_broadcasts_filter_words(spark):
+    """The runtime-filter pattern only pays off if the filter ships to
+    the probe side: both word lookups and the exactness join must be
+    broadcasts — any shuffle of the probe side defeats the point."""
+    plan = plan_of(spark, "join_bloom_prune")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -386,3 +386,45 @@ def test_watermark_drops_late_data_in_genuine_stream(spark, tmp_path):
     late_window = base - dt.timedelta(minutes=10)
     assert late_window not in got  # the dropped event never surfaced
     assert got[base] == 31  # 30 on-time + the run-2 on-time event
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, events_dir):
+    """Genuine stream-stream inner join (views x purchases within 1h,
+    per user) across 4 micro-batches must converge to the batch
+    interval join over the same files — watermark + time-range
+    constraint bound the state without dropping any in-window pair
+    (the fixture-wide delay keeps eviction behind the data)."""
+    from downloader_spark.streaming import stream_stream_join
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    views_s = stream.filter(F.col("event_type") == "view")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    run_to_memory(
+        stream_stream_join(views_s, purch_s),
+        "ssj_out",
+        output_mode="append",
+    )
+    got = {
+        (r.v_user, r.view_id, r.purchase_id)
+        for r in spark.table("ssj_out").collect()
+    }
+
+    batch = spark.read.parquet(events_dir)
+    v = batch.filter(F.col("event_type") == "view").selectExpr(
+        "user_id AS v_user", "ts AS v_ts", "event_id AS view_id"
+    )
+    p = batch.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS p_user", "ts AS p_ts", "event_id AS purchase_id"
+    )
+    want = {
+        (r.v_user, r.view_id, r.purchase_id)
+        for r in v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND p_ts > v_ts"
+                " AND p_ts <= v_ts + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture must actually exercise the join
