@@ -545,3 +545,195 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.array_distinct(F.split(n, " "))), " ")
         ).alias("fp_sorted_sig"),
     )
+
+
+# ------------------------------------------------- collocations / sketches
+
+MIN_COLLOC_N = 5     # a bigram must occur this often to be scored
+TOP_COLLOC = 20
+
+CMS_ROWS = 3         # count-min sketch depth (independent hash rows)
+CMS_WIDTH = 32       # deliberately narrow: the fixture vocabulary is
+                     # ~60 tokens, so counter collisions — the thing a
+                     # CMS trades for its size — provably occur and the
+                     # overestimate column is exercised by real rows
+TOP_HITTERS = 20
+
+
+def _colloc_h60(engine: str, tag: str, arg: str) -> str:
+    from downloader_spark.operators.llm_dedup import _duck_h60, _spark_h60
+
+    f = _spark_h60 if engine == "spark" else _duck_h60
+    cast = "STRING" if engine == "spark" else "VARCHAR"
+    return f(f"concat('{tag}:', CAST({arg} AS {cast}))")
+
+
+@query(
+    "text_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+    big AS (
+      SELECT a.tok AS t1, b.tok AS t2, CAST(count(*) AS BIGINT) AS n_ab
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT concat(t1, ' ', t2) AS bigram, n_ab,
+             n_ab * t.n_total * 1000000 // (ua.n * ub.n) AS lift_ppm
+      FROM big
+      JOIN uni ua ON ua.tok = t1
+      JOIN uni ub ON ub.tok = t2
+      CROSS JOIN total t
+      WHERE n_ab >= {MIN_COLLOC_N}
+    )
+    SELECT bigram, n_ab, lift_ppm,
+           CAST(row_number() OVER (ORDER BY lift_ppm DESC, bigram) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= {TOP_COLLOC}
+    """,
+    tags=("llm", "text", "collocation"),
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_COLLOC} collocations by LIFT — bigram probability
+    normalized by its unigrams' (PMI's ratio, kept in exact integer
+    floor-ppm instead of a float log): lift separates "sticky" word
+    pairs from merely-frequent ones, the statistic text_ngrams' raw
+    counts can't see, and the standard phrase-mining signal for
+    tokenizer/vocab curation.
+
+    Unigram and bigram counts are two map-side-combinable
+    aggregations over the same exploded-token pass; the corpus total
+    rides along as a 1-row cross join (broadcast).  lift_ppm =
+    n_ab * N * 1e6 DIV (n_a * n_b) stays in BIGINT for corpora up to
+    ~1e12 token-bigram products — both engines would raise on
+    overflow rather than silently diverge (ANSI mode / DuckDB
+    checked arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    uni = t.groupBy("tok").agg(F.count("*").alias("n"))
+    total = t.agg(F.count("*").alias("n_total"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        t.withColumn("nxt", F.lead("tok", 1).over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("t1"), F.col("nxt").alias("t2"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_COLLOC_N)
+    )
+    ua = uni.select(F.col("tok").alias("t1"), F.col("n").alias("na"))
+    ub = uni.select(F.col("tok").alias("t2"), F.col("n").alias("nb"))
+    scored = (
+        big.join(ua, "t1")
+        .join(ub, "t2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("bigram"),
+            "n_ab",
+            F.expr("n_ab * n_total * 1000000 DIV (na * nb)").alias("lift_ppm"),
+        )
+    )
+    wr = Window.orderBy(F.col("lift_ppm").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= TOP_COLLOC)
+    )
+
+
+@query(
+    "agg_countmin",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+    cells AS (
+      SELECT r, {_colloc_h60("duck", "cms' || r || '", "tok")} % {CMS_WIDTH}
+               AS pos,
+             CAST(count(*) AS BIGINT) AS c
+      FROM toks CROSS JOIN (SELECT unnest([0,1,2]) AS r)
+      GROUP BY 1, 2
+    ),
+    hitters AS (
+      SELECT tok, n,
+             CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+      FROM exact QUALIFY rank <= {TOP_HITTERS}
+    ),
+    probed AS (
+      SELECT h.tok, h.n, h.rank, min(c.c) AS cms_estimate
+      FROM hitters h
+      JOIN cells c
+        ON c.pos = {_colloc_h60("duck", "cms' || c.r || '", "h.tok")}
+                   % {CMS_WIDTH}
+      GROUP BY 1, 2, 3
+    )
+    SELECT tok, n AS exact_n, rank, cms_estimate,
+           cms_estimate - n AS overestimate
+    FROM probed
+    """,
+    tags=("aggregate", "sketch", "llm"),
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters with the sketch's error UNDER
+    TEST: token frequencies compressed into a {CMS_ROWS}x{CMS_WIDTH}
+    counter grid (md5-derived positions, pure counting — one
+    aggregation builds all rows), the top-{TOP_HITTERS} exact tokens
+    probe it, and the output reports estimate vs truth per token.
+    CMS guarantees estimate >= truth; the overestimate column shows
+    the collision inflation a {CMS_WIDTH}-wide sketch pays (sized so
+    collisions provably occur on this vocabulary — a production
+    sketch widens w for an epsilon bound; the plan shape is
+    identical).
+
+    At 100 TB this is the heavy-hitter pattern that avoids a full
+    groupBy over a monster key space: the sketch is {CMS_ROWS}x
+    {CMS_WIDTH} counters regardless of vocabulary size,
+    map-side-combinable, broadcastable to any probe side.  Positions
+    are md5-derived, so DuckDB rebuilds the identical grid and the
+    per-token estimates match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    rows = toks.select(
+        "tok", F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r")
+    )
+    cells = rows.groupBy(
+        "r",
+        F.expr(
+            f"pmod({_colloc_h60('spark', 'cms' + chr(39) + ' || r || ' + chr(39), 'tok')}, {CMS_WIDTH})"
+        ).alias("pos"),
+    ).agg(F.count("*").alias("c"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    hitters = (
+        exact.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= TOP_HITTERS)
+    )
+    probe = hitters.select(
+        "tok", "n", "rank",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_ROWS)])).alias("r"),
+    ).withColumn(
+        "pos",
+        F.expr(
+            f"pmod({_colloc_h60('spark', 'cms' + chr(39) + ' || r || ' + chr(39), 'tok')}, {CMS_WIDTH})"
+        ),
+    )
+    probed = (
+        probe.join(F.broadcast(cells), ["r", "pos"])
+        .groupBy("tok", "n", "rank")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return probed.select(
+        "tok",
+        F.col("n").alias("exact_n"),
+        "rank",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n")).alias("overestimate"),
+    )

@@ -188,3 +188,12 @@ def test_join_bloom_prune_broadcasts_filter_words(spark):
     plan = plan_of(spark, "join_bloom_prune")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_broadcasts_new_batch_never_cartesian(spark):
+    """The bipartite LSH join must broadcast the (small) new batch and
+    join on the bucket key — a cartesian or a shuffled corpus-side
+    sort would defeat the incremental-ingest shape."""
+    plan = plan_of(spark, "dedup_incremental")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
