@@ -303,3 +303,151 @@ def test_events_retention_matches_python_model(spark, rows):
     finally:
         px.load_table = orig
     assert got == model_retention(rows)
+
+
+def model_attribution(rows, lookback_s):
+    """Pure-Python first/last-touch model: for each purchase at (s, id),
+    touches are same-user view/click events with s' in
+    [s - lookback, s - 1] (µs-range frame excludes the same instant),
+    ordered by (s', id)."""
+    out = {}
+    for i, (u, s, t) in enumerate(rows):
+        if t != "purchase":
+            continue
+        touches = sorted(
+            (s2, j)
+            for j, (u2, s2, t2) in enumerate(rows)
+            if u2 == u and t2 in ("view", "click")
+            and s - lookback_s <= s2 < s  # strict: frame ends at us-1
+        )
+        if touches:
+            (fs, fj), (ls, lj) = touches[0], touches[-1]
+            out[i] = (fj, rows[fj][2], lj, rows[lj][2], len(touches))
+        else:
+            out[i] = (None, None, None, None, 0)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy)
+def test_events_attribution_matches_python_model(spark, rows):
+    import downloader_spark.operators.pipeline_ext as px
+    from downloader_spark.operators.pipeline_ext import (
+        ATTRIB_LOOKBACK_S,
+        events_attribution,
+    )
+
+    df = _events_df(spark, rows)
+    orig = px.load_table
+    px.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.event_id: (
+                r.first_touch_id, r.first_touch_type,
+                r.last_touch_id, r.last_touch_type, r.n_touches,
+            )
+            for r in events_attribution(spark, "ignored").collect()
+        }
+    finally:
+        px.load_table = orig
+    assert got == model_attribution(rows, ATTRIB_LOOKBACK_S)
+
+
+def test_events_attribution_same_instant_touch_excluded(spark):
+    """A view at the purchase's exact microsecond must NOT attribute
+    (range frame ends at us-1) — in both the operator and the model."""
+    import downloader_spark.operators.pipeline_ext as px
+    from downloader_spark.operators.pipeline_ext import (
+        ATTRIB_LOOKBACK_S,
+        events_attribution,
+    )
+
+    rows = [(1, 500, "view"), (1, 500, "purchase"), (1, 100, "click")]
+    df = _events_df(spark, rows)
+    orig = px.load_table
+    px.load_table = lambda s, d, n: df
+    try:
+        (r,) = events_attribution(spark, "ignored").collect()
+    finally:
+        px.load_table = orig
+    assert (r.first_touch_id, r.last_touch_id, r.n_touches) == (2, 2, 1)
+    assert model_attribution(rows, ATTRIB_LOOKBACK_S)[1] == (
+        2, "click", 2, "click", 1
+    )
+
+
+# ------------------------------------------------------------- network LPM
+
+
+def test_join_ip_prefix_matches_bruteforce_model(spark):
+    """The ladder-explode LPM join vs a brute-force Python model that
+    checks every (ip, prefix) containment pair — same md5 derivations,
+    independent matching algorithm, run on synthetic tables small
+    enough to enumerate."""
+    import downloader_spark.operators.network as net
+
+    def oct_(tag, key, mod):
+        return h60(f"{tag}:{key}") % mod
+
+    n_nation, n_supp, n_cust, n_orders = 9, 30, 120, 300
+    tables = {
+        "nation": spark.createDataFrame(
+            [(k,) for k in range(n_nation)], "n_nationkey long"
+        ),
+        "supplier": spark.createDataFrame(
+            [(k,) for k in range(1, n_supp + 1)], "s_suppkey long"
+        ),
+        "customer": spark.createDataFrame(
+            [(k,) for k in range(1, n_cust + 1)], "c_custkey long"
+        ),
+        "orders": spark.createDataFrame(
+            [(k,) for k in range(1, n_orders + 1)], "o_orderkey long"
+        ),
+    }
+    orig = net.load_table
+    net.load_table = lambda s, d, name: tables[name]
+    try:
+        got = {
+            r.o_orderkey: (r.ip, r.matched_len, r.asn)
+            for r in net.join_ip_prefix(spark, "ignored").collect()
+        }
+    finally:
+        net.load_table = orig
+
+    # model: build the dedup'd prefix dict then brute-check containment
+    prefixes = {}  # (start, plen) -> min asn
+    for k in range(n_nation):
+        key = ((k % net._A_MOD) * 16777216, 8)
+        prefixes[key] = min(prefixes.get(key, 1 << 62), 1000 + k)
+    for k in range(1, n_supp + 1):
+        start = oct_("a16", k, net._A_MOD) * 16777216 + oct_("b16", k, net._B_MOD) * 65536
+        key = (start, 16)
+        prefixes[key] = min(prefixes.get(key, 1 << 62), 20000 + k)
+    for k in range(1, n_cust + 1):
+        start = (
+            oct_("a24", k, net._A_MOD) * 16777216
+            + oct_("b24", k, net._B_MOD) * 65536
+            + oct_("c24", k, net._C_MOD) * 256
+        )
+        key = (start, 24)
+        prefixes[key] = min(prefixes.get(key, 1 << 62), 300000 + k)
+
+    want = {}
+    for k in range(1, n_orders + 1):
+        ip = (
+            oct_("a", k, net._A_MOD) * 16777216
+            + oct_("b", k, net._B_MOD) * 65536
+            + oct_("c", k, net._C_MOD) * 256
+            + k % 256
+        )
+        best = None
+        for (start, plen), asn in prefixes.items():
+            span = 1 << (32 - plen)
+            if start <= ip < start + span:  # true containment check
+                if best is None or plen > best[0]:
+                    best = (plen, asn)
+        if best is not None:
+            want[k] = (ip, best[0], best[1])
+    assert got == want
+    assert len(want) == n_orders  # every IP hits at least its /8
+    assert {v[1] for v in want.values()} == {8, 16, 24}  # all depths hit
