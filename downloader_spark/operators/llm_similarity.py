@@ -217,3 +217,145 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos", dot / F.sqrt(nq * nc)
     )
     return topk_per_query(scored, k=IVF_TOP_K)
+
+
+# ------------------------------------------------------------ k-means loop
+
+KM_DIMS = 8     # first 8 components: keeps the unrolled oracle tractable;
+                # the recurrence is dimension-wise, so the full-dim scale
+                # path is the same code with KM_DIMS=64
+KM_K = 4
+KM_ITERS = 3
+KM_SCALE = 1_000_000
+
+
+def _km_oracle() -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the declarative
+    mirror of the Spark driver loop.  Fixed iteration count makes the
+    unroll finite; every quantity is BIGINT (floor-quantized inputs,
+    integer-floor centroid means, squared integer distances), so both
+    engines compute the identical trajectory."""
+    d = range(KM_DIMS)
+    qcols = ", ".join(
+        f"CAST(floor(CAST(embedding[{i+1}] AS DOUBLE) * {KM_SCALE}) AS BIGINT)"
+        f" AS q{i}"
+        for i in d
+    )
+    sql = [
+        f"WITH pts AS (SELECT vec_id, {qcols} FROM embeddings"
+        f" WHERE len(embedding) >= {KM_DIMS})",
+        # deterministic init: integer mean per (vec_id % K) slice
+        f"c0 AS (SELECT vec_id % {KM_K} AS cid, "
+        + ", ".join(f"CAST(sum(q{i}) // count(*) AS BIGINT) AS c{i}" for i in d)
+        + " FROM pts GROUP BY 1)",
+    ]
+    prev = "c0"
+    for it in range(1, KM_ITERS + 1):
+        dist = " + ".join(f"(p.q{i} - c.c{i}) * (p.q{i} - c.c{i})" for i in d)
+        sql.append(
+            f"a{it} AS (SELECT p.*, arg_min(c.cid, ({dist}) * 10 + c.cid)"
+            f" AS cid FROM pts p CROSS JOIN {prev} c GROUP BY ALL)"
+        )
+        sql.append(
+            f"m{it} AS (SELECT cid, count(*) AS n, "
+            + ", ".join(f"CAST(sum(q{i}) // count(*) AS BIGINT) AS c{i}" for i in d)
+            + f" FROM a{it} GROUP BY cid)"
+        )
+        # empty cluster keeps its previous centroid (n = 0)
+        sql.append(
+            f"c{it} AS (SELECT p.cid, COALESCE(m.n, 0) AS n, "
+            + ", ".join(f"COALESCE(m.c{i}, p.c{i}) AS c{i}" for i in d)
+            + f" FROM {prev} p LEFT JOIN m{it} m USING (cid))"
+        )
+        prev = f"c{it}"
+    out = ", ".join(f"c{i}" for i in d)
+    return (
+        ",\n".join(sql)
+        + f"\nSELECT cid AS cluster_id, CAST(n AS BIGINT) AS n_points, {out}"
+        f" FROM {prev}"
+    )
+
+
+@query(
+    "embed_kmeans",
+    oracle=_km_oracle(),
+    tags=("llm", "embedding", "iterative", "ml"),
+)
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KM_ITERS} full Lloyd iterations of k-means (k={KM_K}) over the
+    first {KM_DIMS} embedding components — the training LOOP, where
+    embed_centroids is one update step.  Every iteration: assign each
+    vector to its nearest centroid by exact integer squared distance
+    (floor-quantized components, ties to the lower cluster id), then
+    recompute centroids as integer-floor means; an emptied cluster
+    keeps its previous centroid.  Deterministic init (integer mean of
+    each vec_id % {KM_K} slice) replaces random seeding so the whole
+    trajectory — not just the final state — is identical in both
+    engines; the oracle unrolls the same {KM_ITERS} iterations as
+    chained CTEs.
+
+    The Spark side is the canonical distributed k-means shape: the
+    per-iteration collect moves only k x dims integers (the
+    centroids) to the driver and inlines them as codegen'd literals
+    in the next assignment pass, so each iteration is ONE map-side-
+    combinable aggregation over the points — no point ever leaves
+    the executors, and iteration cost is O(points x k x dims) scan
+    work regardless of cluster count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = range(KM_DIMS)
+    pts = emb.filter(F.size("embedding") >= KM_DIMS).select(
+        "vec_id",
+        *[
+            F.expr(
+                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {KM_SCALE})"
+                " AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in d
+        ],
+    )
+    init = (
+        pts.groupBy((F.col("vec_id") % KM_K).alias("cid"))
+        .agg(
+            F.count("*").alias("n"),
+            *[F.expr(f"sum(q{i}) DIV count(*)").alias(f"c{i}") for i in d],
+        )
+        .collect()
+    )
+    cents = {int(r.cid): [int(r[f"c{i}"]) for i in d] for r in init}
+    n_by_cid = {c: 0 for c in range(KM_K)}
+    for _ in range(KM_ITERS):
+        dists = [
+            " + ".join(
+                f"(q{i} - CAST({cents[c][i]} AS BIGINT))"
+                f" * (q{i} - CAST({cents[c][i]} AS BIGINT))"
+                for i in d
+            )
+            for c in range(KM_K)
+        ]
+        assign_expr = "CASE "
+        for c in range(KM_K - 1):
+            conds = " AND ".join(
+                f"({dists[c]}) <= ({dists[o]})" for o in range(c + 1, KM_K)
+            )
+            assign_expr += f"WHEN {conds} THEN {c} "
+        assign_expr += f"ELSE {KM_K - 1} END"
+        upd = (
+            pts.select(*[f"q{i}" for i in d], F.expr(assign_expr).alias("cid"))
+            .groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.expr(f"sum(q{i}) DIV count(*)").alias(f"c{i}") for i in d],
+            )
+            .collect()
+        )
+        n_by_cid = {c: 0 for c in range(KM_K)}
+        for r in upd:  # emptied clusters keep their previous centroid
+            cents[int(r.cid)] = [int(r[f"c{i}"]) for i in d]
+            n_by_cid[int(r.cid)] = int(r.n)
+    rows = [
+        (c, n_by_cid[c], *cents[c]) for c in range(KM_K)
+    ]
+    schema = "cluster_id long, n_points long, " + ", ".join(
+        f"c{i} long" for i in d
+    )
+    return spark.createDataFrame(rows, schema)
