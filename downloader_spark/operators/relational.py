@@ -619,3 +619,104 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("actual").alias("n_actual"),
         (F.sum("bloom_pass") - F.sum("actual")).alias("n_false_pos"),
     )
+
+
+SCD2_VERSIONS = 3
+
+
+def _scd2_bounds(engine: str) -> tuple[str, str]:
+    """Per-supplier version boundaries b1 < b2, md5-derived days past
+    1994-01-01 — identical literals both engines."""
+    if engine == "spark":
+        h1 = _spark_h60("concat('scd1:', CAST(s_suppkey AS STRING))")
+        h2 = _spark_h60("concat('scd2:', CAST(s_suppkey AS STRING))")
+        b1 = f"date_add(DATE '1994-01-01', CAST(pmod({h1}, 1000) AS INT))"
+        b2 = f"date_add({b1}, CAST(1 + pmod({h2}, 700) AS INT))"
+    else:
+        h1 = _duck_h60("concat('scd1:', CAST(s_suppkey AS VARCHAR))")
+        h2 = _duck_h60("concat('scd2:', CAST(s_suppkey AS VARCHAR))")
+        b1 = f"(DATE '1994-01-01' + CAST({h1} % 1000 AS INT))"
+        b2 = f"({b1} + CAST(1 + {h2} % 700 AS INT))"
+    return b1, b2
+
+
+_D_B1, _D_B2 = _scd2_bounds("duck")
+
+
+@query(
+    "join_scd2",
+    oracle=f"""
+    WITH dim AS (
+      SELECT s_suppkey AS suppkey, 0 AS version,
+             DATE '1900-01-01' AS valid_from, {_D_B1} AS valid_to,
+             s_suppkey * 10 + 0 AS version_tag
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 1, {_D_B1}, {_D_B2}, s_suppkey * 10 + 1 FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 2, {_D_B2}, DATE '2999-12-31', s_suppkey * 10 + 2
+      FROM supplier
+    ),
+    fact AS (
+      SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS d
+      FROM lineitem
+    )
+    SELECT f.suppkey, d.version, min(d.version_tag) AS version_tag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(f.d) AS VARCHAR) AS first_ship,
+           CAST(max(f.d) AS VARCHAR) AS last_ship
+    FROM fact f
+    JOIN dim d ON d.suppkey = f.suppkey
+              AND d.valid_from <= f.d AND f.d < d.valid_to
+    GROUP BY 1, 2
+    """,
+    tags=("join", "temporal", "scd2"),
+)
+def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD type-2) dimension join: every lineitem
+    shipment matches the supplier VERSION whose validity interval
+    contains its ship date — the classic warehouse temporal join the
+    as-of family doesn't cover (as-of = nearest preceding event; SCD2
+    = interval membership against a versioned dimension).  Version
+    boundaries are md5-derived per supplier, so both engines build the
+    identical dimension; intervals partition the timeline, so each
+    fact matches exactly one version.
+
+    Scale shape: equi-join on the supplier key with the per-key
+    validity filter applied inside the join — fanout is bounded by
+    versions-per-key ({SCD2_VERSIONS} here; dimension history is
+    always shallow next to facts), and the dimension broadcasts.  No
+    range-join machinery, no interval index: SCD2 at 100 TB is a
+    broadcast equi-join plus a filter, which is exactly what this
+    plan does (rolled up per (supplier, version) for a stable checked
+    surface)."""
+    s_b1, s_b2 = _scd2_bounds("spark")
+    supplier = load_table(spark, sf_dir, "supplier")
+    dims = []
+    for v, (lo, hi) in enumerate(
+        [("DATE '1900-01-01'", s_b1), (s_b1, s_b2), (s_b2, "DATE '2999-12-31'")]
+    ):
+        dims.append(
+            supplier.select(
+                F.col("s_suppkey").alias("suppkey"),
+                F.lit(v).alias("version"),
+                F.expr(lo).alias("valid_from"),
+                F.expr(hi).alias("valid_to"),
+                F.expr(f"s_suppkey * 10 + {v}").alias("version_tag"),
+            )
+        )
+    dim = dims[0].unionByName(dims[1]).unionByName(dims[2])
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.expr("CAST(l_shipdate AS DATE)").alias("d"),
+    )
+    joined = fact.join(
+        F.broadcast(dim),
+        ["suppkey"],
+    ).filter((F.col("valid_from") <= F.col("d")) & (F.col("d") < F.col("valid_to")))
+    return joined.groupBy("suppkey", "version").agg(
+        F.min("version_tag").alias("version_tag"),
+        F.count("*").alias("n_items"),
+        F.expr("CAST(min(d) AS STRING)").alias("first_ship"),
+        F.expr("CAST(max(d) AS STRING)").alias("last_ship"),
+    )

@@ -197,3 +197,13 @@ def test_dedup_incremental_broadcasts_new_batch_never_cartesian(spark):
     plan = plan_of(spark, "dedup_incremental")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_scd2_is_broadcast_equi_join_not_range(spark):
+    """SCD2 must plan as a broadcast equi-join on the supplier key
+    with the validity filter riding on it — no range-join machinery,
+    no cartesian, no shuffled sort-merge of the fact side."""
+    plan = plan_of(spark, "join_scd2")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
