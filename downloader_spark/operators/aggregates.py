@@ -182,3 +182,68 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         money_sum("l_quantity", "sum_qty", scale=2),
     )
+
+
+@query(
+    "agg_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    stats AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+             sum(qty) AS s, sum(qty * qty) AS ss
+      FROM q GROUP BY l_partkey
+    )
+    SELECT q.l_orderkey, q.l_linenumber, q.l_partkey, q.qty
+    FROM q JOIN stats t ON t.l_partkey = q.l_partkey
+    WHERE t.n >= 5
+      AND (t.n * q.qty - t.s) * (t.n * q.qty - t.s) * 4
+          > 9 * (t.n * t.ss - t.s * t.s)
+    """,
+    tags=("aggregate", "outlier", "quality"),
+)
+def agg_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sigma-rule outlier flagging WITHOUT floats: a lineitem is
+    flagged when its quantity deviates more than 1.5 standard
+    deviations from its part's mean — but mean and stddev never
+    materialize.  |q - s/n| > (3/2)·sqrt(ss/n - (s/n)²) is multiplied
+    through by (2n)² into the all-integer inequality
+    (n·q - s)²·4 > 9·(n·ss - s²), so the flag is bit-exact on both
+    engines (any float-formulated z-score would hash-diverge on the
+    division/sqrt) — the data-cleaning primitive for numeric columns,
+    same verifiable-surface trick as the dedup family's floor-ppm.
+
+    Two passes: one map-side-combinable (n, Σq, Σq²) aggregation per
+    part, then the moments join back (broadcast-or-hash as the
+    optimizer prefers — the stats table is |parts| rows) and the flag
+    is a row-local predicate.  Groups with n < 5 are skipped (a
+    5-row variance is noise, and n·ss - s² = 0 for constant groups
+    would flag nothing anyway).  Integer range: safe while
+    n·max(q)² < 2⁶³/n, i.e. any realistic per-part row count."""
+    q = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    stats = q.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum("qty").alias("s"),
+        F.sum(F.expr("qty * qty")).alias("ss"),
+    )
+    return (
+        q.join(stats, "l_partkey")
+        .filter(
+            (F.col("n") >= 5)
+            & (
+                (F.col("n") * F.col("qty") - F.col("s"))
+                * (F.col("n") * F.col("qty") - F.col("s"))
+                * 4
+                > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+            )
+        )
+        .select("l_orderkey", "l_linenumber", "l_partkey", "qty")
+    )

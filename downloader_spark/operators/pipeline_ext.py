@@ -350,3 +350,63 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lt.typ").alias("last_touch_type"),
         "n_touches",
     )
+
+
+@query(
+    "events_pattern",
+    oracle="""
+    WITH stream AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE event_type <> 'error'
+    ),
+    seq AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_id, 1) OVER w AS id1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(event_id, 2) OVER w AS id2
+      FROM stream
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, event_id AS view_id, id1 AS click_id, id2 AS purchase_id
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    """,
+    tags=("events", "pattern", "cep"),
+)
+def events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection (MATCH_RECOGNIZE / CEP semantics in
+    batch): emit every strictly-consecutive view→click→purchase triple
+    in a user's error-filtered event stream — the funnel's strict
+    cousin (events_funnel allows gaps; this demands adjacency, the
+    shape CEP engines sell).
+
+    One window pass: two leads over the (ts, event_id)-ordered stream
+    (a total order, so adjacency is well-defined under ties), filter
+    to the pattern — no self-joins, one shuffle on user_id, and the
+    two leads share a single Window node.  At 100 TB this is the
+    pattern-mining shape that scales: per-user sequences co-locate
+    under one exchange and the match test is a row-local predicate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") != "error"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_id", 1).over(w).alias("id1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 2).over(w).alias("id2"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("id1").alias("click_id"),
+        F.col("id2").alias("purchase_id"),
+    )
