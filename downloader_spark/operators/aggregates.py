@@ -247,3 +247,48 @@ def agg_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_linenumber", "l_partkey", "qty")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH bits AS (
+      SELECT event_type,
+             CAST(user_id // 60 AS BIGINT) AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT)) AS bm
+      FROM events GROUP BY event_type, user_id // 60
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(bm)) AS BIGINT) AS distinct_users,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM bits GROUP BY event_type
+    """,
+    tags=("aggregate", "distinct", "bitmap"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-based exact distinct counting — the scalable alternative
+    to COUNT(DISTINCT) for dense integer keys: pack each 60-key id
+    range into one BIGINT bitmap with bit_or (associative, map-side
+    combinable — unlike the expand-based distinct rewrite), then sum
+    popcounts.  Two aggregations but the first shrinks the data
+    60:1 and both partial-aggregate; at 100 TB this is the
+    roaring-bitmap pattern every OLAP engine uses for user-count
+    rollups, expressed with nothing but bit_or/bit_count/shiftleft.
+
+    60-bit buckets, not 64: DuckDB raises on ``1 << 63`` overflow
+    while Java wraps — staying below bit 62 keeps the bitmaps
+    bit-identical on both engines.  Verified equal to the exact
+    COUNT(DISTINCT) in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    bits = ev.groupBy(
+        "event_type",
+        F.expr("CAST(user_id DIV 60 AS BIGINT)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT)))"
+        ).alias("bm")
+    )
+    return bits.groupBy("event_type").agg(
+        F.expr("CAST(SUM(bit_count(bm)) AS BIGINT)").alias("distinct_users"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )

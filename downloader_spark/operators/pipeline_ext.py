@@ -410,3 +410,59 @@ def events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id1").alias("click_id"),
         F.col("id2").alias("purchase_id"),
     )
+
+
+@query(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS prob_ppm
+    FROM pairs
+    """,
+    tags=("events", "analytics", "window"),
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: LEAD pairs each event with its successor (total order:
+    ts then event_id, so ties never flip cross-engine), the pair
+    counts aggregate, and each row carries its integer-ppm
+    transition probability (floor of n*1e6 / row-total — both
+    operands positive, so DuckDB's floor-div and Spark's DIV
+    agree).  The funnel/recommender companion: "what follows a
+    signup, with what probability".
+
+    Plan: one window shuffle on user_id (uniform key), one |types|²
+    aggregation, then a second window over ≤ |types|² rows — the
+    expensive stage scans each event exactly once.  At 100 TB the
+    per-user ordering shuffle is the irreducible cost; everything
+    after is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("CAST((n * 1000000) DIV SUM(n) OVER (PARTITION BY from_type) AS BIGINT)").alias(
+            "prob_ppm"
+        ),
+    )

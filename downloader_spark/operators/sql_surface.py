@@ -93,3 +93,51 @@ def sql_q3_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("FROM customer", "FROM ds_customer")
         .replace("JOIN orders", "JOIN ds_orders")
     )
+
+
+_Q5_BODY = """
+SELECT n.n_name,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1.0 - l.l_discount AS DECIMAL(18,4)))
+                  AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query(
+    "sql_q5_join6",
+    oracle=_Q5_BODY,
+    tags=("sql", "join", "aggregate", "broadcast"),
+)
+def sql_q5_join6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped local-supplier-volume query: a 6-way join
+    (customer x orders x lineitem x supplier x nation x region) with
+    the same-nation correlation predicate (c_nationkey =
+    s_nationkey), a pushed region filter, a pushed order-date range,
+    and a decimal-exact revenue rollup per nation.
+
+    The join-ordering showcase: Catalyst reorders the tree so region
+    (1 row after the filter) and nation prune supplier FIRST, the
+    three dimension joins broadcast (region/nation/supplier all fit
+    under the 10 MB threshold at any SF where they are dimensions),
+    and only orders x lineitem is a shuffle join on the fact keys.
+    The same SQL text runs on both engines up to view-name
+    prefixes."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"ds_{t}")
+    body = _Q5_BODY
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        body = body.replace(f"JOIN {t} ", f"JOIN ds_{t} ")
+    body = body.replace("FROM customer ", "FROM ds_customer ")
+    return spark.sql(body)

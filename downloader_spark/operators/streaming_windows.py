@@ -263,3 +263,130 @@ def stream_late_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(wm), F.col("ts") > F.col("wm_ts"), "inner")
         .select("event_id", "ts", "user_id", "event_type")
     )
+
+
+@query(
+    "ts_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+      FROM events
+    ),
+    buckets AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, b.bucket FROM types t CROSS JOIN buckets b),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                  AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT g.event_type, g.bucket,
+             CAST(epoch(g.bucket) // 3600 AS BIGINT) AS h, a.v
+      FROM grid g LEFT JOIN agg a
+        ON a.event_type = g.event_type AND a.bucket = g.bucket
+    ),
+    ctx AS (
+      SELECT event_type, bucket, h, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+      FROM dense
+    )
+    SELECT event_type, bucket,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + CAST(floor(CAST((nv - pv) * (h - ph) AS DOUBLE)
+                                     / (nh - ph)) AS BIGINT) END AS v4,
+           (v IS NULL) AS filled
+    FROM ctx
+    WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+    """,
+    tags=("streaming", "timeseries", "window"),
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing hourly buckets — the
+    gap-filling sibling of ``rollup_gapfill`` that estimates instead
+    of zero-filling: each absent (type, hour) gets
+    ``prev + floor((next - prev) * steps / gap)`` between its
+    nearest observed neighbors (edges with only one neighbor are
+    dropped — no extrapolation).  Values are exact 4dp-integer sums
+    (DECIMAL cents-of-cents), the interpolation is one float
+    division of exact integers floored back to BIGINT, so both
+    engines emit identical values even for downward-sloping
+    (negative-numerator) gaps where trunc- vs floor-division would
+    diverge.
+
+    Plan: the same 1-row-bounds dense grid as rollup_gapfill (costs
+    nothing), one hourly aggregation, then TWO window passes over
+    the |types| x |hours| grid — which is tiny relative to the event
+    scan at any scale; the event data itself shuffles exactly once,
+    on the aggregation key."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    buckets = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(buckets))
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT)"
+        ).alias("v")
+    )
+    dense = grid.join(agg, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.expr("CAST(unix_timestamp(bucket) DIV 3600 AS BIGINT)").alias("h"),
+        "v",
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    known_h = F.expr("CASE WHEN v IS NOT NULL THEN h END")
+    ctx = dense.select(
+        "event_type",
+        "bucket",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    return ctx.filter(
+        F.col("v").isNotNull()
+        | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+    ).select(
+        "event_type",
+        "bucket",
+        F.expr(
+            "CASE WHEN v IS NOT NULL THEN v"
+            " ELSE pv + CAST(floor(CAST((nv - pv) * (h - ph) AS DOUBLE)"
+            " / (nh - ph)) AS BIGINT) END"
+        ).alias("v4"),
+        F.col("v").isNull().alias("filled"),
+    )

@@ -20,5 +20,6 @@ import downloader_spark.operators.relational  # noqa: F401
 import downloader_spark.operators.scalars  # noqa: F401
 import downloader_spark.operators.sql_surface  # noqa: F401
 import downloader_spark.operators.streaming_windows  # noqa: F401
+import downloader_spark.operators.training_prep  # noqa: F401
 import downloader_spark.operators.udfs  # noqa: F401
 import downloader_spark.operators.windows  # noqa: F401

@@ -207,3 +207,72 @@ def test_join_scd2_is_broadcast_equi_join_not_range(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def test_sql_q5_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "sql_q5_join6")
+    # region/nation/supplier are dimension sides: at least two of the
+    # five joins must be broadcast, and none may be cartesian
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q5_pushes_orderdate_range_to_scan(spark):
+    plan = plan_of(spark, "sql_q5_join6")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed)
+
+
+def test_pack_sequences_single_window_no_text_shuffle(spark):
+    plan = plan_of(spark, "pack_sequences")
+    # one window pass over (lang, shard); the raw text column must be
+    # projected away before the exchange (only the token COUNT moves)
+    assert plan.count("Window [") == 1
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1
+    assert "text" not in exchanges[0]
+
+
+def test_text_chunk_is_shuffle_free(spark):
+    plan = plan_of(spark, "text_chunk")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan  # map-side explode, no Window
+
+
+def test_embed_quantize_is_shuffle_free_projection(spark):
+    plan = plan_of(spark, "embed_quantize")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_sample_mixture_broadcasts_rate_table(spark):
+    plan = plan_of(spark, "sample_mixture")
+    # the |langs|-row rate table broadcasts; the corpus never
+    # hash-shuffles (the only exchange feeds the tiny count agg)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_bitmap_distinct_avoids_expand(spark):
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    # the bitmap rewrite must NOT plan the expand-based distinct:
+    # both aggregations are plain two-phase hash aggs
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_events_transitions_single_data_shuffle(spark):
+    plan = plan_of(spark, "events_transitions")
+    # events shuffle once for the per-user window; later exchanges
+    # only move the <= |types|^2 pair aggregates
+    assert plan.count("Window [") == 2  # lead window + ppm-total window
+    assert "CartesianProduct" not in plan
+
+
+def test_ts_interpolate_broadcasts_grid(spark):
+    plan = plan_of(spark, "ts_interpolate")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

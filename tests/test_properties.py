@@ -451,3 +451,64 @@ def test_join_ip_prefix_matches_bruteforce_model(spark):
     assert got == want
     assert len(want) == n_orders  # every IP hits at least its /8
     assert {v[1] for v in want.values()} == {8, 16, 24}  # all depths hit
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def model_pack(docs, budget, shards):
+    """Pure-Python concat-and-split packer: docs = [(doc_id, lang, n_tok)]."""
+    out = {}
+    streams = {}
+    for doc_id, lang, n_tok in sorted(docs):
+        key = (lang, doc_id % shards)
+        cum = streams.get(key, 0) + n_tok
+        streams[key] = cum
+        start = (cum - n_tok) // budget
+        end = (cum - 1) // budget
+        out[doc_id] = (start, end, end - start)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=300), min_size=3, max_size=30),
+)
+def test_pack_sequences_matches_python_model(spark, toks):
+    from downloader_spark.operators.training_prep import PACK_BUDGET, PACK_SHARDS
+
+    langs = ["en", "de", "fr"]
+    rows = [
+        (i, langs[i % len(langs)], " ".join(["w"] * n)) for i, n in enumerate(toks)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.createOrReplaceTempView("__pack_prop_docs")
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = df.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).cast("long").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    got = {
+        r["doc_id"]: (
+            (r["cum"] - r["n_tok"]) // PACK_BUDGET,
+            (r["cum"] - 1) // PACK_BUDGET,
+        )
+        for r in c.collect()
+    }
+    expected = model_pack(
+        [(i, langs[i % len(langs)], n) for i, n in enumerate(toks)],
+        PACK_BUDGET,
+        PACK_SHARDS,
+    )
+    assert got == {k: v[:2] for k, v in expected.items()}
