@@ -292,3 +292,167 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(bit_count(bm)) AS BIGINT)").alias("distinct_users"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS p,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, p, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY p, wt
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY flag) AS tw
+      FROM x
+    )
+    SELECT flag, MIN(p) AS weighted_median_pu
+    FROM c WHERE cw * 2 >= tw GROUP BY flag
+    """,
+    tags=("aggregate", "percentile", "window"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    50th percentile no SQL engine exposes as a one-call aggregate:
+    sort each group by price, accumulate weights, and take the first
+    value whose cumulative weight reaches half the total.  Entirely
+    integer (4dp price units, BIGINT weights), with a total order
+    (p, wt) inside the cumulative sum so both engines accumulate in
+    the identical sequence — bit-exact without any float quantile
+    interpolation.
+
+    One window shuffle on the group key, then a trivial MIN
+    aggregation over the filtered rows.  At 100 TB the group-ordered
+    window is the cost — same shape (and same key) as any per-group
+    ranking; nothing global."""
+    x = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        ).alias("p"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("wt"),
+    )
+    from pyspark.sql import Window as W
+
+    cum = (
+        W.partitionBy("flag")
+        .orderBy("p", "wt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("flag")
+    c = x.select(
+        "flag",
+        "p",
+        F.sum("wt").over(cum).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return (
+        c.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("p").alias("weighted_median_pu"))
+    )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT event_type,
+           user_id AS top_user,
+           event_id AS top_event,
+           CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS top_value_pu
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) DESC,
+               event_id
+    ) = 1
+    """,
+    tags=("aggregate", "argmax"),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG MAX — the full row attributes of each group's maximum
+    (SQL's max_by / arg_max), with the tie pinned to the smallest
+    event_id so the answer is unique.  The Spark side is a struct-max
+    over (value, -event_id, user_id) — associative, map-side
+    combinable, no window, no second pass; the oracle is an
+    independent QUALIFY row_number ranking.  Two different
+    algorithms, one hash (the agg_mode pattern).
+
+    One partial-aggregated shuffle carrying |groups| combiner rows
+    per partition — the cheapest possible per-group extremum at any
+    scale (the reference's top-1-by-name repair, A8, is this same
+    shape)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("pu"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max(F.struct(F.col("pu"), (-F.col("event_id")).alias("neg_eid"), F.col("user_id"))).alias("m"))
+        .select(
+            "event_type",
+            F.col("m.user_id").alias("top_user"),
+            (-F.col("m.neg_eid")).alias("top_event"),
+            F.col("m.pu").alias("top_value_pu"),
+        )
+    )
+
+
+@query(
+    "agg_histogram_eqdepth",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority,
+             ntile(8) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                             AS BIGINT), o_orderkey) AS bucket,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS p
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           MIN(p) AS lo_pu, MAX(p) AS hi_pu
+    FROM t GROUP BY o_orderpriority, bucket
+    """,
+    tags=("aggregate", "histogram", "statistics", "window"),
+)
+def agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram per priority class — the CBO-statistics
+    primitive (equal row count per bucket, data-driven boundaries)
+    complementing agg_histogram's fixed-width bins.  ntile(8) over a
+    tie-broken total order (price units, then order key) assigns
+    bucket ids deterministically; the bucket rollup then reports
+    each bucket's population and [lo, hi] boundary in exact 4dp
+    integers.
+
+    The window partitions by the priority class, never globally —
+    bounded partitions at any scale.  (A truly global equi-depth
+    histogram at 100 TB would use approx_percentile boundaries
+    instead of a global sort; the per-class form here is the shape
+    optimizers actually collect, one histogram per partition
+    column value.)"""
+    from pyspark.sql import Window as W
+
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias(
+            "p"
+        ),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("p", "o_orderkey")
+    b = t.select(
+        "o_orderpriority", F.ntile(8).over(w).cast("long").alias("bucket"), "p"
+    )
+    return b.groupBy("o_orderpriority", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("p").alias("lo_pu"),
+        F.max("p").alias("hi_pu"),
+    )

@@ -359,3 +359,106 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"c{i} long" for i in d
     )
     return spark.createDataFrame(rows, schema)
+
+
+GRID_CELL = 100  # milli-unit cell edge for the spatial grid
+GRID_OFF = 100_000  # shift coords positive so trunc-div == floor-div
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, label,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS xi,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS yi
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM pts WHERE label = 0),
+    c AS (SELECT vec_id, xi, yi,
+                 (xi + {GRID_OFF}) // {GRID_CELL} AS cx,
+                 (yi + {GRID_OFF}) // {GRID_CELL} AS cy
+          FROM pts WHERE label <> 0),
+    probes AS (
+      SELECT q.vec_id AS qid, q.xi, q.yi,
+             ((q.xi + {GRID_OFF}) // {GRID_CELL}) + dx.d AS cx,
+             ((q.yi + {GRID_OFF}) // {GRID_CELL}) + dy.d AS cy
+      FROM q
+      CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS d) dx
+      CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS d) dy
+    ),
+    cand AS (
+      SELECT p.qid, c.vec_id AS nid,
+             (p.xi - c.xi) * (p.xi - c.xi)
+             + (p.yi - c.yi) * (p.yi - c.yi) AS d2
+      FROM probes p JOIN c ON c.cx = p.cx AND c.cy = p.cy
+    )
+    SELECT qid, nid, d2
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d2, nid) = 1
+    """,
+    tags=("similarity", "spatial", "join", "grid"),
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed nearest-neighbor join over 2-D points (the
+    spatial-join pattern: geohash/S2-cell bucketing reduced to its
+    arithmetic core).  Points are the first two embedding
+    components floor-quantized to milli-units; label-0 vectors are
+    the queries.  Each query explodes to its 3x3 neighborhood of
+    {GRID_CELL}-milli cells, candidates equi-join ON THE CELL ID
+    (never a distance cross-join), and a struct-min keeps the
+    nearest candidate by exact integer squared distance with the
+    tie pinned to the lowest id.  Queries whose 3x3 neighborhood is
+    empty drop out (the documented grid approximation — a cell
+    radius bounds the search, exactly like a geohash prefix join).
+
+    Coordinates shift by +{GRID_OFF} before the cell division:
+    DuckDB's // floors while Spark's DIV truncates toward zero, so
+    negative coordinates would land in different cells; offsetting
+    positive makes the two identical.  Scale: 9 probe rows per
+    query, uniform cell keys, the candidate join is a plain hash
+    join — the 100 TB shape for any fixed-radius spatial match."""
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000) AS BIGINT)").alias(
+            "xi"
+        ),
+        F.expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)").alias(
+            "yi"
+        ),
+    )
+    cell = lambda col: F.expr(f"({col} + {GRID_OFF}) DIV {GRID_CELL}")  # noqa: E731
+    q = pts.filter(F.col("label") == 0)
+    c = pts.filter(F.col("label") != 0).select(
+        F.col("vec_id").alias("nid"),
+        F.col("xi").alias("cxi"),
+        F.col("yi").alias("cyi"),
+        cell("xi").alias("cx"),
+        cell("yi").alias("cy"),
+    )
+    d = spark.range(-1, 2).select(F.col("id").alias("d"))
+    probes = (
+        q.crossJoin(F.broadcast(d.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(d.select(F.col("d").alias("dy"))))
+        .select(
+            F.col("vec_id").alias("qid"),
+            "xi",
+            "yi",
+            (cell("xi") + F.col("dx")).alias("cx"),
+            (cell("yi") + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = probes.join(c, ["cx", "cy"]).select(
+        "qid",
+        "nid",
+        (
+            (F.col("xi") - F.col("cxi")) * (F.col("xi") - F.col("cxi"))
+            + (F.col("yi") - F.col("cyi")) * (F.col("yi") - F.col("cyi"))
+        ).alias("d2"),
+    )
+    return (
+        cand.groupBy("qid")
+        .agg(F.min(F.struct("d2", "nid")).alias("m"))
+        .select("qid", F.col("m.nid").alias("nid"), F.col("m.d2").alias("d2"))
+    )

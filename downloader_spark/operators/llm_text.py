@@ -737,3 +737,71 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("n")).alias("overestimate"),
     )
+
+HASHVEC_BUCKETS = 64
+
+
+@query(
+    "text_hashvec",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(concat('hv:', w)), 1, 15))
+                  AS BIGINT) % {HASHVEC_BUCKETS} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS nnz,
+           CAST(SUM(c) AS BIGINT) AS total,
+           CAST(SUM(c * c) AS BIGINT) AS sq_norm,
+           md5(string_agg(concat(CAST(bucket AS VARCHAR), ':',
+                                 CAST(c AS VARCHAR)), ',' ORDER BY bucket))
+             AS vec_md5
+    FROM b GROUP BY doc_id
+    """,
+    tags=("llm", "text", "features", "hashing"),
+)
+def text_hashvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (the hashing trick): project every
+    document's bag of words into a fixed {HASHVEC_BUCKETS}-bucket
+    count vector by hashing tokens — no vocabulary pass, no global
+    dictionary, memory O(buckets) per doc regardless of vocab size.
+    This is the sklearn-HashingVectorizer / Vowpal-Wabbit primitive
+    a streaming featurizer needs at 100 TB: the vocab table that
+    text_vocab builds (and its full-corpus shuffle) disappears
+    entirely.
+
+    The checked surface is the sparse vector itself: per doc the
+    nonzero count, L1 total, exact squared L2 norm, and the md5 of
+    the bucket-ordered "bucket:count" serialization (struct-sorted
+    numerically — never lexicographically — on both engines).  One
+    explode + two partial-aggregating groupBys, keyed on (doc,
+    bucket) then doc — uniform keys, no vocabulary skew by
+    construction (hot tokens spread over buckets only if they hash
+    apart; the bucket count bounds the damage either way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    b = tok.groupBy(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(concat('hv:', w)), 1, 15), 16, 10) AS BIGINT)"
+            f" % {HASHVEC_BUCKETS}"
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return b.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nnz"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq_norm"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(bucket, c))),"
+                    " s -> concat(CAST(s.bucket AS STRING), ':', CAST(s.c AS STRING)))"
+                ),
+                ",",
+            )
+        ).alias("vec_md5"),
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from downloader_spark.io import load_table
 from downloader_spark.multimodal import scan_binary
 from downloader_spark.plans.registry import query
 
@@ -40,4 +41,69 @@ def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_binary(spark, sf_dir, glob="*.parquet").select(
         F.regexp_extract("path", r"([^/]+)$", 1).alias("file"),
         F.col("length").alias("size_bytes"),
+    )
+
+
+CHUNK_BYTES = 256
+
+
+@query(
+    "multimodal_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, CAST(len(text) AS BIGINT) AS nb FROM documents
+    ), g AS (
+      SELECT doc_id, text, nb,
+             unnest(generate_series(0, CAST((nb - 1) // {CHUNK_BYTES} AS BIGINT)))
+               AS ci
+      FROM t WHERE nb > 0
+    )
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(ci * {CHUNK_BYTES} AS BIGINT) AS start_byte,
+           CAST(LEAST({CHUNK_BYTES}, nb - ci * {CHUNK_BYTES}) AS BIGINT)
+             AS chunk_bytes,
+           md5(substring(text, CAST(ci * {CHUNK_BYTES} + 1 AS BIGINT),
+                         {CHUNK_BYTES})) AS chunk_md5
+    FROM g
+    """,
+    tags=("multimodal", "chunking", "explode"),
+)
+def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size byte-range chunking of an opaque payload — the
+    blob-splitting step a multimodal pipeline runs before per-chunk
+    upload/hashing/dedup (the reference streams whole objects,
+    common.go:103-111; content-defined or fixed chunking is how
+    that generalizes when objects stop fitting in one part).  Each
+    payload explodes into ceil(len/{CHUNK_BYTES}) ranges carrying
+    offset, length, and the chunk's own md5 — the manifest a
+    content-addressed store or a multipart upload wants.
+
+    The documents corpus stands in for the binary column (it is
+    pure ASCII, test-asserted, so byte arithmetic == char
+    arithmetic and both engines hash identical slices; a real
+    binary column would swap substring for a byte slice with the
+    same plan).  Shuffle-free map + explode, like text_chunk — the
+    chunk manifest streams out of the scan at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "text", F.length("text").cast("long").alias("nb")
+    ).filter(F.col("nb") > 0)
+    g = t.select(
+        "doc_id",
+        "text",
+        "nb",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.expr(f"(nb - 1) DIV {CHUNK_BYTES}"))
+        ).alias("ci"),
+    )
+    return g.select(
+        "doc_id",
+        F.col("ci").cast("long").alias("chunk_idx"),
+        (F.col("ci") * CHUNK_BYTES).cast("long").alias("start_byte"),
+        F.least(F.lit(CHUNK_BYTES), F.col("nb") - F.col("ci") * CHUNK_BYTES)
+        .cast("long")
+        .alias("chunk_bytes"),
+        F.md5(
+            F.expr(f"substring(text, CAST(ci * {CHUNK_BYTES} + 1 AS INT), {CHUNK_BYTES})")
+        ).alias("chunk_md5"),
     )

@@ -466,3 +466,145 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob_ppm"
         ),
     )
+
+
+@query(
+    "events_spike",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, bucket, n,
+             CAST(count(*) OVER tw AS BIGINT) AS wn,
+             SUM(n) OVER tw AS s,
+             SUM(n * n) OVER tw AS ss
+      FROM hourly
+      WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket, n, wn, CAST(s AS BIGINT) AS s
+    FROM w
+    WHERE wn >= 12
+      AND (wn * n - s) > 0
+      AND (wn * n - s) * (wn * n - s) * 4 > 25 * (wn * ss - s * s)
+    """,
+    tags=("events", "anomaly", "timeseries", "window"),
+)
+def events_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike detection over hourly event counts — flag any hour
+    whose count exceeds its own type's trailing-24h mean by more than
+    2.5 trailing standard deviations, computed float-free: the
+    z-score inequality |n - s/w| > 2.5·σ is multiplied through by
+    (2w)² into the all-integer form (w·n - s)²·4 > 25·(w·ss - s²),
+    restricted to positive deviations (spikes, not dips), with a
+    12-observation warm-up before any flag fires (the agg_outliers
+    trick applied to a MOVING frame — anomaly detection on the
+    monitoring series the reference only counts, metrics.go:29-42).
+
+    Plan: the event scan partial-aggregates to |types|x|hours| rows
+    BEFORE any window work, so the trailing-frame pass runs over the
+    tiny hourly series — the same two-stage shape a 100 TB streaming
+    monitor would use (aggregate in the stream, detect on the
+    rollup)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tw = (
+        Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-24, -1)
+    )
+    w = hourly.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.count(F.lit(1)).over(tw).cast("long").alias("wn"),
+        F.sum("n").over(tw).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(tw).alias("ss"),
+    )
+    dev = F.col("wn") * F.col("n") - F.col("s")
+    return w.filter(
+        (F.col("wn") >= 12)
+        & (dev > 0)
+        & (dev * dev * 4 > 25 * (F.col("wn") * F.col("ss") - F.col("s") * F.col("s")))
+    ).select("event_type", "bucket", "n", "wn", "s")
+
+
+@query(
+    "table_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               AS price_pu
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 11000 AS BIGINT)
+                  ELSE CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+             END AS price_pu
+      FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           v1.price_pu AS old_price_pu,
+           v2.price_pu AS new_price_pu
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.price_pu <> v2.price_pu
+    """,
+    tags=("cdc", "join", "diff"),
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC detect): classify every key across two
+    table versions as added / removed / changed via a full outer
+    join on the primary key, emitting only the delta.  The two
+    "snapshots" are deterministic transforms of orders (v1 drops
+    keys %97=0, v2 drops %101=0 and bumps price 10% on %89=0), so
+    the key exercises all three change classes with exact-integer
+    price comparison.
+
+    The canonical incremental-maintenance primitive: at 100 TB both
+    sides hash-partition on the SAME key, the join co-locates
+    one-to-one, and unchanged rows (the overwhelming majority) are
+    filtered before anything downstream — the output is O(churn),
+    not O(table).  Bucketed snapshots would make the diff
+    exchange-free (sinks.py's bucketing demonstrates the layout)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pu = "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    v1 = orders.filter("o_orderkey % 97 <> 0").select(
+        "o_orderkey", F.expr(pu).alias("price_pu")
+    )
+    v2 = orders.filter("o_orderkey % 101 <> 0").select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN o_orderkey % 89 = 0"
+            " THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 11000 AS BIGINT)"
+            f" ELSE {pu} END"
+        ).alias("price_pu"),
+    )
+    j = v1.withColumnRenamed("price_pu", "old_price_pu").join(
+        v2.withColumnRenamed("o_orderkey", "k2").withColumnRenamed(
+            "price_pu", "new_price_pu"
+        ),
+        F.col("o_orderkey") == F.col("k2"),
+        "full_outer",
+    )
+    return j.filter(
+        F.col("o_orderkey").isNull()
+        | F.col("k2").isNull()
+        | (F.col("old_price_pu") != F.col("new_price_pu"))
+    ).select(
+        F.coalesce("o_orderkey", "k2").alias("o_orderkey"),
+        F.when(F.col("o_orderkey").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+        "old_price_pu",
+        "new_price_pu",
+    )

@@ -254,3 +254,52 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("h_md5"),
         F.sha2(F.col("text"), 256).alias("h_sha256"),
     )
+
+
+@query(
+    "scalar_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(CASE WHEN len(list_filter(embedding, x -> abs(x) > 0.25)) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS has_large,
+           CAST(CASE WHEN len(list_filter(embedding, x -> abs(x) > 2.0)) = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS all_small,
+           CAST(floor(list_sum(list_transform(embedding,
+                x -> CAST(abs(CAST(x AS DOUBLE)) AS DOUBLE))) * 10000)
+                AS BIGINT) AS l1_upm
+    FROM embeddings
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — filter / exists / forall /
+    transform+aggregate over the embedding vectors, entirely inside
+    whole-stage codegen (Catalyst's lambda functions, no Python).
+    exists/forall are emitted as filter-length comparisons so the
+    oracle's list_filter form is the literally-same algorithm; the
+    L1 norm folds left-to-right over the list in BOTH engines
+    (sequential order is defined by the list, unlike a SQL SUM), so
+    flooring its micro-units is deterministic.
+
+    Pure projection: no shuffle, no Python workers — the map-stage
+    vector-feature shape that feeds quality gates at corpus scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr("CAST(size(filter(embedding, x -> x > CAST(0 AS FLOAT))) AS BIGINT)").alias(
+            "n_pos"
+        ),
+        F.expr(
+            "CAST(CASE WHEN exists(embedding, x -> abs(x) > CAST(0.25 AS FLOAT))"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("has_large"),
+        F.expr(
+            "CAST(CASE WHEN forall(embedding, x -> abs(x) <= CAST(2.0 AS FLOAT))"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("all_small"),
+        F.expr(
+            "CAST(floor(aggregate(embedding, CAST(0 AS DOUBLE),"
+            " (a, x) -> a + abs(CAST(x AS DOUBLE))) * 10000) AS BIGINT)"
+        ).alias("l1_upm"),
+    )

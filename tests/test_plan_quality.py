@@ -276,3 +276,64 @@ def test_ts_interpolate_broadcasts_grid(spark):
     plan = plan_of(spark, "ts_interpolate")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_events_spike_aggregates_before_window(spark):
+    plan = plan_of(spark, "events_spike")
+    # the event scan partial-aggregates to hourly counts BEFORE the
+    # trailing-frame window runs over the tiny series
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Window [") == 1
+
+
+def test_table_diff_is_key_colocated_join(spark):
+    plan = plan_of(spark, "table_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agg_argmax_is_partial_aggregated_not_windowed(spark):
+    plan = plan_of(spark, "agg_argmax")
+    assert "Window" not in plan
+    assert "partial_max" in plan
+
+
+def test_agg_histogram_eqdepth_window_is_partitioned(spark):
+    plan = plan_of(spark, "agg_histogram_eqdepth")
+    # the ntile window partitions by priority class — a global
+    # single-partition sort would be a scale-killer
+    assert "SinglePartition" not in plan
+    assert plan.count("Window [") == 1
+
+
+def test_scalar_higher_order_is_shuffle_free(spark):
+    plan = plan_of(spark, "scalar_higher_order")
+    assert "Exchange" not in plan
+    # no Python workers: lambda functions stay JVM-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_hashvec_needs_no_vocabulary_join(spark):
+    plan = plan_of(spark, "text_hashvec")
+    # the hashing trick's whole point: no join against a vocab table
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_join_spatial_grid_candidates_join_on_cell(spark):
+    plan = plan_of(spark, "join_spatial_grid")
+    # candidates must equi-join on the cell id, never distance-cross
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    # nearest = struct-min aggregation, not a ranking window
+    assert "partial_min" in plan and "Window" not in plan
+
+
+def test_multimodal_chunks_is_shuffle_free(spark):
+    plan = plan_of(spark, "multimodal_chunks")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
