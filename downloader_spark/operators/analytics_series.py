@@ -1,0 +1,411 @@
+"""Ordered-series analytics: OHLC candle aggregation, sweep-line peak
+concurrency, trailing EWMA, percentile winsorization, and a two-phase
+Pareto skyline (SURVEY.md §2.B north star — the time-ordered /
+order-statistic query surface over the archived fact streams the
+reference publishes, routeviews.go:25-31 being itself an ordered
+(seqnum, timestamp) series).
+
+Cross-engine exactness: prices and values enter comparisons as
+DECIMAL(18,2) or floor-scaled integers (floor(x*100) — floor on a
+double is exact and identical cross-engine, unlike round(), which is
+HALF_UP in Spark and not in DuckDB); weights are powers of two;
+every division is an integer floor DIV present in both dialects.
+
+Scale notes (100 TB):
+- ``agg_ohlc`` is ONE hash aggregation: open/close are struct-extrema
+  over the unique (ship-day, orderkey, linenumber) total order —
+  associative, map-side combinable, no window, no sort.  The oracle
+  uses an independent ranking (QUALIFY row_number) formulation — two
+  algorithms, one hash.
+- ``events_concurrency`` partitions the sweep line by DAY: intervals
+  are clipped into per-day segments first, so no window ever spans
+  more than a day's endpoints (at 100 TB you'd sub-shard hot days
+  and prefix-merge shard offsets — same two-phase shape as the
+  skyline below).
+- ``ts_ewma`` is one Window node with 8 lag() taps — Spark collapses
+  the taps into a single pass; partition key user_id is uniform.
+- ``agg_winsorize`` computes the per-group thresholds in one tiny
+  aggregation broadcast back over the scan — two passes, no sort of
+  the data itself.
+- ``agg_skyline`` is the two-phase global-order pattern: band-local
+  windows + a running max over the (tiny) band-stats table, instead
+  of one global-order window that would serialize the whole table
+  through a single partition.  This is the general recipe for
+  "needs a global ORDER BY" operators at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from downloader_spark.functions.numeric import dec
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+# Sessions: same inactivity gap as events_sessionize (pipeline_ext).
+CONC_GAP_S = 1800
+# EWMA: alpha = 1/2 over the trailing EWMA_TAPS observations —
+# weights are exact powers of two, newest first.
+EWMA_TAPS = 8
+_EWMA_W = [1 << (EWMA_TAPS - 1 - k) for k in range(EWMA_TAPS)]  # 128..1
+# Winsorization percentile bounds (exact interpolated percentiles).
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+# Skyline price bands: $100 per band (cents DIV 10000).
+SKY_BAND_CENTS = 10_000
+
+
+@query(
+    "agg_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             CAST(l_quantity AS DECIMAL(18,2)) AS q,
+             row_number() OVER (PARTITION BY year(l_shipdate) * 100 + month(l_shipdate)
+                                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn_a,
+             row_number() OVER (PARTITION BY year(l_shipdate) * 100 + month(l_shipdate)
+                                ORDER BY l_shipdate DESC, l_orderkey DESC,
+                                         l_linenumber DESC) AS rn_d
+      FROM lineitem
+    )
+    SELECT ym,
+           round(CAST(min(CASE WHEN rn_a = 1 THEN p END) AS DOUBLE), 2) AS open,
+           round(CAST(max(p) AS DOUBLE), 2) AS high,
+           round(CAST(min(p) AS DOUBLE), 2) AS low,
+           round(CAST(min(CASE WHEN rn_d = 1 THEN p END) AS DOUBLE), 2) AS close,
+           round(CAST(sum(q) AS DOUBLE), 2) AS volume,
+           count(*) AS n_trades
+    FROM r
+    GROUP BY ym
+    """,
+    tags=("aggregate", "timeseries", "ohlc"),
+)
+def agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle aggregation: per ship-month open/high/low/close of
+    l_extendedprice over the unique (l_shipdate, l_orderkey,
+    l_linenumber) total order, plus volume — the canonical downsample
+    for any ordered numeric stream (finance candles, sensor rollups).
+
+    Open/close are struct-extrema — min/max of (order-key..., price)
+    structs — so the WHOLE operator is one associative hash
+    aggregation: map-side partials combine, no window, no sort, no
+    second pass.  The oracle instead ranks rows (row_number() = 1
+    ascending/descending) — two independent algorithms agreeing on
+    one hash.  Prices compare as DECIMAL(18,2); emitted as
+    round(double, 2) on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ym = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym")
+    p = dec("l_extendedprice", 2)
+    s = F.struct(
+        F.col("l_shipdate").alias("d"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        p.alias("p"),
+    )
+    return (
+        li.select(ym, p.alias("p"), dec("l_quantity", 2).alias("q"), s.alias("s"))
+        .groupBy("ym")
+        .agg(
+            F.round(F.min("s").getField("p").cast("double"), 2).alias("open"),
+            F.round(F.max("p").cast("double"), 2).alias("high"),
+            F.round(F.min("p").cast("double"), 2).alias("low"),
+            F.round(F.max("s").getField("p").cast("double"), 2).alias("close"),
+            F.round(F.sum("q").cast("double"), 2).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+@query(
+    "events_concurrency",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, us,
+             CASE WHEN prev_us IS NULL
+                       OR us - prev_us > {CONC_GAP_S * 1_000_000}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ), sess0 AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, sid, min(us) AS s_us,
+             max(us) + {CONC_GAP_S * 1_000_000} AS e_us
+      FROM sess0 GROUP BY user_id, sid
+    ), days AS (
+      SELECT user_id, sid, s_us, e_us, CAST(d AS BIGINT) AS day
+      FROM sess, LATERAL unnest(generate_series(
+             s_us // 86400000000, (e_us - 1) // 86400000000)) AS t(d)
+    ), deltas AS (
+      SELECT day, greatest(s_us, day * 86400000000) AS t, 1 AS delta
+      FROM days
+      UNION ALL
+      SELECT day, least(e_us, (day + 1) * 86400000000) AS t, -1 AS delta
+      FROM days
+    ), run AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    )
+    SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day
+    """,
+    tags=("events", "sweepline", "window"),
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day, exactly, by sweep line:
+    sessionize each user's stream (same {CONC_GAP_S}s gap rule as
+    events_sessionize), close each session {CONC_GAP_S}s after its
+    last event, clip the [start, end) intervals into per-day
+    segments, emit +1/-1 endpoint deltas, and take the max running
+    sum per day.  Endpoint order (t, delta) processes closings
+    before openings at the same instant — half-open interval
+    semantics, and the max is invariant under reordering of
+    identical (t, delta) rows, so the result is total-order-free.
+
+    Scale: every window partitions by user_id or day — the sweep is
+    never global.  A hot day at 100 TB would shard into (day, k)
+    ranges whose running sums prefix-merge (associative), the same
+    two-phase shape as agg_skyline."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(order_w)
+    flagged = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.when(prev.isNull() | (us - prev > CONC_GAP_S * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = (
+        flagged.withColumn("sid", F.sum("new_s").over(run_w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("s_us"),
+            (F.max("us") + CONC_GAP_S * 1_000_000).alias("e_us"),
+        )
+    )
+    day_us = 86_400_000_000
+    days = sess.select(
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us DIV {day_us}"), F.expr(f"(e_us - 1) DIV {day_us}")
+            )
+        ).alias("day"),
+    )
+    starts = days.select(
+        "day", F.greatest("s_us", F.expr(f"day * {day_us}")).alias("t"), F.lit(1).alias("delta")
+    )
+    ends = days.select(
+        "day",
+        F.least("e_us", F.expr(f"(day + 1) * {day_us}")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    sweep_w = Window.partitionBy("day").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        starts.unionAll(ends)
+        .withColumn("conc", F.sum("delta").over(sweep_w))
+        .groupBy("day")
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    ), lagged AS (
+      SELECT event_id, user_id, v_cents,
+             row_number() OVER w AS rn,
+             {", ".join(f"lag(v_cents, {k}) OVER w AS l{k}" for k in range(EWMA_TAPS))}
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT event_id, user_id, v_cents,
+           CAST(({" + ".join(f"{w} * l{k}" for k, w in enumerate(_EWMA_W))})
+                // {sum(_EWMA_W)} AS BIGINT) AS ewma_cents
+    FROM lagged
+    WHERE rn >= {EWMA_TAPS}
+    """,
+    tags=("timeseries", "window", "ewma"),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average of event values
+    per user, integer-exact: alpha = 1/2 over the last {EWMA_TAPS}
+    observations gives power-of-two weights (128, 64, ..., 1), so
+    ewma = sum(w_k * lag_k) DIV sum(w) is pure integer arithmetic —
+    the standard streaming smoother with none of float EWMA's
+    order-dependence.  Values enter as floor(value * 100) cents
+    (floor on a double is exact cross-engine; round() is not).
+
+    One Window node: Spark evaluates all {EWMA_TAPS} lag() taps in a
+    single pass over each user partition.  The {EWMA_TAPS}-row
+    warm-up is dropped (rn >= {EWMA_TAPS}) so every output has a
+    full tap set."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    v = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v_cents"),
+    )
+    lagged = v.select(
+        "event_id",
+        "user_id",
+        "v_cents",
+        F.row_number().over(w).alias("rn"),
+        *[F.lag("v_cents", k).over(w).alias(f"l{k}") for k in range(EWMA_TAPS)],
+    )
+    num = " + ".join(f"{w_} * l{k}" for k, w_ in enumerate(_EWMA_W))
+    return lagged.filter(F.col("rn") >= EWMA_TAPS).selectExpr(
+        "event_id",
+        "user_id",
+        "v_cents",
+        f"CAST(({num}) DIV {sum(_EWMA_W)} AS BIGINT) AS ewma_cents",
+    )
+
+
+@query(
+    "agg_winsorize",
+    oracle=f"""
+    WITH th AS (
+      SELECT lang,
+             quantile_cont(n_chars, {WINSOR_LO}) AS lo,
+             quantile_cont(n_chars, {WINSOR_HI}) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           round(greatest(th.lo, least(th.hi, CAST(d.n_chars AS DOUBLE))), 2)
+             AS clamped,
+           CAST(d.n_chars < th.lo OR d.n_chars > th.hi AS BOOLEAN) AS clipped
+    FROM documents d JOIN th ON d.lang = th.lang
+    """,
+    tags=("aggregate", "percentile", "ml-prep"),
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization, the standard outlier-robust feature
+    clamp: per-language p5/p95 of document length (exact interpolated
+    percentiles — Spark ``percentile`` and DuckDB ``quantile_cont``
+    interpolate bit-identically over integers, the agg_percentile
+    precedent), then every document's length clamps into [p5, p95]
+    with a clipped flag.
+
+    Two passes, no data sort: the thresholds are ONE tiny per-group
+    aggregation (5 rows) broadcast back over the scan — the shape
+    that holds at any corpus size.  At 100 TB the exact percentile
+    pass would swap for approx_percentile with the same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(n_chars, {WINSOR_HI})").alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(
+                F.greatest("lo", F.least("hi", F.col("n_chars").cast("double"))), 2
+            ).alias("clamped"),
+            ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")))
+            .alias("clipped"),
+        )
+    )
+
+
+@query(
+    "agg_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           CAST(floor(p.p_retailprice * 100) AS BIGINT) AS cents,
+           p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE floor(q.p_retailprice * 100) <= floor(p.p_retailprice * 100)
+        AND q.p_size >= p.p_size
+        AND (floor(q.p_retailprice * 100) < floor(p.p_retailprice * 100)
+             OR q.p_size > p.p_size)
+    )
+    """,
+    tags=("aggregate", "skyline", "two-phase"),
+)
+def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (minimize price, maximize size): the parts
+    no other part dominates — cheaper-or-equal AND bigger-or-equal
+    with at least one strict.  The multi-objective top-k primitive
+    (Börzsönyi et al., ICDE'01 skyline operator, public work).
+
+    Two-phase, never a global sort: parts bucket into $100 price
+    bands; per-band max sizes (a TINY table) get a running max over
+    strictly-lower bands, broadcast back; then a band-LOCAL range
+    window supplies the max size at strictly-lower prices within the
+    band, and a per-price partition catches same-price strict
+    domination.  A row survives iff no prior max reaches it.  The
+    oracle is the independent NOT EXISTS quantifier form — two
+    algorithms, one hash.  This band + prefix-merge decomposition is
+    the general scale recipe for global-order operators (same shape
+    as events_concurrency's sharded sweep)."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_name",
+        F.expr("CAST(floor(p_retailprice * 100) AS BIGINT)").alias("cents"),
+        "p_size",
+    ).withColumn("band", F.expr(f"cents DIV {SKY_BAND_CENTS}"))
+    band_stats = p.groupBy("band").agg(F.max("p_size").alias("band_max"))
+    w_bands = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    prior = band_stats.select(
+        "band", F.max("band_max").over(w_bands).alias("max_before_band")
+    )
+    w_in_band = (
+        Window.partitionBy("band").orderBy("cents").rangeBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    w_same_price = Window.partitionBy("cents")
+    return (
+        p.join(F.broadcast(prior), "band")
+        .withColumn("max_lower_in_band", F.max("p_size").over(w_in_band))
+        .withColumn("max_same_price", F.max("p_size").over(w_same_price))
+        .filter(
+            (
+                F.coalesce(
+                    F.greatest("max_before_band", "max_lower_in_band"),
+                    F.coalesce("max_before_band", "max_lower_in_band"),
+                ).isNull()
+                | (
+                    F.coalesce(
+                        F.greatest("max_before_band", "max_lower_in_band"),
+                        F.coalesce("max_before_band", "max_lower_in_band"),
+                    )
+                    < F.col("p_size")
+                )
+            )
+            & (F.col("max_same_price") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_name", "cents", "p_size")
+    )

@@ -1,0 +1,361 @@
+"""Data-layout, CDC, graph-ranking, and data-quality operators:
+Z-order clustering keys, MERGE-style change application, integer
+PageRank, and a declarative expectation-check report (SURVEY.md §2.B
+north star — the table-maintenance layer any 100 TB archive needs on
+top of the reference's publish loop, common.go:103-121).
+
+Cross-engine exactness: bit interleaving, md5-derived change
+selection, ppm-scaled floor divisions — all integers.
+
+Scale notes (100 TB):
+- ``scalar_zorder`` is a pure projection (no shuffle): the Morton
+  key is the standard multi-dimension clustering trick — writing
+  sorted by zval gives every later scan tight min/max ranges on BOTH
+  dimensions, which is what makes parquet row-group pruning work on
+  2-D predicates.
+- ``table_merge`` touches O(churn), not O(table): the snapshot side
+  is semi-joined down to changed keys before the classifying join —
+  at scale the change-key set rides a broadcast/bloom filter and the
+  untouched 99.9% of the snapshot is never shuffled.
+- ``graph_pagerank`` keeps the edge list hash-partitioned by source
+  across all three unrolled iterations (one shuffle per iteration for
+  the contribution aggregation — the irreducible PageRank shuffle);
+  rank state is ppm integers, so there is no float drift across
+  engines or iteration orders.
+- ``dq_checks`` fuses all single-table expectations into ONE scan
+  (conditional aggregates), plus one anti-join count for referential
+  integrity — the Deequ-style validation pass (public AWS project)
+  priced at two jobs regardless of check count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.operators.llm_dedup import _duck_h60, _spark_h60
+from downloader_spark.plans.registry import query
+
+# Z-order: bits per dimension (2 dims -> 2*ZBITS-bit Morton key).
+ZBITS = 12
+_ZMASK = (1 << ZBITS) - 1
+
+# PageRank: damping 0.85 in ppt, 3 unrolled iterations, ppm ranks.
+PR_ITERS = 3
+PR_DAMP_PPT = 850
+PR_BASE_PPM = 1_000_000
+
+
+def _morton_terms(xcol: str, ycol: str, div: str = "DIV") -> str:
+    """Sum-of-bits Morton interleave (integer div / % / multiply only;
+    ``div`` is 'DIV' for Spark, '//' for DuckDB)."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"(({xcol} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "scalar_zorder",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderkey,
+             o_custkey % {_ZMASK + 1} AS x,
+             (epoch_us(o_orderdate) // 86400000000) % {_ZMASK + 1} AS y
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST({_morton_terms("x", "y", "//")} AS BIGINT) AS zval,
+           CAST(({_morton_terms("x", "y", "//")}) // {1 << 16} AS BIGINT) AS zbucket
+    FROM c
+    """,
+    tags=("scalar", "layout", "zorder"),
+)
+def scalar_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day):
+    interleave the low {ZBITS} bits of each dimension so
+    lexicographic order on ``zval`` is a space-filling curve — rows
+    written in zval order give every parquet row-group tight min/max
+    bounds on BOTH columns, which is what lets a 2-D predicate prune
+    at 100 TB (the Delta/Iceberg OPTIMIZE ZORDER primitive, public
+    technique).  ``zbucket`` (zval DIV 2^16) is the file-assignment
+    key a layout job would repartitionByRange on.
+
+    Pure projection — the interleave is {2 * ZBITS} integer
+    DIV/%/multiply terms, whole-stage-codegen'd, no shuffle, no UDF;
+    the oracle runs the same expression text in DuckDB."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.selectExpr(
+        "o_orderkey",
+        f"o_custkey % {_ZMASK + 1} AS x",
+        f"(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000)"
+        f" % {_ZMASK + 1} AS y",
+    )
+    z = _morton_terms("x", "y")
+    return c.selectExpr(
+        "o_orderkey",
+        "CAST(x AS BIGINT) AS x",
+        "CAST(y AS BIGINT) AS y",
+        f"CAST({z} AS BIGINT) AS zval",
+        f"CAST(({z}) DIV {1 << 16} AS BIGINT) AS zbucket",
+    )
+
+
+@query(
+    "table_merge",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderkey, floor(o_totalprice * 100) AS cents,
+             ({_duck_h60("CAST(o_orderkey AS VARCHAR)")}) % 10 AS b
+      FROM orders
+    ), changes AS (
+      SELECT o_orderkey AS k, 'delete' AS action,
+             CAST(NULL AS BIGINT) AS new_cents
+      FROM h WHERE b = 0
+      UNION ALL
+      SELECT o_orderkey, 'update', CAST(cents + 1000 AS BIGINT)
+      FROM h WHERE b IN (1, 2)
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'insert', CAST(cents AS BIGINT)
+      FROM h WHERE b = 3
+    )
+    SELECT c.k AS o_orderkey, c.action,
+           CAST(s.cents AS BIGINT) AS old_cents,
+           CASE WHEN c.action = 'delete' THEN NULL ELSE c.new_cents END
+             AS new_cents
+    FROM changes c LEFT JOIN h s ON s.o_orderkey = c.k
+    """,
+    tags=("cdc", "merge", "join"),
+)
+def table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style change application (the Delta/Iceberg MERGE INTO
+    semantics as a batch operator): a deterministic change batch —
+    md5-bucketed deletes, updates (+$10), and key-shifted inserts —
+    classifies against the snapshot and emits the O(churn) merge
+    manifest: (key, action, old_cents, new_cents).  table_diff is
+    the inverse (derive changes from two snapshots); together they
+    close the CDC round-trip.
+
+    Scale: the classifying join touches only the change keys — the
+    snapshot side would be semi-join/bloom-pruned before the join at
+    scale (join_bloom_prune is that pattern as its own key), so the
+    untouched bulk of a 100 TB table never shuffles.  All values are
+    floor-cents integers; the change selection is the same md5 DIV
+    bucketing every sampler in this repo uses."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.selectExpr(
+        "o_orderkey",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents",
+        f"({_spark_h60('CAST(o_orderkey AS STRING)')}) % 10 AS b",
+    )
+    deletes = h.filter("b = 0").selectExpr(
+        "o_orderkey AS k", "'delete' AS action", "CAST(NULL AS BIGINT) AS new_cents"
+    )
+    updates = h.filter("b IN (1, 2)").selectExpr(
+        "o_orderkey AS k", "'update' AS action", "CAST(cents + 1000 AS BIGINT) AS new_cents"
+    )
+    inserts = h.filter("b = 3").selectExpr(
+        "o_orderkey + 10000000 AS k", "'insert' AS action", "CAST(cents AS BIGINT) AS new_cents"
+    )
+    changes = deletes.unionAll(updates).unionAll(inserts)
+    snap = h.selectExpr("o_orderkey AS k", "cents AS old_cents")
+    return (
+        changes.join(snap, "k", "left")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            "action",
+            F.col("old_cents").cast("long").alias("old_cents"),
+            F.when(F.col("action") == "delete", F.lit(None).cast("long"))
+            .otherwise(F.col("new_cents"))
+            .alias("new_cents"),
+        )
+    )
+
+
+def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer→supplier edges via orders ⋈ lineitem."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_PR_DUCK_EDGES = """
+    edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+"""
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.node,
+             CAST({1_000_000 - PR_DAMP_PPT * 1000} + {PR_DAMP_PPT} *
+               COALESCE((SELECT sum(p.pr // d.outdeg)
+                         FROM edges e JOIN {prev} p ON p.node = e.src
+                         JOIN deg d ON d.src = e.src
+                         WHERE e.dst = n.node), 0) // 1000 AS BIGINT) AS pr
+      FROM nodes n
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_PR_DUCK_EDGES},
+    pr0 AS (SELECT node, CAST({PR_BASE_PPM} AS BIGINT) AS pr FROM nodes),
+    {",".join(_pr_iter_sql(f"pr{i}", f"pr{i + 1}") for i in range(PR_ITERS))}
+    SELECT node,
+           CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+             AS node_type,
+           pr AS pr_ppm
+    FROM pr{PR_ITERS}
+    """,
+    tags=("graph", "iterative", "pagerank"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph, integer-
+    exact: {PR_ITERS} unrolled power iterations with damping 0.85,
+    all rank state in ppm BIGINTs — per-edge contribution is
+    pr DIV outdeg (floor), so both engines follow the identical
+    trajectory (float PageRank is order-dependent and never
+    hash-checkable).  Dangling-node mass (suppliers have no
+    out-edges) is dropped, the standard simplification — identical
+    on both sides.
+
+    Scale shape: the edge list is computed once and reused across
+    iterations; each iteration is one groupBy(dst) shuffle of edge
+    contributions plus a broadcast-sized join of rank state — the
+    irreducible PageRank cost.  The oracle recomputes the same
+    {PR_ITERS} iterations as correlated-subquery CTEs — independent
+    formulation, one answer.  Companion iterative operators:
+    dedup_clusters (label propagation), embed_kmeans (Lloyd)."""
+    edges = _pagerank_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_deg = edges.join(deg, "src")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    pr = nodes.withColumn("pr", F.lit(PR_BASE_PPM).cast("long"))
+    base = 1_000_000 - PR_DAMP_PPT * 1000
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges_deg.join(pr, edges_deg.src == pr.node)
+            .select("dst", F.expr("pr DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            F.expr(
+                f"CAST({base} + {PR_DAMP_PPT} * COALESCE(mass, 0) DIV 1000"
+                " AS BIGINT)"
+            ).alias("pr"),
+        )
+    return pr.select(
+        "node",
+        F.when(F.col("node") >= 1_000_000, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        F.col("pr").alias("pr_ppm"),
+    )
+
+
+@query(
+    "dq_checks",
+    oracle="""
+    WITH o AS (
+      SELECT count(*) AS n,
+             count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+             sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_price,
+             sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                       OR o_orderdate >= TIMESTAMP '2005-01-01'
+                      THEN 1 ELSE 0 END) AS bad_dates,
+             sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+               AS null_prio
+      FROM orders
+    ), fk AS (
+      SELECT count(*) AS orphans
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    )
+    SELECT 'orderkey_unique' AS check_name, CAST(dup_keys AS BIGINT) AS metric,
+           dup_keys = 0 AS passed FROM o
+    UNION ALL
+    SELECT 'totalprice_nonneg', CAST(neg_price AS BIGINT), neg_price = 0 FROM o
+    UNION ALL
+    SELECT 'orderdate_in_range', CAST(bad_dates AS BIGINT), bad_dates = 0 FROM o
+    UNION ALL
+    SELECT 'priority_not_null', CAST(null_prio AS BIGINT),
+           null_prio * 100 <= n FROM o
+    UNION ALL
+    SELECT 'lineitem_fk_orders', CAST(orphans AS BIGINT), orphans = 0 FROM fk
+    """,
+    tags=("quality", "validation", "aggregate"),
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation report (the Deequ /
+    Great-Expectations pattern, public projects): uniqueness,
+    range, null-rate, and referential-integrity checks over the
+    orders/lineitem pair, emitted as (check_name, metric, passed)
+    rows — the validation gate an ingest pipeline runs before
+    publishing a snapshot (the reference's equivalent gate is its
+    HTTP-status + dedup check, common.go:87-129).
+
+    Cost model: ALL single-table checks fuse into ONE conditional
+    aggregation over one scan — adding a check adds a column, not a
+    job; the FK check is one anti-join count (at scale: broadcast
+    the key side or bloom-prune, the join_bloom_prune pattern).
+    Output is O(checks), so the report is free to collect and gate
+    on."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("neg_price"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2005-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_dates"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias(
+            "null_prio"
+        ),
+    )
+    fk = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphans"))
+    )
+    checks = o.selectExpr(
+        "stack(4,"
+        " 'orderkey_unique', dup_keys, dup_keys = 0,"
+        " 'totalprice_nonneg', neg_price, neg_price = 0,"
+        " 'orderdate_in_range', bad_dates, bad_dates = 0,"
+        " 'priority_not_null', null_prio, null_prio * 100 <= n"
+        ") AS (check_name, metric, passed)"
+    ).selectExpr("check_name", "CAST(metric AS BIGINT) AS metric", "passed")
+    fk_row = fk.selectExpr(
+        "'lineitem_fk_orders' AS check_name",
+        "CAST(orphans AS BIGINT) AS metric",
+        "orphans = 0 AS passed",
+    )
+    return checks.unionAll(fk_row)

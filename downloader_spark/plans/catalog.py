@@ -6,9 +6,11 @@ line per operator module as coverage widens.
 
 import downloader_spark.operators.aggregates  # noqa: F401
 import downloader_spark.operators.analytics_ext  # noqa: F401
+import downloader_spark.operators.analytics_series  # noqa: F401
 import downloader_spark.operators.corpus_hygiene  # noqa: F401
 import downloader_spark.operators.extended  # noqa: F401
 import downloader_spark.operators.graph_ops  # noqa: F401
+import downloader_spark.operators.layout_cdc  # noqa: F401
 import downloader_spark.operators.llm_dedup  # noqa: F401
 import downloader_spark.operators.llm_similarity  # noqa: F401
 import downloader_spark.operators.llm_text  # noqa: F401
@@ -17,6 +19,7 @@ import downloader_spark.operators.network  # noqa: F401
 import downloader_spark.operators.pipeline_ext  # noqa: F401
 import downloader_spark.operators.reference_core  # noqa: F401
 import downloader_spark.operators.relational  # noqa: F401
+import downloader_spark.operators.retrieval_rank  # noqa: F401
 import downloader_spark.operators.scalars  # noqa: F401
 import downloader_spark.operators.sql_surface  # noqa: F401
 import downloader_spark.operators.streaming_windows  # noqa: F401

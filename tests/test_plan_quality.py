@@ -337,3 +337,75 @@ def test_multimodal_chunks_is_shuffle_free(spark):
     plan = plan_of(spark, "multimodal_chunks")
     assert "Exchange" not in plan
     assert "Generate explode" in plan
+
+
+def test_text_bm25_never_explodes_tokens(spark):
+    plan = plan_of(spark, "text_bm25")
+    # tf comes from JVM-side size(filter(...)) lambdas in the scan
+    # projection; exploding the token stream here would shuffle it
+    assert "Generate explode" not in plan
+    # top-10 must be per-partition heaps + k-row merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # corpus stats broadcast back as one row
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_winnow_window_is_doc_partitioned(spark):
+    plan = plan_of(spark, "text_winnow")
+    # the selection window partitions by doc_id — never a global sort
+    assert "SinglePartition" not in plan
+    assert plan.count("Window [") == 1
+
+
+def test_agg_ohlc_is_one_aggregation_no_window(spark):
+    plan = plan_of(spark, "agg_ohlc")
+    # open/close are struct-extrema: associative agg, map-side partials
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_events_concurrency_sweep_is_partitioned(spark):
+    plan = plan_of(spark, "events_concurrency")
+    # every window partitions by user_id or day; a global sweep would
+    # serialize the whole endpoint stream through one partition
+    assert "SinglePartition" not in plan
+
+
+def test_ts_ewma_is_single_window_node(spark):
+    plan = plan_of(spark, "ts_ewma")
+    # all 8 lag taps + row_number fold into ONE Window node
+    assert plan.count("Window [") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_agg_winsorize_broadcasts_thresholds(spark):
+    plan = plan_of(spark, "agg_winsorize")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_skyline_windows_stay_band_local(spark):
+    plan = plan_of(spark, "agg_skyline")
+    # the only single-partition window is over the TINY band-stats
+    # table (bands, not rows); data windows partition by band/cents.
+    # Assert the band stats ride a broadcast join back to the data.
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scalar_zorder_is_shuffle_free_codegen(spark):
+    plan = plan_of(spark, "scalar_zorder")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_table_merge_output_is_churn_sized(spark):
+    plan = plan_of(spark, "table_merge")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dq_checks_fuses_single_table_expectations(spark):
+    plan = plan_of(spark, "dq_checks")
+    # all four orders checks live in ONE aggregation over one scan +
+    # the FK anti-join: at most 2 scans of orders (agg + anti-join
+    # build side), never one scan per check
+    assert plan.count("FileScan parquet") <= 3
