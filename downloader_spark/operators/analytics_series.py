@@ -177,7 +177,11 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     never global.  A hot day at 100 TB would shard into (day, k)
     ranges whose running sums prefix-merge (associative), the same
     two-phase shape as agg_skyline."""
-    ev = load_table(spark, sf_dir, "events")
+    return daily_peak_concurrency(load_table(spark, sf_dir, "events"))
+
+
+def daily_peak_concurrency(ev: DataFrame) -> DataFrame:
+    """Core sweep-line pipeline over (user_id, ts, event_id) rows."""
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run_w = Window.partitionBy("user_id").orderBy("us").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -375,7 +379,14 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         F.expr("CAST(floor(p_retailprice * 100) AS BIGINT)").alias("cents"),
         "p_size",
-    ).withColumn("band", F.expr(f"cents DIV {SKY_BAND_CENTS}"))
+    )
+    return pareto_skyline(p)
+
+
+def pareto_skyline(p: DataFrame) -> DataFrame:
+    """Two-phase skyline core over (p_partkey, p_name, cents, p_size):
+    minimize cents, maximize p_size."""
+    p = p.withColumn("band", F.expr(f"cents DIV {SKY_BAND_CENTS}"))
     band_stats = p.groupBy("band").agg(F.max("p_size").alias("band_max"))
     w_bands = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
     prior = band_stats.select(

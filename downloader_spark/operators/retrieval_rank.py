@@ -48,7 +48,9 @@ from downloader_spark.plans.registry import query
 #          + 6*avgdl + 18*dl)
 # idf uses the rational surrogate N*1e6 DIV (df+1) (monotone in df,
 # ranking-equivalent; ln() is not cross-engine hash-safe).
-BM25_TERMS = ("spark", "query", "join")
+# NB: terms double as column suffixes (tf_<term>) in SQL text; avoid
+# SQL keywords ("join") so dialect tooling never misparses them.
+BM25_TERMS = ("spark", "query", "table")
 BM25_TOPK = 10
 
 # Winnowing: word-3-gram hashes, window of W consecutive grams,
@@ -202,7 +204,11 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     2/(w+1), so fingerprints are a small fraction of the gram stream.
     Shuffle keys are doc_id throughout (uniform); the window frame is
     ROWS-bounded (streaming-friendly, no whole-partition buffering)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing core over (doc_id, text) rows."""
     grams = (
         docs.selectExpr("doc_id", f"{_TOKS} AS toks")
         .filter(F.expr("size(toks) >= 3"))

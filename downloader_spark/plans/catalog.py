@@ -14,6 +14,7 @@ import downloader_spark.operators.layout_cdc  # noqa: F401
 import downloader_spark.operators.llm_dedup  # noqa: F401
 import downloader_spark.operators.llm_similarity  # noqa: F401
 import downloader_spark.operators.llm_text  # noqa: F401
+import downloader_spark.operators.mining_stats  # noqa: F401
 import downloader_spark.operators.multimodal_scan  # noqa: F401
 import downloader_spark.operators.network  # noqa: F401
 import downloader_spark.operators.pipeline_ext  # noqa: F401

@@ -409,3 +409,39 @@ def test_dq_checks_fuses_single_table_expectations(spark):
     # the FK anti-join: at most 2 scans of orders (agg + anti-join
     # build side), never one scan per check
     assert plan.count("FileScan parquet") <= 3
+
+
+def test_agg_gini_is_two_chained_aggregations(spark):
+    plan = plan_of(spark, "agg_gini")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 3  # partials + finals
+
+
+def test_sample_bootstrap_is_one_scan_all_replicates(spark):
+    plan = plan_of(spark, "sample_bootstrap")
+    # all B pseudo-samples evaluate as columns of ONE aggregation
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" not in plan
+
+
+def test_events_paths_is_one_window_plus_topk(spark):
+    plan = plan_of(spark, "events_paths")
+    assert plan.count("Window [") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multimodal_dedup_chunks_first_occurrence_is_aggregated(spark):
+    plan = plan_of(spark, "multimodal_dedup_chunks")
+    # first occurrence per digest = struct/position min aggregation,
+    # never a window over the global chunk stream
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_sql_q2_corr_subquery_is_decorrelated(spark):
+    plan = plan_of(spark, "sql_q2_corr")
+    # Catalyst must rewrite the correlated scalar subquery to a
+    # per-part min aggregate joined back — no per-row subquery nodes
+    assert "Subquery" not in plan
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
