@@ -420,3 +420,113 @@ def pareto_skyline(p: DataFrame) -> DataFrame:
         )
         .select("p_partkey", "p_name", "cents", "p_size")
     )
+
+
+# Autocorrelation: lags examined over the daily per-type count series.
+ACF_MAX_LAG = 7
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+    WITH series AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, day
+    ),
+    lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+    pairs AS (
+      SELECT x.event_type, l.lag, x.c AS xv, y.c AS yv
+      FROM series x
+      CROSS JOIN lags l
+      JOIN series y ON y.event_type = x.event_type
+                   AND y.day = x.day + l.lag
+    ),
+    stats AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+             CAST(sum(xv * yv) AS BIGINT) AS sxy,
+             CAST(sum(xv * xv) AS BIGINT) AS sxx,
+             CAST(sum(yv * yv) AS BIGINT) AS syy
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, lag, n_pairs,
+           n_pairs * sxy - sx * sy AS cov_num,
+           n_pairs * sxx - sx * sx AS var_x_num,
+           n_pairs * syy - sy * sy AS var_y_num,
+           CASE WHEN n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+                THEN round((n_pairs * sxy - sx * sy)
+                           / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4)
+           END AS acf_r4
+    FROM stats
+    """,
+    tags=("timeseries", "autocorrelation", "aggregate"),
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series per
+    event type — the seasonality probe every forecasting pipeline
+    runs before choosing model lags.
+
+    Shape: ONE aggregation builds the daily series (map-side
+    combinable count), the 7-row lag table cross-joins onto it (a
+    broadcast nested loop over a TINY side — the one place a
+    cartesian is correct), and the lag alignment is an equi-join of
+    the series against itself on (type, day+lag) — co-partitioned on
+    event_type, so at 100 TB the only data-sized shuffle is the
+    initial count; the series table is |types| x |days|, already
+    thousands of times smaller than the events fact.
+
+    Exactness: Pearson terms are computed as integer moment sums
+    (n*Σxy - ΣxΣy etc, BIGINT-exact at any realistic count scale);
+    the float division + sqrt happens once per (type, lag) on
+    identical integers, so round(..., 4) agrees bit-for-bit.  Pairs
+    use observed-days semantics (both endpoints present), identical
+    by construction in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    series = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    x = series.select("event_type", "day", F.col("c").alias("xv"))
+    y = series.select(
+        F.col("event_type").alias("et2"), F.col("day").alias("day2"),
+        F.col("c").alias("yv"),
+    )
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .join(
+            y,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("day2") == F.col("day") + F.col("lag")),
+        )
+    )
+    stats = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        num.alias("cov_num"),
+        dx.alias("var_x_num"),
+        dy.alias("var_y_num"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))), 4
+            ),
+        ).alias("acf_r4"),
+    )

@@ -26,7 +26,7 @@ NEAR-dup similarity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from downloader_spark.io import load_table
@@ -303,5 +303,170 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
             F.max("node").alias("max_member"),
+        )
+    )
+
+
+# --- Triangle counting (degree-ordered) ------------------------------
+
+# Co-supplier graph: suppliers are linked when they both ship a
+# high-quantity line (l_quantity >= TRI_MIN_QTY) in the same order.
+TRI_MIN_QTY = 45
+# 100 TB guard: an order touched by a pathological number of suppliers
+# would generate O(k^2) edges; cap the per-order fanout (the same
+# df-cap idea that bounds the ngram inverted index).
+TRI_ORDER_CAP = 20
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH su AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+      FROM lineitem WHERE l_quantity >= {TRI_MIN_QTY}
+    ),
+    capped AS (
+      SELECT ok, s FROM (
+        SELECT ok, s, count(*) OVER (PARTITION BY ok) AS n_s FROM su
+      ) WHERE n_s <= {TRI_ORDER_CAP}
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS a, b.s AS b
+      FROM capped a JOIN capped b ON a.ok = b.ok AND a.s < b.s
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    node_tri AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS tri_count FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    )
+    SELECT d.node AS s_suppkey, d.degree,
+           COALESCE(t.tri_count, 0) AS tri_count
+    FROM deg d LEFT JOIN node_tri t ON t.node = d.node
+    """,
+    tags=("graph", "triangles", "join"),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the co-supplier graph (supplier
+    pairs shipping high-quantity lines in the same order) — the core
+    graph-mining primitive behind clustering coefficients and
+    community detection.
+
+    Spark runs the DEGREE-ORDERED algorithm (each undirected edge is
+    oriented from the (degree, id)-smaller endpoint to the larger, so
+    every wedge is enumerated exactly once from its lowest-rank
+    corner; out-degrees are bounded by O(sqrt(m)), which is what
+    keeps the wedge join polynomial on skewed graphs at 100 TB).  The
+    oracle instead uses the naive ID-ORDERED 3-way self-join — two
+    independent enumeration orders agreeing on every per-node count.
+
+    Plan shape: the per-order fanout cap is a window COUNT over the
+    same ok-partitioning the pair self-join needs, so the exchange is
+    reused; the degree table (|V| rows) broadcasts onto the edge
+    list; the closure check is a join on the oriented edge list
+    itself.  No cartesian anywhere (suite-wide plan gate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = (
+        li.filter(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    wn = Window.partitionBy("ok")
+    capped = su.withColumn("n_s", F.count(F.lit(1)).over(wn)).filter(
+        F.col("n_s") <= TRI_ORDER_CAP
+    )
+    a = capped.select("ok", F.col("s").alias("a"))
+    b = capped.select("ok", F.col("s").alias("b"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select("b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Orient each edge by (degree, id) rank: low -> high.
+    ranked = (
+        e.join(F.broadcast(deg.withColumnRenamed("degree", "da")), e.a == deg.node)
+        .drop("node")
+        .join(
+            F.broadcast(
+                deg.select(F.col("node"), F.col("degree").alias("db"))
+            ),
+            e.b == F.col("node"),
+        )
+        .drop("node")
+    )
+    oriented = ranked.select(
+        F.when(
+            F.struct(F.col("da").alias("d"), F.col("a").alias("i"))
+            < F.struct(F.col("db").alias("d"), F.col("b").alias("i")),
+            F.struct(
+                F.col("a").alias("lo"),
+                F.col("b").alias("hi"),
+                F.col("db").alias("dhi"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("b").alias("lo"),
+                F.col("a").alias("hi"),
+                F.col("da").alias("dhi"),
+            )
+        )
+        .alias("o")
+    ).select(
+        F.col("o.lo").alias("x"),
+        F.col("o.hi").alias("y"),
+        F.col("o.dhi").alias("dy"),
+    )
+    # Wedge = a pair of out-neighbors of the same low-rank corner x,
+    # ordered y-before-z by the same (degree, id) rank; the closing
+    # edge, if present, is necessarily oriented (y -> z).
+    e1 = oriented.select("x", "y", "dy")
+    e2 = oriented.select(
+        F.col("x").alias("x2"), F.col("y").alias("z"), F.col("dy").alias("dz")
+    )
+    wedges = (
+        e1.join(e2, e1.x == e2.x2)
+        .filter(
+            F.struct(F.col("dy").alias("d"), F.col("y").alias("i"))
+            < F.struct(F.col("dz").alias("d"), F.col("z").alias("i"))
+        )
+        .select("x", "y", "z")
+    )
+    closing = oriented.select(F.col("x").alias("cy"), F.col("y").alias("cz"))
+    tri = wedges.join(
+        closing, (wedges.y == closing.cy) & (wedges.z == closing.cz)
+    ).select("x", "y", "z")
+    node_tri = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select("y"))
+        .unionAll(tri.select("z"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_count"))
+    )
+    return (
+        deg.join(node_tri, "node", "left")
+        .select(
+            F.col("node").alias("s_suppkey"),
+            "degree",
+            F.coalesce("tri_count", F.lit(0).cast("long")).alias("tri_count"),
         )
     )

@@ -107,3 +107,70 @@ def multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"substring(text, CAST(ci * {CHUNK_BYTES} + 1 AS INT), {CHUNK_BYTES})")
         ).alias("chunk_md5"),
     )
+
+
+# Uniform frame sampling: frames drawn per asset, evenly spaced.
+FRAME_SAMPLES = 8
+# Deterministic fake media clock (no codecs in this container): an
+# asset's duration is derived from its size — the Spark-side plumbing
+# (schema, explode shape, per-frame fingerprint) is real and checked.
+FRAME_DUR_BASE_MS = 1_000
+FRAME_DUR_MOD_MS = 59_000
+
+
+@query(
+    "multimodal_frames",
+    oracle=f"""
+    WITH assets AS (
+      SELECT doc_id,
+             CAST({FRAME_DUR_BASE_MS} + (n_chars * 7) % {FRAME_DUR_MOD_MS}
+                  AS BIGINT) AS duration_ms
+      FROM documents
+    )
+    SELECT doc_id, duration_ms,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * duration_ms // {FRAME_SAMPLES} AS BIGINT) AS ts_ms,
+           md5(CAST(doc_id AS VARCHAR) || ':' ||
+               CAST(i * duration_ms // {FRAME_SAMPLES} AS VARCHAR)) AS frame_md5
+    FROM assets, unnest(generate_series(0, {FRAME_SAMPLES - 1})) AS t(i)
+    """,
+    tags=("multimodal", "video", "frames"),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame sampling for video-shaped assets: K=8 evenly
+    spaced sample timestamps per asset plus a per-frame fingerprint —
+    the manifest a frame-extraction stage consumes (decode itself is
+    stubbed: no codec libraries in this container, so the "frame" is
+    a deterministic md5 of (asset, timestamp); the plumbing — per-
+    asset duration metadata, explode fanout, sampling arithmetic,
+    fingerprint schema — is the real Spark shape and is what the
+    oracle checks).
+
+    Timestamps are i*duration DIV K — integer floor division, exact
+    in both engines.  Shuffle-free: metadata projection + explode
+    streams straight out of the scan; at 100 TB the manifest joins
+    back to the binary payloads by doc_id for the Arrow-batched
+    mapInPandas decode (downloader_spark.multimodal), never the
+    other way around."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST({FRAME_DUR_BASE_MS} + (n_chars * 7) % {FRAME_DUR_MOD_MS} AS BIGINT)"
+        ).alias("duration_ms"),
+    )
+    frames = assets.select(
+        "doc_id",
+        "duration_ms",
+        F.explode(F.sequence(F.lit(0), F.lit(FRAME_SAMPLES - 1))).alias("i"),
+    )
+    ts = F.expr(f"i * duration_ms DIV {FRAME_SAMPLES}")
+    return frames.select(
+        "doc_id",
+        "duration_ms",
+        F.col("i").cast("long").alias("frame_idx"),
+        ts.cast("long").alias("ts_ms"),
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), ts.cast("string"))
+        ).alias("frame_md5"),
+    )

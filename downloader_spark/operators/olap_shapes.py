@@ -1,0 +1,252 @@
+"""Classic OLAP report shapes (TPC-H Q1/Q10/Q16/Q18/Q19 analogs) run
+as identical SQL text on both engines — the full-table-report half of
+the SQL surface (sql_surface.py holds the CTE/subquery/6-way-join
+half).  The reference's own "reports" are counters scraped over HTTP
+(/root/reference/metrics/metrics.go:14-61); the north star promotes
+them to the standard warehouse report set over the archived facts.
+
+Cross-engine exactness (see functions/numeric.py): every money
+aggregate is summed as DECIMAL and emitted as round(double, 2);
+pass-through float columns are emitted as floor-scaled integer cents
+(floor on a double is exact and identical cross-engine); every
+ORDER BY ends in a unique key so LIMIT is a total order.
+
+Scale notes (100 TB):
+- ``sql_q1_pricing`` is ONE hash aggregation over the fact scan with
+  a pushed shipdate filter: 6 decimal sums + a count, all map-side
+  combinable, 6-group output.  The canonical whole-stage-codegen
+  benchmark query — no join, no window, no sort of data.
+- ``sql_q10_returns`` joins facts on their keys (orders x lineitem
+  shuffle join pre-filtered by the quarter + returnflag pushdowns)
+  and broadcasts nation; the top-20 is TakeOrderedAndProject —
+  per-partition heaps, never a global sort.
+- ``sql_q16_variety`` rewrites NOT IN over a 6-row exclusion list to
+  a broadcast null-aware anti join; COUNT(DISTINCT) expands
+  per-group — the skew-safe two-phase distinct.
+- ``sql_q18_toporders`` self-aggregates lineitem once (HAVING > cap)
+  and semi-joins the tiny qualifying-order set back against the
+  fact — Catalyst plans the IN-subquery as a shuffle semi join keyed
+  on the already-aggregated side.
+- ``sql_q19_disjuncts`` is the disjunctive-pushdown showcase: the
+  OR-of-conjunctions collapses to a single CASE projection after one
+  broadcast part join; the per-branch rollup is a 9-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+
+_TABLES = ("customer", "orders", "lineitem", "supplier", "part", "nation")
+
+
+def _run(spark: SparkSession, sf_dir: str, body: str, tables=_TABLES) -> DataFrame:
+    """Register ds_-prefixed temp views and run ``body`` with table
+    names rewritten to them — the same SQL text the oracle runs."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"ds_{t}")
+    for t in tables:
+        body = body.replace(f"FROM {t}", f"FROM ds_{t}").replace(
+            f"JOIN {t}", f"JOIN ds_{t}"
+        )
+    return spark.sql(body)
+
+
+_Q1_BODY = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.0 - l_discount AS DECIMAL(8,4))
+                      * CAST(1.0 + l_tax AS DECIMAL(8,4))) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+       round(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "sql_q1_pricing",
+    oracle=_Q1_BODY,
+    tags=("sql", "aggregate", "report"),
+)
+def sql_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the canonical single-pass
+    fact-table report — 6 decimal-exact sums, 3 derived averages and
+    a count per (returnflag, linestatus), behind a pushed shipdate
+    filter.  The whole query is one hash aggregation with map-side
+    partials inside a single WholeStageCodegen span; the decimal
+    products (price x (1-disc) x (1+tax)) stay within DECIMAL(38,_)
+    so both engines compute identical exact sums."""
+    return _run(spark, sf_dir, _Q1_BODY, tables=("lineitem",))
+
+
+_Q10_BODY = """
+SELECT c.c_custkey,
+       c.c_name,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1.0 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE), 2) AS revenue,
+       CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1996-10-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, CAST(floor(c.c_acctbal * 100) AS BIGINT), n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query(
+    "sql_q10_returns",
+    oracle=_Q10_BODY,
+    tags=("sql", "join", "aggregate", "topk"),
+)
+def sql_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: top-20 customers by
+    revenue lost to returns in one quarter.  The quarter filter
+    pushes to the orders scan and returnflag to the lineitem scan
+    BEFORE their shuffle join; nation broadcasts; the top-20 runs as
+    TakeOrderedAndProject on (revenue DESC, c_custkey) — a total
+    order, so LIMIT is deterministic.  c_acctbal passes through as
+    floor-scaled cents (exact cross-engine, unlike round())."""
+    return _run(
+        spark, sf_dir, _Q10_BODY, tables=("customer", "orders", "lineitem", "nation")
+    )
+
+
+_Q16_BODY = """
+SELECT p.p_brand,
+       p.p_type,
+       p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type <> 'STANDARD'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query(
+    "sql_q16_variety",
+    oracle=_Q16_BODY,
+    tags=("sql", "join", "distinct", "subquery"),
+)
+def sql_q16_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier-variety report: distinct supplier
+    count per (brand, type, size), excluding flagged suppliers via
+    NOT IN.  (The driver schema has no partsupp table — lineitem is
+    the part<->supplier association, reference parity per
+    SURVEY.md §1.)  Catalyst rewrites the NOT IN over the 6-row
+    exclusion list into a broadcast null-aware anti join, the part
+    predicates prune before the fact join, and COUNT(DISTINCT)
+    expands to the two-phase partial distinct — no row ever carries
+    more than the three group keys plus a suppkey."""
+    return _run(
+        spark, sf_dir, _Q16_BODY, tables=("lineitem", "part", "supplier")
+    )
+
+
+_Q18_BODY = """
+SELECT c.c_custkey,
+       c.c_name,
+       o.o_orderkey,
+       o.o_orderdate,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       round(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+         CAST(floor(o.o_totalprice * 100) AS BIGINT)
+ORDER BY sum_qty DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@query(
+    "sql_q18_toporders",
+    oracle=_Q18_BODY,
+    tags=("sql", "join", "subquery", "having", "topk"),
+)
+def sql_q18_toporders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume-order report: orders whose total
+    quantity exceeds a cap, with customer context, top-100 by
+    quantity.  The IN-subquery aggregates lineitem once (HAVING on a
+    decimal-exact sum), and Catalyst semi-joins the small qualifying
+    set back against orders BEFORE the customer join — the classic
+    "aggregate once, semi-join back" shape that avoids re-scanning
+    the fact.  ORDER BY (sum_qty DESC, o_orderkey) is total, so the
+    LIMIT is deterministic; o_totalprice passes as floor-cents."""
+    return _run(
+        spark, sf_dir, _Q18_BODY, tables=("customer", "orders", "lineitem")
+    )
+
+
+_Q19_BODY = """
+WITH matched AS (
+  SELECT CASE
+           WHEN p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                AND l.l_quantity BETWEEN 1 AND 11 THEN 'small'
+           WHEN p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                AND l.l_quantity BETWEEN 10 AND 20 THEN 'medium'
+           WHEN p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 20 AND 30 THEN 'large'
+         END AS branch,
+         l.l_returnflag,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1.0 - l.l_discount AS DECIMAL(8,4)) AS disc_price
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+         AND l.l_quantity BETWEEN 1 AND 11)
+     OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+         AND l.l_quantity BETWEEN 10 AND 20)
+     OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+         AND l.l_quantity BETWEEN 20 AND 30)
+)
+SELECT branch,
+       l_returnflag,
+       COUNT(*) AS n_items,
+       round(CAST(SUM(disc_price) AS DOUBLE), 2) AS revenue
+FROM matched
+GROUP BY branch, l_returnflag
+"""
+
+
+@query(
+    "sql_q19_disjuncts",
+    oracle=_Q19_BODY,
+    tags=("sql", "join", "predicate", "disjunction"),
+)
+def sql_q19_disjuncts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate revenue report: three
+    OR'd (brand, size-range, quantity-range) conjunctions, rolled up
+    per matched branch x returnflag.  The disjunction showcase: the
+    quantity bounds (the union of the three ranges) push to the
+    lineitem scan, the part predicates prune the broadcast side, and
+    after ONE broadcast join the OR collapses into a single CASE
+    projection — Catalyst never expands the disjunction into a
+    union of three scans."""
+    return _run(spark, sf_dir, _Q19_BODY, tables=("lineitem", "part"))

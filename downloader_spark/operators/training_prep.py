@@ -321,3 +321,138 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_md5"
         ),
     )
+
+
+# BPE pair mining: top merge candidates surfaced per round.
+BPE_TOP_K = 30
+
+
+@query(
+    "text_bpe_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS nw
+      FROM words
+      WHERE len(w) >= 2 AND regexp_full_match(w, '[a-z]+')
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, nw
+      FROM vocab, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ),
+    counted AS (
+      SELECT pair, CAST(sum(nw) AS BIGINT) AS n
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+    FROM counted
+    QUALIFY rank <= {BPE_TOP_K}
+    """,
+    tags=("llm", "text", "tokenizer", "bpe"),
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step workhorse: corpus-frequency-weighted counts of
+    adjacent CHARACTER pairs inside words, top-30 merge candidates —
+    exactly the statistic a byte-pair-encoding tokenizer trainer
+    computes every merge round (char-level round 0 here).
+
+    The scale trick is the one real BPE trainers use: collapse the
+    corpus to its VOCAB first (one map-side-combinable word count),
+    then enumerate pairs over the vocab table — pair generation cost
+    scales with |vocab|, not corpus tokens, because each distinct
+    word carries its frequency as a weight.  The global top-k is
+    TakeOrderedAndProject (per-partition heaps), and the rank window
+    runs over 30 survivors only."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("nw"))
+    )
+    pairs = vocab.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w",
+        "nw",
+    ).select(F.expr("substr(w, i, 2)").alias("pair"), "nw")
+    counted = pairs.groupBy("pair").agg(F.sum("nw").alias("n"))
+    top = counted.orderBy(F.col("n").desc(), F.col("pair")).limit(BPE_TOP_K)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+# Curriculum bands: docs are staged shortest-first in 512-char bands.
+CURR_BAND_CHARS = 512
+CURR_MAX_BAND = 7
+# Sub-bucketing fans each band into 16 hash buckets so no ranking
+# window ever sees more than band/16 of the data.
+CURR_BUCKETS = 16
+
+
+@query(
+    "curriculum_order",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(least(n_chars // {CURR_BAND_CHARS}, {CURR_MAX_BAND}) AS BIGINT)
+             AS band,
+           CAST(row_number() OVER (
+             ORDER BY least(n_chars // {CURR_BAND_CHARS}, {CURR_MAX_BAND}),
+                      md5(CAST(doc_id AS VARCHAR)),
+                      doc_id
+           ) AS BIGINT) AS global_pos
+    FROM documents
+    """,
+    tags=("llm", "training", "curriculum", "global-order"),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every document gets its global training
+    position — shortest-band first (easy-to-hard scheduling), shuffled
+    within each band by a reproducible md5 of the doc id (never an
+    RNG: re-runs and engines must agree).
+
+    The oracle is ONE global row_number over (band, md5, doc_id).
+    Spark refuses that single-partition sort and builds the same
+    total order with the two-phase distributed ranking recipe:
+    (1) count per (band, md5-prefix-bucket) — a tiny grid of at most
+    8x16 cells; (2) running-sum offsets over that grid in one
+    window over a handful of rows; (3) rank WITHIN each
+    (band, bucket) — windows partitioned by bucket, so no partition
+    ever holds more than ~1/128th of the corpus; (4) position =
+    grid offset + local rank.  Because a bucket's md5s all share the
+    prefix hex digit, (band, bucket, md5) order IS (band, md5)
+    order — the concatenation is exact, and the same recipe is how
+    any global ORDER BY ships at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(least(n_chars DIV {CURR_BAND_CHARS}, {CURR_MAX_BAND}) AS BIGINT)"
+        ).alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn(
+        "bucket", F.conv(F.substring("h", 1, 1), 16, 10).cast("int")
+    )
+    grid = keyed.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    wg = (
+        Window.orderBy("band", "bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = grid.select(
+        "band",
+        "bucket",
+        F.coalesce(F.sum("n").over(wg), F.lit(0)).alias("offset"),
+    )
+    wl = Window.partitionBy("band", "bucket").orderBy("h", "doc_id")
+    local = keyed.withColumn("r", F.row_number().over(wl))
+    return (
+        local.join(F.broadcast(offsets), ["band", "bucket"])
+        .select(
+            "doc_id",
+            "band",
+            (F.col("offset") + F.col("r")).cast("long").alias("global_pos"),
+        )
+    )

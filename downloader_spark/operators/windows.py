@@ -202,3 +202,65 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("running_value"),
         F.row_number().over(w).alias("seq"),
     )
+
+
+@query(
+    "window_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, day,
+             CASE WHEN day - lag(day) OVER (PARTITION BY user_id ORDER BY day) = 1
+                  THEN 0 ELSE 1 END AS is_start
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, day,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY day) AS island_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(day) AS BIGINT) AS start_day,
+           CAST(max(day) AS BIGINT) AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM islands
+    GROUP BY user_id, island_id
+    """,
+    tags=("window", "gaps-islands", "sessionize"),
+)
+def window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user — streak detection, the calendar-grain cousin of
+    events_sessionize (which segments on a time gap, not day
+    adjacency).
+
+    Spark uses the classic row_number ANCHOR trick — day - row_number
+    is constant within a consecutive run — so ONE window pass assigns
+    island identity with no lag/running-sum cascade; the oracle uses
+    the two-window lag-flag + running-sum formulation instead.  Two
+    independent island constructions, one hash.
+
+    Scale: distinct (user, day) first (map-side combinable, collapses
+    the fact by ~events-per-user-day), then a single user-partitioned
+    window — per-user day sequences are tiny and uniform, and the
+    final rollup reuses the same user partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.col("day") - F.row_number().over(w)
+    )
+    return anchored.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).drop("anchor")

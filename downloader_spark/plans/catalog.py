@@ -17,6 +17,7 @@ import downloader_spark.operators.llm_text  # noqa: F401
 import downloader_spark.operators.mining_stats  # noqa: F401
 import downloader_spark.operators.multimodal_scan  # noqa: F401
 import downloader_spark.operators.network  # noqa: F401
+import downloader_spark.operators.olap_shapes  # noqa: F401
 import downloader_spark.operators.pipeline_ext  # noqa: F401
 import downloader_spark.operators.reference_core  # noqa: F401
 import downloader_spark.operators.relational  # noqa: F401

@@ -1,0 +1,308 @@
+"""Differential property tests for the round-8 operators: triangle
+counting, gaps-and-islands, BPE pair mining, and autocorrelation vs
+independent pure-Python models on random inputs.
+
+The Spark implementations use scale-shaped algorithms (degree-ordered
+orientation, row_number anchors, vocab-collapsed weighting, moment
+sums); the models here use the naive direct formulation — brute-force
+triangle enumeration, linear streak walking, per-corpus-token pair
+counting, textbook Pearson — so agreement validates the algebra, not
+just a re-implementation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from downloader_spark.operators.graph_ops import (
+    TRI_MIN_QTY,
+    TRI_ORDER_CAP,
+    graph_triangles,
+)
+from downloader_spark.operators.training_prep import BPE_TOP_K, text_bpe_pairs
+from downloader_spark.operators.windows import window_islands
+from downloader_spark.operators.analytics_series import ACF_MAX_LAG, ts_autocorr
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _patched(module, df):
+    """Context-manager-free monkeypatch helper used by every test."""
+    orig = module.load_table
+    module.load_table = lambda s, d, n: df
+    return orig
+
+
+# --- graph_triangles -------------------------------------------------
+
+# (orderkey, suppkey) memberships; quantity pinned above the filter.
+membership_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 8)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def model_triangles(memberships):
+    """Brute-force: build the co-membership edge set (per-order cap
+    applied), then test every node triple."""
+    by_order: dict[int, set[int]] = {}
+    for ok, s in memberships:
+        by_order.setdefault(ok, set()).add(s)
+    edges = set()
+    for members in by_order.values():
+        if len(members) > TRI_ORDER_CAP:
+            continue
+        edges |= {
+            (a, b) for a, b in itertools.combinations(sorted(members), 2)
+        }
+    nodes = sorted({n for e in edges for n in e})
+    deg = {n: sum(1 for e in edges if n in e) for n in nodes}
+    tri = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {n: (deg[n], tri[n]) for n in nodes}
+
+
+@settings(**_SETTINGS)
+@given(membership_strategy)
+def test_graph_triangles_matches_bruteforce(spark, memberships):
+    import downloader_spark.operators.graph_ops as go
+
+    rows = [
+        (ok, s, i, float(TRI_MIN_QTY), 1.0, 0.0, 0.0, "N", "O", None)
+        for i, (ok, s) in enumerate(memberships)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    )
+    orig = _patched(go, df)
+    try:
+        got = {
+            r.s_suppkey: (r.degree, r.tri_count)
+            for r in graph_triangles(spark, "ignored").collect()
+        }
+    finally:
+        go.load_table = orig
+    assert got == model_triangles(memberships)
+
+
+def test_graph_triangles_order_cap_prunes_hot_order(spark):
+    """One order touching CAP+2 suppliers must contribute NO edges."""
+    import downloader_spark.operators.graph_ops as go
+
+    hot = [(1, s) for s in range(TRI_ORDER_CAP + 2)]
+    cold = [(2, 0), (2, 1), (3, 1), (3, 2), (4, 0), (4, 2)]  # one triangle
+    rows = [
+        (ok, s, i, float(TRI_MIN_QTY), 1.0, 0.0, 0.0, "N", "O", None)
+        for i, (ok, s) in enumerate(hot + cold)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    )
+    orig = _patched(go, df)
+    try:
+        got = {
+            r.s_suppkey: (r.degree, r.tri_count)
+            for r in graph_triangles(spark, "ignored").collect()
+        }
+    finally:
+        go.load_table = orig
+    # only the cold orders' triangle {0,1,2} survives
+    assert got == {0: (2, 1), 1: (2, 1), 2: (2, 1)}
+
+
+# --- window_islands --------------------------------------------------
+
+days_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)),  # (user, day)
+    min_size=1,
+    max_size=50,
+)
+
+
+def model_islands(user_days):
+    """Walk each user's sorted distinct days linearly."""
+    out = []
+    by_user: dict[int, list[int]] = {}
+    for u, d in set(user_days):
+        by_user.setdefault(u, []).append(d)
+    for u, ds in by_user.items():
+        ds.sort()
+        start = prev = ds[0]
+        for d in ds[1:]:
+            if d == prev + 1:
+                prev = d
+                continue
+            out.append((u, start, prev, prev - start + 1))
+            start = prev = d
+        out.append((u, start, prev, prev - start + 1))
+    return sorted(out)
+
+
+@settings(**_SETTINGS)
+@given(days_strategy)
+def test_window_islands_matches_linear_walk(spark, user_days):
+    import datetime as dt
+
+    import downloader_spark.operators.windows as wmod
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (i, base + dt.timedelta(days=d, seconds=u), u, "view", 1.0, "{}")
+        for i, (u, d) in enumerate(user_days)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    base_day = int(base.timestamp()) // 86400
+    orig = _patched(wmod, df)
+    try:
+        got = sorted(
+            (r.user_id, r.start_day - base_day, r.end_day - base_day, r.n_days)
+            for r in window_islands(spark, "ignored").collect()
+        )
+    finally:
+        wmod.load_table = orig
+    assert got == model_islands(user_days)
+
+
+# --- text_bpe_pairs --------------------------------------------------
+
+word_strategy = st.text(alphabet="abc", min_size=1, max_size=6)
+docs_strategy = st.lists(
+    st.lists(word_strategy, min_size=1, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+def model_bpe_pairs(docs):
+    """Direct per-corpus-token pair counting — NO vocab collapse, so
+    agreement proves the frequency-weighting algebra."""
+    counts: dict[str, int] = {}
+    for words in docs:
+        for w in words:
+            if len(w) < 2:
+                continue
+            for i in range(len(w) - 1):
+                p = w[i : i + 2]
+                counts[p] = counts.get(p, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {
+        p: (n, i + 1) for i, (p, n) in enumerate(ranked[:BPE_TOP_K])
+    }
+
+
+@settings(**_SETTINGS)
+@given(docs_strategy)
+def test_text_bpe_pairs_matches_direct_count(spark, docs):
+    import downloader_spark.operators.training_prep as tp
+
+    rows = [
+        (i, " ".join(words), "en", "test", len(" ".join(words)))
+        for i, words in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(tp, df)
+    try:
+        got = {
+            r.pair: (r.n, r.rank)
+            for r in text_bpe_pairs(spark, "ignored").collect()
+        }
+    finally:
+        tp.load_table = orig
+    assert got == model_bpe_pairs(docs)
+
+
+# --- ts_autocorr -----------------------------------------------------
+
+counts_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(1, 50)),  # (day, count)
+    min_size=2,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+def model_acf(day_counts):
+    """Textbook Pearson over the lag-aligned observed pairs."""
+    series = dict(day_counts)
+    out = {}
+    for lag in range(1, ACF_MAX_LAG + 1):
+        pairs = [
+            (series[d], series[d + lag]) for d in series if d + lag in series
+        ]
+        if not pairs:
+            continue
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        num = n * sxy - sx * sy
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        r4 = (
+            round(num / (math.sqrt(dx) * math.sqrt(dy)), 4)
+            if dx > 0 and dy > 0
+            else None
+        )
+        out[lag] = (n, num, dx, dy, r4)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(counts_strategy)
+def test_ts_autocorr_matches_textbook_pearson(spark, day_counts):
+    import datetime as dt
+
+    import downloader_spark.operators.analytics_series as am
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    eid = 0
+    for day, c in day_counts:
+        for _ in range(c):
+            rows.append(
+                (eid, base + dt.timedelta(days=day), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = _patched(am, df)
+    try:
+        got = {
+            r.lag: (r.n_pairs, r.cov_num, r.var_x_num, r.var_y_num, r.acf_r4)
+            for r in ts_autocorr(spark, "ignored").collect()
+        }
+    finally:
+        am.load_table = orig
+    assert got == model_acf(day_counts)
