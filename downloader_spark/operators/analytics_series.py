@@ -530,3 +530,101 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("acf_r4"),
     )
+
+
+@query(
+    "ts_changepoint",
+    oracle="""
+    WITH series AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, day
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS total
+      FROM series GROUP BY event_type
+    ),
+    pre AS (
+      SELECT s.event_type, s.day,
+             (SELECT sum(c) FROM series s2
+              WHERE s2.event_type = s.event_type AND s2.day <= s.day) AS pc,
+             (SELECT count(*) FROM series s3
+              WHERE s3.event_type = s.event_type AND s3.day <= s.day) AS k
+      FROM series s
+    )
+    SELECT p.event_type, t.n_days, t.total,
+           p.day AS cp_day,
+           CAST(t.n_days * p.pc - p.k * t.total AS BIGINT) AS cusum_at_cp,
+           CAST(abs(t.n_days * p.pc - p.k * t.total) AS BIGINT) AS abs_cusum
+    FROM pre p JOIN tot t ON t.event_type = p.event_type
+    QUALIFY row_number() OVER (
+      PARTITION BY p.event_type
+      ORDER BY abs(t.n_days * p.pc - p.k * t.total) DESC, p.day
+    ) = 1
+    """,
+    tags=("timeseries", "changepoint", "cusum"),
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection: per event type, the day where the
+    cumulative deviation of the daily count from its series mean
+    peaks — the standard drift locator for monitoring pipelines (did
+    the event rate shift, and WHEN).
+
+    ALL-INTEGER algebra: the mean-deviation prefix sum
+    S_k = Σ_{i≤k}(c_i − total/n) is scaled by n to
+    S'_k = n·prefix_k − k·total, an exact BIGINT with the same
+    argmax — no float ever enters, so the hash cannot drift.  Spark
+    computes prefixes with ONE ordered window per type plus a
+    struct-max argmax (tie → earliest day); the oracle recomputes the
+    same prefixes with correlated subqueries and picks the peak by
+    ranking — different dataflow, same integers.
+
+    Scale: the windowed stage runs on the |types| x |days| series
+    table (thousands of times smaller than the fact); per-type
+    sequences co-locate under one exchange.  The argmax is an
+    associative struct MAX — map-side combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    series = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_all = Window.partitionBy("event_type")
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = series.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+        F.sum("c").over(w_all).alias("total"),
+        F.sum("c").over(w_ord).alias("pc"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("k"),
+    ).withColumn(
+        "sk", F.col("n_days") * F.col("pc") - F.col("k") * F.col("total")
+    )
+    best = scored.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.abs("sk").alias("a"),
+                (-F.col("day")).alias("nd"),
+                F.col("day").alias("day"),
+                F.col("sk").alias("sk"),
+                F.col("n_days").alias("n_days"),
+                F.col("total").alias("total"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "event_type",
+        F.col("m.n_days").alias("n_days"),
+        F.col("m.total").alias("total"),
+        F.col("m.day").alias("cp_day"),
+        F.col("m.sk").alias("cusum_at_cp"),
+        F.col("m.a").alias("abs_cusum"),
+    )

@@ -436,6 +436,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.hi").alias("y"),
         F.col("o.dhi").alias("dy"),
     )
+    # The oriented edge list feeds THREE consumers (both wedge sides
+    # and the closure probe); materialize it once so the capped
+    # self-join + degree join lineage isn't re-evaluated per consumer
+    # (same lineage-truncation discipline as connected_components).
+    oriented = oriented.localCheckpoint()
     # Wedge = a pair of out-neighbors of the same low-rank corner x,
     # ordered y-before-z by the same (degree, id) rank; the closing
     # edge, if present, is necessarily oriented (y -> z).

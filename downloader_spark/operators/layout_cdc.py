@@ -359,3 +359,103 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orphans = 0 AS passed",
     )
     return checks.unionAll(fk_row)
+
+
+# Schema-drift split day: 2024-01-15 as an epoch day (events span
+# January 2024) — window A is days before it, window B the rest.
+DRIFT_SPLIT_DAY = 19_738
+_DRIFT_COLS = ("event_type", "user_id", "value", "props")
+
+
+@query(
+    "dq_schema_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT *, CASE WHEN epoch_us(ts) // 86400000000 < {DRIFT_SPLIT_DAY}
+                     THEN 'A' ELSE 'B' END AS half
+      FROM events
+    ),
+    m AS (
+      {" UNION ALL ".join(
+        f'''SELECT half, '{c}' AS col, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS nd
+             FROM e GROUP BY half'''
+        for c in _DRIFT_COLS
+      )}
+    )
+    SELECT a.col AS column_name,
+           a.n AS n_a, b.n AS n_b,
+           a.nn AS null_a, b.nn AS null_b,
+           a.nd AS distinct_a, b.nd AS distinct_b,
+           CAST(abs(b.nd - a.nd) * 1000000 // greatest(a.nd, 1) AS BIGINT)
+             AS distinct_shift_ppm,
+           CAST(CASE WHEN b.nd > a.nd THEN 1
+                     WHEN b.nd < a.nd THEN -1 ELSE 0 END AS INT) AS shift_sign
+    FROM m a JOIN m b ON a.col = b.col AND a.half = 'A' AND b.half = 'B'
+    """,
+    tags=("quality", "drift", "profile"),
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/statistics drift report: the same profile (row count,
+    null count, distinct count) computed over two time windows of the
+    stream and diffed per column — the check a training pipeline runs
+    before ingesting a new data drop ("did a field's cardinality or
+    null rate move?").
+
+    ONE scan: every per-column metric for BOTH halves fuses into a
+    single conditional aggregation grouped by the half flag (the
+    dq_checks fusion discipline — adding a column adds expressions,
+    not jobs); the long-form metric table (2 halves x 4 columns) and
+    the A-vs-B diff join are driver-scale.  The shift magnitude is
+    floor-ppm on non-negative integers with a separate sign column —
+    Spark's DIV truncates toward zero while DuckDB's // floors, so
+    negative operands never enter a floor division."""
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(
+        F.expr("unix_micros(ts) DIV 86400000000") < DRIFT_SPLIT_DAY, "A"
+    ).otherwise("B")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _DRIFT_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = ev.groupBy(half.alias("half")).agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _DRIFT_COLS)
+    long = wide.selectExpr(
+        "half",
+        "n",
+        f"stack({len(_DRIFT_COLS)}, {stack}) AS (col, nn, nd)",
+    )
+    a = long.filter(F.col("half") == "A").select(
+        "col",
+        F.col("n").alias("n_a"),
+        F.col("nn").alias("null_a"),
+        F.col("nd").alias("distinct_a"),
+    )
+    b = long.filter(F.col("half") == "B").select(
+        F.col("col").alias("col_b"),
+        F.col("n").alias("n_b"),
+        F.col("nn").alias("null_b"),
+        F.col("nd").alias("distinct_b"),
+    )
+    joined = a.join(b, a.col == b.col_b)
+    return joined.select(
+        F.col("col").alias("column_name"),
+        "n_a",
+        "n_b",
+        "null_a",
+        "null_b",
+        "distinct_a",
+        "distinct_b",
+        F.expr(
+            "CAST(abs(distinct_b - distinct_a) * 1000000"
+            " DIV greatest(distinct_a, 1) AS BIGINT)"
+        ).alias("distinct_shift_ppm"),
+        F.when(F.col("distinct_b") > F.col("distinct_a"), 1)
+        .when(F.col("distinct_b") < F.col("distinct_a"), -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("shift_sign"),
+    )

@@ -250,3 +250,46 @@ def sql_q19_disjuncts(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — Catalyst never expands the disjunction into a
     union of three scans."""
     return _run(spark, sf_dir, _Q19_BODY, tables=("lineitem", "part"))
+
+
+_Q14_BODY = """
+WITH priced AS (
+  SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT) AS ym,
+         p.p_type,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1.0 - l.l_discount AS DECIMAL(8,4)) AS disc_price
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= DATE '1996-01-01'
+    AND l.l_shipdate < DATE '1997-01-01'
+)
+SELECT ym,
+       round(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_price
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+         AS promo_revenue,
+       round(CAST(SUM(disc_price) AS DOUBLE), 2) AS total_revenue,
+       round(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_price
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(disc_price) AS DOUBLE), 6) AS promo_share_r6
+FROM priced
+GROUP BY ym
+"""
+
+
+@query(
+    "sql_q14_promo",
+    oracle=_Q14_BODY,
+    tags=("sql", "join", "aggregate", "ratio"),
+)
+def sql_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promotion-effect report: per ship-month share
+    of revenue from PROMO-type parts — the conditional-aggregate
+    ratio every marketing dashboard computes.
+
+    One broadcast join (part is the dimension), then ONE hash
+    aggregation carrying both the conditional and the total sum —
+    never two scans reconciled by a self-join.  Both sums are
+    decimal-exact; the share divides the two exact decimals in
+    double on identical inputs, so round(..., 6) agrees
+    bit-for-bit."""
+    return _run(spark, sf_dir, _Q14_BODY, tables=("lineitem", "part"))

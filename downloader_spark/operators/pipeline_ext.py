@@ -608,3 +608,101 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_price_pu",
         "new_price_pu",
     )
+
+
+# Pretraining shard assembly: minimum doc length + per-shard budget.
+PRETRAIN_MIN_CHARS = 256
+SHARD_TOK_BUDGET = 2048
+
+
+@query(
+    "pipeline_pretrain",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, lang, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents WHERE n_chars >= {PRETRAIN_MIN_CHARS}
+    ),
+    kept AS (
+      SELECT doc_id, lang, n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    placed AS (
+      SELECT lang, doc_id, n_tok,
+             CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) - 1)
+                  // {SHARD_TOK_BUDGET} AS BIGINT) AS shard
+      FROM kept
+    )
+    SELECT lang, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM placed
+    GROUP BY lang, shard
+    """,
+    tags=("llm", "pipeline", "composite", "training-data"),
+)
+def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining shard-assembly pipeline as ONE declarative
+    plan: length gate → exact content dedup (keep-first) → md5-
+    shuffled placement → token-budget shard cut → per-shard manifest
+    (doc count, token count, membership-anchoring min/max doc) — what
+    a data loader consumes to stream a training epoch.
+
+    Composition discipline: the gate sits UNDER the dedup shuffle
+    (rows die before they move), dedup is the sortless min-per-digest
+    aggregation (dedup_exact_hash's shape), and shard placement is a
+    per-lang running token sum over the (hash, id) order — the
+    reproducible shuffle.  Only (doc_id, lang, n_tok, hash) ever
+    shuffles; the text dies at the scan after hashing.  At 100 TB the
+    per-lang running sum adopts curriculum_order's two-phase
+    bucket-offset recipe; the within-lang window here is the
+    driver-scale specialization of the same total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(F.col("n_chars") >= PRETRAIN_MIN_CHARS).select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("content_md5"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    kept = (
+        gated.groupBy("content_md5")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("lang").alias("lang"),
+                    F.col("n_tok").alias("n_tok"),
+                )
+            ).alias("k")
+        )
+        .select(
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.lang").alias("lang"),
+            F.col("k.n_tok").alias("n_tok"),
+            F.md5(F.col("k.doc_id").cast("string")).alias("h"),
+        )
+    )
+    placed = kept.select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        F.expr(
+            f"(sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)"
+            f" DIV {SHARD_TOK_BUDGET}"
+        ).alias("shard"),
+    )
+    return placed.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -303,3 +303,40 @@ def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, x) -> a + abs(CAST(x AS DOUBLE))) * 10000) AS BIGINT)"
         ).alias("l1_upm"),
     )
+
+
+@query(
+    "scalar_bits",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low8,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey >> 4, o_orderkey) AS BIGINT) AS folded,
+           CAST((o_orderkey & 1023) << 2 AS BIGINT) AS shifted,
+           CAST(bit_count(o_orderkey) AS INT) AS popcnt,
+           CAST(bit_count(o_orderkey) & 1 AS INT) AS parity
+    FROM orders
+    """,
+    tags=("scalar", "bitwise"),
+)
+def scalar_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: AND/OR/XOR masks, shifts, popcount and
+    parity over the order key — the bit-twiddling family behind flag
+    fields, hash mixing, and bitmap encodings (agg_bitmap_distinct's
+    row-level vocabulary).
+
+    Pure projection, no shuffle, fully codegen'd JVM-side.  The one
+    dialect fork: '^' means XOR in Spark SQL but POWER in DuckDB, so
+    the oracle spells xor() while Spark uses the operator — same
+    bits, different spelling (documented here because it is the
+    canonical cross-dialect bit-op trap)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").cast("long").alias("low8"),
+        F.expr("o_orderkey | 4096").cast("long").alias("with_flag"),
+        F.expr("shiftright(o_orderkey, 4) ^ o_orderkey").cast("long").alias("folded"),
+        F.expr("shiftleft(o_orderkey & 1023, 2)").cast("long").alias("shifted"),
+        F.expr("bit_count(o_orderkey)").cast("int").alias("popcnt"),
+        F.expr("bit_count(o_orderkey) & 1").cast("int").alias("parity"),
+    )

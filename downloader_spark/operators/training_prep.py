@@ -456,3 +456,80 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("r")).cast("long").alias("global_pos"),
         )
     )
+
+
+# Negative sampling: negatives drawn per anchor from its md5 bucket.
+NEG_K = 4
+
+
+@query(
+    "sample_negative",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, h, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS r
+      FROM keyed
+    ),
+    cands AS (
+      SELECT a.doc_id AS anchor_id, m.doc_id AS neg_id, m.h AS neg_h
+      FROM keyed a
+      JOIN ranked m ON m.bucket = a.bucket
+                   AND m.r <= {NEG_K + 1}
+                   AND m.doc_id <> a.doc_id
+    )
+    SELECT anchor_id, neg_id,
+           CAST(row_number() OVER (
+             PARTITION BY anchor_id ORDER BY neg_h, neg_id
+           ) AS INT) AS neg_rank
+    FROM cands
+    QUALIFY neg_rank <= {NEG_K}
+    """,
+    tags=("llm", "training", "sampling", "contrastive"),
+)
+def sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor document draws up to K=4 negatives — the md5-smallest
+    members of its own md5-prefix bucket (excluding itself).  An RNG
+    sampler can't be oracle-checked or reproduced across engines; the
+    md5 ring gives every anchor a pseudo-random but STABLE negative
+    set, the property that makes contrastive runs resumable.
+
+    Scale: the bucket-minima table is 16 buckets x (K+1) rows after
+    one bucket-partitioned window over the doc-id/hash projection
+    (never the text), and it BROADCASTS onto the anchor scan — the
+    per-anchor fanout is bounded by K+1 rows by construction, so the
+    join output is O(K·docs) at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bucket", F.substring("h", 1, 1))
+    wb = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    minima = (
+        keyed.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= NEG_K + 1)
+        .select(
+            F.col("bucket").alias("mb"),
+            F.col("doc_id").alias("neg_id"),
+            F.col("h").alias("neg_h"),
+        )
+    )
+    cands = keyed.join(
+        F.broadcast(minima),
+        (F.col("bucket") == F.col("mb")) & (F.col("doc_id") != F.col("neg_id")),
+    )
+    wa = Window.partitionBy("doc_id").orderBy("neg_h", "neg_id")
+    return (
+        cands.withColumn("neg_rank", F.row_number().over(wa))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "neg_id",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )

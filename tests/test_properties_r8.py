@@ -306,3 +306,84 @@ def test_ts_autocorr_matches_textbook_pearson(spark, day_counts):
     finally:
         am.load_table = orig
     assert got == model_acf(day_counts)
+
+
+# --- ts_changepoint --------------------------------------------------
+
+
+def model_changepoint(day_counts):
+    """Direct CUSUM: compute S'_k = n*prefix_k - k*total and argmax
+    |S'| with earliest-day ties."""
+    days = sorted(dict(day_counts).items())
+    n = len(days)
+    total = sum(c for _, c in days)
+    best = None
+    pc = 0
+    for k, (d, c) in enumerate(days, start=1):
+        pc += c
+        s = n * pc - k * total
+        key = (abs(s), -d)
+        if best is None or key > best[0]:
+            best = (key, d, s)
+    return (n, total, best[1], best[2], abs(best[2]))
+
+
+@settings(**_SETTINGS)
+@given(counts_strategy)
+def test_ts_changepoint_matches_direct_cusum(spark, day_counts):
+    import datetime as dt
+
+    import downloader_spark.operators.analytics_series as am
+    from downloader_spark.operators.analytics_series import ts_changepoint
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    eid = 0
+    for day, c in day_counts:
+        for _ in range(c):
+            rows.append(
+                (eid, base + dt.timedelta(days=day), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    base_day = int(base.timestamp()) // 86400
+    orig = _patched(am, df)
+    try:
+        got = [
+            (r.n_days, r.total, r.cp_day - base_day, r.cusum_at_cp, r.abs_cusum)
+            for r in ts_changepoint(spark, "ignored").collect()
+        ]
+    finally:
+        am.load_table = orig
+    assert got == [model_changepoint(day_counts)]
+
+
+# --- sample_negative -------------------------------------------------
+
+
+def test_sample_negative_is_stable_bounded_and_self_free(spark):
+    """Structural invariants on the real corpus slice: every anchor
+    draws <= K negatives, never itself, ranks are 1..k dense, and the
+    draw is identical across two runs (determinism)."""
+    from downloader_spark.operators.training_prep import NEG_K, sample_negative
+
+    rows1 = sorted(
+        (r.anchor_id, r.neg_id, r.neg_rank)
+        for r in sample_negative(spark, "/root/testdata/sf0.001").collect()
+    )
+    rows2 = sorted(
+        (r.anchor_id, r.neg_id, r.neg_rank)
+        for r in sample_negative(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert rows1 == rows2 and rows1
+    by_anchor: dict[int, list[int]] = {}
+    for a, nid, rk in rows1:
+        assert a != nid
+        by_anchor.setdefault(a, []).append(rk)
+    for a, ranks in by_anchor.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= NEG_K
