@@ -428,19 +428,20 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         f"stack({len(_DRIFT_COLS)}, {stack}) AS (col, nn, nd)",
     )
-    a = long.filter(F.col("half") == "A").select(
-        "col",
-        F.col("n").alias("n_a"),
-        F.col("nn").alias("null_a"),
-        F.col("nd").alias("distinct_a"),
+    # A-vs-B alignment is a conditional aggregation over the tiny long
+    # table, NOT a self-join: consuming `long` twice would re-evaluate
+    # its lineage and scan the events fact twice
+    def _side(src: F.Column, h: str, alias: str) -> F.Column:
+        return F.max(F.when(F.col("half") == h, src)).alias(alias)
+
+    joined = long.groupBy("col").agg(
+        _side(F.col("n"), "A", "n_a"),
+        _side(F.col("n"), "B", "n_b"),
+        _side(F.col("nn"), "A", "null_a"),
+        _side(F.col("nn"), "B", "null_b"),
+        _side(F.col("nd"), "A", "distinct_a"),
+        _side(F.col("nd"), "B", "distinct_b"),
     )
-    b = long.filter(F.col("half") == "B").select(
-        F.col("col").alias("col_b"),
-        F.col("n").alias("n_b"),
-        F.col("nn").alias("null_b"),
-        F.col("nd").alias("distinct_b"),
-    )
-    joined = a.join(b, a.col == b.col_b)
     return joined.select(
         F.col("col").alias("column_name"),
         "n_a",

@@ -445,3 +445,87 @@ def test_sql_q2_corr_subquery_is_decorrelated(spark):
     assert "Subquery" not in plan
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sql_q1_is_single_two_phase_aggregation(spark):
+    plan = plan_of(spark, "sql_q1_pricing")
+    # one hash-agg pair (partial + final), one exchange, no join/window
+    assert plan.count("HashAggregate") == 2
+    assert "Join" not in plan and "Window" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed)
+
+
+def test_sql_q10_pushes_both_fact_filters(spark):
+    plan = plan_of(spark, "sql_q10_returns")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "o_orderdate" in pushed       # quarter range -> orders scan
+    assert "l_returnflag" in pushed      # returns flag -> lineitem scan
+    assert "TakeOrderedAndProject" in plan  # top-20, never a full sort
+
+
+def test_sql_q16_not_in_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "sql_q16_variety")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q18_semi_joins_qualifying_orders(spark):
+    plan = plan_of(spark, "sql_q18_toporders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_q19_single_scan_no_union_expansion(spark):
+    plan = plan_of(spark, "sql_q19_disjuncts")
+    # the OR-of-conjunctions must NOT expand into a union of scans:
+    # exactly one lineitem scan and one part scan survive
+    assert plan.count("Scan parquet") == 2
+    assert "Union" not in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    # the quantity range union [1, 30] pushes to the fact scan
+    assert "l_quantity" in pushed
+
+
+def test_graph_triangles_broadcasts_degrees_no_cartesian(spark):
+    plan = plan_of(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # degree table onto edges
+
+
+def test_curriculum_order_never_single_partition_sorts(spark):
+    plan = plan_of(spark, "curriculum_order")
+    # the whole point: NO global range-partitioned sort of the docs;
+    # ranking runs per (band, bucket) hash partition
+    assert "rangepartitioning" not in plan.lower()
+    assert "Window" in plan
+
+
+def test_text_bpe_pairs_topk_is_heap_not_sort(spark):
+    plan = plan_of(spark, "text_bpe_pairs")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dq_schema_drift_is_one_scan(spark):
+    plan = plan_of(spark, "dq_schema_drift")
+    # both halves' metrics fuse into one pass over one events scan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_sample_negative_broadcasts_bucket_minima(spark):
+    plan = plan_of(spark, "sample_negative")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multimodal_frames_is_shuffle_free(spark):
+    plan = plan_of(spark, "multimodal_frames")
+    assert "Exchange" not in plan
+
+
+def test_pipeline_pretrain_text_never_shuffles(spark):
+    plan = plan_of(spark, "pipeline_pretrain")
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges and all("text" not in ln for ln in exchanges)
