@@ -805,3 +805,103 @@ def text_hashvec(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("vec_md5"),
     )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    posed AS (
+      SELECT doc_id, ts,
+             unnest(generate_series(1, len(ts))) AS pos
+      FROM split
+    ),
+    toks AS (
+      SELECT doc_id, ts[CAST(pos AS BIGINT)] AS tok,
+             CAST(pos AS BIGINT) AS pos
+      FROM posed
+    ),
+    tri AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN lead(tok, 2) OVER w IS NOT NULL
+                  THEN tok || ' ' || lead(tok, 1) OVER w
+                       || ' ' || lead(tok, 2) OVER w
+             END AS trigram,
+             CASE WHEN lag(tok) OVER w IS DISTINCT FROM tok
+                  THEN 1 ELSE 0 END AS run_start
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    runs AS (
+      SELECT doc_id, trigram,
+             count(*) OVER (PARTITION BY doc_id, run_id) AS run_len
+      FROM (
+        SELECT doc_id, trigram,
+               sum(run_start) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM tri
+      )
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(count(trigram) AS BIGINT) AS n_trigrams,
+           CAST(count(DISTINCT trigram) AS BIGINT) AS distinct_trigrams,
+           CAST(CASE WHEN count(trigram) > 0
+                THEN (count(trigram) - count(DISTINCT trigram)) * 1000000
+                     // count(trigram) END AS BIGINT) AS dup_ppm,
+           CAST(max(run_len) AS BIGINT) AS max_run
+    FROM runs
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality", "repetition"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics — the Gopher/RefinedWeb
+    quality filter family: duplicate-trigram fraction (boilerplate
+    and template spam) and longest identical-token run (stutter
+    loops), per document.
+
+    ONE exchange end-to-end: tokens hash-partition by doc_id, and
+    every later step — the trigram leads (doc_id, pos window), the
+    run-anchor window (doc_id, tok), the run-length count, and the
+    final per-doc rollup — clusters by doc_id or a superset, so
+    Spark satisfies each distribution with the existing partitioning
+    and never re-shuffles.  Runs use the row_number ANCHOR trick
+    (pos − rank-within-(doc, tok) is constant across a run); the
+    oracle builds run ids with the lag-flag + running-sum
+    formulation instead — two constructions, one hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_run = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    tri = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(
+            F.lead("tok", 2).over(w).isNotNull(),
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ),
+        ).alias("trigram"),
+        (F.col("pos") - F.row_number().over(w_run)).alias("run_anchor"),
+    )
+    w_len = Window.partitionBy("doc_id", "tok", "run_anchor")
+    runs = tri.withColumn("run_len", F.count(F.lit(1)).over(w_len))
+    n_tri = F.count("trigram")
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        n_tri.alias("n_trigrams"),
+        F.countDistinct("trigram").alias("distinct_trigrams"),
+        F.when(
+            n_tri > 0,
+            F.expr(
+                "(count(trigram) - count(DISTINCT trigram)) * 1000000"
+                " DIV count(trigram)"
+            ),
+        ).alias("dup_ppm"),
+        F.max("run_len").alias("max_run"),
+    )

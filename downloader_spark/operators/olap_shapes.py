@@ -293,3 +293,38 @@ def sql_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     double on identical inputs, so round(..., 6) agrees
     bit-for-bit."""
     return _run(spark, sf_dir, _Q14_BODY, tables=("lineitem", "part"))
+
+
+_Q6_BODY = """
+SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE), 2)
+         AS discount_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+GROUP BY CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+"""
+
+
+@query(
+    "sql_q6_selective",
+    oracle=_Q6_BODY,
+    tags=("sql", "aggregate", "pushdown"),
+)
+def sql_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecasting-revenue query, widened to a
+    per-month rollup: three stacked selective predicates (date range,
+    discount band, quantity cap) over the bare fact scan and one
+    decimal-exact product sum.
+
+    The predicate-pushdown showcase: ALL three predicates reach the
+    parquet scan as PushedFilters (plan-gated) and prune row groups
+    via min/max statistics before a single row is materialized; what
+    survives flows through one map-side-combinable aggregation.  At
+    100 TB with date-partitioned layout the date range also prunes
+    whole partitions (sinks.py's layout test)."""
+    return _run(spark, sf_dir, _Q6_BODY, tables=("lineitem",))

@@ -529,3 +529,21 @@ def test_pipeline_pretrain_text_never_shuffles(spark):
     plan = plan_of(spark, "pipeline_pretrain")
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert exchanges and all("text" not in ln for ln in exchanges)
+
+
+def test_sql_q6_pushes_all_three_predicates(spark):
+    plan = plan_of(spark, "sql_q6_selective")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    assert "Join" not in plan
+
+
+def test_text_repetition_is_single_exchange(spark):
+    plan = plan_of(spark, "text_repetition")
+    real = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(real) == 1 and "doc_id" in real[0]

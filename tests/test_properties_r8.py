@@ -387,3 +387,50 @@ def test_sample_negative_is_stable_bounded_and_self_free(spark):
     for a, ranks in by_anchor.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= NEG_K
+
+
+# --- text_repetition -------------------------------------------------
+
+
+def model_repetition(docs):
+    """Direct per-doc walk: trigram dup fraction + longest equal run."""
+    out = {}
+    for doc_id, words in docs.items():
+        n = len(words)
+        tris = [tuple(words[i : i + 3]) for i in range(n - 2)]
+        n_tri, d_tri = len(tris), len(set(tris))
+        max_run = run = 1
+        for i in range(1, n):
+            run = run + 1 if words[i] == words[i - 1] else 1
+            max_run = max(max_run, run)
+        dup_ppm = (
+            (n_tri - d_tri) * 1_000_000 // n_tri if n_tri > 0 else None
+        )
+        out[doc_id] = (n, n_tri, d_tri, dup_ppm, max_run)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(docs_strategy)
+def test_text_repetition_matches_direct_walk(spark, docs):
+    import downloader_spark.operators.llm_text as lt
+    from downloader_spark.operators.llm_text import text_repetition
+
+    rows = [
+        (i, " ".join(words), "en", "test", len(" ".join(words)))
+        for i, words in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(lt, df)
+    try:
+        got = {
+            r.doc_id: (
+                r.n_tok, r.n_trigrams, r.distinct_trigrams, r.dup_ppm, r.max_run
+            )
+            for r in text_repetition(spark, "ignored").collect()
+        }
+    finally:
+        lt.load_table = orig
+    assert got == model_repetition({i: w for i, w in enumerate(docs)})
