@@ -456,3 +456,67 @@ def agg_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p").alias("lo_pu"),
         F.max("p").alias("hi_pu"),
     )
+
+
+# Time-decayed sum: half-life of one day, ages capped to keep the
+# power-of-two divisor inside a BIGINT.
+DECAY_MAX_AGE = 62
+
+
+@query(
+    "agg_decay_sum",
+    oracle=f"""
+    WITH anchored AS (
+      SELECT user_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             (SELECT max(CAST(epoch_us(ts) // 86400000000 AS BIGINT))
+              FROM events) AS max_day
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents // (1 << CAST(least(max_day - day, {DECAY_MAX_AGE})
+                                        AS INT))) AS BIGINT)
+             AS decayed_cents,
+           CAST(max(day) AS BIGINT) AS last_day
+    FROM anchored
+    GROUP BY user_id
+    """,
+    tags=("aggregate", "timeseries", "feature"),
+)
+def agg_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user — the
+    feature-store staple (recent activity counts, old activity
+    fades) with a one-day half-life.
+
+    Float decay (value * 0.5^age) cannot hash across engines; the
+    exact form divides floor-cents by the POWER-OF-TWO divisor
+    1 << age — bit-identical everywhere, halving per day like the
+    float version, and still associative for map-side partials.  The
+    corpus max-day anchor is a 1-row aggregate that BROADCASTS onto
+    the scan (stream_late_filter's watermark-scalar shape); ages cap
+    at {DECAY_MAX_AGE} so the shift never overflows.  One scalar
+    broadcast + one hash aggregation — no window, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    max_day = ev.agg(F.max(day).alias("max_day"))
+    anchored = ev.crossJoin(F.broadcast(max_day)).select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        day.alias("day"),
+        "max_day",
+    )
+    age = F.least(
+        F.col("max_day") - F.col("day"), F.lit(DECAY_MAX_AGE)
+    ).cast("int")
+    return anchored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.expr(
+                f"cents DIV shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(least(max_day - day, {DECAY_MAX_AGE}) AS INT))"
+            )
+        ).alias("decayed_cents"),
+        F.max("day").alias("last_day"),
+    )

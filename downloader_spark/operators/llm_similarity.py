@@ -462,3 +462,126 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("d2", "nid")).alias("m"))
         .select("qid", F.col("m.nid").alias("nid"), F.col("m.d2").alias("d2"))
     )
+
+
+# Product quantization: M subspaces over the 64-dim embeddings, each
+# coded against K deterministic anchor codewords.
+PQ_M = 4
+PQ_SUBDIM = 16  # 64 / PQ_M
+PQ_K = 8
+
+
+@query(
+    "embed_pq",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qarr
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT qarr AS aarr,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT)
+               AS code
+      FROM q
+      QUALIFY code < {PQ_K}
+    ),
+    subs AS (
+      SELECT vec_id, CAST(m AS BIGINT) AS m,
+             qarr[CAST(m * {PQ_SUBDIM} + 1 AS BIGINT):
+                  CAST((m + 1) * {PQ_SUBDIM} AS BIGINT)] AS sv
+      FROM q, unnest(generate_series(0, {PQ_M - 1})) AS t(m)
+    ),
+    scored AS (
+      SELECT s.vec_id, s.m, a.code,
+             list_reduce(
+               list_transform(list_zip(s.sv,
+                 a.aarr[CAST(s.m * {PQ_SUBDIM} + 1 AS BIGINT):
+                        CAST((s.m + 1) * {PQ_SUBDIM} AS BIGINT)]),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (x, y) -> x + y) AS dist
+      FROM subs s CROSS JOIN anchors a
+    ),
+    best AS (
+      SELECT vec_id, m,
+             min({{'dist': dist, 'code': code}}) AS b
+      FROM scored GROUP BY vec_id, m
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN m = 0 THEN b.code END) AS BIGINT) AS code_0,
+           CAST(max(CASE WHEN m = 1 THEN b.code END) AS BIGINT) AS code_1,
+           CAST(max(CASE WHEN m = 2 THEN b.code END) AS BIGINT) AS code_2,
+           CAST(max(CASE WHEN m = 3 THEN b.code END) AS BIGINT) AS code_3,
+           CAST(sum(b.dist) AS BIGINT) AS quant_err
+    FROM best
+    GROUP BY vec_id
+    """,
+    tags=("llm", "similarity", "ann", "quantization"),
+)
+def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — THE 100 TB ANN memory technique: each
+    64-dim embedding splits into M=4 subvectors, each coded as its
+    nearest of K=8 codewords, compressing a vector to 4 small codes
+    (here 12 bits) plus a measured quantization error.  At scale the
+    codes support asymmetric-distance search over billions of
+    vectors; this operator is the encode step.
+
+    Determinism: components quantize to floor(x*1000) BIGINTs
+    (embed_kmeans' idiom) so subspace distances are exact integer
+    sums of squares; codewords are the md5-smallest corpus vectors
+    (reproducible, engine-independent — a trained codebook would
+    plug into the same plan); argmin tie-breaks on code.
+
+    Plan: the K x M codebook table is TINY and broadcasts; the
+    corpus explodes x4 (subspaces), scores 8 codewords map-side, and
+    ONE aggregation (argmin per (vec, m) then re-rolled per vec)
+    lands the codes — the corpus shuffles only (vec_id, m, 8 dists)
+    metadata, never embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000)"
+            " AS BIGINT))"
+        ).alias("qarr"),
+    )
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    anchors = (
+        q.withColumn("code", F.row_number().over(w) - 1)
+        .filter(F.col("code") < PQ_K)
+        .select(F.col("qarr").alias("aarr"), F.col("code").cast("long"))
+    )
+    subs = q.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "qarr",
+    ).select(
+        "vec_id",
+        F.col("m").cast("long").alias("m"),
+        F.expr(f"slice(qarr, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
+    )
+    scored = subs.join(F.broadcast(anchors)).select(
+        "vec_id",
+        "m",
+        "code",
+        F.expr(
+            f"aggregate(zip_with(sv,"
+            f" slice(aarr, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+            f" (x, y) -> (x - y) * (x - y)),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("dist"),
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min(F.struct(F.col("dist"), F.col("code"))).alias("b")
+    )
+    return best.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == i, F.col("b.code")))
+            .cast("long")
+            .alias(f"code_{i}")
+            for i in range(PQ_M)
+        ],
+        F.sum("b.dist").cast("long").alias("quant_err"),
+    )

@@ -547,3 +547,17 @@ def test_text_repetition_is_single_exchange(spark):
         if "Exchange hashpartitioning" in ln
     ]
     assert len(real) == 1 and "doc_id" in real[0]
+
+
+def test_embed_pq_broadcasts_codebook_never_cartesian(spark):
+    plan = plan_of(spark, "embed_pq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_agg_decay_sum_broadcasts_scalar_anchor(spark):
+    plan = plan_of(spark, "agg_decay_sum")
+    # the max-day anchor is a 1-row broadcast, then one two-phase agg
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Scan parquet") == 2  # fact + anchor lineage
+    assert "Window" not in plan
