@@ -628,3 +628,146 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.sk").alias("cusum_at_cp"),
         F.col("m.a").alias("abs_cusum"),
     )
+
+
+# Rolling median: trailing window width in days (odd -> true median
+# once warm; the lower median before that).
+ROLL_MED_DAYS = 7
+
+
+@query(
+    "ts_rolling_median",
+    oracle=f"""
+    WITH series AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, day
+    )
+    SELECT event_type, day, c,
+           CAST(l[CAST((len(l) + 1) // 2 AS BIGINT)] AS BIGINT)
+             AS rolling_median,
+           CAST(len(l) AS INT) AS window_n
+    FROM (
+      SELECT event_type, day, c,
+             list_sort(list(c) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {ROLL_MED_DAYS - 1} PRECEDING AND CURRENT ROW
+             )) AS l
+      FROM series
+    )
+    """,
+    tags=("timeseries", "window", "median"),
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row rolling MEDIAN of the daily count series per
+    event type — the robust smoother (moving averages chase spikes;
+    the median ignores them).  Emits the LOWER median (element
+    (n+1)//2 of the sorted window), an exact integer in both engines
+    — float median-of-even averaging never enters.
+
+    Both engines collect the bounded 7-element frame, sort it, and
+    index it: a constant-width frame makes collect-sort-pick O(w log
+    w) per row with w=7 — the right rolling-quantile algorithm at
+    any scale because the frame, not the partition, bounds the work.
+    One exchange on event_type; the series table is already
+    thousands of times smaller than the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    series = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ROLL_MED_DAYS - 1), Window.currentRow)
+    )
+    frame = series.withColumn("l", F.array_sort(F.collect_list("c").over(w)))
+    return frame.select(
+        "event_type",
+        "day",
+        "c",
+        F.expr("l[CAST((size(l) + 1) DIV 2 AS INT) - 1]")
+        .cast("long")
+        .alias("rolling_median"),
+        F.size("l").cast("int").alias("window_n"),
+    )
+
+
+@query(
+    "ts_trend",
+    oracle="""
+    WITH series AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, day
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(day) AS BIGINT) AS sx,
+             CAST(sum(cents) AS BIGINT) AS sy,
+             CAST(sum(day * cents) AS BIGINT) AS sxy,
+             CAST(sum(day * day) AS BIGINT) AS sxx
+      FROM series GROUP BY event_type
+    )
+    SELECT event_type, n,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 4)
+           END AS slope_cents_per_day,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round((CAST(sy AS DOUBLE)
+                            - CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 2)
+           END AS intercept_cents
+    FROM m
+    """,
+    tags=("timeseries", "regression", "trend"),
+)
+def ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: slope and intercept of
+    daily revenue-cents against the day index, per event type — the
+    "is this metric growing?" primitive behind every KPI trend arrow.
+
+    Same exactness recipe as ts_autocorr: the OLS closed form is
+    assembled from INTEGER moment sums (n·Σxy − ΣxΣy over n·Σx² −
+    (Σx)², exact BIGINTs emitted for the hash), and only the final
+    slope/intercept divisions run in double — on identical integers,
+    so round(…, 4) agrees bit-for-bit.  Two chained map-side-
+    combinable aggregations (daily rollup, then moments); no window,
+    no sort, group count = |event types|."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    series = ev.groupBy("event_type", day.alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    m = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("day") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den > 0, F.round(slope, 4)).alias("slope_cents_per_day"),
+        F.when(
+            den > 0,
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double"),
+                2,
+            ),
+        ).alias("intercept_cents"),
+    )

@@ -706,3 +706,62 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+      FROM events GROUP BY user_id
+    ),
+    converted AS (
+      SELECT user_id,
+             CAST((p_us - v_us) // 60000000 AS BIGINT) AS mins
+      FROM firsts WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= v_us
+    )
+    SELECT CAST(CASE WHEN mins <= 0 THEN 0 ELSE len(bin(mins)) END AS INT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(mins) AS BIGINT) AS min_mins,
+           CAST(max(mins) AS BIGINT) AS max_mins
+    FROM converted
+    GROUP BY bucket
+    """,
+    tags=("events", "funnel", "histogram"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: minutes from a user's FIRST
+    view to their FIRST purchase at-or-after it, rolled into
+    power-of-two latency buckets (1m, 2m, 4m, ... — the log-scale
+    histogram every conversion dashboard draws).
+
+    One conditional-MIN aggregation per user (events_funnel's
+    single-pass shape — view-min and purchase-min ride the same
+    groupBy), then a driver-scale rollup.  The log2 bucket is
+    computed EXACTLY as the binary-representation length of the
+    integer minutes (len(bin(m)) — identical in both engines), never
+    float log2, whose boundary rounding can disagree."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    converted = firsts.filter(
+        F.col("v_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("v_us"))
+    ).select(
+        F.expr("(p_us - v_us) DIV 60000000").alias("mins")
+    )
+    bucket = F.when(F.col("mins") <= 0, 0).otherwise(
+        F.length(F.bin("mins"))
+    ).cast("int")
+    return converted.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("mins").alias("min_mins"),
+        F.max("mins").alias("max_mins"),
+    )

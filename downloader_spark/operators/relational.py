@@ -720,3 +720,83 @@ def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(min(d) AS STRING)").alias("first_ship"),
         F.expr("CAST(max(d) AS STRING)").alias("last_ship"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    signups AS (
+      SELECT event_id AS signup_id, user_id, epoch_us(ts) AS s_us
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT event_id AS purchase_id, user_id, signup_id,
+           CAST(s_us - us AS BIGINT) AS delta_us
+    FROM purchases p JOIN signups s USING (user_id)
+    QUALIFY row_number() OVER (
+      PARTITION BY event_id
+      ORDER BY abs(s_us - us), s_us, signup_id
+    ) = 1
+    """,
+    tags=("relational", "join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join, EITHER direction: each purchase
+    pairs with the user's temporally closest signup, before or after
+    (sensor-alignment semantics — join each reading to the closest
+    calibration event).  Ties at equal distance go to the earlier
+    signup; signed delta_us reports which side won.
+
+    Spark-first composition: ONE partition-sorted window pass over
+    the unioned stream carries BOTH the last-prior and first-next
+    signup as (ts, id) structs (last-ignorenulls over the preceding
+    frame + first-ignorenulls over the following frame share one
+    exchange and one sort), then a row-local CASE picks the closer —
+    never a per-row candidate join.  The oracle is the opposite
+    algorithm — full purchase x signup join per user, ranked by
+    distance — so the hash cross-checks the window composition
+    against brute force.  At 100 TB the window form wins: cost is
+    one shuffle of the stream vs a quadratic per-user fanout."""
+    events = load_table(spark, sf_dir, "events")
+    sig = F.when(
+        F.col("event_type") == "signup",
+        F.struct(F.unix_micros("ts").alias("us"), F.col("event_id").alias("id")),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.last(sig, ignorenulls=True).over(w_prev).alias("prev"),
+        F.first(sig, ignorenulls=True).over(w_next).alias("nxt"),
+    ).filter(F.col("event_type") == "purchase")
+    prev_d = F.col("us") - F.col("prev.us")  # >= 0 by construction
+    next_d = F.col("nxt.us") - F.col("us")
+    pick_prev = F.col("nxt").isNull() | (
+        F.col("prev").isNotNull() & (prev_d <= next_d)
+    )
+    return marked.filter(
+        F.col("prev").isNotNull() | F.col("nxt").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(pick_prev, F.col("prev.id")).otherwise(F.col("nxt.id")).alias(
+            "signup_id"
+        ),
+        F.when(pick_prev, -prev_d).otherwise(next_d).cast("long").alias(
+            "delta_us"
+        ),
+    )

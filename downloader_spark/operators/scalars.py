@@ -340,3 +340,59 @@ def scalar_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_count(o_orderkey)").cast("int").alias("popcnt"),
         F.expr("bit_count(o_orderkey) & 1").cast("int").alias("parity"),
     )
+
+
+@query(
+    "scalar_map",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey,
+             map(['brand', 'type', 'size'],
+                 [p_brand, p_type, CAST(p_size AS VARCHAR)]) AS pm
+      FROM part
+    )
+    SELECT p_partkey,
+           pm['brand'][1] AS brand_val,
+           pm['container'][1] AS missing_val,
+           CAST(cardinality(pm) AS INT) AS n_keys,
+           array_to_string(list_sort(map_keys(pm)), ',') AS keys_sorted,
+           array_to_string(map_values(pm), '|') AS vals_joined,
+           CAST(len(pm['type']) > 0 AS BOOLEAN) AS has_type
+    FROM m
+    """,
+    tags=("scalar", "map", "types"),
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type scalar surface: construct a map from key/value
+    arrays, extract present and MISSING keys, count entries, sort
+    keys, join values, and test membership — the semi-structured
+    attribute-bag vocabulary (feature maps, tag sets, JSON-ish
+    payloads with typed access).
+
+    Pure projection, no shuffle.  Dialect notes the key exercises:
+    Spark 4 runs ANSI mode, where element_at on a missing key ERRORS
+    — the null-safe form is try_element_at (used here); DuckDB's
+    bracket-extract returns a LIST ([] when missing), so the oracle
+    spells value access as m[k][1].  Same nulls, same scalars, two
+    map dialects."""
+    part = load_table(spark, sf_dir, "part")
+    m = part.select(
+        "p_partkey",
+        F.map_from_arrays(
+            F.array(F.lit("brand"), F.lit("type"), F.lit("size")),
+            F.array(
+                F.col("p_brand"),
+                F.col("p_type"),
+                F.col("p_size").cast("string"),
+            ),
+        ).alias("pm"),
+    )
+    return m.select(
+        "p_partkey",
+        F.expr("try_element_at(pm, 'brand')").alias("brand_val"),
+        F.expr("try_element_at(pm, 'container')").alias("missing_val"),
+        F.size("pm").cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("pm")), ",").alias("keys_sorted"),
+        F.array_join(F.map_values("pm"), "|").alias("vals_joined"),
+        F.expr("map_contains_key(pm, 'type')").alias("has_type"),
+    )

@@ -434,3 +434,65 @@ def test_text_repetition_matches_direct_walk(spark, docs):
     finally:
         lt.load_table = orig
     assert got == model_repetition({i: w for i, w in enumerate(docs)})
+
+
+# --- join_asof_nearest -----------------------------------------------
+
+# distinct second offsets avoid equidistant ties (the operator's tie
+# rule for exact-equidistant pairs prefers the prior match; random
+# micro-timestamps make exact ties measure-zero in real data)
+asof_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # user
+        st.sampled_from(["view", "signup", "purchase"]),
+        st.integers(0, 500),                    # seconds offset
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[2]),
+)
+
+
+def model_asof_nearest(rows):
+    purchases = [(i, u, s) for i, (u, t, s) in enumerate(rows) if t == "purchase"]
+    signups = [(i, u, s) for i, (u, t, s) in enumerate(rows) if t == "signup"]
+    out = {}
+    for pid, pu, ps in purchases:
+        cands = [
+            (abs(ss - ps), ss, sid, (ss - ps) * 1_000_000)
+            for sid, su, ss in signups
+            if su == pu
+        ]
+        if cands:
+            cands.sort()
+            out[pid] = (cands[0][2], cands[0][3])
+    return out
+
+
+@settings(**_SETTINGS)
+@given(asof_strategy)
+def test_join_asof_nearest_matches_bruteforce(spark, rows):
+    import datetime as dt
+
+    import downloader_spark.operators.relational as rel
+    from downloader_spark.operators.relational import join_asof_nearest
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    data = [
+        (i, base + dt.timedelta(seconds=s), u, t, 1.0, "{}")
+        for i, (u, t, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = _patched(rel, df)
+    try:
+        got = {
+            r.purchase_id: (r.signup_id, r.delta_us)
+            for r in join_asof_nearest(spark, "ignored").collect()
+        }
+    finally:
+        rel.load_table = orig
+    assert got == model_asof_nearest(rows)
