@@ -328,3 +328,38 @@ def sql_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB with date-partitioned layout the date range also prunes
     whole partitions (sinks.py's layout test)."""
     return _run(spark, sf_dir, _Q6_BODY, tables=("lineitem",))
+
+
+_Q13_BODY = """
+WITH percust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM percust
+GROUP BY c_count
+"""
+
+
+@query(
+    "sql_q13_custdist",
+    oracle=_Q13_BODY,
+    tags=("sql", "join", "aggregate", "distribution"),
+)
+def sql_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer order-count distribution: how many
+    customers placed exactly k (non-urgent) orders — the
+    count-of-counts histogram, including the zero bucket.
+
+    The LEFT JOIN is the point: customers with no qualifying orders
+    must survive to the k=0 bucket (an inner join silently drops
+    them — the classic distribution bug).  count(o_orderkey) counts
+    only matched rows, so the null-extended row lands at 0.  Plan:
+    the join predicate's non-key filter prunes orders at the scan,
+    then two chained aggregations (per-customer, then
+    count-of-counts), each map-side combinable; the second runs on
+    |customers| rows and the output is |max k| rows."""
+    return _run(spark, sf_dir, _Q13_BODY, tables=("customer", "orders"))

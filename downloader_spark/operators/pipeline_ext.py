@@ -765,3 +765,62 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mins").alias("min_mins"),
         F.max("mins").alias("max_mins"),
     )
+
+
+# A/B assignment: md5 ring split, treatment share in percent.
+AB_TREAT_PCT = 50
+
+
+@query(
+    "events_ab_assign",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN {_duck_h60("concat('ab:', CAST(user_id AS VARCHAR))")}
+                       % 100 < {AB_TREAT_PCT}
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT arm, week,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents,
+           round(CAST(sum(cents) AS DOUBLE) / count(*), 4) AS mean_cents
+    FROM assigned
+    GROUP BY arm, week
+    """,
+    tags=("events", "experiment", "sampling"),
+)
+def events_ab_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users split 50/50 into
+    arms by an md5 ring over user_id (sticky, reproducible,
+    engine-independent — RNG assignment can't be oracle-checked or
+    replayed), purchase value rolled up per arm with the exact
+    integer moments (n, Σx, Σx²) a t-test consumes.
+
+    The assignment hash is sample_split's salted-md5 gate over a
+    different salt ('ab:'), so experiment membership is independent
+    of the train/val/test split by construction — the property
+    experimentation platforms must guarantee.  One scan, one
+    two-group aggregation; variance math happens downstream on exact
+    BIGINTs, so the only float is the per-arm mean of identical
+    integers."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    h = F.expr(_spark_h60("concat('ab:', CAST(user_id AS STRING))"))
+    arm = F.when(h % 100 < AB_TREAT_PCT, "treatment").otherwise("control")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    week = F.expr("unix_micros(ts) DIV 604800000000")
+    assigned = ev.select(
+        arm.alias("arm"), week.alias("week"), cents.alias("cents")
+    )
+    return assigned.groupBy("arm", "week").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sumsq_cents"),
+        F.round(F.sum("cents").cast("double") / F.count(F.lit(1)), 4).alias(
+            "mean_cents"
+        ),
+    )
