@@ -322,6 +322,10 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     cents = {int(r.cid): [int(r[f"c{i}"]) for i in d] for r in init}
+    # a slice can be empty (degenerate/empty corpus): seed it at the
+    # origin so the loop and output stay total over all k clusters
+    for c in range(KM_K):
+        cents.setdefault(c, [0] * KM_DIMS)
     n_by_cid = {c: 0 for c in range(KM_K)}
     for _ in range(KM_ITERS):
         dists = [
