@@ -363,3 +363,96 @@ def sql_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-of-counts), each map-side combinable; the second runs on
     |customers| rows and the output is |max k| rows."""
     return _run(spark, sf_dir, _Q13_BODY, tables=("customer", "orders"))
+
+
+_Q8_BODY = """
+WITH sold AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         sn.n_name AS supp_nation,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1.0 - l.l_discount AS DECIMAL(8,4)) AS volume
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'AMERICA'
+)
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+         AS nation_volume,
+       round(CAST(SUM(volume) AS DOUBLE), 2) AS total_volume,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share_r6
+FROM sold
+GROUP BY o_year
+"""
+
+
+@query(
+    "sql_q8_share",
+    oracle=_Q8_BODY,
+    tags=("sql", "join", "aggregate", "ratio"),
+)
+def sql_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market-share report: one supplier nation's
+    share of all volume sold into a region, per order year — the
+    deepest join tree in the SQL family (7 relations; nation joins
+    TWICE, once for the customer side and once for the supplier
+    side, so the alias discipline is itself under test).
+
+    The region filter prunes the customer dimension chain before the
+    fact joins; region/nation/supplier broadcast; the share is a
+    conditional decimal sum over the total decimal sum (sql_q14's
+    ratio discipline) — one aggregation, division last."""
+    return _run(
+        spark,
+        sf_dir,
+        _Q8_BODY,
+        tables=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+
+
+_Q17_BODY = """
+WITH threshold AS (
+  SELECT l_partkey,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(*)) AS qty_cap
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small_lines,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS small_qty_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN threshold t ON t.l_partkey = l.l_partkey
+WHERE l.l_quantity < t.qty_cap
+GROUP BY p.p_brand
+"""
+
+
+@query(
+    "sql_q17_avgqty",
+    oracle=_Q17_BODY,
+    tags=("sql", "join", "subquery", "decorrelation"),
+)
+def sql_q17_avgqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity revenue: lines whose quantity
+    falls below 20% of their part's average, rolled up per brand —
+    the AVG-correlated-subquery shape (sql_q2_corr pins the MIN
+    variant; Q17's cap is computed from an aggregate of the SAME
+    fact table being filtered).
+
+    Spelled as its decorrelated form in identical SQL on both
+    engines: aggregate lineitem once per partkey, join the threshold
+    back on the key — which is exactly the plan Catalyst produces
+    for the correlated original, and the only shape that scales (the
+    naive form re-aggregates per outer row).  The cap itself is
+    exact-decimal-sum / count in double — identical operands, one
+    division, then a single float comparison per row."""
+    return _run(spark, sf_dir, _Q17_BODY, tables=("lineitem", "part"))

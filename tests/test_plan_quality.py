@@ -561,3 +561,17 @@ def test_agg_decay_sum_broadcasts_scalar_anchor(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Scan parquet") == 2  # fact + anchor lineage
     assert "Window" not in plan
+
+
+def test_sql_q8_broadcasts_dimension_chain(spark):
+    plan = plan_of(spark, "sql_q8_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q17_aggregates_threshold_once(spark):
+    plan = plan_of(spark, "sql_q17_avgqty")
+    # the per-part cap must be a real aggregation joined back on the
+    # key — never a per-row correlated re-aggregation
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
