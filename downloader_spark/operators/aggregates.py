@@ -520,3 +520,69 @@ def agg_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decayed_cents"),
         F.max("day").alias("last_day"),
     )
+
+
+@query(
+    "agg_share_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS nation_rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           round(CAST(nation_rev AS DOUBLE), 2) AS nation_revenue,
+           round(CAST(SUM(nation_rev) OVER (PARTITION BY region) AS DOUBLE), 2)
+             AS region_revenue,
+           round(CAST(nation_rev AS DOUBLE)
+                 / CAST(SUM(nation_rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_r6
+    FROM rev
+    """,
+    tags=("aggregate", "window", "ratio"),
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent report: each nation's share of its REGION's
+    revenue — the % -of-total column every BI table carries, built as
+    a window-over-aggregate (the parent total is a window SUM over
+    the already-aggregated child rows, never a second scan or a
+    self-join back to the fact).
+
+    The window runs on the |nations| aggregate table — 25 rows — so
+    "window after aggregate" costs nothing at any fact scale; the
+    fact is touched exactly once.  Decimal sums both levels; the
+    share divides the two exact decimals in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec("l_extendedprice", 2)).cast("decimal(38,2)").alias("nation_rev")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("nation_rev").cast("double"), 2).alias("nation_revenue"),
+        F.round(F.sum("nation_rev").over(wr).cast("double"), 2).alias(
+            "region_revenue"
+        ),
+        F.round(
+            F.col("nation_rev").cast("double")
+            / F.sum("nation_rev").over(wr).cast("double"),
+            6,
+        ).alias("share_r6"),
+    )
