@@ -496,3 +496,131 @@ def test_join_asof_nearest_matches_bruteforce(spark, rows):
     finally:
         rel.load_table = orig
     assert got == model_asof_nearest(rows)
+
+
+# --- curriculum_order ------------------------------------------------
+
+curr_strategy = st.lists(
+    st.tuples(st.integers(0, 999), st.integers(0, 5000)),  # (doc_id, n_chars)
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+def model_curriculum(docs):
+    """Single global sort — the thing the two-phase Spark plan must
+    exactly reproduce without ever doing."""
+    from downloader_spark.operators.training_prep import (
+        CURR_BAND_CHARS,
+        CURR_MAX_BAND,
+    )
+
+    def key(t):
+        doc_id, n_chars = t
+        band = min(n_chars // CURR_BAND_CHARS, CURR_MAX_BAND)
+        return (band, hashlib.md5(str(doc_id).encode()).hexdigest(), doc_id)
+
+    ranked = sorted(docs, key=key)
+    return {
+        doc_id: (min(n // 512, 7), pos + 1)
+        for pos, (doc_id, n) in enumerate(ranked)
+    }
+
+
+@settings(**_SETTINGS)
+@given(curr_strategy)
+def test_curriculum_order_matches_global_sort(spark, docs):
+    import downloader_spark.operators.training_prep as tp
+    from downloader_spark.operators.training_prep import curriculum_order
+
+    rows = [(i, "x" * min(n, 10), "en", "t", n) for i, n in docs]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(tp, df)
+    try:
+        got = {
+            r.doc_id: (r.band, r.global_pos)
+            for r in curriculum_order(spark, "ignored").collect()
+        }
+    finally:
+        tp.load_table = orig
+    assert got == model_curriculum(docs)
+
+
+# --- embed_pq --------------------------------------------------------
+
+
+def model_pq(vectors):
+    from downloader_spark.operators.llm_similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+
+    q = {
+        vid: [math.floor(x * 1000) for x in v] for vid, v in vectors.items()
+    }
+    ranked = sorted(
+        q, key=lambda vid: (hashlib.md5(str(vid).encode()).hexdigest(), vid)
+    )
+    anchors = {code: q[vid] for code, vid in enumerate(ranked[:PQ_K])}
+    out = {}
+    for vid, qa in q.items():
+        codes, err = [], 0
+        for m in range(PQ_M):
+            lo, hi = m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM
+            best = min(
+                (
+                    (
+                        sum((qa[i] - av[i]) ** 2 for i in range(lo, hi)),
+                        code,
+                    )
+                    for code, av in anchors.items()
+                )
+            )
+            codes.append(best[1])
+            err += best[0]
+        out[vid] = (*codes, err)
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.dictionaries(
+        st.integers(0, 99),
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, allow_infinity=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_embed_pq_matches_bruteforce(spark, vectors):
+    import downloader_spark.operators.llm_similarity as ls
+    from downloader_spark.operators.llm_similarity import embed_pq
+
+    rows = [(vid, v, 0) for vid, v in vectors.items()]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long"
+    )
+    orig = _patched(ls, df)
+    try:
+        got = {
+            r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3, r.quant_err)
+            for r in embed_pq(spark, "ignored").collect()
+        }
+    finally:
+        ls.load_table = orig
+    # model quantizes the FLOAT32 value Spark sees
+    import struct as _s
+
+    f32 = {
+        vid: [_s.unpack("f", _s.pack("f", x))[0] for x in v]
+        for vid, v in vectors.items()
+    }
+    assert got == model_pq(f32)
