@@ -824,3 +824,71 @@ def events_ab_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_cents"
         ),
     )
+
+
+@query(
+    "events_ltv_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts)) // 86400000000 AS BIGINT) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT f.cohort_day,
+             CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) - f.cohort_day
+               AS day_offset,
+             CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+      FROM events e
+      JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY f.cohort_day,
+               CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) - f.cohort_day
+    )
+    SELECT cohort_day, day_offset, day_cents,
+           CAST(sum(day_cents) OVER (
+             PARTITION BY cohort_day ORDER BY day_offset
+             ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_cents
+    FROM daily
+    """,
+    tags=("events", "ltv", "cohort", "window"),
+)
+def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: purchase revenue per
+    (first-seen day, day offset) with the CUMULATIVE running total
+    every LTV curve plots — events_retention's money twin plus a
+    window-over-aggregate cumulative sum.
+
+    Shape: first-seen week per user (one agg), revenue rollup on the
+    joined fact (second agg), then the running sum over the TINY
+    (cohorts x offsets) triangle — the cumulative window never
+    touches fact-sized data.  Revenue is floor-cents BIGINTs
+    end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_day", (day - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "day_cents"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "cohort_day",
+        "day_offset",
+        "day_cents",
+        F.sum("day_cents").over(w).cast("long").alias("cum_cents"),
+    )

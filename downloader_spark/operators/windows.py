@@ -264,3 +264,65 @@ def window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("end_day"),
         F.count(F.lit(1)).alias("n_days"),
     ).drop("anchor")
+
+
+@query(
+    "window_cum_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type,
+             CAST(min(epoch_us(ts)) // 86400000000 AS BIGINT) AS first_day
+      FROM events GROUP BY user_id, event_type
+    ),
+    days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    )
+    SELECT d.user_id, d.day,
+           CAST(count(f.event_type) AS BIGINT) AS types_seen
+    FROM days d
+    LEFT JOIN firsts f ON f.user_id = d.user_id AND f.first_day <= d.day
+    GROUP BY d.user_id, d.day
+    """,
+    tags=("window", "distinct", "cumulative"),
+)
+def window_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count: per user per active day, how many
+    distinct event types they have used so far — the feature-adoption
+    curve ("day N of a user's life, how much of the product have
+    they touched").  Plain cumulative windows can't de-duplicate, so
+    the scaling rewrite reduces distinctness to FIRST OCCURRENCES:
+    one aggregation finds each (user, type)'s first day, a flag
+    marks firsts on the day table, and a running SUM of flags equals
+    the running distinct count — shuffle sizes are |user x type| and
+    |user x day|, both tiny against the fact.
+
+    Spark runs the flag + running-sum form (one user-partitioned
+    window); the oracle instead counts firsts-at-or-before each day
+    with a range join — two constructions, one hash."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min(day).alias("first_day")
+    )
+    days = ev.select("user_id", day.alias("day")).distinct()
+    flags = (
+        firsts.groupBy("user_id", F.col("first_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    joined = days.join(flags, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.sum("new_types").over(w).cast("long").alias("types_seen"),
+    )
