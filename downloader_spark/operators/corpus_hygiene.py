@@ -15,6 +15,11 @@ from pyspark.sql import functions as F
 
 from downloader_spark.io import load_table
 from downloader_spark.operators.llm_dedup import shingle_sets
+from downloader_spark.operators.llm_text import (
+    DUCK_QUALITY_EXPR,
+    quality_stat_columns,
+    spark_quality_from_stats,
+)
 from downloader_spark.plans.registry import query
 
 # --------------------------------------------------------- URL dedup
@@ -233,4 +238,71 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.filter(F.col("shared_shingles") >= CONTAM_MIN_SHARED).select(
         "doc_id", F.col("shared_shingles").cast("bigint").alias("shared_shingles")
+    )
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT e.label, d.doc_id,
+             CAST(floor(({DUCK_QUALITY_EXPR}) * 1000000) AS BIGINT) AS q_ppm
+      FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_doc,
+           CAST(max(CASE WHEN rn = 1 THEN q_ppm END) AS BIGINT) AS keep_q_ppm
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY label ORDER BY q_ppm DESC NULLS LAST, doc_id
+      ) AS rn
+      FROM scored
+    )
+    GROUP BY label
+    """,
+    tags=("llm", "dedup", "semantic", "embedding"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public):
+    documents whose embeddings share a semantic cluster are
+    near-redundant for training — keep ONE representative per
+    cluster, the highest-quality member, and drop the rest.  Uses
+    the pretrained cluster assignment in ``label`` (the same coarse
+    partitioning the IVF index probes) and the shared text-quality
+    composite as the keep criterion.
+
+    The keep decision compares floor-ppm quality (exact BIGINT;
+    float quality never enters an engine comparison) with doc_id
+    tie-break, computed as ONE struct-max aggregation per cluster —
+    associative, map-side combinable, no window over data (the
+    oracle ranks instead — two constructions, one hash).  At 100 TB:
+    embeddings join documents on their co-partitioned id, and the
+    per-cluster argmax shuffles one combiner row per cluster per
+    partition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select("doc_id", *quality_stat_columns())
+    scored = emb.join(stats, emb.vec_id == stats.doc_id).select(
+        "label",
+        "doc_id",
+        F.floor(spark_quality_from_stats() * 1_000_000)
+        .cast("long")
+        .alias("q_ppm"),
+    )
+    # struct-max over (quality, -doc_id): NULL quality sorts last in
+    # the oracle; make the struct key mirror that with a presence flag
+    key = F.struct(
+        F.col("q_ppm").isNotNull().alias("has_q"),
+        F.col("q_ppm").alias("q"),
+        (-F.col("doc_id")).alias("nd"),
+        F.col("doc_id").alias("doc_id"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        F.max(key).getField("doc_id").alias("keep_doc"),
+        F.max(key).getField("q").alias("keep_q_ppm"),
     )
