@@ -247,7 +247,15 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     over the 12-column signature row.  Candidate verification computes
     |A∩B| as a co-occurrence COUNT (join the candidate pairs through
     the hashed postings), never materializing or intersecting arrays."""
-    ss = hashed_shingle_sets(docs)
+    # The hashed shingle table feeds FOUR consumers (signatures, the
+    # semi-filtered postings, the size table, and the co-occurrence
+    # join's two sides); materialize it once so the split+explode+md5
+    # +distinct lineage isn't re-evaluated per consumer.  Measured at
+    # sf0.1: 3.7 -> 2.4 s steady-state, identical pairs.  At
+    # production scale this is the "materialize the shingle
+    # intermediate" knob — a bucketed write would serve the same role
+    # across jobs.
+    ss = hashed_shingle_sets(docs).localCheckpoint()
     hp = ss.withColumn("hp", F.expr(f"pmod(h, {MINHASH_P})"))
     sigs = hp.groupBy("doc_id").agg(
         *[
