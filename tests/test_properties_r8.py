@@ -624,3 +624,60 @@ def test_embed_pq_matches_bruteforce(spark, vectors):
         for vid, v in vectors.items()
     }
     assert got == model_pq(f32)
+
+
+# --- window_cum_distinct ---------------------------------------------
+
+
+def model_cum_distinct(rows):
+    """Direct walk: per user per active day, distinct types so far."""
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, d, t in rows:
+        by_user.setdefault(u, []).append((d, t))
+    out = {}
+    for u, evs in by_user.items():
+        days = sorted({d for d, _ in evs})
+        for day in days:
+            seen = {t for d, t in evs if d <= day}
+            out[(u, day)] = len(seen)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 10),
+            st.sampled_from(["view", "click", "purchase", "signup"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_window_cum_distinct_matches_direct_walk(spark, rows):
+    import datetime as dt
+
+    import downloader_spark.operators.windows as wmod
+    from downloader_spark.operators.windows import window_cum_distinct
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    data = [
+        (i, base + dt.timedelta(days=d, seconds=i), u, t, 1.0, "{}")
+        for i, (u, d, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    base_day = int(base.timestamp()) // 86400
+    orig = _patched(wmod, df)
+    try:
+        got = {
+            (r.user_id, r.day - base_day): r.types_seen
+            for r in window_cum_distinct(spark, "ignored").collect()
+        }
+    finally:
+        wmod.load_table = orig
+    assert got == model_cum_distinct(rows)
