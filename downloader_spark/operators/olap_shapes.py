@@ -456,3 +456,48 @@ def sql_q17_avgqty(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal-sum / count in double — identical operands, one
     division, then a single float comparison per row."""
     return _run(spark, sf_dir, _Q17_BODY, tables=("lineitem", "part"))
+
+
+_Q22_BODY = """
+WITH threshold AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_prospects,
+       round(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_bal
+FROM customer c, threshold t
+WHERE c.c_acctbal > t.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= DATE '2000-01-01'
+  )
+GROUP BY c.c_mktsegment
+"""
+
+
+@query(
+    "sql_q22_prospects",
+    oracle=_Q22_BODY,
+    tags=("sql", "subquery", "anti-join", "aggregate"),
+)
+def sql_q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped dormant-prospect report: customers with
+    above-average positive balance and NO order since 2000, rolled
+    up per market segment — the "high-value but gone quiet"
+    marketing query (every customer in the corpus has SOME order, so
+    the dormancy cutoff is what gives the anti join a real
+    surviving set).
+
+    Three planner behaviors in one statement: the uncorrelated
+    scalar subquery computes ONE global average (exact decimal sum /
+    count) and broadcasts it as a literal-like filter; NOT EXISTS
+    plans as a left-anti join against orders (A5's core rewrite, on
+    the order fact this time); and the surviving trickle feeds a
+    tiny segment rollup.  The anti join is the only data-sized
+    operation — at 100 TB it is a shuffle anti join on the customer
+    key, and everything else is scalar."""
+    return _run(spark, sf_dir, _Q22_BODY, tables=("customer", "orders"))
