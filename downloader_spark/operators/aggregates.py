@@ -476,8 +476,9 @@ DECAY_MAX_AGE = 62
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(cents // (1 << CAST(least(max_day - day, {DECAY_MAX_AGE})
-                                        AS INT))) AS BIGINT)
+           CAST(sum(cents // (CAST(1 AS BIGINT)
+                              << CAST(least(max_day - day, {DECAY_MAX_AGE})
+                                      AS INT))) AS BIGINT)
              AS decayed_cents,
            CAST(max(day) AS BIGINT) AS last_day
     FROM anchored

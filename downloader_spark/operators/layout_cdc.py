@@ -410,7 +410,10 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the A-vs-B diff join are driver-scale.  The shift magnitude is
     floor-ppm on non-negative integers with a separate sign column —
     Spark's DIV truncates toward zero while DuckDB's // floors, so
-    negative operands never enter a floor division."""
+    negative operands never enter a floor division.  The final result
+    keeps only columns observed in BOTH halves (n_a/n_b non-NULL),
+    mirroring the oracle's inner A-vs-B join when one window is empty
+    (e.g. every event on one side of the split day)."""
     ev = load_table(spark, sf_dir, "events")
     half = F.when(
         F.expr("unix_micros(ts) DIV 86400000000") < DRIFT_SPLIT_DAY, "A"
@@ -441,6 +444,9 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _side(F.col("nn"), "B", "null_b"),
         _side(F.col("nd"), "A", "distinct_a"),
         _side(F.col("nd"), "B", "distinct_b"),
+    )
+    joined = joined.where(
+        F.col("n_a").isNotNull() & F.col("n_b").isNotNull()
     )
     return joined.select(
         F.col("col").alias("column_name"),

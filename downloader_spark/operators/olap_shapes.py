@@ -44,13 +44,15 @@ _TABLES = ("customer", "orders", "lineitem", "supplier", "part", "nation")
 
 def _run(spark: SparkSession, sf_dir: str, body: str, tables=_TABLES) -> DataFrame:
     """Register ds_-prefixed temp views and run ``body`` with table
-    names rewritten to them — the same SQL text the oracle runs."""
+    names rewritten to them — the same SQL text the oracle runs.
+    The rewrite is \\b-anchored so a table whose name prefixes
+    another (part vs partsupp) never corrupts the body."""
+    import re as _re
+
     for t in tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"ds_{t}")
     for t in tables:
-        body = body.replace(f"FROM {t}", f"FROM ds_{t}").replace(
-            f"JOIN {t}", f"JOIN ds_{t}"
-        )
+        body = _re.sub(rf"\b(FROM|JOIN)\s+{t}\b", rf"\1 ds_{t}", body)
     return spark.sql(body)
 
 

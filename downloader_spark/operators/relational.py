@@ -759,10 +759,26 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm — full purchase x signup join per user, ranked by
     distance — so the hash cross-checks the window composition
     against brute force.  At 100 TB the window form wins: cost is
-    one shuffle of the stream vs a quadratic per-user fanout."""
+    one shuffle of the stream vs a quadratic per-user fanout.
+
+    Tie-break parity with the oracle's ORDER BY abs(delta), s_us,
+    signup_id: the prior signup is a struct-MAX of (us, -id, id) —
+    latest us first, then SMALLEST id among equal-us signups — and
+    the next signup a struct-MIN of (us, id); plain first/last over
+    the frame would pick the largest id when a user signs up twice
+    in the same microsecond."""
     events = load_table(spark, sf_dir, "events")
-    sig = F.when(
-        F.col("event_type") == "signup",
+    is_sig = F.col("event_type") == "signup"
+    sig_prev = F.when(
+        is_sig,
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            (-F.col("event_id")).alias("neg_id"),
+            F.col("event_id").alias("id"),
+        ),
+    )
+    sig_next = F.when(
+        is_sig,
         F.struct(F.unix_micros("ts").alias("us"), F.col("event_id").alias("id")),
     )
     w_prev = (
@@ -780,8 +796,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.unix_micros("ts").alias("us"),
-        F.last(sig, ignorenulls=True).over(w_prev).alias("prev"),
-        F.first(sig, ignorenulls=True).over(w_next).alias("nxt"),
+        F.max(sig_prev).over(w_prev).alias("prev"),
+        F.min(sig_next).over(w_next).alias("nxt"),
     ).filter(F.col("event_type") == "purchase")
     prev_d = F.col("us") - F.col("prev.us")  # >= 0 by construction
     next_d = F.col("nxt.us") - F.col("us")

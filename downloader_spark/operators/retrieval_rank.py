@@ -73,10 +73,56 @@ _TOKS = "split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' ')"
 _DTOKS = "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
 
 
-def _bm25_tf_exprs() -> list[str]:
-    return [
-        f"size(filter(toks, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
-    ]
+def _bm25_tf_exprs(terms: tuple[str, ...]) -> list[str]:
+    return [f"size(filter(toks, x -> x = '{t}')) AS tf_{t}" for t in terms]
+
+
+def bm25_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """BM25 top-k over ``documents`` for an ARBITRARY query-term list
+    — the reusable component behind the fixed ``text_bm25`` key.
+
+    Same integer-rational scoring (k1=1.2, b=0.75 multiplied through;
+    idf = N*1e6 DIV (df+1)) and same plan shape for any term count:
+    one scan computing per-term tf via JVM higher-order lambdas (the
+    token stream is never exploded), ONE 1-row corpus-stats aggregate
+    broadcast back, TakeOrderedAndProject for the top-k.  Terms must
+    be lowercase alphanumeric (they double as column suffixes)."""
+    for t in terms:
+        if not t.isalnum() or t != t.lower():
+            raise ValueError(f"BM25 term must be lowercase alphanumeric: {t!r}")
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.selectExpr(
+        "doc_id",
+        f"{_TOKS} AS toks",
+    ).selectExpr("doc_id", "size(toks) AS dl", *_bm25_tf_exprs(terms))
+    stats = tf.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("CAST(sum(dl) DIV count(*) AS BIGINT)").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    score = " + ".join(
+        f"(n_docs * 1000000 DIV (df_{t} + 1)) * (44 * avgdl * tf_{t})"
+        f" DIV (20 * avgdl * tf_{t} + 6 * avgdl + 18 * dl)"
+        for t in terms
+    )
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "doc_id",
+            "CAST(dl AS BIGINT) AS dl",
+            f"CAST({score} AS BIGINT) AS score_ppm",
+        )
+        .orderBy(F.col("score_ppm").desc(), "doc_id")
+        .limit(topk)
+    )
 
 
 @query(
@@ -121,35 +167,11 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgdl, per-term df) are ONE 1-row aggregate, cross-joined back
     (broadcast of one row), and the top-10 plans as
     TakeOrderedAndProject: per-partition heaps + a k-row driver
-    merge, no global sort at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
-    tf = docs.selectExpr(
-        "doc_id",
-        f"{_TOKS} AS toks",
-    ).selectExpr("doc_id", "size(toks) AS dl", *_bm25_tf_exprs())
-    stats = tf.agg(
-        F.count("*").alias("n_docs"),
-        F.expr("CAST(sum(dl) DIV count(*) AS BIGINT)").alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
-            for t in BM25_TERMS
-        ],
-    )
-    score = " + ".join(
-        f"(n_docs * 1000000 DIV (df_{t} + 1)) * (44 * avgdl * tf_{t})"
-        f" DIV (20 * avgdl * tf_{t} + 6 * avgdl + 18 * dl)"
-        for t in BM25_TERMS
-    )
-    return (
-        tf.crossJoin(F.broadcast(stats))
-        .selectExpr(
-            "doc_id",
-            "CAST(dl AS BIGINT) AS dl",
-            f"CAST({score} AS BIGINT) AS score_ppm",
-        )
-        .orderBy(F.col("score_ppm").desc(), "doc_id")
-        .limit(BM25_TOPK)
-    )
+    merge, no global sort at any corpus size.
+
+    This checked key is the fixed 3-term instantiation of the
+    general ``bm25_rank`` component (arbitrary query terms)."""
+    return bm25_rank(spark, sf_dir, BM25_TERMS, BM25_TOPK)
 
 
 @query(

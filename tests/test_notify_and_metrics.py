@@ -168,7 +168,9 @@ def test_prometheus_text_lint_rules():
     """The reference gates its metrics through promtest.LintMetrics
     (metrics_test.go:10-16); assert the same rules on our exposition:
     every sample preceded by HELP+TYPE for its family, counters end in
-    _total, names are snake_case."""
+    _total, names are snake_case, HELP text is non-empty, label names
+    are snake_case, gauges measuring time carry a _seconds unit
+    suffix (promlint's unit check for base units)."""
     import re
 
     text = render_prometheus_text(
@@ -180,16 +182,25 @@ def test_prometheus_text_lint_rules():
     seen_meta: dict[str, set[str]] = {}
     for line in text.strip().splitlines():
         if line.startswith("# HELP "):
-            seen_meta.setdefault(line.split()[2], set()).add("help")
+            parts = line.split(maxsplit=3)
+            assert len(parts) == 4 and parts[3].strip(), line  # non-empty help
+            seen_meta.setdefault(parts[2], set()).add("help")
         elif line.startswith("# TYPE "):
             name, mtype = line.split()[2:4]
+            assert mtype in ("counter", "gauge", "histogram", "summary"), line
             seen_meta.setdefault(name, set()).add("type")
             if mtype == "counter":
                 assert name.endswith("_total"), name
+            if mtype == "gauge" and "time" in name:
+                assert name.endswith("_seconds"), name  # unit suffix
         else:
             name = re.match(r"([a-zA-Z_:][a-zA-Z0-9_:]*)", line).group(1)
             assert re.fullmatch(r"[a-z][a-z0-9_]*", name), name
             assert seen_meta.get(name) == {"help", "type"}, name
+            lbl = re.match(r"[^{]*\{(.*)\}", line)
+            if lbl:
+                for pair in re.findall(r'([a-zA-Z_][a-zA-Z0-9_]*)="', lbl.group(1)):
+                    assert re.fullmatch(r"[a-z][a-z0-9_]*", pair), pair
 
 
 def test_downloader_prometheus_text_and_url_error_counter(spark, tmp_path):

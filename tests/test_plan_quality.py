@@ -575,3 +575,49 @@ def test_sql_q17_aggregates_threshold_once(spark):
     # key — never a per-row correlated re-aggregation
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_sql_q3_pushes_filters_and_top10_is_heap(spark):
+    plan = plan_of(spark, "sql_q3_cte")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    # all three single-table predicates reach their scans
+    assert "GreaterThan(l_shipdate" in pushed
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+    assert "LessThan(o_orderdate" in pushed
+    # ORDER BY + LIMIT 10 plans per-partition heaps, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sql_q13_prunes_orders_at_scan_keeps_left_join(spark):
+    plan = plan_of(spark, "sql_q13_custdist")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    # the join-predicate non-key filter prunes orders BEFORE the join
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in pushed
+    # zero-order customers must survive to the k=0 bucket
+    assert "LeftOuter" in plan
+    # two chained two-phase aggregations (per-customer, count-of-counts)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_sql_q14_is_one_broadcast_join_one_aggregation(spark):
+    plan = plan_of(spark, "sql_q14_promo")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+    assert "BroadcastHashJoin" in plan
+    # conditional + total sums fuse into ONE two-phase aggregation:
+    # a single hashpartitioning exchange on the group key
+    real = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(real) == 1
+
+
+def test_sql_q22_plans_anti_join_and_scalar_broadcast(spark):
+    plan = plan_of(spark, "sql_q22_prospects")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    # the dormancy cutoff prunes orders at the scan feeding the anti join
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "LeftAnti" in plan
+    # the scalar threshold broadcasts (never a row-expanding join)
+    assert "IdentityBroadcastMode" in plan
+    assert "CartesianProduct" not in plan

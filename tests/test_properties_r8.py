@@ -438,18 +438,18 @@ def test_text_repetition_matches_direct_walk(spark, docs):
 
 # --- join_asof_nearest -----------------------------------------------
 
-# distinct second offsets avoid equidistant ties (the operator's tie
-# rule for exact-equidistant pairs prefers the prior match; random
-# micro-timestamps make exact ties measure-zero in real data)
+# duplicate (user, seconds) rows are DELIBERATELY allowed: two signups
+# in the same microsecond exercise the struct-max tie-break (smallest
+# signup_id wins, matching the oracle's ORDER BY abs, s_us, signup_id);
+# equidistant prev/next ties resolve to the prior match (smaller s_us)
 asof_strategy = st.lists(
     st.tuples(
         st.integers(0, 2),                      # user
         st.sampled_from(["view", "signup", "purchase"]),
-        st.integers(0, 500),                    # seconds offset
+        st.integers(0, 20),                     # seconds offset (small → ties)
     ),
     min_size=1,
     max_size=30,
-    unique_by=lambda t: (t[0], t[2]),
 )
 
 
@@ -681,3 +681,64 @@ def test_window_cum_distinct_matches_direct_walk(spark, rows):
     finally:
         wmod.load_table = orig
     assert got == model_cum_distinct(rows)
+
+
+# --- bm25_rank (parameterized query terms) ---------------------------
+
+_BM25_VOCAB = ["alpha", "beta", "gamma", "delta", "spark", "query"]
+
+bm25_strategy = st.tuples(
+    st.lists(  # corpus: each doc a non-empty word list (avgdl >= 1)
+        st.lists(st.sampled_from(_BM25_VOCAB), min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(  # arbitrary query-term list, any vocab subset
+        st.sampled_from(_BM25_VOCAB), min_size=1, max_size=4, unique=True
+    ),
+)
+
+
+def model_bm25(docs, terms):
+    """Textbook integer-rational BM25 (same k1=1.2 b=0.75 constants
+    multiplied through) computed doc-at-a-time in pure Python — all
+    quantities are non-negative so Python // agrees with Spark DIV."""
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) // n
+    df = {t: sum(1 for d in docs if t in d) for t in terms}
+    out = {}
+    for i, d in enumerate(docs):
+        dl = len(d)
+        score = 0
+        for t in terms:
+            tf = d.count(t)
+            idf = n * 1_000_000 // (df[t] + 1)
+            score += idf * (44 * avgdl * tf) // (
+                20 * avgdl * tf + 6 * avgdl + 18 * dl
+            )
+        out[i] = (dl, score)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(bm25_strategy)
+def test_bm25_rank_arbitrary_terms_match_python_model(spark, case):
+    docs, terms = case
+    import downloader_spark.operators.retrieval_rank as rr
+    from downloader_spark.operators.retrieval_rank import bm25_rank
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    orig = _patched(rr, df)
+    try:
+        got = {
+            r.doc_id: (r.dl, r.score_ppm)
+            for r in bm25_rank(
+                spark, "ignored", tuple(terms), topk=len(docs)
+            ).collect()
+        }
+    finally:
+        rr.load_table = orig
+    assert got == model_bm25(docs, terms)

@@ -428,3 +428,69 @@ def test_stream_stream_join_matches_batch_interval_join(spark, events_dir):
     }
     assert got == want
     assert len(want) > 0  # the fixture must actually exercise the join
+
+
+def test_checkpoint_restart_new_session_resumes_watermark(spark, tmp_path):
+    """Kill-and-restart proof for the checkpointed-watermark fix
+    (reference keeps its watermark in process memory and re-downloads
+    everything on restart, downloader.go:61-62 / SURVEY §4.3(3)):
+    run 2 uses a NEW SparkSession over the same checkpoint and must
+    (a) not re-publish a digest already published in run 1,
+    (b) drop a novel-but-late row older than the checkpointed
+        watermark — proving the watermark RESUMED rather than reset
+        to epoch (a reset would publish it), and
+    (c) publish a fresh on-time row."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    input_dir = str(tmp_path / "input")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(sess, rows):
+        sess.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def run_once(sess):
+        stream = stream_from_parquet_dir(sess, input_dir)
+        q = (
+            streaming_dedup(stream, watermark_delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: A (10:00) + B (10:30) -> watermark commits at 09:30
+    write_file(
+        spark,
+        [
+            (1, base, 1, "view", 1.0, "dupA"),
+            (2, base + dt.timedelta(minutes=30), 1, "view", 1.0, "B"),
+        ],
+    )
+    run_once(spark)
+    assert spark.read.parquet(out_dir).count() == 2
+
+    # run 2: NEW SparkSession, same checkpoint.  One file with a
+    # duplicate digest (10:05), a late novel row (08:00 < the 09:30
+    # checkpointed watermark), and a fresh on-time row (10:45).
+    restarted = spark.newSession()
+    write_file(
+        restarted,
+        [
+            (3, base + dt.timedelta(minutes=5), 2, "view", 1.0, "dupA"),
+            (4, base - dt.timedelta(hours=2), 3, "view", 1.0, "late-novel"),
+            (5, base + dt.timedelta(minutes=45), 4, "view", 1.0, "C"),
+        ],
+    )
+    run_once(restarted)
+
+    got = sorted(r.props for r in restarted.read.parquet(out_dir).collect())
+    assert got == ["B", "C", "dupA"]  # dupA once, late-novel dropped
