@@ -29,15 +29,23 @@ from downloader_spark.ingest.retry import (
     gen_uniform_sleep_time,
     run_with_retry,
 )
-from downloader_spark.ingest.store import InMemoryStore, LocalFSStore, Store
+from downloader_spark.ingest.store import (
+    FsspecStore,
+    LocalFileFS,
+    InMemoryStore,
+    LocalFSStore,
+    Store,
+)
 from downloader_spark.ingest.watermark import WatermarkStore
 
 __all__ = [
     "CollectingNotifier",
     "Downloader",
+    "FsspecStore",
     "InMemoryStore",
     "InventoryTable",
     "LocalFSStore",
+    "LocalFileFS",
     "MetricsServer",
     "NewFileEvent",
     "Notifier",

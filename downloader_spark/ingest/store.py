@@ -116,3 +116,121 @@ class LocalFSStore:
                 if rel.startswith(prefix) and not rel.endswith(".tmp"):
                     out.append(rel)
         return sorted(out)
+
+
+class FsspecStore:
+    """Cloud-object-store adapter over any fsspec filesystem — the
+    repo-side counterpart of the reference's GCS ``Store``
+    (file/api.go:44-87: writer streaming, server-side ``CopyTo``,
+    bucket-scoped naming), expressed against the PUBLIC fsspec
+    AbstractFileSystem surface so one class covers gs://, s3://,
+    file:// and memory:// without provider code here.
+
+    Semantics preserved from the protocol:
+    - ``put`` is a single whole-object write (``pipe_file``): object
+      stores make per-object writes atomic, so readers never observe
+      partial objects (the LocalFSStore write-then-rename contract).
+    - ``copy`` delegates to ``fs.copy`` — server-side where the
+      backend supports it (GCS rewrite, S3 CopyObject), matching the
+      reference's ``CopyTo`` which never round-trips bytes through
+      the client.
+    - ``list`` is prefix-scoped via ``fs.find`` and returns names
+      RELATIVE to the root, so callers are bucket-layout agnostic.
+
+    The constructor takes any object satisfying the used subset
+    (pipe_file/cat_file/copy/rm_file/exists/find/makedirs) — tests
+    run a dict-backed shim; production passes a real fsspec
+    filesystem via ``from_url`` (lazy import keeps fsspec an
+    optional dependency)."""
+
+    _SEP = "/"
+
+    def __init__(self, fs, root: str) -> None:
+        self.fs = fs
+        self.root = root.rstrip(self._SEP)
+
+    @classmethod
+    def from_url(cls, url: str) -> "FsspecStore":
+        """Build from a URL like ``gs://bucket/prefix`` or
+        ``file:///tmp/archive`` (requires fsspec to be installed)."""
+        try:
+            import fsspec
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "FsspecStore.from_url requires the optional fsspec "
+                "dependency; install fsspec (plus the protocol's "
+                "driver, e.g. gcsfs/s3fs) or construct FsspecStore "
+                "with an explicit filesystem object"
+            ) from exc
+        fs, path = fsspec.core.url_to_fs(url)
+        return cls(fs, path)
+
+    def _p(self, name: str) -> str:
+        parts = [s for s in name.split(self._SEP) if s not in ("", ".")]
+        if ".." in parts:
+            raise ValueError(f"name escapes store root: {name!r}")
+        return self._SEP.join([self.root, *parts])
+
+    def put(self, name: str, data: bytes) -> None:
+        p = self._p(name)
+        parent = p.rsplit(self._SEP, 1)[0]
+        # no-op on flat object stores; required for directory-backed
+        # filesystems (file://) to accept nested names
+        self.fs.makedirs(parent, exist_ok=True)
+        self.fs.pipe_file(p, data)
+
+    def get(self, name: str) -> bytes:
+        return self.fs.cat_file(self._p(name))
+
+    def copy(self, src: str, dst: str) -> None:
+        d = self._p(dst)
+        parent = d.rsplit(self._SEP, 1)[0]
+        self.fs.makedirs(parent, exist_ok=True)
+        self.fs.copy(self._p(src), d)
+
+    def delete(self, name: str) -> None:
+        self.fs.rm_file(self._p(name))
+
+    def exists(self, name: str) -> bool:
+        return bool(self.fs.exists(self._p(name)))
+
+    def list(self, prefix: str = "") -> list[str]:
+        found = self.fs.find(self.root)
+        base = self.root + self._SEP
+        rel = [p[len(base):] if p.startswith(base) else p for p in found]
+        return sorted(n for n in rel if n.startswith(prefix))
+
+
+class LocalFileFS:
+    """Minimal local-filesystem implementation of the fsspec subset
+    ``FsspecStore`` uses (pipe_file/cat_file/copy/rm_file/exists/
+    find/makedirs) — the zero-dependency ``file://`` backend, and the
+    reference shape any fsspec AbstractFileSystem already satisfies.
+    Stateless, so executor-side ``store_factory()`` closures pickle
+    cleanly and see the same objects as the driver."""
+
+    def pipe_file(self, path: str, data: bytes) -> None:
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def cat_file(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def copy(self, src: str, dst: str) -> None:
+        self.pipe_file(dst, self.cat_file(src))
+
+    def rm_file(self, path: str) -> None:
+        os.remove(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def find(self, root: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            out.extend(os.path.join(dirpath, f) for f in files)
+        return sorted(out)
+
+    def makedirs(self, path: str, exist_ok: bool = False) -> None:
+        os.makedirs(path, exist_ok=True)
