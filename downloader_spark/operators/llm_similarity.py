@@ -229,12 +229,11 @@ KM_ITERS = 3
 KM_SCALE = 1_000_000
 
 
-def _km_oracle() -> str:
-    """Unrolled Lloyd iterations as chained CTEs — the declarative
-    mirror of the Spark driver loop.  Fixed iteration count makes the
-    unroll finite; every quantity is BIGINT (floor-quantized inputs,
-    integer-floor centroid means, squared integer distances), so both
-    engines compute the identical trajectory."""
+def km_cte_chain() -> tuple[str, str]:
+    """The unrolled Lloyd iterations as a chained-CTE prefix (DuckDB
+    text) plus the name of the final-centroid CTE — shared by the
+    ``embed_kmeans`` oracle and any oracle composing ON TOP of the
+    learned clustering (``dedup_semantic_learned``)."""
     d = range(KM_DIMS)
     qcols = ", ".join(
         f"CAST(floor(CAST(embedding[{i+1}] AS DOUBLE) * {KM_SCALE}) AS BIGINT)"
@@ -268,12 +267,99 @@ def _km_oracle() -> str:
             + f" FROM {prev} p LEFT JOIN m{it} m USING (cid))"
         )
         prev = f"c{it}"
-    out = ", ".join(f"c{i}" for i in d)
+    return ",\n".join(sql), prev
+
+
+def _km_oracle() -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the declarative
+    mirror of the Spark driver loop.  Fixed iteration count makes the
+    unroll finite; every quantity is BIGINT (floor-quantized inputs,
+    integer-floor centroid means, squared integer distances), so both
+    engines compute the identical trajectory."""
+    chain, prev = km_cte_chain()
+    out = ", ".join(f"c{i}" for i in range(KM_DIMS))
     return (
-        ",\n".join(sql)
+        chain
         + f"\nSELECT cid AS cluster_id, CAST(n AS BIGINT) AS n_points, {out}"
         f" FROM {prev}"
     )
+
+
+def km_quantized_points(emb: DataFrame) -> DataFrame:
+    """Floor-quantized first-{KM_DIMS}-component point table — the
+    shared input of the fit loop and any post-fit assignment pass."""
+    d = range(KM_DIMS)
+    return emb.filter(F.size("embedding") >= KM_DIMS).select(
+        "vec_id",
+        *[
+            F.expr(
+                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {KM_SCALE})"
+                " AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in d
+        ],
+    )
+
+
+def km_assign_expr(cents: dict[int, list[int]]) -> str:
+    """Nearest-centroid CASE expression (ties to the lower cluster
+    id) with the centroids inlined as codegen'd literals."""
+    d = range(KM_DIMS)
+    dists = [
+        " + ".join(
+            f"(q{i} - CAST({cents[c][i]} AS BIGINT))"
+            f" * (q{i} - CAST({cents[c][i]} AS BIGINT))"
+            for i in d
+        )
+        for c in range(KM_K)
+    ]
+    assign_expr = "CASE "
+    for c in range(KM_K - 1):
+        conds = " AND ".join(
+            f"({dists[c]}) <= ({dists[o]})" for o in range(c + 1, KM_K)
+        )
+        assign_expr += f"WHEN {conds} THEN {c} "
+    assign_expr += f"ELSE {KM_K - 1} END"
+    return assign_expr
+
+
+def km_fit(pts: DataFrame) -> tuple[dict[int, list[int]], dict[int, int]]:
+    """The {KM_ITERS}-iteration Lloyd driver loop: returns the final
+    centroids and per-cluster sizes.  Each iteration collects only
+    k x dims integers; no point ever leaves the executors."""
+    d = range(KM_DIMS)
+    init = (
+        pts.groupBy((F.col("vec_id") % KM_K).alias("cid"))
+        .agg(
+            F.count("*").alias("n"),
+            *[F.expr(f"sum(q{i}) DIV count(*)").alias(f"c{i}") for i in d],
+        )
+        .collect()
+    )
+    cents = {int(r.cid): [int(r[f"c{i}"]) for i in d] for r in init}
+    # a slice can be empty (degenerate/empty corpus): seed it at the
+    # origin so the loop and output stay total over all k clusters
+    for c in range(KM_K):
+        cents.setdefault(c, [0] * KM_DIMS)
+    n_by_cid = {c: 0 for c in range(KM_K)}
+    for _ in range(KM_ITERS):
+        upd = (
+            pts.select(
+                *[f"q{i}" for i in d],
+                F.expr(km_assign_expr(cents)).alias("cid"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.expr(f"sum(q{i}) DIV count(*)").alias(f"c{i}") for i in d],
+            )
+            .collect()
+        )
+        n_by_cid = {c: 0 for c in range(KM_K)}
+        for r in upd:  # emptied clusters keep their previous centroid
+            cents[int(r.cid)] = [int(r[f"c{i}"]) for i in d]
+            n_by_cid[int(r.cid)] = int(r.n)
+    return cents, n_by_cid
 
 
 @query(
@@ -302,65 +388,11 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the executors, and iteration cost is O(points x k x dims) scan
     work regardless of cluster count."""
     emb = load_table(spark, sf_dir, "embeddings")
-    d = range(KM_DIMS)
-    pts = emb.filter(F.size("embedding") >= KM_DIMS).select(
-        "vec_id",
-        *[
-            F.expr(
-                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {KM_SCALE})"
-                " AS BIGINT)"
-            ).alias(f"q{i}")
-            for i in d
-        ],
-    )
-    init = (
-        pts.groupBy((F.col("vec_id") % KM_K).alias("cid"))
-        .agg(
-            F.count("*").alias("n"),
-            *[F.expr(f"sum(q{i}) DIV count(*)").alias(f"c{i}") for i in d],
-        )
-        .collect()
-    )
-    cents = {int(r.cid): [int(r[f"c{i}"]) for i in d] for r in init}
-    # a slice can be empty (degenerate/empty corpus): seed it at the
-    # origin so the loop and output stay total over all k clusters
-    for c in range(KM_K):
-        cents.setdefault(c, [0] * KM_DIMS)
-    n_by_cid = {c: 0 for c in range(KM_K)}
-    for _ in range(KM_ITERS):
-        dists = [
-            " + ".join(
-                f"(q{i} - CAST({cents[c][i]} AS BIGINT))"
-                f" * (q{i} - CAST({cents[c][i]} AS BIGINT))"
-                for i in d
-            )
-            for c in range(KM_K)
-        ]
-        assign_expr = "CASE "
-        for c in range(KM_K - 1):
-            conds = " AND ".join(
-                f"({dists[c]}) <= ({dists[o]})" for o in range(c + 1, KM_K)
-            )
-            assign_expr += f"WHEN {conds} THEN {c} "
-        assign_expr += f"ELSE {KM_K - 1} END"
-        upd = (
-            pts.select(*[f"q{i}" for i in d], F.expr(assign_expr).alias("cid"))
-            .groupBy("cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.expr(f"sum(q{i}) DIV count(*)").alias(f"c{i}") for i in d],
-            )
-            .collect()
-        )
-        n_by_cid = {c: 0 for c in range(KM_K)}
-        for r in upd:  # emptied clusters keep their previous centroid
-            cents[int(r.cid)] = [int(r[f"c{i}"]) for i in d]
-            n_by_cid[int(r.cid)] = int(r.n)
-    rows = [
-        (c, n_by_cid[c], *cents[c]) for c in range(KM_K)
-    ]
+    pts = km_quantized_points(emb)
+    cents, n_by_cid = km_fit(pts)
+    rows = [(c, n_by_cid[c], *cents[c]) for c in range(KM_K)]
     schema = "cluster_id long, n_points long, " + ", ".join(
-        f"c{i} long" for i in d
+        f"c{i} long" for i in range(KM_DIMS)
     )
     return spark.createDataFrame(rows, schema)
 

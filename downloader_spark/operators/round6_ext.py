@@ -1,0 +1,694 @@
+"""Round-6 surface extensions: the remaining TPC-H report shapes the
+SQL surface lacked (Q4/Q7/Q9/Q11/Q12/Q15/Q20/Q21 analogs, adapted to
+the reduced fixture schema — no partsupp/commitdate/shipmode columns
+ship with the corpus) plus the learned-cluster SemDeDup composition
+the r5 verdict requested (embed_kmeans assignments feeding the
+semantic prune, end-to-end learned).
+
+Unlike olap_shapes' same-text-both-engines keys, every key here is a
+GENUINE cross-engine differential: the Spark side is an independent
+DataFrame-algebra algorithm (per-order max-lag aggregation instead of
+correlated EXISTS, top-2 per-order statistics instead of NOT EXISTS,
+broadcast scalar thresholds instead of scalar subqueries) checked
+against DuckDB's correlated-subquery formulation — two constructions,
+one hash.
+
+IMPORTANT (driver rotation): this module must stay the LAST import in
+plans/catalog.py.  The driver confirms a 50-key prefix per round
+ordered never-confirmed-first then registry order; keys registered
+here sort AFTER the backlog of earlier never-confirmed keys, so new
+surface never delays confirmation of existing keys
+(__spark_entry__.py:72-82, r5 verdict item 1).
+
+Cross-engine exactness: floor-cents/centi-quantity BIGINTs for every
+compared amount (floor over an IEEE double product is deterministic),
+DECIMAL-sum -> round(double, 2) for reported money, epoch-day integer
+arithmetic for date lags (Spark DIV == DuckDB // on non-negatives).
+
+Scale notes (100 TB):
+- ``sql_q4_late_orders`` aggregates lineitem per order FIRST (partial
+  agg, one combiner row per order) and joins the pre-filtered orders
+  — never a correlated per-row probe.
+- ``sql_q7_nation_flows`` filters the nation dimension to the two
+  target names BEFORE joining, so the fact scan prunes through two
+  broadcast chains (supplier-side and customer-side).
+- ``sql_q9_part_profit`` pushes the LIKE filter into the broadcast
+  part dimension; the fact joins a shrunken build side.
+- ``sql_q11_key_parts`` / ``sql_q15_top_supplier`` broadcast a 1-row
+  scalar (corpus total / max) onto the aggregated table — the
+  agg_decay_sum anchor shape; no re-aggregation per row.
+- ``sql_q12_lag_buckets`` is one fact-fact equi join + ONE
+  conditional aggregation (3-row output) — Q12's CASE-sum shape.
+- ``sql_q20_excess_share`` reuses the per-(part,supplier) aggregate
+  for the per-part total (two chained partial aggs), then semi-joins
+  suppliers — bucketed by part key throughout.
+- ``sql_q21_last_shipper`` replaces the classic double-correlated
+  EXISTS/NOT EXISTS with per-order top-2 order statistics (max,
+  count-at-max, runner-up) computed in ONE aggregation and joined
+  back — O(|lineitem|) shuffled once on orderkey, no per-row
+  subquery, skew-bounded by order size.
+- ``dedup_semantic_learned`` inherits embed_kmeans' driver loop
+  (k x dims ints per iteration) and dedup_semantic's one-struct-max-
+  per-cluster prune; the only new cost is one assignment projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.operators.llm_similarity import (
+    km_assign_expr,
+    km_cte_chain,
+    km_fit,
+    km_quantized_points,
+    KM_DIMS,
+)
+from downloader_spark.operators.llm_text import (
+    DUCK_QUALITY_EXPR,
+    quality_stat_columns,
+    spark_quality_from_stats,
+)
+from downloader_spark.plans.registry import query
+
+# Q4: an order "shipped late" if any line ships > LATE_DAYS after the
+# order date; Q7: the two trade nations; Q9/Q20: part-name filters;
+# Q21: the audited supplier nation.
+LATE_DAYS = 60
+Q7_NATIONS = ("NATION_3", "NATION_7")
+Q9_PART_LIKE = "%red%"
+Q20_PART_LIKE = "small%"
+Q21_NATION = "NATION_4"
+
+_SPARK_DAY = "unix_micros(CAST({c} AS TIMESTAMP)) DIV 86400000000"
+_DUCK_DAY = "epoch_us({c}) // 86400000000"
+
+
+@query(
+    "sql_q4_late_orders",
+    oracle=f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND {_DUCK_DAY.format(c="l.l_shipdate")}
+              - {_DUCK_DAY.format(c="o.o_orderdate")} > {LATE_DAYS}
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "subquery", "semi-join", "aggregate"),
+)
+def sql_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped priority check: how many 1996 orders, per
+    priority class, had at least one line shipped more than
+    {LATE_DAYS} days after ordering (the fixture has no commit/receipt
+    dates; ship-lag is the late criterion).
+
+    The oracle is the classic correlated EXISTS; the Spark side is
+    the de-correlated algebra — lineitem pre-aggregates its max ship
+    day per order (partial agg: one combiner row per order per
+    partition), joins the date-pruned orders scan, and the lag filter
+    plus a tiny priority rollup finish driver-side-free.  At 100 TB
+    the per-order aggregate is the only fact shuffle and the EXISTS
+    never re-probes."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    max_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.expr(_SPARK_DAY.format(c="l_shipdate"))).alias("max_day"))
+    )
+    late = orders.join(
+        max_ship, orders.o_orderkey == max_ship.l_orderkey
+    ).filter(
+        F.col("max_day") - F.expr(_SPARK_DAY.format(c="o_orderdate"))
+        > LATE_DAYS
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "sql_q7_nation_flows",
+    oracle=f"""
+    WITH flows AS (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1.0 - l.l_discount AS DECIMAL(8,4)) AS volume
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE (sn.n_name = '{Q7_NATIONS[0]}' AND cn.n_name = '{Q7_NATIONS[1]}')
+         OR (sn.n_name = '{Q7_NATIONS[1]}' AND cn.n_name = '{Q7_NATIONS[0]}')
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+    FROM flows GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("sql", "join", "aggregate", "report"),
+)
+def sql_q7_nation_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral trade volume: revenue flowing each
+    direction between two nations, per ship year — the classic
+    "who sells to whom" report over a 6-relation tree.
+
+    Spark side filters nation to the TWO target names before any
+    fact touches it, so both dimension chains (supplier->nation,
+    customer->orders->nation) broadcast shrunken build sides and the
+    disjunctive pair predicate collapses to a cheap post-join filter
+    on two broadcast columns; one decimal partial agg finishes.  The
+    oracle keeps the textbook formulation with the OR over the full
+    dimension join."""
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*Q7_NATIONS)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nations.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    flows = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return flows.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.expr("CAST(year(l_shipdate) AS BIGINT)").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(18,2))"
+                    " * CAST(1.0 - l_discount AS DECIMAL(8,4))"
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue")
+    )
+
+
+@query(
+    "sql_q9_part_profit",
+    oracle=f"""
+    WITH profits AS (
+      SELECT sn.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1.0 - l.l_discount AS DECIMAL(8,4))
+             - CAST(p.p_retailprice AS DECIMAL(18,2))
+               * CAST(l.l_quantity AS DECIMAL(18,2))
+               * CAST(0.5 AS DECIMAL(2,1)) AS amount
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+                 AND p.p_name LIKE '{Q9_PART_LIKE}'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT nation, o_year,
+           round(CAST(sum(amount) AS DOUBLE), 2) AS profit
+    FROM profits GROUP BY nation, o_year
+    """,
+    tags=("sql", "join", "aggregate", "report"),
+)
+def sql_q9_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product profit: per supplier nation and order
+    year, revenue minus a retail-price-based cost surrogate (the
+    fixture has no partsupp supplycost; half the catalog price per
+    unit stands in) for parts matching a name pattern.
+
+    The LIKE filter is applied to the part DIMENSION before the
+    broadcast, so the fact join's build side holds only matching
+    parts and non-matching lineitems drop at the join — the
+    filter-through-dimension prune Q9 exists to exercise.  All
+    amounts are exact decimals until the final round(double, 2)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(Q9_PART_LIKE)
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    profits = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    amount = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * CAST(1.0 - l_discount AS DECIMAL(8,4))"
+        " - CAST(p_retailprice AS DECIMAL(18,2))"
+        "   * CAST(l_quantity AS DECIMAL(18,2))"
+        "   * CAST(0.5 AS DECIMAL(2,1))"
+    )
+    return profits.groupBy(
+        "nation",
+        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year"),
+    ).agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
+
+
+@query(
+    "sql_q11_key_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l.l_partkey AS partkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS v_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = '{Q7_NATIONS[1]}'
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, v_cents
+    FROM val
+    WHERE v_cents * 1000 > (SELECT sum(v_cents) FROM val)
+    """,
+    tags=("sql", "subquery", "aggregate", "having"),
+)
+def sql_q11_key_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped key-inventory report: parts whose shipped
+    value from one nation's suppliers exceeds 0.1% of that nation's
+    total — the scalar-subquery HAVING over a grouped aggregate
+    (value is floor-cents so the share comparison is pure BIGINT).
+
+    Spark computes the per-part value table ONCE, derives the global
+    threshold as a 1-row aggregate OF THAT TABLE, and broadcasts it
+    back as a filter — the decay-sum anchor shape; at 100 TB the
+    part-value aggregation is the only data shuffle and the total
+    never re-scans the fact."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q7_NATIONS[1]
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")
+            ).alias("v_cents")
+        )
+    )
+    # val feeds both the output rows and the global total:
+    # materialize it once (minhash materialization precedent) so the
+    # fact scan + supplier join run ONCE, not per consumer
+    val = val.localCheckpoint()
+    total = val.agg(F.sum("v_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v_cents") * 1000 > F.col("total_cents"))
+        .select("partkey", "v_cents")
+    )
+
+
+@query(
+    "sql_q12_lag_buckets",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT CAST({_DUCK_DAY.format(c="l.l_shipdate")}
+                  - {_DUCK_DAY.format(c="o.o_orderdate")} AS BIGINT)
+               AS lag_days,
+             o.o_orderpriority AS pri
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN lag_days <= 30 THEN 'fast'
+                WHEN lag_days <= 90 THEN 'medium'
+                ELSE 'slow' END AS ship_bucket,
+           CAST(sum(CASE WHEN pri IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN pri IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lagged GROUP BY 1
+    """,
+    tags=("sql", "join", "aggregate", "case"),
+)
+def sql_q12_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped shipping-performance report: lineitems
+    bucketed by ship lag (days from order to ship; the fixture has no
+    shipmode, so the lag bucket is the service tier), counting high-
+    vs low-priority lines per bucket — the CASE-inside-SUM shape.
+
+    One fact-fact equi join (orders projected to two columns) feeding
+    ONE conditional aggregation with a 3-row output; both CASE sums
+    ride the same partial agg.  Day arithmetic is integer epoch-days
+    on both engines (non-negative, so DIV == //)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.expr(_SPARK_DAY.format(c="l_shipdate")).alias("l_day")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(_SPARK_DAY.format(c="o_orderdate")).alias("o_day"),
+    )
+    lag = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        (F.col("l_day") - F.col("o_day")).alias("lag_days"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    bucket = (
+        F.when(F.col("lag_days") <= 30, "fast")
+        .when(F.col("lag_days") <= 90, "medium")
+        .otherwise("slow")
+    )
+    high = F.col("pri").isin("1-URGENT", "2-HIGH")
+    return lag.groupBy(bucket.alias("ship_bucket")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+@query(
+    "sql_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                 * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.rev_cents
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+    WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)
+    """,
+    tags=("sql", "subquery", "aggregate", "top1"),
+)
+def sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: the supplier(s) with the
+    highest quarterly revenue, revenue in exact floor-cents so the
+    max-equality join is integer.
+
+    The oracle's scalar subquery becomes a broadcast 1-row max joined
+    onto the (already tiny) per-supplier revenue table; supplier
+    attributes broadcast-join last.  The revenue aggregation is the
+    only data-sized shuffle — Q15's view materialization collapses
+    into one reusable DataFrame."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)"
+                " AS BIGINT)"
+            )
+        ).alias("rev_cents")
+    )
+    # rev feeds the output rows AND the scalar max: materialize the
+    # |suppliers|-row aggregate once so the fact scans once
+    rev = rev.localCheckpoint()
+    top = rev.agg(F.max("rev_cents").alias("max_cents"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "rev_cents")
+    )
+
+
+@query(
+    "sql_q20_excess_share",
+    oracle=f"""
+    WITH pq AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT partkey, sum(sq) AS tq FROM pq GROUP BY partkey)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT pq.suppkey
+      FROM pq
+      JOIN tot ON pq.partkey = tot.partkey
+      JOIN part p ON p.p_partkey = pq.partkey
+                 AND p.p_name LIKE '{Q20_PART_LIKE}'
+      WHERE pq.sq * 2 > tot.tq
+    )
+    """,
+    tags=("sql", "subquery", "semi-join", "aggregate"),
+)
+def sql_q20_excess_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped dominant-supplier audit: suppliers who
+    shipped MORE THAN HALF of some matching part's yearly volume
+    (the fixture has no partsupp availability; majority share of
+    shipped quantity is the excess criterion).  Quantities are
+    centi-units, so the share comparison is pure BIGINT.
+
+    Spark chains the two aggregation levels — per-(part,supplier)
+    then per-part — with the second REUSING the first's output
+    (shuffled once on the part key), applies the part-name filter as
+    a broadcast semi join on the small aggregate (not the fact), and
+    finishes with a left-semi join into supplier.  The oracle keeps
+    the nested-IN formulation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    pq = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(
+        F.sum(F.expr("CAST(floor(l_quantity * 100) AS BIGINT)")).alias("sq")
+    )
+    # pq feeds both aggregation levels: materialize the
+    # per-(part,supplier) aggregate once so the fact scans once
+    pq = pq.localCheckpoint()
+    tot = pq.groupBy("partkey").agg(F.sum("sq").alias("tq"))
+    matching = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(Q20_PART_LIKE)
+    ).select("p_partkey")
+    dominant = (
+        pq.join(tot, "partkey")
+        .join(F.broadcast(matching), F.col("partkey") == F.col("p_partkey"))
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .select("suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        dominant, supp.s_suppkey == dominant.suppkey, "leftsemi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "sql_q21_last_shipper",
+    oracle=f"""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+                 AND n.n_name = '{Q21_NATION}'
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderstatus = 'F'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s.s_name
+    """,
+    tags=("sql", "subquery", "anti-join", "aggregate"),
+)
+def sql_q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped blame report: for one nation's suppliers,
+    count finished-order lineitems where that supplier shipped
+    strictly LAST among the order's >= 2 suppliers (no commit/receipt
+    dates in the fixture; "kept everyone waiting" is being the unique
+    latest shipper).
+
+    The oracle is the classic EXISTS + NOT-EXISTS double correlation.
+    The Spark side de-correlates into per-order ORDER STATISTICS
+    computed in one aggregation pass over the per-(order, supplier)
+    max-ship table: the order's supplier count, its max ship date
+    M1, how many suppliers achieve M1, and the runner-up M2.  A row
+    survives iff its order has >= 2 suppliers (the EXISTS) and the
+    max over OTHER suppliers — M1 unless this supplier is the UNIQUE
+    M1 achiever, else M2 — does not exceed its own ship date (the
+    NOT EXISTS).  One orderkey shuffle, no correlated probes, and
+    per-order state is 4 scalars regardless of order width."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q21_NATION
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    # per-(order, supplier) latest shipment
+    smax = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    )
+    # smax has three consumers (the m1 inner aggregate, the stats
+    # conditional aggregate, and the per-row join back): materialize
+    # the per-(order,supplier) aggregate once
+    smax = smax.localCheckpoint()
+    # per-order order statistics over supplier maxima: count, max M1,
+    # count-at-M1, runner-up M2 — M1 joins back onto the (tiny,
+    # already order-partitioned) smax table so the conditional
+    # aggregation computes cnt1/m2 in one more pass, never re-reading
+    # the fact
+    stats = (
+        smax.join(
+            smax.groupBy("l_orderkey").agg(F.max("s_max").alias("m1")),
+            "l_orderkey",
+        )
+        .groupBy("l_orderkey", "m1")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.when(F.col("s_max") == F.col("m1"), 1).otherwise(0)).alias(
+                "cnt1"
+            ),
+            F.max(F.when(F.col("s_max") < F.col("m1"), F.col("s_max"))).alias(
+                "m2"
+            ),
+        )
+    )
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders_f, F.col("l_orderkey") == orders_f.o_orderkey)
+        .join(stats, "l_orderkey")
+        .join(smax, ["l_orderkey", "l_suppkey"])
+    )
+    other_max = F.when(
+        (F.col("s_max") == F.col("m1")) & (F.col("cnt1") == 1), F.col("m2")
+    ).otherwise(F.col("m1"))
+    kept = l1.filter(
+        (F.col("n_supp") >= 2) & (other_max <= F.col("l_shipdate"))
+    )
+    return kept.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+def _learned_semantic_oracle() -> str:
+    chain, prev = km_cte_chain()
+    dist = " + ".join(
+        f"(p.q{i} - c.c{i}) * (p.q{i} - c.c{i})" for i in range(KM_DIMS)
+    )
+    return f"""
+    {chain},
+    fa AS (
+      SELECT p.vec_id, arg_min(c.cid, ({dist}) * 10 + c.cid) AS cid
+      FROM pts p CROSS JOIN {prev} c GROUP BY ALL
+    ),
+    scored AS (
+      SELECT fa.cid AS cluster_id, d.doc_id,
+             CAST(floor(({DUCK_QUALITY_EXPR}) * 1000000) AS BIGINT) AS q_ppm
+      FROM fa JOIN documents d ON d.doc_id = fa.vec_id
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_doc,
+           CAST(max(CASE WHEN rn = 1 THEN q_ppm END) AS BIGINT) AS keep_q_ppm
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY q_ppm DESC NULLS LAST, doc_id
+      ) AS rn
+      FROM scored
+    )
+    GROUP BY cluster_id
+    """
+
+
+@query(
+    "dedup_semantic_learned",
+    oracle=_learned_semantic_oracle(),
+    tags=("llm", "dedup", "semantic", "embedding", "iterative"),
+)
+def dedup_semantic_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end LEARNED (r5 verdict item 8): instead of
+    the pretrained ``label`` column (dedup_semantic), cluster
+    assignments come from the repo's own k-means (embed_kmeans's
+    exact integer trajectory), so the pipeline is
+    fit -> assign -> prune with no external clustering.
+
+    Composition: km_fit's driver loop yields final centroids (k x
+    dims ints per iteration, nothing data-sized collects), one
+    codegen'd CASE projection assigns every vector, and the prune is
+    dedup_semantic's ONE struct-max per cluster over ppm-exact
+    quality — associative, map-side combinable, no window over data.
+    The oracle unrolls the identical Lloyd iterations as chained
+    CTEs (km_cte_chain), appends an arg_min assignment pass, and
+    ranks with a window — two constructions, one hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = km_quantized_points(emb)
+    cents, _ = km_fit(pts)
+    assigned = pts.select(
+        "vec_id", F.expr(km_assign_expr(cents)).alias("cluster_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select("doc_id", *quality_stat_columns())
+    scored = assigned.join(stats, assigned.vec_id == stats.doc_id).select(
+        "cluster_id",
+        "doc_id",
+        F.floor(spark_quality_from_stats() * 1_000_000)
+        .cast("long")
+        .alias("q_ppm"),
+    )
+    key = F.struct(
+        F.col("q_ppm").isNotNull().alias("has_q"),
+        F.col("q_ppm").alias("q"),
+        (-F.col("doc_id")).alias("nd"),
+        F.col("doc_id").alias("doc_id"),
+    )
+    return scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        F.max(key).getField("doc_id").alias("keep_doc"),
+        F.max(key).getField("q").alias("keep_q_ppm"),
+    )

@@ -621,3 +621,87 @@ def test_sql_q22_plans_anti_join_and_scalar_broadcast(spark):
     # the scalar threshold broadcasts (never a row-expanding join)
     assert "IdentityBroadcastMode" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sql_q4_decorelates_exists_to_one_fact_agg(spark):
+    plan = plan_of(spark, "sql_q4_late_orders")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    # the order-date window reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    # the EXISTS became a per-order aggregate + join, never a
+    # correlated probe: two two-phase aggs, no window, no cartesian
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q7_filters_nations_before_broadcast(spark):
+    plan = plan_of(spark, "sql_q7_nation_flows")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    # the two target nations prune the dimension AT ITS SCAN
+    assert "In(n_name" in pushed
+    assert plan.count("BroadcastHashJoin") >= 4
+    # one data shuffle: the final group-by exchange
+    real = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(real) == 1
+
+
+def test_sql_q9_prunes_part_dimension_at_scan(spark):
+    plan = plan_of(spark, "sql_q9_part_profit")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    # the LIKE filter lands on the part scan feeding the broadcast
+    assert "StringContains(p_name,red)" in pushed
+    assert plan.count("BroadcastHashJoin") >= 3
+    real = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(real) == 1
+
+
+def test_sql_q11_materializes_value_table_once(spark):
+    plan = plan_of(spark, "sql_q11_key_parts")
+    # both consumers (rows + total) read the checkpointed aggregate:
+    # the final plan touches NO parquet — the fact scanned exactly
+    # once, inside the materialization job
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") == 2
+    # the global total broadcasts as a 1-row nested-loop filter
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_sql_q15_broadcasts_scalar_max_onto_materialized_rev(spark):
+    plan = plan_of(spark, "sql_q15_top_supplier")
+    assert plan.count("Scan ExistingRDD") == 2  # rev rows + max(rev)
+    # only the supplier dimension still reads parquet here
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1 and "s_name" in scans[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q20_chains_aggregates_and_semi_joins(spark):
+    plan = plan_of(spark, "sql_q20_excess_share")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    # ship-date window pushed into the fact feeding the aggregate
+    assert "StartsWith(p_name,small)" in pushed
+    assert "LeftSemi" in plan
+    assert plan.count("Scan ExistingRDD") == 2  # pq reused for tot
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q21_no_correlated_probe_no_cartesian(spark):
+    plan = plan_of(spark, "sql_q21_last_shipper")
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    # status + nation filters prune at their scans
+    assert "EqualTo(o_orderstatus,F)" in pushed
+    assert "EqualTo(n_name," in pushed
+    # the EXISTS/NOT-EXISTS pair became order statistics: smax
+    # materialized once, three consumers, everything equi-joined
+    assert plan.count("Scan ExistingRDD") == 3
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_dedup_semantic_learned_prunes_without_window(spark):
+    plan = plan_of(spark, "dedup_semantic_learned")
+    # the keep decision is one struct-max aggregation per cluster —
+    # no window sort over data, no cartesian anywhere
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -742,3 +742,88 @@ def test_bm25_rank_arbitrary_terms_match_python_model(spark, case):
     finally:
         rr.load_table = orig
     assert got == model_bm25(docs, terms)
+
+
+# --- sql_q21_last_shipper (order-statistics de-correlation) ----------
+
+def _patched_tables(module, dfs):
+    orig = module.load_table
+    module.load_table = lambda s, d, n: dfs[n]
+    return orig
+
+
+q21_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),    # orderkey
+        st.integers(0, 7),    # suppkey
+        st.integers(0, 10),   # ship day offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def model_q21(rows, statuses, supp_nation):
+    """The classic double-correlated formulation, literally: for each
+    l1 row check EXISTS(other supplier on the order) and NOT
+    EXISTS(other supplier shipping strictly later)."""
+    out: dict[str, int] = {}
+    for i, (ok, sk, day) in enumerate(rows):
+        if statuses[ok] != "F" or supp_nation[sk] != "NATION_4":
+            continue
+        others = [(ok2, sk2, d2) for ok2, sk2, d2 in rows if ok2 == ok and sk2 != sk]
+        if not others:
+            continue
+        if any(d2 > day for _, _, d2 in others):
+            continue
+        name = f"supp-{sk}"
+        out[name] = out.get(name, 0) + 1
+    return out
+
+
+@settings(**_SETTINGS)
+@given(q21_strategy)
+def test_sql_q21_matches_correlated_bruteforce(spark, rows):
+    import datetime as dt
+
+    import downloader_spark.operators.round6_ext as r6
+    from downloader_spark.operators.round6_ext import sql_q21_last_shipper
+
+    base = dt.datetime(2024, 1, 1)
+    # half the orders finished, suppliers spread over 2 nations
+    statuses = {ok: ("F" if ok % 2 == 0 else "O") for ok in range(6)}
+    supp_nation = {sk: ("NATION_4" if sk % 2 == 0 else "NATION_9") for sk in range(8)}
+    li = spark.createDataFrame(
+        [
+            (ok, 0, sk, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             base + dt.timedelta(days=day))
+            for i, (ok, sk, day) in enumerate(rows)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(ok, 0, statuses[ok], 1.0, base, "3-MEDIUM") for ok in range(6)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    supplier = spark.createDataFrame(
+        [(sk, f"supp-{sk}", 0 if sk % 2 == 0 else 1, 0.0) for sk in range(8)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_4", 0), (1, "NATION_9", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    dfs = {"lineitem": li, "orders": orders, "supplier": supplier, "nation": nation}
+    orig = _patched_tables(r6, dfs)
+    try:
+        got = {
+            r.s_name: r.numwait
+            for r in sql_q21_last_shipper(spark, "ignored").collect()
+        }
+    finally:
+        r6.load_table = orig
+    assert got == model_q21(rows, statuses, supp_nation)
