@@ -581,7 +581,10 @@ def sql_q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count-at-M1, runner-up M2 — M1 joins back onto the (tiny,
     # already order-partitioned) smax table so the conditional
     # aggregation computes cnt1/m2 in one more pass, never re-reading
-    # the fact
+    # the fact.  (An unordered-window-max formulation was A/B'd at
+    # sf0.1 and 10x — 3.09/9.28 s vs 2.19/8.86 s for this join form —
+    # measured-and-rejected; the join also keeps the plan window-free,
+    # PERF.md round 6.)
     stats = (
         smax.join(
             smax.groupBy("l_orderkey").agg(F.max("s_max").alias("m1")),
