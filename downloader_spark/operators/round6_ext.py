@@ -695,3 +695,153 @@ def dedup_semantic_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(key).getField("doc_id").alias("keep_doc"),
         F.max(key).getField("q").alias("keep_q_ppm"),
     )
+
+
+# Exact substring-span dedup (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — public paper): find
+# cross-document repeated token SPANS, not whole-document near-dups.
+SPAN_W = 5          # word w-grams; a run of R grams = R + W - 1 tokens
+SPAN_MIN_RUN = 3    # report pairs sharing >= 3 consecutive grams
+SPAN_DF_CAP = 20    # drop grams with more postings (hot-boilerplate cap)
+
+_SPAN_NORM_SPARK = (
+    "split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' ')"
+)
+_SPAN_NORM_DUCK = (
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+def _h60_spark(arg: str) -> str:
+    return f"CAST(conv(substring(md5({arg}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _h60_duck(arg: str) -> str:
+    return f"CAST(concat('0x', substring(md5({arg}), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SPAN_NORM_DUCK} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             {_h60_duck(f"array_to_string(toks[i:i+{SPAN_W - 1}], ' ')")} AS h
+      FROM toks,
+           unnest(generate_series(1, greatest(len(toks) - {SPAN_W - 1}, 0)))
+             AS t(i)
+    ),
+    kept AS (SELECT h FROM grams GROUP BY h HAVING count(*) <= {SPAN_DF_CAP}),
+    g AS (SELECT grams.* FROM grams JOIN kept USING (h)),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             a.pos - b.pos AS delta, a.pos AS pa
+      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, count(*) AS run_len
+      FROM (SELECT da, db, delta, pa,
+                   pa - row_number() OVER (
+                     PARTITION BY da, db, delta ORDER BY pa) AS grp
+            FROM pairs)
+      GROUP BY da, db, delta, grp
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(max(run_len) AS BIGINT) AS max_run,
+           CAST(max(run_len) + {SPAN_W - 1} AS BIGINT) AS span_tokens,
+           CAST(sum(CASE WHEN run_len >= {SPAN_MIN_RUN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spans
+    FROM runs GROUP BY da, db
+    HAVING max(run_len) >= {SPAN_MIN_RUN}
+    """,
+    tags=("llm", "dedup", "substring", "positional"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated SUBSTRING detection (Lee et al. 2021's
+    exact-substring dedup, re-expressed relationally): document pairs
+    sharing a run of >= {SPAN_MIN_RUN} consecutive word {SPAN_W}-grams
+    — i.e. a verbatim span of >= {SPAN_MIN_RUN + SPAN_W - 1} tokens —
+    with the longest shared span and the span count per pair.  This is
+    the dedup the doc-level families (minhash/simhash/ngram) cannot
+    see: two long documents sharing one copied paragraph.
+
+    Spark shape: a POSITIONAL shingle index (doc, pos, h60(gram)) —
+    the suffix-array role from the paper played by an inverted index —
+    with a posting-count cap fused into a window count over the same
+    h-partitioned exchange the self-join then REUSES (the
+    dedup_ngram_jaccard exchange-reuse discipline); matching
+    positions collapse to runs by the gaps-and-islands trick GROUPED
+    ON THE ANTI-DIAGONAL (da, db, pos_a - pos_b): consecutive shared
+    grams have constant delta, so pa - row_number() is constant
+    exactly on a verbatim run.  Candidate work is bounded per gram by
+    the {SPAN_DF_CAP}-posting cap (boilerplate grams drop), never
+    all-pairs; every downstream key is (pair, delta) — uniform.  At
+    100 TB this is the standard span-dedup pipeline: one gram
+    exchange, one capped self-join, two aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.selectExpr("doc_id", f"{_SPAN_NORM_SPARK} AS toks")
+        .selectExpr(
+            "doc_id",
+            "toks",
+            f"CASE WHEN size(toks) >= {SPAN_W}"
+            f" THEN sequence(1, size(toks) - {SPAN_W - 1})"
+            " ELSE array() END AS idx",
+        )
+        .select("doc_id", F.explode("idx").alias("pos"), "toks")
+        .selectExpr(
+            "doc_id",
+            "pos",
+            _h60_spark(f"concat_ws(' ', slice(toks, pos, {SPAN_W}))") + " AS h",
+        )
+    )
+    from pyspark.sql import Window
+
+    w_h = Window.partitionBy("h")
+    g = (
+        grams.withColumn("df", F.count(F.lit(1)).over(w_h))
+        .filter(F.col("df") <= SPAN_DF_CAP)
+        .drop("df")
+    )
+    # both sides of the self-join consume g: materialize the capped
+    # posting table once (minhash materialization precedent) so the
+    # explode + md5 + df-cap pipeline runs ONCE, not per side
+    g = g.localCheckpoint()
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        (F.col("a.pos") - F.col("b.pos")).alias("delta"),
+        F.col("a.pos").alias("pa"),
+    )
+    w_run = Window.partitionBy("da", "db", "delta").orderBy("pa")
+    runs = (
+        pairs.withColumn("grp", F.col("pa") - F.row_number().over(w_run))
+        .groupBy("da", "db", "delta", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+        )
+        .agg(
+            F.max("run_len").alias("max_run"),
+            F.sum(
+                F.when(F.col("run_len") >= SPAN_MIN_RUN, 1).otherwise(0)
+            ).alias("n_spans"),
+        )
+        .filter(F.col("max_run") >= SPAN_MIN_RUN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "max_run",
+            (F.col("max_run") + F.lit(SPAN_W - 1)).alias("span_tokens"),
+            "n_spans",
+        )
+    )

@@ -705,3 +705,14 @@ def test_dedup_semantic_learned_prunes_without_window(spark):
     # no window sort over data, no cartesian anywhere
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_substring_spans_capped_postings_materialized(spark):
+    plan = plan_of(spark, "dedup_substring_spans")
+    # both self-join sides read the ONE materialized capped posting
+    # table (explode + md5 + df-cap ran once); candidate generation
+    # is the equi join on the gram hash — never a cartesian
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "CartesianProduct" not in plan
+    # the only window left in the final plan is the run numbering
+    assert plan.count("Window") == 1

@@ -827,3 +827,75 @@ def test_sql_q21_matches_correlated_bruteforce(spark, rows):
     finally:
         r6.load_table = orig
     assert got == model_q21(rows, statuses, supp_nation)
+
+
+# --- dedup_substring_spans (positional span dedup) -------------------
+
+span_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=15),
+    min_size=1,
+    max_size=6,
+)
+
+
+def model_spans(docs, w=5, cap=20, min_run=3):
+    """Literal formulation: enumerate positional grams, drop hot
+    grams (> cap postings corpus-wide), collect matching-position
+    pairs, walk consecutive runs per (a, b, delta) linearly."""
+    grams = []  # (doc, pos, gram)
+    for d, words in enumerate(docs):
+        for i in range(len(words) - w + 1):
+            grams.append((d, i + 1, " ".join(words[i : i + w])))
+    from collections import Counter, defaultdict
+
+    df = Counter(g for _, _, g in grams)
+    kept = [(d, p, g) for d, p, g in grams if df[g] <= cap]
+    by_gram = defaultdict(list)
+    for d, p, g in kept:
+        by_gram[g].append((d, p))
+    runs = defaultdict(list)  # (a, b, delta) -> [pa...]
+    for posts in by_gram.values():
+        for da, pa in posts:
+            for db, pb in posts:
+                if da < db:
+                    runs[(da, db, pa - pb)].append(pa)
+    out = {}
+    for (da, db, _delta), pas in runs.items():
+        pas = sorted(set(pas))
+        start = prev = pas[0]
+        lens = []
+        for p in pas[1:]:
+            if p == prev + 1:
+                prev = p
+                continue
+            lens.append(prev - start + 1)
+            start = prev = p
+        lens.append(prev - start + 1)
+        cur = out.setdefault((da, db), [])
+        cur.extend(lens)
+    return {
+        (a, b): (max(ls), max(ls) + w - 1, sum(1 for x in ls if x >= min_run))
+        for (a, b), ls in out.items()
+        if max(ls) >= min_run
+    }
+
+
+@settings(**_SETTINGS)
+@given(span_strategy)
+def test_dedup_substring_spans_matches_linear_walk(spark, docs):
+    import downloader_spark.operators.round6_ext as r6
+    from downloader_spark.operators.round6_ext import dedup_substring_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    orig = _patched(r6, df)
+    try:
+        got = {
+            (r.doc_a, r.doc_b): (r.max_run, r.span_tokens, r.n_spans)
+            for r in dedup_substring_spans(spark, "ignored").collect()
+        }
+    finally:
+        r6.load_table = orig
+    assert got == model_spans(docs)
