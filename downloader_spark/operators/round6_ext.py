@@ -845,3 +845,123 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_spans",
         )
     )
+
+
+@query(
+    "sample_importance",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(floor(({DUCK_QUALITY_EXPR}) * 1000000) AS BIGINT) AS q_ppm,
+             {_h60_duck("concat('imp:', CAST(doc_id AS VARCHAR))")}
+               % 1000000 AS draw_ppm
+      FROM documents
+    )
+    SELECT doc_id, q_ppm, draw_ppm
+    FROM q WHERE draw_ppm < q_ppm
+    """,
+    tags=("llm", "sampling", "quality"),
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional (importance) sampling: each document is
+    kept with probability equal to its quality score — the
+    data-pruning step that keeps a corpus's good tail at full weight
+    while thinning boilerplate, without a hard cutoff.  Deterministic
+    like sample_split: the draw is the md5-derived hash of the doc id
+    reduced mod 1e6 and compared against the floor-ppm quality, so
+    membership is identical under any partitioning, rerun, or engine
+    (df.sample is partitioning-dependent and irreproducible).
+    NULL-quality (empty) docs never pass the comparison in either
+    engine.  Pure map stage over the scan — no shuffle at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select("doc_id", *quality_stat_columns())
+    draw = F.expr(
+        _h60_spark("concat('imp:', CAST(doc_id AS STRING))") + " % 1000000"
+    )
+    q = stats.select(
+        "doc_id",
+        F.floor(spark_quality_from_stats() * 1_000_000)
+        .cast("long")
+        .alias("q_ppm"),
+        draw.alias("draw_ppm"),
+    )
+    return q.filter(F.col("draw_ppm") < F.col("q_ppm"))
+
+
+@query(
+    "text_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SPAN_NORM_DUCK} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1,
+             concat_ws(' ', toks[i], toks[i+1]) AS bg
+      FROM toks,
+           unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+    ),
+    bgd AS (
+      SELECT doc_id, w1, bg, CAST(count(*) AS BIGINT) AS n
+      FROM bg GROUP BY ALL
+    ),
+    cbg AS (SELECT bg, sum(n) AS c_bg FROM bgd GROUP BY bg),
+    cw1 AS (SELECT w1, sum(n) AS c_w1 FROM bgd GROUP BY w1)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(sum(n * (c_bg * 1000000 // c_w1)) // sum(n) AS BIGINT)
+             AS lm_score_ppm
+    FROM bgd JOIN cbg USING (bg) JOIN cw1 USING (w1)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality", "lm"),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model score per document — the
+    perplexity-filter stand-in (KenLM-style fluency gating) made
+    hash-exact: a document's score is the average conditional bigram
+    probability p(w2|w1) = C(w1 w2) / C(w1 ·) over its bigram
+    occurrences, in floor-ppm integer arithmetic (log-space
+    perplexity is not cross-engine hash-safe; the average
+    conditional probability ranks fluency the same way on a fixed
+    corpus).  Repetitive/boilerplate docs score high, token-salad
+    scores low — combined with text_quality it is the standard
+    two-signal quality gate.
+
+    Scale shape: ONE explode shuffled ONCE into per-(doc, w1,
+    bigram) counts, which are then materialized and reused for BOTH
+    corpus count tables (bigram totals, continuation totals) and the
+    final join — the fact-sized token stream is never shuffled
+    again; the count tables are vocabulary-bounded, not
+    corpus-bounded.  All divisions are non-negative integer floor
+    (Spark DIV == DuckDB //)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.selectExpr("doc_id", f"{_SPAN_NORM_SPARK} AS toks")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN size(toks) >= 2 THEN transform("
+            "  sequence(1, size(toks) - 1),"
+            "  i -> struct(element_at(toks, i) AS w1,"
+            "              concat_ws(' ', element_at(toks, i),"
+            "                        element_at(toks, i + 1)) AS bg))"
+            " ELSE array() END AS pairs",
+        )
+        .select("doc_id", F.explode("pairs").alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    )
+    bgd = bg.groupBy("doc_id", "w1", "bg").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # three consumers (two corpus count tables + the scoring join):
+    # materialize the per-doc bigram counts once
+    bgd = bgd.localCheckpoint()
+    cbg = bgd.groupBy("bg").agg(F.sum("n").alias("c_bg"))
+    cw1 = bgd.groupBy("w1").agg(F.sum("n").alias("c_w1"))
+    scored = bgd.join(cbg, "bg").join(cw1, "w1")
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.expr(
+            "CAST(sum(n * (c_bg * 1000000 DIV c_w1)) DIV sum(n) AS BIGINT)"
+        ).alias("lm_score_ppm"),
+    )

@@ -716,3 +716,20 @@ def test_dedup_substring_spans_capped_postings_materialized(spark):
     assert "CartesianProduct" not in plan
     # the only window left in the final plan is the run numbering
     assert plan.count("Window") == 1
+
+
+def test_sample_importance_is_pure_map(spark):
+    plan = plan_of(spark, "sample_importance")
+    # deterministic hash-gated sampling: no shuffle, no join, no
+    # window — membership computed entirely in the scan projection
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_text_lm_score_shuffles_token_stream_once(spark):
+    plan = plan_of(spark, "text_lm_score")
+    # the exploded bigram stream reduces to per-doc counts once and is
+    # materialized; corpus count tables and the scoring join all read
+    # the checkpointed RDD — the fact-sized stream never re-shuffles
+    assert plan.count("Scan ExistingRDD") == 3
+    assert "CartesianProduct" not in plan

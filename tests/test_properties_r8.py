@@ -899,3 +899,54 @@ def test_dedup_substring_spans_matches_linear_walk(spark, docs):
     finally:
         r6.load_table = orig
     assert got == model_spans(docs)
+
+
+# --- text_lm_score (corpus-bigram LM scoring) ------------------------
+
+lm_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=10),
+    min_size=1,
+    max_size=6,
+)
+
+
+def model_lm_score(docs):
+    """Direct formulation: corpus bigram + continuation counts, then
+    per-doc average conditional probability in floor ppm."""
+    from collections import Counter
+
+    bigrams = []  # (doc, w1, bg)
+    for d, words in enumerate(docs):
+        for i in range(len(words) - 1):
+            bigrams.append((d, words[i], f"{words[i]} {words[i+1]}"))
+    c_bg = Counter(bg for _, _, bg in bigrams)
+    c_w1 = Counter(w1 for _, w1, _ in bigrams)
+    out = {}
+    for d in range(len(docs)):
+        mine = [(w1, bg) for dd, w1, bg in bigrams if dd == d]
+        if not mine:
+            continue
+        total = sum(c_bg[bg] * 1_000_000 // c_w1[w1] for w1, bg in mine)
+        out[d] = (len(mine), total // len(mine))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(lm_strategy)
+def test_text_lm_score_matches_direct_count(spark, docs):
+    import downloader_spark.operators.round6_ext as r6
+    from downloader_spark.operators.round6_ext import text_lm_score
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    orig = _patched(r6, df)
+    try:
+        got = {
+            r.doc_id: (r.n_bigrams, r.lm_score_ppm)
+            for r in text_lm_score(spark, "ignored").collect()
+        }
+    finally:
+        r6.load_table = orig
+    assert got == model_lm_score(docs)
