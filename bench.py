@@ -29,6 +29,32 @@ def force(df) -> int:
     return 0
 
 
+# No key may take more than this multiple of the registry-wide median
+# wall time.  Exemptions (none today) would be listed here with a
+# reason; an exemption without a PERF.md entry is a bug.
+OUTLIER_FACTOR = 10.0
+OUTLIER_EXEMPT: frozenset[str] = frozenset()
+
+
+def find_outliers(timings: dict[str, float]) -> dict[str, float]:
+    """Return {key: ratio-to-median} for every successful key whose
+    wall time exceeds ``OUTLIER_FACTOR`` x the median of all
+    successful keys.  Pure function over the timings dict so it is
+    unit-testable without a Spark session."""
+    ok = sorted(v for v in timings.values() if v >= 0)
+    if len(ok) < 4:  # too few keys for a meaningful median
+        return {}
+    mid = len(ok) // 2
+    median = ok[mid] if len(ok) % 2 else (ok[mid - 1] + ok[mid]) / 2.0
+    if median <= 0:
+        return {}
+    return {
+        k: v / median
+        for k, v in timings.items()
+        if v >= 0 and k not in OUTLIER_EXEMPT and v > OUTLIER_FACTOR * median
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -65,6 +91,18 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     failed = sorted(k for k, v in timings.items() if v < 0)
+    outliers = find_outliers(timings)
+    if outliers:
+        # Surface interpreter-fallback-class regressions at round
+        # close: a key 10x over the registry median is a plan bug
+        # (e.g. a CodegenFallback HOF lambda — text_lm_score in r6
+        # shipped at 24 s vs a 0.6 s median and no gate caught it).
+        for k, ratio in sorted(outliers.items()):
+            print(
+                f"bench: OUTLIER {k} at {ratio:.1f}x the registry "
+                f"median ({timings[k]} s) — audit its plan",
+                file=sys.stderr,
+            )
     payload = {
         "metric": "total_query_sec",
         "value": total,
@@ -77,6 +115,10 @@ def main() -> None:
         # it in the JSON line, not just stderr.
         "n_failed": len(failed),
         "failed": failed,
+        # keys > OUTLIER_FACTOR x the median of successful keys,
+        # reported as {key: ratio} — empty means no perf outliers.
+        "n_outliers": len(outliers),
+        "outliers": {k: round(v, 1) for k, v in sorted(outliers.items())},
     }
     print(json.dumps(payload))
     # The driver's BENCH_r{N}.json keeps only a truncated tail of this

@@ -67,7 +67,13 @@ class InMemoryStore:
         return name in self._objects
 
     def list(self, prefix: str = "") -> list[str]:
-        return sorted(n for n in self._objects if n.startswith(prefix))
+        # same contract as the path-backed stores: in-flight .tmp
+        # temporaries never appear in listings
+        return sorted(
+            n
+            for n in self._objects
+            if n.startswith(prefix) and not n.endswith(".tmp")
+        )
 
 
 class LocalFSStore:
@@ -195,10 +201,36 @@ class FsspecStore:
         return bool(self.fs.exists(self._p(name)))
 
     def list(self, prefix: str = "") -> list[str]:
-        found = self.fs.find(self.root)
+        # Scope the listing server-side: fs.find on the deepest
+        # directory-aligned ancestor of the prefix, so a 100 TB
+        # archive is never enumerated to answer a dated-path query
+        # (the same O(archive) trap the module header records
+        # removing from names_to_md5).  Object stores treat find's
+        # argument as a key prefix up to the last "/"; a residual
+        # non-directory fragment ("maxmind/2023-01" matching
+        # "2023-01-15/...") is filtered client-side below, which is
+        # correct for any backend because find(dir) is always a
+        # superset of the fragment's matches within that dir.
+        scope = self.root
+        if prefix:
+            dir_part = prefix.rsplit(self._SEP, 1)[0] if self._SEP in prefix else ""
+            if dir_part:
+                scope = self.root + self._SEP + dir_part
+        try:
+            found = self.fs.find(scope)
+        except FileNotFoundError:
+            return []
         base = self.root + self._SEP
         rel = [p[len(base):] if p.startswith(base) else p for p in found]
-        return sorted(n for n in rel if n.startswith(prefix))
+        # .tmp filtering matches LocalFSStore.list: FsspecStore never
+        # creates .tmp names (put is a single atomic object write),
+        # but a bucket shared with a path-backed store must present
+        # the same contract.
+        return sorted(
+            n
+            for n in rel
+            if n.startswith(prefix) and not n.endswith(".tmp")
+        )
 
 
 class LocalFileFS:

@@ -252,7 +252,7 @@ def km_cte_chain() -> tuple[str, str]:
     for it in range(1, KM_ITERS + 1):
         dist = " + ".join(f"(p.q{i} - c.c{i}) * (p.q{i} - c.c{i})" for i in d)
         sql.append(
-            f"a{it} AS (SELECT p.*, arg_min(c.cid, ({dist}) * 10 + c.cid)"
+            f"a{it} AS (SELECT p.*, arg_min(c.cid, ({dist}) * {KM_K} + c.cid)"
             f" AS cid FROM pts p CROSS JOIN {prev} c GROUP BY ALL)"
         )
         sql.append(

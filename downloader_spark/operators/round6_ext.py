@@ -64,6 +64,7 @@ from downloader_spark.operators.llm_similarity import (
     km_fit,
     km_quantized_points,
     KM_DIMS,
+    KM_K,
 )
 from downloader_spark.operators.llm_text import (
     DUCK_QUALITY_EXPR,
@@ -625,7 +626,7 @@ def _learned_semantic_oracle() -> str:
     return f"""
     {chain},
     fa AS (
-      SELECT p.vec_id, arg_min(c.cid, ({dist}) * 10 + c.cid) AS cid
+      SELECT p.vec_id, arg_min(c.cid, ({dist}) * {KM_K} + c.cid) AS cid
       FROM pts p CROSS JOIN {prev} c GROUP BY ALL
     ),
     scored AS (
@@ -929,22 +930,30 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-signal quality gate.
 
     Scale shape: ONE explode shuffled ONCE into per-(doc, w1,
-    bigram) counts, which are then materialized and reused for BOTH
-    corpus count tables (bigram totals, continuation totals) and the
-    final join — the fact-sized token stream is never shuffled
-    again; the count tables are vocabulary-bounded, not
-    corpus-bounded.  All divisions are non-negative integer floor
-    (Spark DIV == DuckDB //)."""
+    bigram) counts (`bgd`), which are materialized once and reused
+    by all three consumers (the two corpus count tables and the
+    scoring join).  `bgd` itself — which for natural text is close
+    to token-stream-sized — does feed the two count-table exchanges
+    and the final join, which is unavoidable for corpus-conditional
+    counts; what is saved is re-running the explode+first-shuffle
+    three times.  The count tables themselves are
+    vocabulary-bounded, not corpus-bounded.  All divisions are
+    non-negative integer floor (Spark DIV == DuckDB //)."""
     docs = load_table(spark, sf_dir, "documents")
     bg = (
         docs.selectExpr("doc_id", f"{_SPAN_NORM_SPARK} AS toks")
         .selectExpr(
             "doc_id",
-            "CASE WHEN size(toks) >= 2 THEN transform("
-            "  sequence(1, size(toks) - 1),"
-            "  i -> struct(element_at(toks, i) AS w1,"
-            "              concat_ws(' ', element_at(toks, i),"
-            "                        element_at(toks, i + 1)) AS bg))"
+            # zip_with over two shifted slices, NOT
+            # transform(sequence(...), i -> element_at(toks, i)):
+            # the per-index element_at chain is CodegenFallback
+            # (interpreted, per-element boxing) and measured ~6x
+            # slower on the identical output; the struct-only
+            # zip_with lambda is cheap (PERF.md round-7 A/B).
+            "CASE WHEN size(toks) >= 2 THEN zip_with("
+            "  slice(toks, 1, size(toks) - 1),"
+            "  slice(toks, 2, size(toks) - 1),"
+            "  (a, b) -> struct(a AS w1, concat_ws(' ', a, b) AS bg))"
             " ELSE array() END AS pairs",
         )
         .select("doc_id", F.explode("pairs").alias("p"))

@@ -1,0 +1,68 @@
+"""Unit tests for bench.py's outlier gate (no Spark session needed).
+
+Round-6 postmortem: text_lm_score shipped at 23.9 s against a ~0.6 s
+registry median because bench.py only checked ``n_failed == 0`` — a
+CodegenFallback regression class that a per-key ratio gate catches
+for free.  ``find_outliers`` is the pure function behind that gate.
+"""
+
+import bench
+
+
+def test_no_outliers_on_uniform_timings():
+    timings = {f"q{i}": 1.0 + i * 0.01 for i in range(20)}
+    assert bench.find_outliers(timings) == {}
+
+
+def test_flags_single_10x_key():
+    timings = {f"q{i}": 0.6 for i in range(30)}
+    timings["text_lm_score"] = 23.9  # the round-6 regression, verbatim
+    out = bench.find_outliers(timings)
+    assert set(out) == {"text_lm_score"}
+    assert out["text_lm_score"] > 30  # 23.9 / 0.6 ≈ 39.8x
+
+
+def test_boundary_is_strictly_greater_than_factor():
+    # exactly FACTOR x median must NOT flag (gate is >, not >=)
+    timings = {f"q{i}": 1.0 for i in range(10)}
+    timings["edge"] = bench.OUTLIER_FACTOR * 1.0
+    assert bench.find_outliers(timings) == {}
+    timings["edge"] = bench.OUTLIER_FACTOR * 1.0 + 0.001
+    assert set(bench.find_outliers(timings)) == {"edge"}
+
+
+def test_failed_keys_excluded_from_median_and_flagging():
+    timings = {f"q{i}": 1.0 for i in range(10)}
+    timings["broken"] = -1.0  # failure sentinel
+    assert bench.find_outliers(timings) == {}
+
+
+def test_too_few_keys_returns_empty():
+    assert bench.find_outliers({"a": 1.0, "b": 100.0}) == {}
+
+
+def test_zero_median_returns_empty():
+    timings = {f"q{i}": 0.0 for i in range(10)}
+    timings["slow"] = 5.0
+    assert bench.find_outliers(timings) == {}
+
+
+def test_even_count_median_is_midpoint():
+    # median of [1,1,3,3] = 2.0; 25.0 > 10 * 2.0 flags
+    timings = {"a": 1.0, "b": 1.0, "c": 3.0, "d": 3.0, "e": 25.0}
+    # 5 keys -> odd median = 3.0 actually; build an even set instead
+    timings = {"a": 1.0, "b": 1.0, "c": 3.0, "d": 3.0}
+    timings["e"] = 21.0  # median of the 5 sorted [1,1,3,3,21] = 3.0
+    out = bench.find_outliers(timings)
+    assert out == {}  # 21.0 <= 30.0
+    timings["e"] = 31.0
+    assert set(bench.find_outliers(timings)) == {"e"}
+
+
+def test_exempt_keys_skip_flagging(monkeypatch):
+    timings = {f"q{i}": 1.0 for i in range(10)}
+    timings["known_slow"] = 50.0
+    monkeypatch.setattr(
+        bench, "OUTLIER_EXEMPT", frozenset({"known_slow"})
+    )
+    assert bench.find_outliers(timings) == {}

@@ -569,11 +569,15 @@ def test_sql_q8_broadcasts_dimension_chain(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_sql_q17_aggregates_threshold_once(spark):
+def test_sql_q17_computes_cap_as_window_single_fact_scan(spark):
     plan = plan_of(spark, "sql_q17_avgqty")
-    # the per-part cap must be a real aggregation joined back on the
-    # key — never a per-row correlated re-aggregation
-    assert plan.count("HashAggregate") >= 2
+    # the per-part 20%-of-average cap is an unordered window over the
+    # partkey partition: ONE lineitem scan + one exchange, never a
+    # second fact scan joined back and never a per-row correlated
+    # re-aggregation (the oracle keeps the aggregate-then-join form
+    # as the differential)
+    assert "Window" in plan
+    assert plan.count("Scan parquet") == 2  # lineitem + part, once each
     assert "CartesianProduct" not in plan
 
 

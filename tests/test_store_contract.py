@@ -103,6 +103,39 @@ def test_list_is_prefix_scoped_and_sorted(store):
     ]
 
 
+def test_list_fragment_prefix_matches_within_directory(store):
+    """A prefix that is NOT directory-aligned ('maxmind/2023-01'
+    matching dated names inside maxmind/) must still filter
+    correctly — the scoped-find fast path falls back to client-side
+    fragment filtering inside the deepest aligned directory."""
+    store.put("maxmind/2023-01-15/geo.tar.gz", b"1")
+    store.put("maxmind/2023-02-01/geo.tar.gz", b"2")
+    store.put("routeviews/2023-01-20/rib.bz2", b"3")
+    assert store.list("maxmind/2023-01") == [
+        "maxmind/2023-01-15/geo.tar.gz"
+    ]
+    # bare fragment with no separator scans from the root
+    assert store.list("max") == [
+        "maxmind/2023-01-15/geo.tar.gz",
+        "maxmind/2023-02-01/geo.tar.gz",
+    ]
+
+
+def test_list_missing_prefix_is_empty(store):
+    store.put("maxmind/a", b"1")
+    assert store.list("nosuch/dir/") == []
+
+
+def test_list_filters_tmp_names(store):
+    """All backends present the LocalFSStore contract: .tmp names
+    (in-flight write-then-rename temporaries) never appear in
+    listings, even on a bucket shared with a path-backed store."""
+    store.put("maxmind/a", b"1")
+    store.put("maxmind/a.tmp", b"partial")
+    assert store.list("maxmind/") == ["maxmind/a"]
+    assert store.list() == ["maxmind/a"]
+
+
 def test_nested_names_roundtrip(store):
     name = "deep/ly/nested/object.tar.gz"
     store.put(name, b"deep")
