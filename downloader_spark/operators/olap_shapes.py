@@ -1,7 +1,10 @@
-"""Classic OLAP report shapes (TPC-H Q1/Q10/Q16/Q18/Q19 analogs) run
-as identical SQL text on both engines — the full-table-report half of
-the SQL surface (sql_surface.py holds the CTE/subquery/6-way-join
-half).  The reference's own "reports" are counters scraped over HTTP
+"""Classic OLAP report shapes (TPC-H Q1/Q10/Q16/Q18/Q19 analogs) —
+the full-table-report half of the SQL surface (sql_surface.py holds
+the CTE/subquery/6-way-join half).  Q10 and Q18 are genuine
+two-construction differentials (textbook join-then-aggregate /
+IN-subquery oracle vs aggregate-first DataFrame algebra on the Spark
+side); the rest run as identical SQL text on both engines.  The
+reference's own "reports" are counters scraped over HTTP
 (/root/reference/metrics/metrics.go:14-61); the north star promotes
 them to the standard warehouse report set over the archived facts.
 
@@ -16,17 +19,20 @@ Scale notes (100 TB):
   a pushed shipdate filter: 6 decimal sums + a count, all map-side
   combinable, 6-group output.  The canonical whole-stage-codegen
   benchmark query — no join, no window, no sort of data.
-- ``sql_q10_returns`` joins facts on their keys (orders x lineitem
-  shuffle join pre-filtered by the quarter + returnflag pushdowns)
-  and broadcasts nation; the top-20 is TakeOrderedAndProject —
-  per-partition heaps, never a global sort.
+- ``sql_q10_returns`` pre-aggregates returned revenue per order
+  (decimal partial agg on the returnflag-pruned scan) BEFORE joining
+  the quarter-pruned orders, so the fact-fact join carries one
+  decimal per order; customer + nation broadcast onto the per-customer
+  totals; the top-20 is TakeOrderedAndProject — per-partition heaps,
+  never a global sort.
 - ``sql_q16_variety`` rewrites NOT IN over a 6-row exclusion list to
   a broadcast null-aware anti join; COUNT(DISTINCT) expands
   per-group — the skew-safe two-phase distinct.
-- ``sql_q18_toporders`` self-aggregates lineitem once (HAVING > cap)
-  and semi-joins the tiny qualifying-order set back against the
-  fact — Catalyst plans the IN-subquery as a shuffle semi join keyed
-  on the already-aggregated side.
+- ``sql_q18_toporders`` aggregates lineitem ONCE — the per-order sum
+  is both the HAVING filter and the reported value, so the fact is
+  scanned and shuffled exactly once (the oracle's IN-subquery form
+  aggregates it twice); customer broadcasts onto the tiny
+  qualifying set.
 - ``sql_q19_disjuncts`` is the disjunctive-pushdown showcase: the
   OR-of-conjunctions collapses to a single CASE projection after one
   broadcast part join; the per-branch rollup is a 9-row aggregate.
@@ -120,14 +126,59 @@ LIMIT 20
 )
 def sql_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10-shaped returned-item report: top-20 customers by
-    revenue lost to returns in one quarter.  The quarter filter
-    pushes to the orders scan and returnflag to the lineitem scan
-    BEFORE their shuffle join; nation broadcasts; the top-20 runs as
-    TakeOrderedAndProject on (revenue DESC, c_custkey) — a total
-    order, so LIMIT is deterministic.  c_acctbal passes through as
-    floor-scaled cents (exact cross-engine, unlike round())."""
-    return _run(
-        spark, sf_dir, _Q10_BODY, tables=("customer", "orders", "lineitem", "nation")
+    revenue lost to returns in one quarter.
+
+    Two-construction differential (round 7, upgraded from same-text):
+    the oracle keeps the textbook join-then-aggregate; the Spark side
+    AGGREGATES FIRST — per-order returned revenue is a decimal sum
+    over the returnflag-pruned lineitem scan (map-side combinable,
+    one combiner row per order), THEN joins the quarter-pruned
+    orders, rolls up per customer, and broadcasts customer + nation
+    onto the (small) per-customer totals.  Decimal addition is
+    associative, so the regrouped sums are bit-identical.  At 100 TB
+    the fact never passes through a join wider than (orderkey, one
+    decimal); the top-20 is TakeOrderedAndProject on
+    (revenue DESC, c_custkey) — a total order, so LIMIT is
+    deterministic.  c_acctbal passes through as floor-scaled cents
+    (exact cross-engine, unlike round())."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * CAST(1.0 - l_discount AS DECIMAL(8,4))"
+            )
+        ).alias("rev_dec")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    per_cust = (
+        orders.join(rev_per_order, orders.o_orderkey == rev_per_order.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_dec").alias("rev_sum"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        per_cust.join(
+            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("rev_sum").cast("double"), 2).alias("revenue"),
+            F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias(
+                "acctbal_cents"
+            ),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
     )
 
 
@@ -196,14 +247,42 @@ LIMIT 100
 def sql_q18_toporders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18-shaped large-volume-order report: orders whose total
     quantity exceeds a cap, with customer context, top-100 by
-    quantity.  The IN-subquery aggregates lineitem once (HAVING on a
-    decimal-exact sum), and Catalyst semi-joins the small qualifying
-    set back against orders BEFORE the customer join — the classic
-    "aggregate once, semi-join back" shape that avoids re-scanning
-    the fact.  ORDER BY (sum_qty DESC, o_orderkey) is total, so the
-    LIMIT is deterministic; o_totalprice passes as floor-cents."""
-    return _run(
-        spark, sf_dir, _Q18_BODY, tables=("customer", "orders", "lineitem")
+    quantity.
+
+    Two-construction differential (round 7, upgraded from same-text):
+    the oracle keeps the textbook IN-subquery (lineitem aggregated
+    inside the subquery AND re-summed in the outer query); the Spark
+    side aggregates lineitem ONCE — the per-order decimal quantity
+    sum doubles as both the HAVING filter and the reported value, so
+    the fact is scanned and shuffled exactly once, and the (tiny)
+    qualifying-order set joins orders and broadcast customer.  The
+    two paths only agree if the subquery's and outer query's sums are
+    really the same quantity — exactly the equivalence the
+    differential checks.  ORDER BY (sum_qty DESC, o_orderkey) is
+    total, so the LIMIT is deterministic; o_totalprice passes as
+    floor-cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(18,2))")).alias("sq")
+    )
+    big = per_order.filter(F.col("sq") > 250)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+                "totalprice_cents"
+            ),
+            F.round(F.col("sq").cast("double"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
     )
 
 

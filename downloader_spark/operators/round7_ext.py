@@ -1,0 +1,619 @@
+"""Round-7 surface extensions: tokenizer-coverage and robust-statistics
+operators the LLM-pipeline layer still lacked — OOV-rate against a
+learned vocabulary, deterministic fixed-k reservoir sampling,
+market-basket co-occurrence, boilerplate prefix dedup, bipartite
+degree profiling, embedding-norm QA, median-absolute-deviation, a
+weekday/hour seasonality profile, and an STL-lite seasonal
+decomposition.  (Reference analog: the reference's measurement layer
+stops at Prometheus counters, metrics/metrics.go:13-53; these are the
+analytics a 100 TB corpus pipeline layers on top.)
+
+Differential style: every key is a genuine two-construction check
+where the engines allow it — `agg_mad` computes low-medians as
+order-statistics (row_number against (n+1) DIV 2) on the Spark side
+vs DuckDB's `quantile_disc(0.5)` aggregate; `sample_reservoir` is a
+rank-filter vs QUALIFY; `text_oov_rate` builds the vocabulary with
+TakeOrderedAndProject vs a QUALIFY'd window.
+
+Cross-engine exactness: md5-derived 60-bit hashes for all sampling
+(no RNG); floor-cents / ppm integer arithmetic everywhere; weekday =
+(epoch_day + 4) % 7 as pure integer math (no engine dayofweek(),
+whose numbering conventions differ); NO signed integer division
+anywhere (Spark DIV truncates, DuckDB // floors — `ts_seasonal`
+outputs the raw signed residual SUM instead of dividing it).
+
+IMPORTANT (driver rotation): this module must stay the LAST import in
+plans/catalog.py (after round6_ext) — the driver confirms a 50-key
+prefix per round ordered never-confirmed-first then registry order,
+so keys registered here sort AFTER any earlier never-confirmed keys.
+
+Scale notes (100 TB):
+- ``text_oov_rate``: the vocabulary is a global top-k
+  (TakeOrderedAndProject — per-partition heaps, never a full vocab
+  sort) broadcast to the token stream; two passes over documents
+  (count pass + score pass), each a scan-bound map-side-combinable
+  aggregation.
+- ``sample_reservoir``: per-group rank over a deterministic hash.
+  The per-group window is the correctness definition; at 100 TB the
+  scale path pre-filters by hash threshold (keep h < k/n-derived
+  cutoff, a zero-shuffle map) before ranking the tiny survivor set.
+- ``events_cooccurrence``: the pair space is bounded by the
+  event-type vocabulary (|types| choose 2), NOT the corpus — the
+  per-user basket join emits at most |types|² rows per user and the
+  type vocabulary saturates.
+- ``dedup_prefix``: hash-partitioned on the prefix digest, the exact
+  dedup_exact_hash shape applied to a normalized 64-char prefix.
+- ``graph_degree``: two chained aggregations per side (edge distinct
+  → degree → histogram), all map-side combinable; output is bounded
+  by the degree range, not the edge count.
+- ``agg_mad``: two window sorts over the same (type, value)
+  partitioning — Catalyst reuses ONE exchange for both medians (the
+  abs-deviation rank re-sorts within partitions, no second shuffle).
+- ``ts_seasonal``: the 7-day centered MA runs over the DAILY
+  aggregate (|days| rows — tiny next to the event stream), so the
+  unpartitioned ROWS window is a driver-sized series, the same
+  posture as rollup_gapfill.
+- ``embed_norm_profile``: per-row bounded-array fold (64 dims) into
+  one integer, then a per-label aggregation — one shuffle of
+  |vectors| scalar rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.operators.llm_dedup import (
+    _DUCK_NORM,
+    _SPARK_NORM,
+    _duck_h60,
+    _spark_h60,
+)
+from downloader_spark.plans.registry import query
+
+# OOV: vocabulary = top VOCAB_K corpus tokens (tie: token asc).
+VOCAB_K = 100
+# Reservoir: deterministic k rows per event_type.
+RES_K = 5
+# Prefix dedup: first PRE_N normalized characters.
+PRE_N = 64
+# Norm profile: component scale (floor milli-units, llm_similarity
+# quantization discipline).
+NORM_SCALE = 1000
+# Seasonality/seasonal: epoch day 0 = Thursday; +4 makes Sunday = 0.
+DOW_SHIFT = 4
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_NORM}) AS tok FROM documents
+    ), tnz AS (
+      SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n FROM tnz GROUP BY tok
+      ) QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= {VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM tnz t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "text", "tokenizer", "quality"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage QA: per-document out-of-vocabulary rate
+    against the corpus's own top-{VOCAB_K} vocabulary — the standard
+    pre-tokenizer coverage check (docs with high OOV against the
+    candidate vocab are script-mismatched or token salad, and inflate
+    the fertility of a trained BPE).
+
+    The vocabulary is a global top-k by frequency
+    (TakeOrderedAndProject: per-partition heaps, no full vocab sort)
+    broadcast against the exploded token stream; OOV membership is a
+    broadcast LEFT join null-check, so the fact stream shuffles once
+    (the per-doc count aggregation).  Vocab build and scoring are two
+    scan-bound passes over documents — at 100 TB each is
+    map-side-combinable and the vocab table is {VOCAB_K} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.expr(_SPARK_NORM)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_oov",
+            F.expr("n_oov * 1000000 DIV n_toks").alias("oov_ppm"),
+        )
+    )
+
+
+@query(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST(rn AS BIGINT) AS draw_rank
+    FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY {_duck_h60("concat('rsv:', CAST(event_id AS VARCHAR))")},
+                        event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= {RES_K}
+    """,
+    tags=("sampling", "reservoir", "deterministic"),
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sampling — the reservoir-sampling
+    semantics (exactly {RES_K} rows per event_type regardless of
+    group size) made deterministic: draw order is a salted md5 hash
+    of the row key, so both engines and every re-run select the same
+    rows (the fraction-based sample_stratified can't promise exact
+    k).
+
+    Correctness definition is the per-group hash rank — and because
+    the rank filter is a row_number <= k prefix, Spark 4 plans
+    WindowGroupLimit: a PARTIAL per-partition top-k runs BEFORE the
+    exchange (plan-gated), so only ~k rows per (group, partition)
+    ever shuffle.  At 100 TB that is the reservoir-sampling merge
+    exactly: per-partition reservoirs, combined once."""
+    ev = load_table(spark, sf_dir, "events")
+    h = _spark_h60("concat('rsv:', CAST(event_id AS STRING))")
+    w = Window.partitionBy("event_type").orderBy(
+        F.expr(h), F.col("event_id")
+    )
+    return (
+        ev.select("event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RES_K)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("rn").cast("long").alias("draw_rank"),
+        )
+    )
+
+
+@query(
+    "events_cooccurrence",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), total AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users_both,
+           CAST(count(*) * 1000000 // max(t.n_users) AS BIGINT)
+             AS support_ppm
+    FROM baskets a
+    JOIN baskets b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    CROSS JOIN total t
+    GROUP BY a.event_type, b.event_type
+    """,
+    tags=("mining", "basket", "cooccurrence"),
+)
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every event-type pair, how
+    many users perform both, with support in ppm of the user base —
+    the A-priori support table (order-1), the companion of
+    events_transitions (which is sequential, not set-based).
+
+    The pair space is |types| choose 2 — bounded by the type
+    VOCABULARY, never the corpus: baskets are DISTINCT (user, type)
+    rows (at most |types| per user), the self-join is equi-keyed on
+    user_id, and each user emits ≤ |types|² pairs.  The user-base
+    total is a 1-row broadcast (the agg_decay_sum anchor shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    # both self-join sides consume the same distinct-basket exchange:
+    # materialize it once (minhash shingle-table precedent)
+    baskets = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    total = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users_both"))
+        .join(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_both",
+            F.expr("n_users_both * 1000000 DIV n_users").alias(
+                "support_ppm"
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_prefix",
+    oracle=f"""
+    WITH pre AS (
+      SELECT doc_id,
+             md5(substring(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               1, {PRE_N})) AS pre_md5
+      FROM documents
+      WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+            >= 1
+    )
+    SELECT pre_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc,
+           CAST(count(*) - 1 AS BIGINT) AS n_dups
+    FROM pre
+    GROUP BY pre_md5
+    HAVING count(*) >= 2
+    """,
+    tags=("llm", "dedup", "prefix", "boilerplate"),
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate prefix dedup: documents sharing an identical
+    normalized {PRE_N}-character prefix (the shared-header /
+    template-page signature that doc-LEVEL near-dup families dilute
+    away when the bodies diverge — a crawl-cleaning staple).
+
+    This is dedup_exact_hash's shape applied to a derived key: one
+    codegen'd normalize+substring+md5 projection, one
+    hash-partitioned aggregation on the digest, min-doc keeper.
+    Zero joins; scales exactly like exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    pre = docs.selectExpr(
+        "doc_id", f"md5(substring({norm}, 1, {PRE_N})) AS pre_md5"
+    ).where(F.expr(f"length({norm}) >= 1"))
+    return (
+        pre.groupBy("pre_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "pre_md5",
+            "n_docs",
+            "keep_doc",
+            (F.col("n_docs") - 1).alias("n_dups"),
+        )
+    )
+
+
+@query(
+    "graph_degree",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE props IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    udeg AS (SELECT user_id, count(*) AS deg FROM edges GROUP BY user_id),
+    ideg AS (SELECT item, count(*) AS deg FROM edges GROUP BY item)
+    SELECT 'user' AS side, CAST(deg AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM udeg GROUP BY deg
+    UNION ALL
+    SELECT 'item' AS side, CAST(deg AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM ideg GROUP BY deg
+    """,
+    tags=("graph", "degree", "profile"),
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution profile of the bipartite user↔item graph
+    implied by the event payload (item = the typed `k` field of
+    props) — the first thing a graph pipeline computes: skew
+    detection BEFORE the expensive joins (a power-law item side
+    tells you which keys need salting in the downstream co-event
+    joins).
+
+    Both sides are two chained map-side-combinable aggregations
+    (distinct edge → degree per node → histogram of degrees), and
+    the output is bounded by the degree RANGE — the 100 TB cost is
+    the one distinct-edge shuffle, reused by both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    edges = (
+        ev.filter(F.col("props").isNotNull())
+        .select("user_id", F.element_at(m, "k").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    # one distinct-edge exchange feeds BOTH degree aggregations
+    edges = edges.localCheckpoint()
+    udeg = edges.groupBy("user_id").agg(F.count(F.lit(1)).alias("deg"))
+    ideg = edges.groupBy("item").agg(F.count(F.lit(1)).alias("deg"))
+    u_hist = udeg.groupBy("deg").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    ).select(F.lit("user").alias("side"), F.col("deg").alias("degree"), "n_nodes")
+    i_hist = ideg.groupBy("deg").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    ).select(F.lit("item").alias("side"), F.col("deg").alias("degree"), "n_nodes")
+    return u_hist.unionByName(i_hist)
+
+
+@query(
+    "embed_norm_profile",
+    oracle=f"""
+    WITH q AS (
+      SELECT label,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT)
+                    * CAST(floor(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT)))
+               AS BIGINT) AS sqnorm
+      FROM embeddings WHERE len(embedding) >= 1
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(sqnorm) AS BIGINT) AS min_sqnorm,
+           CAST(max(sqnorm) AS BIGINT) AS max_sqnorm,
+           CAST(sum(sqnorm) // count(*) AS BIGINT) AS mean_sqnorm
+    FROM q GROUP BY label
+    """,
+    tags=("llm", "embedding", "quality", "profile"),
+)
+def embed_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm QA per label: squared-L2-norm min/max/mean in
+    exact integer milli-units — the degenerate-vector detector (norm
+    collapse after a bad encoder checkpoint, un-normalized mixtures
+    before a cosine index build).  Squared norm, deliberately: sqrt
+    is not cross-engine bit-stable; the square ranks identically.
+
+    Per-row cost is a bounded 64-dim fold into ONE integer (the
+    fold's lambda is interpreted but O(dims) with no per-index
+    element_at — the PERF.md §1 distinction), then a per-label
+    aggregation of scalars: one shuffle of |vectors| rows, each one
+    integer wide."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr("size(embedding) >= 1")
+    )
+    q = emb.selectExpr(
+        "CAST(label AS BIGINT) AS label",
+        f"aggregate(embedding, CAST(0 AS BIGINT), (acc, x) -> acc"
+        f" + CAST(floor(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT)"
+        f" * CAST(floor(CAST(x AS DOUBLE) * {NORM_SCALE}) AS BIGINT))"
+        " AS sqnorm",
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("sqnorm").alias("min_sqnorm"),
+        F.max("sqnorm").alias("max_sqnorm"),
+        F.expr("sum(sqnorm) DIV count(*)").alias("mean_sqnorm"),
+    )
+
+
+@query(
+    "agg_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ), m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             quantile_disc(v, 0.5) AS med
+      FROM c GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(max(m.n) AS BIGINT) AS n,
+           CAST(max(m.med) AS BIGINT) AS med_cents,
+           CAST(quantile_disc(abs(c.v - m.med), 0.5) AS BIGINT) AS mad_cents
+    FROM c JOIN m ON c.event_type = m.event_type
+    GROUP BY m.event_type
+    """,
+    tags=("aggregate", "statistics", "robust"),
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust
+    dispersion measure (stddev is blown up by the exact outliers a
+    quality gate wants to find; MAD is not).  Low-median convention:
+    the element at rank (n+1) DIV 2 in value order — exact on both
+    engines with no midpoint interpolation (floats would not be
+    hash-safe).
+
+    Genuine two-construction differential: DuckDB computes both
+    medians with the `quantile_disc(0.5)` aggregate; the Spark side
+    computes them as ORDER STATISTICS — row_number against
+    (n+1) DIV 2 — the textbook two-pass MAD: pass 1 ranks values per
+    type and extracts the median (a |types|-row table, broadcast
+    back), pass 2 ranks absolute deviations.  Each pass is one fact
+    scan + one exchange hash-partitioned on event_type; the
+    intermediate is never materialized (re-scanning columnar parquet
+    beats checkpointing a fact-sized intermediate at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    c = ev.selectExpr(
+        "event_type",
+        "CAST(floor(value * 100) AS BIGINT) AS v",
+        "event_id",
+    )
+    wt = Window.partitionBy("event_type")
+    wv = wt.orderBy("v", "event_id")
+    ranked = c.select(
+        "event_type",
+        "v",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = (
+        ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("v").alias("med"), "n")
+    )
+    dev = (
+        c.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "med",
+            F.abs(F.col("v") - F.col("med")).alias("d"),
+            "event_id",
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    return (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("med").alias("med_cents"),
+            F.col("d").alias("mad_cents"),
+        )
+    )
+
+
+@query(
+    "events_seasonality",
+    oracle=f"""
+    WITH e AS (
+      SELECT (epoch_us(ts) // 86400000000 + {DOW_SHIFT}) % 7 AS dow,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hod
+      FROM events
+    ), total AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total FROM events
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * 1000000 // max(t.n_total) AS BIGINT) AS share_ppm
+    FROM e CROSS JOIN total t
+    GROUP BY dow, hod
+    """,
+    tags=("events", "seasonality", "profile"),
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour-of-day activity profile with traffic share in
+    ppm — the load-shape fingerprint (capacity planning, anomaly
+    baselines: events_spike flags deviations; this is the baseline
+    it deviates FROM).
+
+    Weekday is pure integer epoch math — (epoch_day + {DOW_SHIFT}) % 7,
+    Sunday = 0 — NOT the engines' dayofweek() functions, whose
+    numbering conventions differ (and epoch_day is non-negative here,
+    so % agrees across engines).  One map-side-combinable aggregation
+    into ≤ 168 cells plus a 1-row broadcast total."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr(
+            f"(unix_micros(ts) DIV 86400000000 + {DOW_SHIFT}) % 7"
+        ).alias("dow"),
+        F.expr(
+            "(unix_micros(ts) % 86400000000) DIV 3600000000"
+        ).alias("hod"),
+    )
+    total = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        e.groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "dow",
+            "hod",
+            "n",
+            F.expr("n * 1000000 DIV n_total").alias("share_ppm"),
+        )
+    )
+
+
+@query(
+    "ts_seasonal",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY day
+    ), ma AS (
+      SELECT day, v,
+             sum(v) OVER w AS s7,
+             count(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT (day + {DOW_SHIFT}) % 7 AS dow,
+             v - s7 // 7 AS resid
+      FROM ma WHERE c7 = 7
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(resid) AS BIGINT) AS sum_resid_cents
+    FROM det GROUP BY dow
+    """,
+    tags=("timeseries", "seasonal", "decomposition"),
+)
+def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily value series:
+    trend = 7-day centered moving average (full windows only),
+    seasonal signal = per-weekday SUM of the detrended residual —
+    reported as the raw signed sum, deliberately: dividing a signed
+    residual would hit the Spark-DIV-truncates vs DuckDB-//-floors
+    divergence, and the daily totals (value ≥ 0) keep the MA's own
+    division non-negative.
+
+    The ROWS window runs over the DAILY aggregate — |days| rows,
+    tiny next to the event stream — so the unpartitioned sort is a
+    driver-sized series (the rollup_gapfill posture).  The event
+    stream itself shuffles once (the per-day aggregation)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    daily = (
+        ev.selectExpr(
+            "unix_micros(ts) DIV 86400000000 AS day",
+            "CAST(floor(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("v"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "v",
+        F.sum("v").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+    )
+    det = ma.filter(F.col("c7") == 7).select(
+        F.expr(f"(day + {DOW_SHIFT}) % 7").alias("dow"),
+        F.expr("v - s7 DIV 7").alias("resid"),
+    )
+    return det.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("resid").cast("long").alias("sum_resid_cents"),
+    )

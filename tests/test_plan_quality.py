@@ -456,12 +456,16 @@ def test_sql_q1_is_single_two_phase_aggregation(spark):
     assert any("l_shipdate" in ln for ln in pushed)
 
 
-def test_sql_q10_pushes_both_fact_filters(spark):
+def test_sql_q10_pushes_both_fact_filters_and_preaggregates(spark):
     plan = plan_of(spark, "sql_q10_returns")
     pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
     assert "o_orderdate" in pushed       # quarter range -> orders scan
     assert "l_returnflag" in pushed      # returns flag -> lineitem scan
     assert "TakeOrderedAndProject" in plan  # top-20, never a full sort
+    # aggregate-first: the per-order revenue partial agg sits BELOW
+    # the orders join (the fact joins as one decimal per order)
+    assert "partial_sum" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
 
 
 def test_sql_q16_not_in_is_broadcast_anti_join(spark):
@@ -471,10 +475,17 @@ def test_sql_q16_not_in_is_broadcast_anti_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_sql_q18_semi_joins_qualifying_orders(spark):
+def test_sql_q18_aggregates_lineitem_exactly_once(spark):
     plan = plan_of(spark, "sql_q18_toporders")
-    assert "LeftSemi" in plan
+    # aggregate-once: the per-order sum is both the HAVING filter and
+    # the reported value — exactly ONE lineitem scan (the oracle's
+    # IN-subquery form scans/aggregates it twice)
+    scans = [
+        ln for ln in plan.splitlines() if "Scan parquet" in ln
+    ]
+    assert sum("lineitem" in ln for ln in scans) == 1
     assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # customer onto the tiny set
 
 
 def test_sql_q19_single_scan_no_union_expansion(spark):
@@ -737,3 +748,94 @@ def test_text_lm_score_shuffles_token_stream_once(spark):
     # the checkpointed RDD — the fact-sized stream never re-shuffles
     assert plan.count("Scan ExistingRDD") == 3
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------------- round 7
+
+
+def test_text_oov_rate_vocab_is_topk_heap_and_broadcast(spark):
+    plan = plan_of(spark, "text_oov_rate")
+    # vocab = global top-k via per-partition heaps (never a full
+    # vocabulary sort), then broadcast against the token stream
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_prefix_is_single_scan_single_exchange(spark):
+    plan = plan_of(spark, "dedup_prefix")
+    # exact-dedup shape on a derived key: one scan, one
+    # hash-partitioned aggregation, zero joins
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_graph_degree_reuses_distinct_edge_exchange(spark):
+    plan = plan_of(spark, "graph_degree")
+    # both degree sides read the ONE materialized distinct-edge table
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "Join" not in plan
+
+
+def test_events_cooccurrence_is_equi_join_on_baskets(spark):
+    plan = plan_of(spark, "events_cooccurrence")
+    # both self-join sides read the materialized distinct-basket
+    # table; candidate generation is keyed on user_id — never a
+    # cartesian (the 1-row total is the only nested-loop join)
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_agg_mad_two_pass_no_extra_shuffles(spark):
+    plan = plan_of(spark, "agg_mad")
+    # textbook two-pass MAD: each pass is one fact scan + one
+    # exchange on event_type; the median table joins back broadcast
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_seasonality_single_agg_broadcast_total(spark):
+    plan = plan_of(spark, "events_seasonality")
+    # one map-side-combinable aggregation into <= 168 cells + a 1-row
+    # broadcast total — no window, no sort-merge machinery
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ts_seasonal_window_runs_over_daily_aggregate(spark):
+    plan = plan_of(spark, "ts_seasonal")
+    # the ROWS window must sit ABOVE the per-day aggregation (a
+    # |days|-row series), never over the raw event stream: the text
+    # below the Window node must still contain the day-keyed
+    # aggregation that feeds it
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Window [") == 1
+    below_window = plan[plan.index("Window ["):]
+    assert "HashAggregate(keys=[day" in below_window
+
+
+def test_sample_reservoir_gets_rank_limit_pushdown(spark):
+    plan = plan_of(spark, "sample_reservoir")
+    # per-type rank with rank <= k: Spark 4 plans WindowGroupLimit —
+    # a PARTIAL per-partition top-k BEFORE the exchange, so only
+    # ~k rows per (type, partition) shuffle; losing this pushdown
+    # (e.g. by ranking with a non-prefix predicate) re-shuffles the
+    # full stream
+    assert plan.count("Window [") == 1
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_embed_norm_profile_no_window_no_join(spark):
+    plan = plan_of(spark, "embed_norm_profile")
+    # bounded per-row fold + one scalar-row aggregation
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1

@@ -1,0 +1,305 @@
+"""Differential property tests for the round-7 operators: MAD,
+seasonal decomposition, co-occurrence, OOV rate, and reservoir
+determinism vs independent pure-Python models on random inputs.
+
+The Spark implementations use scale-shaped algorithms (order-statistic
+window medians, window MAs over a daily aggregate, distinct-basket
+self-joins, broadcast top-k vocabularies); the models use the naive
+direct formulation — sorted-list indexing, dict counting, set
+intersection — so agreement validates the algebra, not a
+re-implementation.
+"""
+
+from __future__ import annotations
+
+import datetime
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from downloader_spark.operators.round7_ext import (
+    DOW_SHIFT,
+    RES_K,
+    VOCAB_K,
+    agg_mad,
+    events_cooccurrence,
+    sample_reservoir,
+    text_oov_rate,
+    ts_seasonal,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _patched(module, df):
+    orig = module.load_table
+    module.load_table = lambda s, d, n: df
+    return orig
+
+
+def _event_rows(specs):
+    """specs: list of (user_id, event_type, value, ts_seconds)."""
+    return [
+        (
+            i,
+            datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(seconds=ts_s),
+            u,
+            t,
+            v,
+            None,
+        )
+        for i, (u, t, v, ts_s) in enumerate(specs)
+    ]
+
+
+# --- agg_mad ---------------------------------------------------------
+
+values_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.floats(0.0, 500.0, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def low_median(xs):
+    s = sorted(xs)
+    return s[(len(s) + 1) // 2 - 1]
+
+
+def model_mad(pairs):
+    out = {}
+    by_t: dict[str, list[int]] = {}
+    import math
+
+    for t, v in pairs:
+        by_t.setdefault(t, []).append(math.floor(v * 100))
+    for t, vs in by_t.items():
+        med = low_median(vs)
+        mad = low_median([abs(v - med) for v in vs])
+        out[t] = (len(vs), med, mad)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(values_strategy)
+def test_agg_mad_matches_sorted_list_model(spark, pairs):
+    import downloader_spark.operators.round7_ext as r7
+
+    rows = _event_rows([(0, t, v, i) for i, (t, v) in enumerate(pairs)])
+    df = spark.createDataFrame(rows, _EVENT_SCHEMA)
+    orig = _patched(r7, df)
+    try:
+        got = {
+            r.event_type: (r.n, r.med_cents, r.mad_cents)
+            for r in agg_mad(spark, "x").collect()
+        }
+    finally:
+        r7.load_table = orig
+    assert got == model_mad(pairs)
+
+
+# --- ts_seasonal -----------------------------------------------------
+
+daily_strategy = st.lists(
+    st.floats(0.0, 100.0, allow_nan=False, width=32),
+    min_size=1,
+    max_size=30,
+)
+
+
+def model_seasonal(day_values):
+    """day_values[i] is the value total of day i (consecutive days)."""
+    import math
+
+    v = [math.floor(x * 100) for x in day_values]
+    out: dict[int, list[int]] = {}
+    for i in range(len(v)):
+        lo, hi = i - 3, i + 3
+        if lo < 0 or hi >= len(v):
+            continue  # not a full window
+        ma = sum(v[lo : hi + 1]) // 7
+        dow = (i + DOW_SHIFT) % 7
+        out.setdefault(dow, []).append(v[i] - ma)
+    return {d: (len(r), sum(r)) for d, r in out.items()}
+
+
+@settings(**_SETTINGS)
+@given(daily_strategy)
+def test_ts_seasonal_matches_centered_ma_model(spark, day_values):
+    import downloader_spark.operators.round7_ext as r7
+
+    # one event per day at noon, day i = epoch day i
+    rows = _event_rows(
+        [
+            (0, "view", val, i * 86400 + 43200)
+            for i, val in enumerate(day_values)
+        ]
+    )
+    df = spark.createDataFrame(rows, _EVENT_SCHEMA)
+    orig = _patched(r7, df)
+    try:
+        got = {
+            r.dow: (r.n_days, r.sum_resid_cents)
+            for r in ts_seasonal(spark, "x").collect()
+        }
+    finally:
+        r7.load_table = orig
+    assert got == model_seasonal(day_values)
+
+
+# --- events_cooccurrence ---------------------------------------------
+
+basket_strategy = st.lists(
+    st.tuples(st.integers(0, 6), st.sampled_from(["w", "x", "y", "z"])),
+    min_size=1,
+    max_size=40,
+)
+
+
+def model_cooccurrence(pairs):
+    baskets: dict[int, set[str]] = {}
+    for u, t in pairs:
+        baskets.setdefault(u, set()).add(t)
+    n_users = len(baskets)
+    out = {}
+    for a, b in itertools.combinations(sorted({t for _, t in pairs}), 2):
+        n = sum(1 for ts in baskets.values() if a in ts and b in ts)
+        if n:
+            out[(a, b)] = (n, n * 1_000_000 // n_users)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(basket_strategy)
+def test_events_cooccurrence_matches_set_model(spark, pairs):
+    import downloader_spark.operators.round7_ext as r7
+
+    rows = _event_rows(
+        [(u, t, 1.0, i) for i, (u, t) in enumerate(pairs)]
+    )
+    df = spark.createDataFrame(rows, _EVENT_SCHEMA)
+    orig = _patched(r7, df)
+    try:
+        got = {
+            (r.type_a, r.type_b): (r.n_users_both, r.support_ppm)
+            for r in events_cooccurrence(spark, "x").collect()
+        }
+    finally:
+        r7.load_table = orig
+    assert got == model_cooccurrence(pairs)
+
+
+# --- text_oov_rate ---------------------------------------------------
+
+
+def test_text_oov_rate_vocab_tie_breaks_lexicographically(spark):
+    """With > VOCAB_K distinct tokens all at count 1, the vocabulary
+    must be the lexicographically-first VOCAB_K — a doc of late-
+    alphabet tokens is then 100% OOV."""
+    import downloader_spark.operators.round7_ext as r7
+
+    # VOCAB_K early tokens (t000..t099) + 3 late 'zz*' tokens
+    early = " ".join(f"t{i:03d}" for i in range(VOCAB_K))
+    late = "zza zzb zzc"
+    df = spark.createDataFrame(
+        [(1, early, "en", "s", len(early)), (2, late, "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = _patched(r7, df)
+    try:
+        got = {
+            r.doc_id: (r.n_toks, r.n_oov, r.oov_ppm)
+            for r in text_oov_rate(spark, "x").collect()
+        }
+    finally:
+        r7.load_table = orig
+    assert got == {1: (VOCAB_K, 0, 0), 2: (3, 3, 1_000_000)}
+
+
+def test_text_oov_rate_frequency_beats_alphabet(spark):
+    """A high-frequency late-alphabet token must displace a
+    singleton early-alphabet token from the vocabulary."""
+    import downloader_spark.operators.round7_ext as r7
+
+    # VOCAB_K singleton early tokens; 'zzz' appears 5 times -> vocab
+    # = zzz + first VOCAB_K-1 early tokens; the LAST early token is
+    # squeezed out
+    early_toks = [f"t{i:03d}" for i in range(VOCAB_K)]
+    early = " ".join(early_toks)
+    df = spark.createDataFrame(
+        [
+            (1, early, "en", "s", len(early)),
+            (2, "zzz zzz zzz zzz zzz", "en", "s", 19),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = _patched(r7, df)
+    try:
+        got = {
+            r.doc_id: (r.n_toks, r.n_oov) for r in
+            text_oov_rate(spark, "x").collect()
+        }
+    finally:
+        r7.load_table = orig
+    # doc 1: only its last token (t099) fell out of vocab
+    assert got == {1: (VOCAB_K, 1), 2: (5, 0)}
+
+
+# --- sample_reservoir ------------------------------------------------
+
+
+def test_sample_reservoir_exact_k_and_rerun_deterministic(spark):
+    import downloader_spark.operators.round7_ext as r7
+
+    rows = _event_rows(
+        [(u, t, 1.0, i) for i, (u, t) in enumerate(
+            (u, t) for u in range(20) for t in ("a", "b")
+        )]
+    )
+    df = spark.createDataFrame(rows, _EVENT_SCHEMA)
+    orig = _patched(r7, df)
+    try:
+        one = sorted(
+            (r.event_type, r.event_id, r.draw_rank)
+            for r in sample_reservoir(spark, "x").collect()
+        )
+        two = sorted(
+            (r.event_type, r.event_id, r.draw_rank)
+            for r in sample_reservoir(spark, "x").collect()
+        )
+    finally:
+        r7.load_table = orig
+    assert one == two  # deterministic across runs
+    per_type = {
+        t: [r for r in one if r[0] == t] for t in ("a", "b")
+    }
+    for t, rs in per_type.items():
+        assert len(rs) == RES_K
+        assert sorted(r[2] for r in rs) == list(range(1, RES_K + 1))
+
+
+def test_sample_reservoir_small_group_returns_whole_group(spark):
+    import downloader_spark.operators.round7_ext as r7
+
+    rows = _event_rows([(0, "tiny", 1.0, i) for i in range(RES_K - 2)])
+    df = spark.createDataFrame(rows, _EVENT_SCHEMA)
+    orig = _patched(r7, df)
+    try:
+        got = sample_reservoir(spark, "x").collect()
+    finally:
+        r7.load_table = orig
+    assert len(got) == RES_K - 2
