@@ -3,8 +3,10 @@ operators the LLM-pipeline layer still lacked — OOV-rate against a
 learned vocabulary, deterministic fixed-k reservoir sampling,
 market-basket co-occurrence, boilerplate prefix dedup, bipartite
 degree profiling, embedding-norm QA, median-absolute-deviation, a
-weekday/hour seasonality profile, and an STL-lite seasonal
-decomposition.  (Reference analog: the reference's measurement layer
+weekday/hour seasonality profile, an STL-lite seasonal
+decomposition, RFM segmentation, an index-of-dispersion burstiness
+detector, and the batch equivalent of streaming
+dedup-before-publish.  (Reference analog: the reference's measurement layer
 stops at Prometheus counters, metrics/metrics.go:13-53; these are the
 analytics a 100 TB corpus pipeline layers on top.)
 
@@ -46,9 +48,15 @@ Scale notes (100 TB):
 - ``graph_degree``: two chained aggregations per side (edge distinct
   → degree → histogram), all map-side combinable; output is bounded
   by the degree range, not the edge count.
-- ``agg_mad``: two window sorts over the same (type, value)
-  partitioning — Catalyst reuses ONE exchange for both medians (the
-  abs-deviation rank re-sorts within partitions, no second shuffle).
+- ``agg_mad``: textbook two-pass MAD — each pass is one fact scan +
+  one exchange on event_type, the |types|-row median table broadcast
+  back (re-scanning columnar parquet beats checkpointing a fact-sized
+  intermediate).
+- ``events_rfm`` / ``agg_dispersion`` / ``stream_dedup``: the event
+  stream reduces to one row per user / (type, day) / (user, type)
+  respectively in a single map-side-combinable aggregation; RFM's
+  ntiles run over the per-user table (|users| rows), and stream_dedup
+  is a struct-min (one combiner row per key, no window).
 - ``ts_seasonal``: the 7-day centered MA runs over the DAILY
   aggregate (|days| rows — tiny next to the event stream), so the
   unpartitioned ROWS window is a driver-sized series, the same
@@ -616,4 +624,179 @@ def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return det.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("resid").cast("long").alias("sum_resid_cents"),
+    )
+
+
+@query(
+    "events_rfm",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(max(epoch_us(ts)) // 86400000000 AS BIGINT) AS last_day,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ), anchor AS (
+      SELECT max(last_day) AS max_day FROM per_user
+    ), scored AS (
+      SELECT u.user_id,
+             CAST(a.max_day - u.last_day AS BIGINT) AS recency_days,
+             u.frequency, u.monetary_cents,
+             CAST(ntile(5) OVER (ORDER BY a.max_day - u.last_day,
+                                 u.user_id) AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY u.frequency DESC,
+                                 u.user_id) AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY u.monetary_cents DESC,
+                                 u.user_id) AS BIGINT) AS m_score
+      FROM per_user u CROSS JOIN anchor a
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+    FROM scored
+    """,
+    tags=("events", "segmentation", "rfm"),
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value triage: per-user
+    recency (days since last event, against the corpus max day),
+    frequency, monetary value (floor-cents), each quintile-scored
+    (ntile(5), tie-broken by user_id so bucket assignment is total)
+    and combined into the 3-digit RFM code.
+
+    The event stream reduces to ONE row per user (map-side
+    combinable) before anything else; the corpus anchor is a 1-row
+    broadcast.  The three ntiles are unpartitioned windows — over the
+    PER-USER table, which is |users| rows, not the event stream (the
+    same tiny-series posture as ts_seasonal); score 1 = best bucket
+    (most recent / most frequent / highest spend)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST(max(unix_micros(ts)) DIV 86400000000 AS BIGINT)"
+        ).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.expr(
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("monetary_cents"),
+    )
+    # two consumers (the corpus anchor + the scoring path): materialize
+    # the |users|-row aggregate once so the event stream scans once
+    per_user = per_user.localCheckpoint()
+    anchor = per_user.agg(F.max("last_day").alias("max_day"))
+    scored = per_user.join(F.broadcast(anchor)).withColumn(
+        "recency_days", F.col("max_day") - F.col("last_day")
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
+    wm = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    ).withColumn(
+        "rfm",
+        F.expr("CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)"),
+    )
+
+
+@query(
+    "agg_dispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, day
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(sum(c) // count(*) AS BIGINT) AS mean_per_day,
+           CAST((count(*) * sum(c * c) - sum(c) * sum(c)) * 1000000
+                // (count(*) * sum(c)) AS BIGINT) AS dispersion_ppm
+    FROM daily GROUP BY event_type
+    """,
+    tags=("aggregate", "statistics", "overdispersion"),
+)
+def agg_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) of the daily
+    event count per type, in exact ppm — the burstiness detector: a
+    Poisson-arrival stream scores ~1,000,000 (variance = mean);
+    bursty/bot traffic scores far higher; the metric anomaly gates
+    threshold against.
+
+    Pure rational of counts — var/mean = (n·Σc² − (Σc)²) / (n·Σc) —
+    so no float moments and (by Cauchy–Schwarz) the numerator is
+    non-negative: the floor division is never signed.  Two chained
+    map-side-combinable aggregations ((type, day) counts → per-type
+    moment sums), the agg_gini shuffle shape."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.expr("CAST(sum(c) DIV count(*) AS BIGINT)").alias(
+            "mean_per_day"
+        ),
+        F.expr(
+            "CAST((count(*) * sum(c * c) - sum(c) * sum(c)) * 1000000"
+            " DIV (count(*) * sum(c)) AS BIGINT)"
+        ).alias("dispersion_ppm"),
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(min({'us': epoch_us(ts), 'eid': event_id}).eid AS BIGINT)
+             AS first_event_id,
+           CAST(min({'us': epoch_us(ts), 'eid': event_id}).us AS BIGINT)
+             AS first_us
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First occurrence per (user, event_type) — the batch-mode
+    equivalent of the streaming dedup-before-publish stage
+    (``dropDuplicatesWithinWatermark`` in
+    streaming/stateful-adjacent tests; ref analog: the
+    check-then-store gate, download/common.go:106-130, inverted to
+    filter-then-write).  The streaming and batch paths must agree on
+    WHICH row survives: the (timestamp, event_id)-minimal one, made
+    total by the id tie-break.
+
+    Struct-min aggregation — map-side combinable, one shuffle of one
+    struct per key, NO window (the windowed first-row formulation
+    re-sorts every group; the struct-min carries one combiner row per
+    key per partition).  Both engines order structs
+    lexicographically by field position, so min(struct(us, eid)) is
+    the same row everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id", "event_type").agg(
+        F.min(
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+            )
+        ).alias("f")
+    )
+    return first.select(
+        "user_id",
+        "event_type",
+        F.col("f.eid").cast("long").alias("first_event_id"),
+        F.col("f.us").cast("long").alias("first_us"),
     )

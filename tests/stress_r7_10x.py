@@ -41,6 +41,9 @@ EVENT_KEYS = (
     "ts_seasonal",
     "sample_reservoir",
     "graph_degree",
+    "events_rfm",
+    "agg_dispersion",
+    "stream_dedup",
 )
 DOC_KEYS = ("text_oov_rate", "dedup_prefix")
 

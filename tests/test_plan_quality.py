@@ -839,3 +839,32 @@ def test_embed_norm_profile_no_window_no_join(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_events_rfm_ntiles_run_over_per_user_table(spark):
+    plan = plan_of(spark, "events_rfm")
+    # the event stream reduces to one row per user BEFORE the ntile
+    # windows, and the |users|-row aggregate is materialized once so
+    # the anchor + scoring consumers never re-scan the raw events
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "Scan parquet" not in plan
+    assert "Window [" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_dispersion_is_two_chained_aggregations(spark):
+    plan = plan_of(spark, "agg_dispersion")
+    # (type, day) counts -> per-type moment sums, both map-side
+    # combinable; no window, no join
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_stream_dedup_is_struct_min_not_windowed(spark):
+    plan = plan_of(spark, "stream_dedup")
+    # first-occurrence via struct-min: map-side partial_min, never a
+    # per-group window sort
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "Join" not in plan

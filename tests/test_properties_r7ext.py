@@ -19,6 +19,9 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from downloader_spark.operators.round7_ext import (
+    agg_dispersion,
+    events_rfm,
+    stream_dedup,
     DOW_SHIFT,
     RES_K,
     VOCAB_K,
@@ -303,3 +306,90 @@ def test_sample_reservoir_small_group_returns_whole_group(spark):
     finally:
         r7.load_table = orig
     assert len(got) == RES_K - 2
+
+
+# --- events_rfm / agg_dispersion / stream_dedup (batch 2) -------------
+
+
+def test_events_rfm_quintiles_and_code(spark):
+    """10 users, strictly increasing activity by user id: recency
+    ntile must bucket 2-per-quintile, and user 0 (oldest, fewest,
+    cheapest) scores 5/5/5 while user 9 scores 1/1/1."""
+    import downloader_spark.operators.round7_ext as r7
+
+    specs = []
+    for u in range(10):
+        # user u: u+1 events, last on day u, each valued (u+1) dollars
+        for j in range(u + 1):
+            specs.append((u, "view", float(u + 1), u * 86400 + j))
+    df = spark.createDataFrame(_event_rows(specs), _EVENT_SCHEMA)
+    orig = _patched(r7, df)
+    try:
+        got = {r.user_id: r.asDict() for r in events_rfm(spark, "x").collect()}
+    finally:
+        r7.load_table = orig
+    assert got[9]["recency_days"] == 0 and got[0]["recency_days"] == 9
+    assert got[9]["r_score"] == 1 and got[9]["f_score"] == 1
+    assert got[9]["m_score"] == 1 and got[9]["rfm"] == 111
+    assert got[0]["r_score"] == 5 and got[0]["f_score"] == 5
+    assert got[0]["m_score"] == 5 and got[0]["rfm"] == 555
+    # quintiles over 10 users: every score bucket holds exactly 2
+    from collections import Counter
+
+    assert Counter(v["r_score"] for v in got.values()) == {
+        s: 2 for s in (1, 2, 3, 4, 5)
+    }
+
+
+def test_agg_dispersion_poisson_vs_bursty(spark):
+    """Uniform 2-per-day traffic scores 0 ppm dispersion (variance
+    0); the same volume packed into one day scores (n·Σc²−(Σc)²)
+    /(n·Σc) exactly."""
+    import downloader_spark.operators.round7_ext as r7
+
+    specs = []
+    # 'flat': 2 events/day for 5 days;  'burst': 10 events on day 0,
+    # plus 1 on each of days 1-4 (so both have n_days=5, n_events=10|14)
+    for d in range(5):
+        specs += [(0, "flat", 1.0, d * 86400), (0, "flat", 1.0, d * 86400 + 1)]
+    specs += [(0, "burst", 1.0, i) for i in range(10)]
+    specs += [(0, "burst", 1.0, d * 86400) for d in range(1, 5)]
+    df = spark.createDataFrame(_event_rows(specs), _EVENT_SCHEMA)
+    orig = _patched(r7, df)
+    try:
+        got = {
+            r.event_type: (r.n_days, r.n_events, r.dispersion_ppm)
+            for r in agg_dispersion(spark, "x").collect()
+        }
+    finally:
+        r7.load_table = orig
+    assert got["flat"] == (5, 10, 0)
+    # burst: counts [10,1,1,1,1]; n=5, s1=14, s2=104 ->
+    # (5*104 - 196)*1e6 // (5*14) = 324e6 // 70
+    assert got["burst"] == (5, 14, 324_000_000 // 70)
+
+
+def test_stream_dedup_keeps_timestamp_then_id_minimal_row(spark):
+    import downloader_spark.operators.round7_ext as r7
+
+    # same (user, type): two rows share the earliest ts -> the lower
+    # event_id must win; a later row never wins
+    rows = [
+        (7, datetime.datetime(1970, 1, 1, 0, 0, 5), 1, "view", 1.0, None),
+        (3, datetime.datetime(1970, 1, 1, 0, 0, 5), 1, "view", 1.0, None),
+        (1, datetime.datetime(1970, 1, 1, 0, 0, 9), 1, "view", 1.0, None),
+        (2, datetime.datetime(1970, 1, 1, 0, 0, 1), 1, "click", 1.0, None),
+    ]
+    df = spark.createDataFrame(rows, _EVENT_SCHEMA)
+    orig = _patched(r7, df)
+    try:
+        got = {
+            (r.user_id, r.event_type): (r.first_event_id, r.first_us)
+            for r in stream_dedup(spark, "x").collect()
+        }
+    finally:
+        r7.load_table = orig
+    assert got == {
+        (1, "view"): (3, 5_000_000),
+        (1, "click"): (2, 1_000_000),
+    }
