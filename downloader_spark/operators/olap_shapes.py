@@ -204,16 +204,43 @@ GROUP BY p.p_brand, p.p_type, p.p_size
 )
 def sql_q16_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q16-shaped supplier-variety report: distinct supplier
-    count per (brand, type, size), excluding flagged suppliers via
-    NOT IN.  (The driver schema has no partsupp table — lineitem is
-    the part<->supplier association, reference parity per
-    SURVEY.md §1.)  Catalyst rewrites the NOT IN over the 6-row
-    exclusion list into a broadcast null-aware anti join, the part
-    predicates prune before the fact join, and COUNT(DISTINCT)
-    expands to the two-phase partial distinct — no row ever carries
-    more than the three group keys plus a suppkey."""
-    return _run(
-        spark, sf_dir, _Q16_BODY, tables=("lineitem", "part", "supplier")
+    count per (brand, type, size), excluding flagged suppliers.
+    (The driver schema has no partsupp table — lineitem is the
+    part<->supplier association, reference parity per SURVEY.md §1.)
+
+    Two-construction differential (round 7, upgraded from same-text):
+    the oracle keeps the textbook NOT IN subquery + COUNT(DISTINCT)
+    aggregate; the Spark side spells both out explicitly — a
+    broadcast LEFT ANTI join against the flagged-supplier set
+    (equivalent because suppkeys are non-null; NOT IN's three-valued
+    logic never fires), then DISTINCT (brand, type, size, suppkey)
+    pairs followed by a plain count — the distinct-then-count
+    two-level aggregation vs the engine's internal distinct-expand.
+    The part predicates prune the broadcast build side before the
+    fact join; no row ever carries more than the three group keys
+    plus a suppkey."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "STANDARD")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    flagged = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(flagged),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    pairs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
     )
 
 
