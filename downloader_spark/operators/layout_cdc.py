@@ -244,13 +244,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PR_ITERS} iterations as correlated-subquery CTEs — independent
     formulation, one answer.  Companion iterative operators:
     dedup_clusters (label propagation), embed_kmeans (Lloyd)."""
-    edges = _pagerank_edges(spark, sf_dir)
+    # Materialize the edge table (and its two small derivatives) once:
+    # composed into one final plan, the un-checkpointed lineage
+    # re-derives the orders⋈lineitem DISTINCT — a fact-fact shuffle —
+    # for every iteration (3x edges_deg + 4x nodes at PR_ITERS=3);
+    # at 100 TB those are redundant fact shuffles.  A/B at sf0.1:
+    # 2.44 s -> 2.18 s median locally, identical hashes (PERF.md r7).
+    edges = _pagerank_edges(spark, sf_dir).localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_deg = edges.join(deg, "src")
+    edges_deg = edges.join(deg, "src").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     pr = nodes.withColumn("pr", F.lit(PR_BASE_PPM).cast("long"))
     base = 1_000_000 - PR_DAMP_PPT * 1000

@@ -868,3 +868,13 @@ def test_stream_dedup_is_struct_min_not_windowed(spark):
     assert "Window" not in plan
     assert "partial_min" in plan
     assert "Join" not in plan
+
+
+def test_graph_pagerank_materializes_edges_once(spark):
+    plan = plan_of(spark, "graph_pagerank")
+    # the orders⋈lineitem distinct-edge join must never appear in the
+    # final iteration plan: every edge/degree/node reference reads the
+    # materialized tables (ExistingRDD), so the fact shuffle ran once
+    assert "Scan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "CartesianProduct" not in plan
