@@ -12,6 +12,7 @@ DataFrame one.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from downloader_spark.io import load_table
 from downloader_spark.plans.registry import query
@@ -127,17 +128,58 @@ def sql_q5_join6(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_nationkey), a pushed region filter, a pushed order-date range,
     and a decimal-exact revenue rollup per nation.
 
-    The join-ordering showcase: Catalyst reorders the tree so region
-    (1 row after the filter) and nation prune supplier FIRST, the
-    three dimension joins broadcast (region/nation/supplier all fit
-    under the 10 MB threshold at any SF where they are dimensions),
-    and only orders x lineitem is a shuffle join on the fact keys.
-    The same SQL text runs on both engines up to view-name
-    prefixes."""
-    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"ds_{t}")
-    body = _Q5_BODY
-    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
-        body = body.replace(f"JOIN {t} ", f"JOIN ds_{t} ")
-    body = body.replace("FROM customer ", "FROM ds_customer ")
-    return spark.sql(body)
+    Two-construction differential (round 7, upgraded from same-text):
+    the oracle keeps the textbook star tree rooted at customer; the
+    Spark side hand-builds the OPPOSITE order — the pruned dimension
+    chain region→nation→supplier collapses into one small broadcast
+    build side that prunes lineitem FIRST, the date-pruned orders
+    join is the only fact-fact shuffle, and the same-nation
+    correlation is enforced at the CUSTOMER join (c_custkey AND
+    c_nationkey = s_nationkey, a composite-key shuffle join) instead
+    of at the supplier join.  Decimal addition is associative and the
+    filters commute, so the two trees agree bit-for-bit — exactly
+    the equivalence the differential checks.  At 100 TB customer is
+    NOT broadcastable; keying its join on (custkey, nationkey) keeps
+    it a plain hash join."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust,
+            (F.col("o_custkey") == cust.c_custkey)
+            & (F.col("s_nationkey") == cust.c_nationkey),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(18,4))"
+                    " * CAST(1.0 - l_discount AS DECIMAL(18,4))"
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
