@@ -800,3 +800,95 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.eid").cast("long").alias("first_event_id"),
         F.col("f.us").cast("long").alias("first_us"),
     )
+
+
+@query(
+    "pipeline_dedup",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(text) AS h_exact,
+             md5(substring(
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+               1, {PRE_N})) AS h_pre
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, source, h_pre FROM keyed
+      QUALIFY row_number() OVER (PARTITION BY h_exact ORDER BY doc_id) = 1
+    ), s2 AS (
+      SELECT doc_id, source FROM s1
+      QUALIFY row_number() OVER (PARTITION BY h_pre ORDER BY doc_id) = 1
+    ), raw AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+      FROM keyed GROUP BY source
+    ), c1 AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+      FROM s1 GROUP BY source
+    ), c2 AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_prefix
+      FROM s2 GROUP BY source
+    )
+    SELECT raw.source, raw.n_raw,
+           COALESCE(c1.n_exact, 0) AS n_exact,
+           COALESCE(c2.n_prefix, 0) AS n_prefix,
+           CAST(COALESCE(c2.n_prefix, 0) * 1000000 // raw.n_raw AS BIGINT)
+             AS kept_ppm
+    FROM raw LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+    """,
+    tags=("llm", "dedup", "pipeline", "composite"),
+)
+def pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup funnel — the multi-stage pipeline a training
+    corpus actually runs, as ONE plan: exact content dedup (md5, min
+    doc_id keeps), then boilerplate prefix dedup over the exact
+    survivors, reported per source as the attrition funnel
+    (n_raw → n_exact → n_prefix, keep rate in ppm) — the per-source
+    yield report that decides crawl-source budgets.
+
+    Scale shape: BOTH dedup keys are computed in one map pass over
+    the corpus (one scan), stage 1 is a struct-min on the content
+    hash CARRYING ONLY (doc_id, source, prefix-hash) — the text
+    itself never shuffles — and stage 2 is a struct-min on the
+    prefix hash over stage-1 survivors; the three per-source count
+    tables are |sources| rows, broadcast-joined.  The oracle is the
+    window formulation (QUALIFY row_number = 1 per stage) — a
+    two-construction differential for the keeper semantics.  Ref
+    analog: the md5-gated store loop, download/common.go:106-130,
+    promoted to a corpus-scale funnel."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    keyed = docs.selectExpr(
+        "doc_id",
+        "source",
+        "md5(text) AS h_exact",
+        f"md5(substring({norm}, 1, {PRE_N})) AS h_pre",
+    )
+    # two consumers of the keyed pass (raw counts + the funnel):
+    # materialize once so the corpus scans once
+    keyed = keyed.localCheckpoint()
+    s1 = (
+        keyed.groupBy("h_exact")
+        .agg(F.min(F.struct("doc_id", "source", "h_pre")).alias("f"))
+        .select("f.doc_id", "f.source", "f.h_pre")
+    )
+    s2 = (
+        s1.groupBy("h_pre")
+        .agg(F.min(F.struct("doc_id", "source")).alias("g"))
+        .select("g.doc_id", "g.source")
+    )
+    raw = keyed.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    c1 = s1.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    c2 = s2.groupBy("source").agg(F.count(F.lit(1)).alias("n_prefix"))
+    return (
+        raw.join(F.broadcast(c1), "source", "left")
+        .join(F.broadcast(c2), "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_prefix", F.lit(0)).alias("n_prefix"),
+            F.expr(
+                "CAST(COALESCE(n_prefix, 0) * 1000000 DIV n_raw AS BIGINT)"
+            ).alias("kept_ppm"),
+        )
+    )

@@ -878,3 +878,15 @@ def test_graph_pagerank_materializes_edges_once(spark):
     assert "Scan parquet" not in plan
     assert plan.count("Scan ExistingRDD") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_pipeline_dedup_single_corpus_pass_text_never_shuffles(spark):
+    plan = plan_of(spark, "pipeline_dedup")
+    # both dedup keys computed in ONE map pass, materialized once:
+    # the final plan reads only the keyed table (no parquet re-scan),
+    # and no shuffle carries the text column
+    assert "Scan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "text#" not in plan  # only (doc_id, source, hashes) move
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
