@@ -892,3 +892,160 @@ def pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_ppm"),
         )
     )
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter({_DUCK_NORM}, t -> t <> '')) AS BIGINT)
+               AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206835 - 1015 * n_words // n_sentences
+                       - 84600 * n_syllables // n_words AS BIGINT)
+             AS flesch_milli
+    FROM m WHERE n_words >= 1
+    """,
+    tags=("llm", "text", "quality", "readability"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease in exact milli-points — the classic
+    readability gate (a quality signal orthogonal to text_quality's
+    length/punct ratios and text_lm_score's fluency: word and
+    sentence LENGTH, not token identity).  Syllables are approximated
+    as vowel-letter groups (the standard cheap estimator; no
+    dictionary), sentences as terminal-punctuation runs (min 1), and
+    the 206.835/1.015/84.6 constants are scaled to milli so both
+    engines do the identical floor arithmetic — the divisions are
+    non-negative (score subtraction may go negative, division never
+    does).
+
+    Construction differential: Spark counts pattern hits with
+    `regexp_count`; DuckDB materializes `regexp_extract_all` and
+    takes its length.  One map-only projection + scan — zero
+    shuffles; the plan gate pins it shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.selectExpr(
+        "doc_id",
+        f"CAST(size(filter({_SPARK_NORM}, t -> t != ''))"
+        " AS BIGINT) AS n_words",
+        "CAST(greatest(regexp_count(text, '[.!?]+'), 1) AS BIGINT)"
+        " AS n_sentences",
+        "CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)"
+        " AS n_syllables",
+    ).filter(F.col("n_words") >= 1)
+    return m.selectExpr(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "CAST(206835 - 1015 * n_words DIV n_sentences"
+        " - 84600 * n_syllables DIV n_words AS BIGINT) AS flesch_milli",
+    )
+
+
+@query(
+    "agg_topk_freq",
+    oracle="""
+    WITH c AS (
+      SELECT p.p_brand, l.l_suppkey, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_suppkey
+    )
+    SELECT p_brand, l_suppkey, n, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY p_brand ORDER BY n DESC, l_suppkey
+      ) AS rnk FROM c
+    ) WHERE rnk <= 3
+    """,
+    tags=("aggregate", "topk", "frequency"),
+)
+def agg_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most frequent suppliers per brand (heavy-hitters per
+    group — agg_mode's top-1 generalized to k, with the
+    deterministic (count DESC, key ASC) tie-break both engines
+    share).
+
+    The fact reduces to the bounded (brand, supplier) count table
+    FIRST (map-side combinable; |brands|x|suppliers| rows at most),
+    then the rank-limit prefix triggers WindowGroupLimit — partial
+    per-partition top-3 before the exchange, the sample_reservoir
+    pushdown (plan-gated)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    c = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("n").desc(), F.col("l_suppkey")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "l_suppkey", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@query(
+    "sample_class_balance",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_duck_h60("concat('bal:', CAST(doc_id AS VARCHAR))")},
+                        doc_id
+             ) AS rn
+      FROM documents
+    ), floor_n AS (
+      SELECT min(n) AS min_n FROM (
+        SELECT count(*) AS n FROM documents GROUP BY lang
+      )
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS draw_rank
+    FROM ranked r, floor_n f
+    WHERE r.rn <= f.min_n
+    """,
+    tags=("llm", "sampling", "balance", "deterministic"),
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language downsampled to the
+    MINORITY class size with a deterministic md5 draw — the
+    rebalancing step before training a classifier (language-ID,
+    quality) on skewed crawl data; exact counts, reproducible under
+    any partitioning (df.sampleBy is neither).
+
+    The per-class cutoff is min(count) — a 1-row broadcast computed
+    from the |langs|-row count table; membership is the same
+    salted-hash rank as sample_reservoir, so Spark 4's
+    WindowGroupLimit-class pruning does NOT apply (the cutoff is a
+    runtime scalar, not a literal prefix) — the honest cost is one
+    rank window per class over the doc-id stream, which is the
+    operator's definition.  Oracle computes the cutoff as a scalar
+    subquery instead of a broadcast join — two constructions."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _spark_h60("concat('bal:', CAST(doc_id AS STRING))")
+    w = Window.partitionBy("lang").orderBy(F.expr(h), F.col("doc_id"))
+    ranked = docs.select("doc_id", "lang").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    floor_n = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("min_n"))
+    )
+    return (
+        ranked.join(F.broadcast(floor_n))
+        .filter(F.col("rn") <= F.col("min_n"))
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("draw_rank"))
+    )

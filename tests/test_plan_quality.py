@@ -890,3 +890,29 @@ def test_pipeline_dedup_single_corpus_pass_text_never_shuffles(spark):
     assert "text#" not in plan  # only (doc_id, source, hashes) move
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_text_readability_is_shuffle_free(spark):
+    plan = plan_of(spark, "text_readability")
+    # three regexp counters + the score are one map projection
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_agg_topk_freq_gets_rank_limit_pushdown(spark):
+    plan = plan_of(spark, "agg_topk_freq")
+    # fact reduces to the (brand, supplier) count table first, then
+    # the rank <= 3 prefix plans WindowGroupLimit partial top-k
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sample_class_balance_broadcasts_scalar_cutoff(spark):
+    plan = plan_of(spark, "sample_class_balance")
+    # the min-count cutoff is a 1-row broadcast; one rank window per
+    # class; never a shuffled join of the doc stream
+    assert plan.count("Window [") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

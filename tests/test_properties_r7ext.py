@@ -393,3 +393,73 @@ def test_stream_dedup_keeps_timestamp_then_id_minimal_row(spark):
         (1, "view"): (3, 5_000_000),
         (1, "click"): (2, 1_000_000),
     }
+
+
+# --- text_readability / sample_class_balance (batch 4) ----------------
+
+
+def test_text_readability_known_values(spark):
+    """Hand-computed Flesch milli on a two-sentence doc."""
+    import downloader_spark.operators.round7_ext as r7
+    from downloader_spark.operators.round7_ext import text_readability
+
+    text = "The cat sat. The dog ran away!"
+    # words: the cat sat the dog ran away = 7
+    # sentences: '.' and '!' -> 2; vowel groups (lower):
+    # e,a,a,e,o,a,a,ay -> the(1) cat(1) sat(1) the(1) dog(1) ran(1)
+    # away(2: a, ay) = 8
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = _patched(r7, df)
+    try:
+        r = text_readability(spark, "x").collect()[0]
+    finally:
+        r7.load_table = orig
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (7, 2, 8)
+    expected = 206835 - 1015 * 7 // 2 - 84600 * 8 // 7
+    assert r.flesch_milli == expected
+
+
+def test_text_readability_no_terminal_punct_counts_one_sentence(spark):
+    import downloader_spark.operators.round7_ext as r7
+    from downloader_spark.operators.round7_ext import text_readability
+
+    df = spark.createDataFrame(
+        [(1, "no punctuation here", "en", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = _patched(r7, df)
+    try:
+        r = text_readability(spark, "x").collect()[0]
+    finally:
+        r7.load_table = orig
+    assert r.n_sentences == 1 and r.n_words == 3
+
+
+def test_sample_class_balance_exact_minority_count_per_class(spark):
+    import downloader_spark.operators.round7_ext as r7
+    from downloader_spark.operators.round7_ext import sample_class_balance
+
+    rows = []
+    did = 0
+    for lang, n in (("en", 20), ("de", 7), ("fr", 12)):
+        for _ in range(n):
+            rows.append((did, f"doc {did}", lang, "s", 8))
+            did += 1
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = _patched(r7, df)
+    try:
+        got = sample_class_balance(spark, "x").collect()
+        again = sample_class_balance(spark, "x").collect()
+    finally:
+        r7.load_table = orig
+    from collections import Counter
+
+    per_lang = Counter(r.lang for r in got)
+    assert per_lang == {"en": 7, "de": 7, "fr": 7}  # minority = de (7)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))  # deterministic
