@@ -95,8 +95,39 @@ def sql_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter.  The whole query is one hash aggregation with map-side
     partials inside a single WholeStageCodegen span; the decimal
     products (price x (1-disc) x (1+tax)) stay within DECIMAL(38,_)
-    so both engines compute identical exact sums."""
-    return _run(spark, sf_dir, _Q1_BODY, tables=("lineitem",))
+    so both engines compute identical exact sums.
+
+    Construction note (round 7): the Spark side is DataFrame algebra
+    with the decimal casts and the sum/count average derivation
+    spelled explicitly (no SQL parser in the path); the oracle keeps
+    the SQL text — a parser-vs-API differential for the decimal
+    promotion rules, the weakest-but-nonzero differential class."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01")
+    )
+    qty = F.expr("CAST(l_quantity AS DECIMAL(18,2))")
+    price = F.expr("CAST(l_extendedprice AS DECIMAL(18,2))")
+    disc_price = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * CAST(1.0 - l_discount AS DECIMAL(8,4))"
+    )
+    charge = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * CAST(1.0 - l_discount AS DECIMAL(8,4))"
+        " * CAST(1.0 + l_tax AS DECIMAL(8,4))"
+    )
+    disc = F.expr("CAST(l_discount AS DECIMAL(8,4))")
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / cnt, 2).alias("avg_qty"),
+        F.round(F.sum(price).cast("double") / cnt, 2).alias("avg_price"),
+        F.round(F.sum(disc).cast("double") / cnt, 4).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
 
 
 _Q10_BODY = """
@@ -352,13 +383,51 @@ GROUP BY branch, l_returnflag
 def sql_q19_disjuncts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q19-shaped disjunctive-predicate revenue report: three
     OR'd (brand, size-range, quantity-range) conjunctions, rolled up
-    per matched branch x returnflag.  The disjunction showcase: the
-    quantity bounds (the union of the three ranges) push to the
-    lineitem scan, the part predicates prune the broadcast side, and
-    after ONE broadcast join the OR collapses into a single CASE
-    projection — Catalyst never expands the disjunction into a
-    union of three scans."""
-    return _run(spark, sf_dir, _Q19_BODY, tables=("lineitem", "part"))
+    per matched branch x returnflag.
+
+    Two-construction differential (round 7, upgraded from same-text):
+    the oracle keeps the textbook form — the OR-of-conjunctions
+    stated TWICE (WHERE filter + CASE classifier); the Spark side
+    states each conjunction ONCE as a CASE branch and filters on
+    branch IS NOT NULL, so the disjunction exists in exactly one
+    place (the construction a hand optimizer writes).  The two only
+    agree if the duplicated predicates really are the branch
+    conditions — the drift the differential would catch.  Plan
+    shape is unchanged and still gated: one lineitem scan with the
+    quantity-bound union pushed down, one broadcast part join, no
+    union-of-scans expansion."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        # the pushed range union [1, 30] — the only predicate stated
+        # outside the classifier
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = F.expr(
+        "CASE"
+        " WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5"
+        "      AND l_quantity BETWEEN 1 AND 11 THEN 'small'"
+        " WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10"
+        "      AND l_quantity BETWEEN 10 AND 20 THEN 'medium'"
+        " WHEN p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15"
+        "      AND l_quantity BETWEEN 20 AND 30 THEN 'large'"
+        " END"
+    )
+    matched = j.withColumn("branch", branch).filter(
+        F.col("branch").isNotNull()
+    )
+    return matched.groupBy("branch", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(18,2))"
+                    " * CAST(1.0 - l_discount AS DECIMAL(8,4))"
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
 
 
 _Q14_BODY = """
