@@ -1049,3 +1049,119 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("min_n"))
         .select("doc_id", "lang", F.col("rn").cast("long").alias("draw_rank"))
     )
+
+
+def _ann_topk_cte(join_cond: str, k: int, name: str) -> str:
+    """One DuckDB top-k search CTE block (exact: CROSS JOIN; IVF:
+    label equi join) over the shared q/c CTEs, named ``name``."""
+    from downloader_spark.operators.llm_similarity import _DUCK_DOT
+
+    cos = (
+        f"{_DUCK_DOT.format(a='q.q_emb', b='c.embedding')}"
+        f" / sqrt({_DUCK_DOT.format(a='q.q_emb', b='q.q_emb')}"
+        f" * {_DUCK_DOT.format(a='c.embedding', b='c.embedding')})"
+    )
+    return f"""{name} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rnk
+        FROM q {join_cond}
+      ) WHERE rnk <= {k}
+    )"""
+
+
+def _ann_recall_oracle() -> str:
+    from downloader_spark.operators.llm_similarity import (
+        _DUCK_DOT,
+        IVF_TOP_K,
+        N_QUERIES,
+    )
+
+    nz_q = _DUCK_DOT.format(a="embedding", b="embedding")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, label
+      FROM embeddings WHERE vec_id < {N_QUERIES} AND {nz_q} <> 0
+    ), c AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id >= {N_QUERIES} AND {nz_q} <> 0
+    ),
+    {_ann_topk_cte("CROSS JOIN c", IVF_TOP_K, "exact_k")},
+    {_ann_topk_cte("JOIN c ON q.label = c.label", IVF_TOP_K, "ivf_k")}
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hit,
+           CAST(count(i.vec_id) * 1000000 // count(*) AS BIGINT)
+             AS recall_ppm
+    FROM exact_k e
+    LEFT JOIN ivf_k i
+      ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    GROUP BY e.query_id
+    """
+
+
+@query(
+    "embed_ann_recall",
+    oracle=_ann_recall_oracle(),
+    tags=("llm", "similarity", "evaluation"),
+)
+def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF (nprobe=1) index against the brute-force
+    baseline, per query — the evaluation loop every ANN deployment
+    runs before trusting an index: ground truth = exact cosine top-k,
+    candidate = the label-probed top-k, recall = overlap fraction in
+    ppm.  Composes the engine's own sim_search and sim_search_ivf
+    plans and joins their result sets — eval is a first-class
+    operator, not an offline notebook.
+
+    Scale shape: both searches inherit their operators' postures
+    (broadcast queries; the IVF side probes |corpus|/|clusters| rows)
+    and their top-k sets are k rows per query — the recall join and
+    rollup cost nothing at any corpus size."""
+    from downloader_spark.operators.llm_similarity import (
+        _norm_nonzero,
+        _scored,
+        topk_per_query,
+        IVF_TOP_K,
+        N_QUERIES,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    exact_k = topk_per_query(_scored(queries, corpus), k=IVF_TOP_K).select(
+        "query_id", "vec_id"
+    )
+    q_lab = (
+        queries.filter(_norm_nonzero())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "label",
+        )
+    )
+    c_lab = corpus.filter(_norm_nonzero())
+    from downloader_spark.operators.llm_similarity import _SPARK_DOT
+
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    nq = F.expr(_SPARK_DOT.format(a="q_emb", b="q_emb"))
+    nc = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    ivf_scored = c_lab.join(F.broadcast(q_lab), "label").withColumn(
+        "cos", dot / F.sqrt(nq * nc)
+    )
+    ivf_k = topk_per_query(ivf_scored, k=IVF_TOP_K).select(
+        F.col("query_id").alias("i_query"), F.col("vec_id").alias("i_vec")
+    )
+    hits = exact_k.join(
+        ivf_k,
+        (exact_k.query_id == ivf_k.i_query) & (exact_k.vec_id == ivf_k.i_vec),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("i_vec").alias("n_hit"),
+        F.expr(
+            "CAST(count(i_vec) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )

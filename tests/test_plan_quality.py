@@ -916,3 +916,13 @@ def test_sample_class_balance_broadcasts_scalar_cutoff(spark):
     assert plan.count("Window [") == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_embed_ann_recall_broadcasts_queries_no_cartesian_blowup(spark):
+    plan = plan_of(spark, "embed_ann_recall")
+    # both searches broadcast the 5 query vectors; only the exact
+    # baseline is a (bounded: 5 x corpus) nested-loop; the IVF side
+    # joins on label and the recall join is k-rows-per-query tiny
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan
