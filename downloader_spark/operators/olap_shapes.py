@@ -1,10 +1,13 @@
-"""Classic OLAP report shapes (TPC-H Q1/Q10/Q16/Q18/Q19 analogs) —
-the full-table-report half of the SQL surface (sql_surface.py holds
-the CTE/subquery/6-way-join half).  Q10 and Q18 are genuine
-two-construction differentials (textbook join-then-aggregate /
-IN-subquery oracle vs aggregate-first DataFrame algebra on the Spark
-side); the rest run as identical SQL text on both engines.  The
-reference's own "reports" are counters scraped over HTTP
+"""Classic OLAP report shapes (TPC-H Q1/Q6/Q8/Q10/Q13/Q14/Q16/Q17/
+Q18/Q19/Q22 analogs) — the full-table-report half of the SQL surface
+(sql_surface.py holds the CTE/subquery/6-way-join half).  As of
+round 7, EVERY key here is a differential: the oracle keeps the
+textbook SQL formulation (correlated subqueries, join-then-aggregate,
+duplicated OR predicates, scalar subqueries) while the Spark side is
+an independently-constructed algebra (aggregate-first, semi-join
+membership, pre-projected classifier flags, explicit anti joins) —
+two constructions, one hash.  The reference's own "reports" are
+counters scraped over HTTP
 (/root/reference/metrics/metrics.go:14-61); the north star promotes
 them to the standard warehouse report set over the archived facts.
 
@@ -53,7 +56,12 @@ def _run(spark: SparkSession, sf_dir: str, body: str, tables=_TABLES) -> DataFra
     """Register ds_-prefixed temp views and run ``body`` with table
     names rewritten to them — the same SQL text the oracle runs.
     The rewrite is \\b-anchored so a table whose name prefixes
-    another (part vs partsupp) never corrupts the body."""
+    another (part vs partsupp) never corrupts the body.
+
+    As of round 7 no registered key uses this (every TPC-H key is a
+    two-construction or API-vs-parser differential); kept as the
+    documented harness for running any oracle body through
+    ``spark.sql`` when diagnosing a hash mismatch."""
     import re as _re
 
     for t in tables:
@@ -464,13 +472,48 @@ def sql_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     of revenue from PROMO-type parts — the conditional-aggregate
     ratio every marketing dashboard computes.
 
-    One broadcast join (part is the dimension), then ONE hash
-    aggregation carrying both the conditional and the total sum —
-    never two scans reconciled by a self-join.  Both sums are
-    decimal-exact; the share divides the two exact decimals in
-    double on identical inputs, so round(..., 6) agrees
+    Two-construction differential (round 7, upgraded from same-text):
+    the oracle classifies AFTER the join (CASE on the joined p_type
+    string); the Spark side pre-projects the dimension to
+    (p_partkey, is_promo) so the broadcast build side carries one
+    boolean instead of the type string and the classifier is a
+    column reference, not a post-join string compare.  One broadcast
+    join, then ONE hash aggregation carrying both the conditional
+    and the total sum — never two scans reconciled by a self-join.
+    Both sums are decimal-exact; the share divides the two exact
+    decimals in double on identical inputs, so round(..., 6) agrees
     bit-for-bit."""
-    return _run(spark, sf_dir, _Q14_BODY, tables=("lineitem", "part"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part_flag = load_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    dp = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * CAST(1.0 - l_discount AS DECIMAL(8,4))"
+    )
+    promo_dp = F.when(F.col("is_promo"), dp).otherwise(
+        F.expr("CAST(0 AS DECIMAL(18,2))")
+    )
+    j = li.join(F.broadcast(part_flag), li.l_partkey == part_flag.p_partkey)
+    return (
+        j.withColumn(
+            "ym",
+            F.expr(
+                "CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)"
+            ),
+        )
+        .groupBy("ym")
+        .agg(
+            F.round(F.sum(promo_dp).cast("double"), 2).alias("promo_revenue"),
+            F.round(F.sum(dp).cast("double"), 2).alias("total_revenue"),
+            F.round(
+                F.sum(promo_dp).cast("double") / F.sum(dp).cast("double"), 6
+            ).alias("promo_share_r6"),
+        )
+    )
 
 
 _Q6_BODY = """
@@ -504,8 +547,40 @@ def sql_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
     via min/max statistics before a single row is materialized; what
     survives flows through one map-side-combinable aggregation.  At
     100 TB with date-partitioned layout the date range also prunes
-    whole partitions (sinks.py's layout test)."""
-    return _run(spark, sf_dir, _Q6_BODY, tables=("lineitem",))
+    whole partitions (sinks.py's layout test).
+
+    Construction note (round 7): Spark side is DataFrame algebra
+    (filters and decimal product spelled via the API, no SQL parser);
+    the oracle keeps the SQL text — the parser-vs-API differential
+    class."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return (
+        li.withColumn(
+            "ym",
+            F.expr(
+                "CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)"
+            ),
+        )
+        .groupBy("ym")
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(l_extendedprice AS DECIMAL(18,2))"
+                        " * CAST(l_discount AS DECIMAL(8,4))"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("discount_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
 
 
 _Q13_BODY = """
@@ -532,15 +607,29 @@ def sql_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers placed exactly k (non-urgent) orders — the
     count-of-counts histogram, including the zero bucket.
 
-    The LEFT JOIN is the point: customers with no qualifying orders
-    must survive to the k=0 bucket (an inner join silently drops
-    them — the classic distribution bug).  count(o_orderkey) counts
-    only matched rows, so the null-extended row lands at 0.  Plan:
-    the join predicate's non-key filter prunes orders at the scan,
-    then two chained aggregations (per-customer, then
-    count-of-counts), each map-side combinable; the second runs on
-    |customers| rows and the output is |max k| rows."""
-    return _run(spark, sf_dir, _Q13_BODY, tables=("customer", "orders"))
+    Two-construction differential (round 7, upgraded from same-text):
+    the oracle keeps the textbook LEFT JOIN then count-per-customer;
+    the Spark side AGGREGATES FIRST — non-urgent orders reduce to
+    (custkey, k) before any join, customer LEFT-joins the (smaller)
+    count table and coalesces the null-extension to the k=0 bucket.
+    The two only agree if the null-extended row and the missing-count
+    coalesce really encode the same zero — the classic distribution
+    bug each formulation can hide from itself.  At 100 TB the fact
+    shuffles once (pre-aggregated), and the join's probe side is one
+    row per ordering customer instead of one per order."""
+    non_urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    percust = cust.join(
+        non_urgent, cust.c_custkey == non_urgent.o_custkey, "left"
+    ).select(F.coalesce("k", F.lit(0)).alias("c_count"))
+    return percust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
 
 
 _Q8_BODY = """
@@ -583,15 +672,64 @@ def sql_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWICE, once for the customer side and once for the supplier
     side, so the alias discipline is itself under test).
 
-    The region filter prunes the customer dimension chain before the
-    fact joins; region/nation/supplier broadcast; the share is a
-    conditional decimal sum over the total decimal sum (sql_q14's
-    ratio discipline) — one aggregation, division last."""
-    return _run(
-        spark,
-        sf_dir,
-        _Q8_BODY,
-        tables=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    Two-construction differential (round 7, upgraded from same-text):
+    the oracle keeps the textbook 7-relation inner-join tree; the
+    Spark side restructures it — the customer-side chain
+    (region→nation→customer) collapses to a MEMBERSHIP check (a
+    LEFT SEMI join against the America-customer key set: the
+    dimensions only gate rows, they contribute no columns), and the
+    supplier side pre-projects an is-target-nation BOOLEAN onto the
+    broadcast build side (the q14 flag trick) so the classifier is a
+    column reference, not a post-join string compare.  The share is
+    a conditional decimal sum over the total decimal sum — one
+    aggregation, division last."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    amer_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust_am = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(amer_nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_flag = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "s_suppkey", (F.col("n_name") == "NATION_3").alias("is_n3")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * CAST(1.0 - l_discount AS DECIMAL(8,4))"
+    )
+    n3_vol = F.when(F.col("is_n3"), vol).otherwise(
+        F.expr("CAST(0 AS DECIMAL(18,2))")
+    )
+    sold = (
+        li.join(F.broadcast(supp_flag), li.l_suppkey == supp_flag.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust_am,
+            F.col("o_custkey") == cust_am.c_custkey,
+            "left_semi",
+        )
+    )
+    return sold.groupBy("o_year").agg(
+        F.round(F.sum(n3_vol).cast("double"), 2).alias("nation_volume"),
+        F.round(F.sum(vol).cast("double"), 2).alias("total_volume"),
+        F.round(
+            F.sum(n3_vol).cast("double") / F.sum(vol).cast("double"), 6
+        ).alias("mkt_share_r6"),
     )
 
 
@@ -701,12 +839,36 @@ def sql_q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dormancy cutoff is what gives the anti join a real
     surviving set).
 
-    Three planner behaviors in one statement: the uncorrelated
-    scalar subquery computes ONE global average (exact decimal sum /
-    count) and broadcasts it as a literal-like filter; NOT EXISTS
-    plans as a left-anti join against orders (A5's core rewrite, on
-    the order fact this time); and the surviving trickle feeds a
-    tiny segment rollup.  The anti join is the only data-sized
-    operation — at 100 TB it is a shuffle anti join on the customer
-    key, and everything else is scalar."""
-    return _run(spark, sf_dir, _Q22_BODY, tables=("customer", "orders"))
+    Two-construction differential (round 7, upgraded from same-text):
+    the oracle keeps the textbook scalar subquery + correlated NOT
+    EXISTS; the Spark side spells both out — the global average is a
+    1-row broadcast aggregate joined on, and the dormancy check is an
+    explicit LEFT ANTI join against the date-pre-filtered orders
+    projection (the filter moves from inside the correlation to the
+    scan, where it pushes down).  The anti join is the only
+    data-sized operation — at 100 TB it is a shuffle anti join on
+    the customer key, and everything else is scalar."""
+    cust = load_table(spark, sf_dir, "customer")
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    prospects = (
+        cust.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return prospects.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_prospects"),
+        F.round(
+            F.sum(F.expr("CAST(c_acctbal AS DECIMAL(18,2))")).cast("double"),
+            2,
+        ).alias("total_bal"),
+    )

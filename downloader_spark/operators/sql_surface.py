@@ -81,18 +81,49 @@ LIMIT 10
     tags=("sql", "cte", "join", "aggregate"),
 )
 def sql_q3_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q3-shaped analytics through ``spark.sql``: CTE, two
-    joins, a decimal-exact revenue aggregate, global top-10.  The SQL
-    text is identical on both engines up to view-name prefixes (the
-    exactness discipline makes the dialects converge).  Plan: pushed date/segment filters,
+    """TPC-H-Q3-shaped analytics: per-order shipped revenue after the
+    cutoff, for BUILDING-segment customers with pre-cutoff orders,
+    global top-10 by revenue.
+
+    Construction note (round 7, upgraded from same-text): the Spark
+    side builds the CTE's algebra explicitly with the DataFrame API
+    (revenue pre-aggregated per order, then the pruned orders and
+    broadcast customer joins); the oracle keeps the SQL-text CTE.
+    Plan unchanged and still gated: pushed date/segment filters,
     broadcast customer, partial-aggregated revenue, and the ORDER
     BY+LIMIT becomes TakeOrderedAndProject — never a full sort."""
-    for t in ("orders", "customer", "lineitem"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"ds_{t}")
-    return spark.sql(
-        _Q3_BODY.replace("FROM lineitem", "FROM ds_lineitem")
-        .replace("FROM customer", "FROM ds_customer")
-        .replace("JOIN orders", "JOIN ds_orders")
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-03-15"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice AS DECIMAL(18,4))"
+                    " * CAST(1.0 - l_discount AS DECIMAL(18,4))"
+                )
+            ).alias("revenue_dec")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15")
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(rev, rev.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderkey",
+            F.round(F.col("revenue_dec").cast("double"), 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+            "revenue_dec",
+        )
+        .orderBy(F.col("revenue_dec").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .drop("revenue_dec")
     )
 
 
