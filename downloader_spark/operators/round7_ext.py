@@ -1165,3 +1165,147 @@ def embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(count(i_vec) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("recall_ppm"),
     )
+
+
+@query(
+    "text_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_NORM} AS toks FROM documents),
+    shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM toks
+    ), hs AS (
+      SELECT DISTINCT doc_id, {_duck_h60("s")} AS h
+      FROM shingled, unnest(sh) AS t(s)
+    ), first AS (
+      SELECT h, min(doc_id) AS first_doc FROM hs GROUP BY h
+    )
+    SELECT hs.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = hs.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = hs.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+    FROM hs JOIN first f ON hs.h = f.h
+    GROUP BY hs.doc_id
+    """,
+    tags=("llm", "text", "dedup", "curriculum"),
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: the fraction of a document's
+    3-gram shingles whose FIRST corpus occurrence (min doc_id order)
+    is this document — the marginal-information curve behind
+    dedup-aware curriculum ordering and crawl-frontier scoring
+    (a doc that re-states earlier shingles scores near 0; fresh
+    content scores near 1e6).  Ingestion-order novelty, exactly the
+    quantity incremental pipelines track.
+
+    Reuses the hashed shingle machinery (llm_dedup
+    hashed_shingle_sets: 60-bit md5 shingles, (long, long) rows):
+    the shingle table is materialized ONCE and feeds both the
+    first-occurrence aggregation (one combiner row per shingle) and
+    the per-doc score join — the minhash/posting reuse discipline."""
+    from downloader_spark.operators.llm_dedup import hashed_shingle_sets
+
+    hs = hashed_shingle_sets(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint()
+    first = hs.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        hs.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000000 DIV n_shingles").alias("novelty_ppm"),
+        )
+    )
+
+
+OUTLIER_TOP = 3
+
+
+@query(
+    "embed_label_outliers",
+    oracle=f"""
+    WITH comps AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+               AS q
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, CAST(sum(q) // count(*) AS BIGINT) AS c
+      FROM comps GROUP BY label, pos
+    ), dist AS (
+      SELECT comps.vec_id, comps.label,
+             CAST(sum((q - c) * (q - c)) AS BIGINT) AS sqdist
+      FROM comps JOIN cent
+        ON comps.label = cent.label AND comps.pos = cent.pos
+      GROUP BY comps.vec_id, comps.label
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label, sqdist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY label ORDER BY sqdist DESC, vec_id
+      ) AS rnk FROM dist
+    ) WHERE rnk <= {OUTLIER_TOP}
+    """,
+    tags=("llm", "embedding", "quality", "outlier"),
+)
+def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers — the mislabeled-example detector
+    (cleanlab-style, distance flavor): squared integer distance of
+    each vector to its label's integer centroid, top-{OUTLIER_TOP}
+    farthest per label.  The vectors a labeling-QA pass reviews
+    first.
+
+    All arithmetic is exact: components quantize to milli-ints
+    (embed_centroids discipline), centroids are floor-mean ints, so
+    the distance sums are engine- and order-independent.  Long-format
+    (vec, pos) rows join the |labels|x dims centroid table broadcast;
+    per-vec distance is one aggregation; the rank <= k prefix gets
+    WindowGroupLimit (plan-gated)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000).cast("bigint").alias("q"),
+    )
+    cent = comps.groupBy("label", "pos").agg(
+        F.expr("CAST(sum(q) DIV count(*) AS BIGINT)").alias("c")
+    )
+    dist = (
+        comps.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.expr("CAST(sum((q - c) * (q - c)) AS BIGINT)").alias("sqdist"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("sqdist").desc(), F.col("vec_id")
+    )
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= OUTLIER_TOP)
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            "sqdist",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -926,3 +926,21 @@ def test_embed_ann_recall_broadcasts_queries_no_cartesian_blowup(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_text_novelty_reuses_shingle_table(spark):
+    plan = plan_of(spark, "text_novelty")
+    # the hashed shingle set is materialized once; both the
+    # first-occurrence aggregation and the score join read it
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_label_outliers_broadcast_centroids_rank_pushdown(spark):
+    plan = plan_of(spark, "embed_label_outliers")
+    # |labels| x dims centroid table broadcasts onto the long-format
+    # component rows; the rank <= k prefix plans WindowGroupLimit
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
