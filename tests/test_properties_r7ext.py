@@ -463,3 +463,84 @@ def test_sample_class_balance_exact_minority_count_per_class(spark):
     per_lang = Counter(r.lang for r in got)
     assert per_lang == {"en": 7, "de": 7, "fr": 7}  # minority = de (7)
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))  # deterministic
+
+
+# --- pipeline_dedup / text_novelty / embed_label_outliers (batch 5-6) -
+
+
+def test_pipeline_dedup_funnel_counts(spark):
+    """Crafted corpus: 2 exact dups of A, 1 prefix-variant of A
+    (same 64-char prefix, different tail), 1 unique B."""
+    import downloader_spark.operators.round7_ext as r7
+    from downloader_spark.operators.round7_ext import pipeline_dedup
+
+    base = "alpha " * 20  # normalized prefix (64 chars) identical
+    rows = [
+        (1, base + "tail one", "en", "web", 1),
+        (2, base + "tail one", "en", "web", 1),   # exact dup of 1
+        (3, base + "tail two", "en", "web", 1),   # prefix dup of 1
+        (4, "completely different text", "en", "api", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(r7, df)
+    try:
+        got = {r.source: r.asDict() for r in pipeline_dedup(spark, "x").collect()}
+    finally:
+        r7.load_table = orig
+    # web: 3 raw -> 2 exact survivors (1, 3) -> 1 prefix survivor (1)
+    assert got["web"]["n_raw"] == 3
+    assert got["web"]["n_exact"] == 2
+    assert got["web"]["n_prefix"] == 1
+    assert got["web"]["kept_ppm"] == 1_000_000 // 3
+    assert got["api"] == {
+        "source": "api", "n_raw": 1, "n_exact": 1, "n_prefix": 1,
+        "kept_ppm": 1_000_000,
+    }
+
+
+def test_text_novelty_copy_scores_zero(spark):
+    """doc 2 copies doc 1 verbatim -> novelty 0; doc 1 (first) and
+    doc 3 (fresh text) score 1e6."""
+    import downloader_spark.operators.round7_ext as r7
+    from downloader_spark.operators.round7_ext import text_novelty
+
+    a = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (1, a, "en", "s", 1),
+        (2, a, "en", "s", 1),
+        (3, "entirely novel content with fresh wording here now", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(r7, df)
+    try:
+        got = {r.doc_id: r.novelty_ppm for r in text_novelty(spark, "x").collect()}
+    finally:
+        r7.load_table = orig
+    assert got[1] == 1_000_000
+    assert got[2] == 0
+    assert got[3] == 1_000_000
+
+
+def test_embed_label_outliers_planted_outlier_ranks_first(spark):
+    import downloader_spark.operators.round7_ext as r7
+    from downloader_spark.operators.round7_ext import embed_label_outliers
+
+    # label 0: 5 vectors near [0.1]*4, one planted far at [0.9]*4
+    rows = [(i, [0.1, 0.1, 0.1, 0.1], 0) for i in range(5)]
+    rows.append((99, [0.9, 0.9, 0.9, 0.9], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = _patched(r7, df)
+    try:
+        got = sorted(
+            (r.rnk, r.vec_id) for r in embed_label_outliers(spark, "x").collect()
+        )
+    finally:
+        r7.load_table = orig
+    assert got[0] == (1, 99)  # the planted outlier is rank 1
+    assert len(got) == 3
