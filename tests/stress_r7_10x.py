@@ -45,7 +45,14 @@ EVENT_KEYS = (
     "agg_dispersion",
     "stream_dedup",
 )
-DOC_KEYS = ("text_oov_rate", "dedup_prefix")
+DOC_KEYS = (
+    "text_oov_rate",
+    "dedup_prefix",
+    "pipeline_dedup",
+    "text_novelty",
+    "text_readability",
+    "sample_class_balance",
+)
 
 BASE = "/root/testdata/sf0.1"
 CLONE_DIR = "/tmp/stress10x_r7"
