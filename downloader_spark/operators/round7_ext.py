@@ -1309,3 +1309,140 @@ def embed_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+COMPACT_TARGET = 50_000  # bytes per compaction group (manifest units)
+
+
+@query(
+    "layout_compaction",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT doc_id AS file_id, CAST(n_chars AS BIGINT) AS size_b
+      FROM documents
+    ), placed AS (
+      SELECT file_id, size_b,
+             CAST(COALESCE(sum(size_b) OVER (
+               ORDER BY size_b DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // {COMPACT_TARGET} AS BIGINT) AS bin_id
+      FROM manifest
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(size_b) AS BIGINT) AS total_bytes,
+           CAST(min(file_id) AS BIGINT) AS first_file
+    FROM placed GROUP BY bin_id
+    """,
+    tags=("layout", "compaction", "maintenance"),
+)
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the OPTIMIZE/maintenance pass
+    every object-store table needs (ref analog: the date-partitioned
+    archive whose per-day files the reference never compacts,
+    README.md:52-58): files sorted largest-first, assigned to
+    ~{COMPACT_TARGET}-byte groups by exclusive-prefix-sum division —
+    deterministic first-fit, no iteration.
+
+    The planner runs over the file MANIFEST (one row per file —
+    trivially small next to the data it describes), so the
+    unpartitioned prefix-sum window is the rollup_gapfill posture;
+    the plan output (bin → files) is what a driver hands to
+    per-group rewrite tasks.  Exclusive prefix (1 PRECEDING) so a
+    file larger than the target still lands alone in its own bin."""
+    manifest = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").cast("long").alias("size_b"),
+    )
+    w = Window.orderBy(F.col("size_b").desc(), F.col("file_id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    placed = manifest.select(
+        "file_id",
+        "size_b",
+        F.expr(
+            f"CAST(COALESCE(sum(size_b) OVER (ORDER BY size_b DESC, file_id"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            f" DIV {COMPACT_TARGET} AS BIGINT)"
+        ).alias("bin_id"),
+    )
+    return placed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_b").cast("long").alias("total_bytes"),
+        F.min("file_id").cast("long").alias("first_file"),
+    )
+
+
+@query(
+    "events_user_overlap",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM baskets
+      GROUP BY event_type
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM baskets a
+      JOIN baskets b ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, i.n_inter,
+           sa.n + sb.n - i.n_inter AS n_union,
+           CAST(i.n_inter * 1000000 // (sa.n + sb.n - i.n_inter) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    tags=("mining", "similarity", "audience"),
+)
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience Jaccard between event types: |users doing both| /
+    |users doing either| — the co-occurrence table
+    (events_cooccurrence) normalized into a similarity, the audience-
+    overlap matrix ad/feature teams read.
+
+    Same bounded-basket machinery: the distinct-basket table is
+    materialized once and feeds the intersection self-join AND the
+    per-type sizes, which broadcast back onto the |types|²-bounded
+    pair table.  Union size is inclusion-exclusion (|A|+|B|−|A∩B|),
+    never a second distinct pass."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    sizes = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            F.expr(
+                "CAST(n_inter * 1000000 DIV (na + nb - n_inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -944,3 +944,20 @@ def test_embed_label_outliers_broadcast_centroids_rank_pushdown(spark):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_layout_compaction_window_runs_over_manifest(spark):
+    plan = plan_of(spark, "layout_compaction")
+    # the prefix-sum window runs over the one-row-per-file manifest
+    assert plan.count("Window [") == 1
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_events_user_overlap_reuses_basket_exchange(spark):
+    plan = plan_of(spark, "events_user_overlap")
+    # distinct baskets materialized once; sizes broadcast onto the
+    # bounded pair table; never a cartesian
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
