@@ -44,6 +44,7 @@ EVENT_KEYS = (
     "events_rfm",
     "agg_dispersion",
     "stream_dedup",
+    "events_user_overlap",
 )
 DOC_KEYS = (
     "text_oov_rate",
@@ -52,6 +53,7 @@ DOC_KEYS = (
     "text_novelty",
     "text_readability",
     "sample_class_balance",
+    "layout_compaction",
 )
 
 BASE = "/root/testdata/sf0.1"
