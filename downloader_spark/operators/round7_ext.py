@@ -1446,3 +1446,126 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM user_days
+    )
+    SELECT CAST(d.day AS BIGINT) AS day,
+           CAST(count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+             AS BIGINT) AS dau,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau,
+           CAST(count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+                * 1000000 // count(DISTINCT u.user_id) AS BIGINT)
+             AS stickiness_ppm
+    FROM days d
+    JOIN user_days u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    tags=("events", "engagement", "distinct-window"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product
+    engagement ratio, and the canonical windowed-COUNT-DISTINCT
+    problem: distinct counts do NOT compose across window frames
+    (a user active twice in the week must count once), so no window
+    function can express WAU.
+
+    The exact formulation: reduce events to DISTINCT (user, day)
+    rows once (the only fact shuffle), then range-join the tiny
+    day GRID onto user-days (each user-day lands in ≤ 7 grid rows —
+    bounded fan-out, not pair-space) and count distincts per grid
+    day.  At 100 TB the user-day table is |users|·|active days| —
+    orders of magnitude under the event stream — and the grid is
+    |days| rows, broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    days = user_days.select("day").distinct().withColumnRenamed("day", "d")
+    j = user_days.join(
+        F.broadcast(days),
+        (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+    )
+    return j.groupBy("d").agg(
+        F.countDistinct(
+            F.when(F.col("day") == F.col("d"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    ).select(
+        F.col("d").cast("long").alias("day"),
+        "dau",
+        "wau",
+        F.expr("CAST(dau * 1000000 DIV wau AS BIGINT)").alias(
+            "stickiness_ppm"
+        ),
+    )
+
+
+@query(
+    "events_new_returning",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ), first_seen AS (
+      SELECT user_id, min(day) AS first_day FROM user_days GROUP BY user_id
+    )
+    SELECT CAST(u.day AS BIGINT) AS day,
+           CAST(sum(CASE WHEN f.first_day = u.day THEN 1 ELSE 0 END)
+             AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN f.first_day < u.day THEN 1 ELSE 0 END)
+             AS BIGINT) AS returning_users
+    FROM user_days u JOIN first_seen f ON u.user_id = f.user_id
+    GROUP BY u.day
+    """,
+    tags=("events", "growth", "cohort"),
+)
+def events_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning active users per day — the growth-accounting
+    split (is the DAU curve acquisition or retention?).  A user is
+    "new" on their first-seen day, "returning" on every later active
+    day.
+
+    Same skeleton as events_dau_wau: the event stream reduces to
+    DISTINCT (user, day) once (materialized — both the first-seen
+    aggregation and the classification join read it), first-seen is
+    one more combiner-friendly aggregation, and the classification
+    is an equi-join on user_id.  text_novelty's first-occurrence
+    pattern applied to users instead of shingles."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    first_seen = user_days.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    j = user_days.join(first_seen, "user_id")
+    return j.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+        ).alias("new_users"),
+        F.sum(
+            F.when(F.col("first_day") < F.col("day"), 1).otherwise(0)
+        ).alias("returning_users"),
+    ).select(
+        F.col("day").cast("long").alias("day"),
+        "new_users",
+        "returning_users",
+    )

@@ -961,3 +961,20 @@ def test_events_user_overlap_reuses_basket_exchange(spark):
     assert plan.count("Scan ExistingRDD") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_events_dau_wau_range_joins_grid_not_events(spark):
+    plan = plan_of(spark, "events_dau_wau")
+    # the event stream reduces to distinct (user, day) ONCE; the
+    # 7-day range join runs grid-vs-user-days (bounded fan), never
+    # over raw events
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_new_returning_reuses_user_day_exchange(spark):
+    plan = plan_of(spark, "events_new_returning")
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan

@@ -544,3 +544,51 @@ def test_embed_label_outliers_planted_outlier_ranks_first(spark):
         r7.load_table = orig
     assert got[0] == (1, 99)  # the planted outlier is rank 1
     assert len(got) == 3
+
+
+# --- events_dau_wau / events_new_returning (batch 8) ------------------
+
+
+def test_events_dau_wau_dedups_users_across_week(spark):
+    """User active on days 0 and 3 counts ONCE in day-3's WAU; day-7
+    no longer sees day-0 activity."""
+    import downloader_spark.operators.round7_ext as r7
+    from downloader_spark.operators.round7_ext import events_dau_wau
+
+    specs = [
+        (1, "view", 1.0, 0 * 86400),       # user 1, day 0
+        (1, "view", 1.0, 3 * 86400),       # user 1 again, day 3
+        (2, "view", 1.0, 3 * 86400),       # user 2, day 3
+        (1, "view", 1.0, 7 * 86400),       # user 1, day 7
+    ]
+    df = spark.createDataFrame(_event_rows(specs), _EVENT_SCHEMA)
+    orig = _patched(r7, df)
+    try:
+        got = {r.day: (r.dau, r.wau) for r in events_dau_wau(spark, "x").collect()}
+    finally:
+        r7.load_table = orig
+    assert got[0] == (1, 1)
+    assert got[3] == (2, 2)   # user 1 counted once despite 2 active days
+    assert got[7] == (1, 2)   # window [1..7]: sees day-3 users, not day-0
+
+
+def test_events_new_returning_first_day_split(spark):
+    import downloader_spark.operators.round7_ext as r7
+    from downloader_spark.operators.round7_ext import events_new_returning
+
+    specs = [
+        (1, "view", 1.0, 0),               # user 1 new on day 0
+        (2, "view", 1.0, 0),               # user 2 new on day 0
+        (1, "view", 1.0, 1 * 86400),       # user 1 returns day 1
+        (3, "view", 1.0, 1 * 86400),       # user 3 new on day 1
+    ]
+    df = spark.createDataFrame(_event_rows(specs), _EVENT_SCHEMA)
+    orig = _patched(r7, df)
+    try:
+        got = {
+            r.day: (r.new_users, r.returning_users)
+            for r in events_new_returning(spark, "x").collect()
+        }
+    finally:
+        r7.load_table = orig
+    assert got == {0: (2, 0), 1: (1, 1)}
