@@ -45,6 +45,8 @@ EVENT_KEYS = (
     "agg_dispersion",
     "stream_dedup",
     "events_user_overlap",
+    "events_dau_wau",
+    "events_new_returning",
 )
 DOC_KEYS = (
     "text_oov_rate",
