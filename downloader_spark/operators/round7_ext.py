@@ -1569,3 +1569,264 @@ def events_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         "returning_users",
     )
+
+
+KMV_K = 16  # k-minimum-values sketch size
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             {_duck_h60("concat('kmv:', CAST(user_id AS VARCHAR))")} AS h
+      FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    ), kth AS (
+      SELECT event_type, max(h) AS h_k,
+             CAST(count(*) AS BIGINT) AS n_in_sketch
+      FROM ranked WHERE rn <= {KMV_K}
+      GROUP BY event_type
+    ), exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_exact, k.n_in_sketch,
+           CAST(CASE WHEN k.n_in_sketch < {KMV_K} THEN e.n_exact
+                ELSE ({KMV_K} - 1) * 576460752303423488 // k.h_k * 2
+                END AS BIGINT) AS kmv_estimate
+    FROM exact e JOIN kth k ON e.event_type = k.event_type
+    """,
+    tags=("aggregate", "sketch", "distinct", "mergeable"),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) —
+    the MERGEABLE distinct counter made deterministic and
+    hash-exact: per group keep the {KMV_K} smallest 60-bit md5
+    hashes; the estimator is (k−1)·2⁶⁰ / h_k (computed as
+    (k−1)·2⁵⁹ DIV h_k · 2 to stay inside int64 — one deterministic
+    floor bit, identical on both engines).
+    Unlike approx_count_distinct's opaque HLL, the sketch here IS
+    data — two groups' sketches union-and-truncate to merge, which
+    is what incremental 100 TB pipelines need (merge yesterday's
+    sketch with today's batch without rescanning).  Sketches smaller
+    than k are exact by construction, so the estimator falls back to
+    the true count.
+
+    Both engines compute the identical hash set, so the estimate —
+    normally "approximate" — is bit-reproducible: the differential
+    proves the sketch pipeline, while the n_exact column carried
+    alongside exposes the estimation error to the reader.  Plan:
+    one distinct reduction, then a rank prefix (WindowGroupLimit:
+    per-partition k-smallest before the exchange — the sketch merge
+    IS the shuffle combiner)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = _spark_h60("concat('kmv:', CAST(user_id AS STRING))")
+    hashed = (
+        ev.select("event_type", F.expr(h).alias("h")).distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.max("h").alias("h_k"),
+            F.count(F.lit(1)).alias("n_in_sketch"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(kth, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_in_sketch",
+        F.expr(
+            # (K-1)*2^60 overflows int64; (K-1)*2^59 DIV h_k * 2 is
+            # the same estimator with one deterministic bit of floor,
+            # identical arithmetic on both engines
+            f"CAST(CASE WHEN n_in_sketch < {KMV_K} THEN n_exact"
+            f" ELSE ({KMV_K} - 1) * 576460752303423488 DIV h_k * 2"
+            " END AS BIGINT)"
+        ).alias("kmv_estimate"),
+    )
+
+
+DRIFT_TOP = 50
+
+
+@query(
+    "text_vocab_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 2 AS half, unnest({_DUCK_NORM}) AS tok
+      FROM documents
+    ), tnz AS (
+      SELECT DISTINCT doc_id, half, tok FROM toks WHERE tok <> ''
+    ), halves AS (
+      SELECT half, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM tnz GROUP BY half
+    ), dfs AS (
+      SELECT tok,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(count(*) AS BIGINT) AS df_all
+      FROM tnz GROUP BY tok
+    ), top AS (
+      SELECT * FROM dfs
+      QUALIFY row_number() OVER (ORDER BY df_all DESC, tok) <= {DRIFT_TOP}
+    )
+    SELECT t.tok, t.df0, t.df1,
+           CAST(abs(t.df0 * h1.n_docs - t.df1 * h0.n_docs) * 1000000
+                // (t.df0 * h1.n_docs + t.df1 * h0.n_docs) AS BIGINT)
+             AS drift_ppm
+    FROM top t
+    CROSS JOIN (SELECT n_docs FROM halves WHERE half = 0) h0
+    CROSS JOIN (SELECT n_docs FROM halves WHERE half = 1) h1
+    """,
+    tags=("llm", "text", "drift", "quality"),
+)
+def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus halves (doc_id parity as
+    the deterministic split): for the top-{DRIFT_TOP} tokens by
+    document frequency, the normalized rate difference
+    |r0 − r1| / (r0 + r1) in ppm where r_i = df_i / n_docs_i — the
+    distribution-shift detector an incremental crawl runs between
+    snapshots before a token's meaning silently changes under a
+    trained tokenizer.  Log-free (no KL/PSI: not hash-safe), pure
+    rational of counts with the normalization cross-multiplied into
+    integers.
+
+    One distinct (doc, half, token) reduction feeds both the per-half
+    doc totals (2-row broadcast) and the per-token split counts; the
+    top-{DRIFT_TOP} prefix is a QUALIFY/TakeOrdered class rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    tnz = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(F.expr(_SPARK_NORM)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint()
+    )
+    halves = tnz.groupBy("half").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    h0 = halves.filter(F.col("half") == 0).select(
+        F.col("n_docs").alias("n0")
+    )
+    h1 = halves.filter(F.col("half") == 1).select(
+        F.col("n_docs").alias("n1")
+    )
+    dfs = tnz.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("df0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("df1"),
+        F.count(F.lit(1)).alias("df_all"),
+    )
+    top = dfs.orderBy(F.col("df_all").desc(), F.col("tok")).limit(DRIFT_TOP)
+    return (
+        top.join(F.broadcast(h0))
+        .join(F.broadcast(h1))
+        .select(
+            "tok",
+            "df0",
+            "df1",
+            F.expr(
+                "CAST(abs(df0 * n1 - df1 * n0) * 1000000"
+                " DIV (df0 * n1 + df1 * n0) AS BIGINT)"
+            ).alias("drift_ppm"),
+        )
+    )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, day
+    ), m AS (
+      SELECT event_type, quantile_disc(v, 0.5) AS med
+      FROM daily GROUP BY event_type
+    ), md AS (
+      SELECT d.event_type, CAST(m.med AS BIGINT) AS med,
+             CAST(quantile_disc(abs(d.v - m.med), 0.5) AS BIGINT) AS mad
+      FROM daily d JOIN m ON d.event_type = m.event_type
+      GROUP BY d.event_type, m.med
+    )
+    SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.v AS v_cents,
+           CAST(abs(d.v - md.med) AS BIGINT) AS dev_cents
+    FROM daily d JOIN md ON d.event_type = md.event_type
+    WHERE abs(d.v - md.med) > 3 * md.mad AND md.mad > 0
+    """,
+    tags=("timeseries", "anomaly", "robust"),
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly days: flag any (type, day) whose daily value
+    total deviates from its type's median by more than 3 MADs —
+    the robust counterpart of events_spike's trailing mean/σ z-score
+    (a single extreme day inflates σ and masks itself; the MAD
+    breaks down only past 50% contamination).  Same low-median
+    convention as agg_mad; mad = 0 series are skipped (a constant
+    series has no scale to flag against).
+
+    Plan: the event stream reduces to the |types|x|days| daily table
+    once; both medians are order statistics over that tiny table,
+    broadcast back; the flag filter is a scan of the daily table."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    daily = (
+        ev.selectExpr(
+            "event_type",
+            "unix_micros(ts) DIV 86400000000 AS day",
+            "CAST(floor(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("v"))
+        .localCheckpoint()
+    )
+    wt = Window.partitionBy("event_type")
+    wv = wt.orderBy("v", "day")
+    ranked = daily.select(
+        "event_type",
+        "v",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = (
+        ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("v").alias("med"), "n")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "v",
+        "med",
+        "n",
+        F.abs(F.col("v") - F.col("med")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "day")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("d") > 3 * F.col("mad")) & (F.col("mad") > 0))
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("day"),
+            F.col("v").alias("v_cents"),
+            F.col("d").alias("dev_cents"),
+        )
+    )

@@ -978,3 +978,29 @@ def test_events_new_returning_reuses_user_day_exchange(spark):
     assert plan.count("Scan ExistingRDD") == 2
     assert "Scan parquet" not in plan
     assert "Window" not in plan
+
+
+def test_agg_kmv_distinct_sketch_gets_rank_pushdown(spark):
+    plan = plan_of(spark, "agg_kmv_distinct")
+    # k-smallest per group is a rank prefix: WindowGroupLimit keeps
+    # only ~k hashes per partition before the exchange — the sketch
+    # merge IS the combiner
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_vocab_drift_single_token_reduction(spark):
+    plan = plan_of(spark, "text_vocab_drift")
+    # one distinct (doc, half, token) reduction feeds both consumers
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "Scan parquet" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ts_anomaly_mad_runs_over_daily_aggregate(spark):
+    plan = plan_of(spark, "ts_anomaly_mad")
+    # medians and the flag filter all run over the materialized
+    # |types|x|days| daily table — the event stream reduces once
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
