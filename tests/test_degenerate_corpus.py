@@ -51,3 +51,26 @@ def test_key_survives_empty_corpus(spark, empty_dir, name):
     df = _SPECS[name].fn(spark, empty_dir)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+@pytest.fixture(scope="module")
+def single_row_dir(spark, tmp_path_factory) -> str:
+    """Exactly ONE row per table — the other degenerate pole: n=1
+    denominators (n-1 variance terms, (n+1) DIV 2 medians), windows
+    that never fill (7-day MAs, trailing frames), one-point k-means
+    slices, single-doc shingle sets, a corpus where query and corpus
+    halves of the embeddings split can't both be non-empty."""
+    d = str(tmp_path_factory.mktemp("single_sf"))
+    for t in _TABLES:
+        raw = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        raw.limit(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_key_survives_single_row_corpus(spark, single_row_dir, name):
+    df = _SPECS[name].fn(spark, single_row_dir)
+    assert df.count() >= 0
+    assert df.schema is not None
