@@ -494,3 +494,47 @@ def test_checkpoint_restart_new_session_resumes_watermark(spark, tmp_path):
 
     got = sorted(r.props for r in restarted.read.parquet(out_dir).collect())
     assert got == ["B", "C", "dupA"]  # dupA once, late-novel dropped
+
+
+def test_stream_dedup_key_matches_genuine_streaming_dropduplicates(
+    spark, events_dir
+):
+    """The registry key ``stream_dedup`` (batch struct-min first
+    occurrence per (user, type)) pins WHICH row the genuine
+    Structured Streaming dropDuplicatesWithinWatermark path keeps:
+    with arrival order = event-time order (the ts-ordered fixture)
+    and a horizon-spanning delay, the streaming survivors are exactly
+    the (ts, event_id)-minimal rows the batch key reports."""
+    from downloader_spark.plans.registry import registry
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    dd = (
+        stream.withWatermark("ts", "45 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    run_to_memory(dd, "stream_dedup_key_out", output_mode="append")
+    got = spark.table("stream_dedup_key_out").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+
+    import downloader_spark.operators.round7_ext as r7
+
+    batch_src = spark.read.parquet(events_dir)
+    orig = r7.load_table
+    r7.load_table = lambda s, d, n: batch_src
+    try:
+        expect = registry()["stream_dedup"].fn(spark, "ignored")
+    finally:
+        r7.load_table = orig
+
+    g = {
+        (r.user_id, r.event_type): (r.us, r.event_id) for r in got.collect()
+    }
+    e = {
+        (r.user_id, r.event_type): (r.first_us, r.first_event_id)
+        for r in expect.collect()
+    }
+    assert set(g) == set(e)          # same survivor key set
+    # same surviving TIMESTAMP per key (event_id may differ only on
+    # exact ts ties; the fixture's timestamps are distinct)
+    assert {k: v[0] for k, v in g.items()} == {k: v[0] for k, v in e.items()}
