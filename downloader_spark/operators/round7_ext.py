@@ -1830,3 +1830,94 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("dev_cents"),
         )
     )
+
+
+FC_TEST_DAYS = 7  # holdout horizon: the trailing week
+
+
+@query(
+    "ts_forecast_baseline",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, day
+    ), horizon AS (
+      SELECT max(day) - {FC_TEST_DAYS} AS cutoff FROM daily
+    ), train AS (
+      SELECT d.event_type, (d.day + {DOW_SHIFT}) % 7 AS dow,
+             CAST(sum(d.v) // count(*) AS BIGINT) AS pred
+      FROM daily d, horizon h WHERE d.day <= h.cutoff
+      GROUP BY d.event_type, (d.day + {DOW_SHIFT}) % 7
+    ), test AS (
+      SELECT d.event_type, d.day, (d.day + {DOW_SHIFT}) % 7 AS dow, d.v
+      FROM daily d, horizon h WHERE d.day > h.cutoff
+    )
+    SELECT t.event_type,
+           CAST(count(*) AS BIGINT) AS n_test_days,
+           CAST(sum(abs(t.v - tr.pred)) // count(*) AS BIGINT)
+             AS mae_cents,
+           CAST(sum(abs(t.v - tr.pred)) * 1000000 // sum(t.v) AS BIGINT)
+             AS mape_ppm
+    FROM test t JOIN train tr
+      ON t.event_type = tr.event_type AND t.dow = tr.dow
+    GROUP BY t.event_type
+    """,
+    tags=("timeseries", "forecast", "backtest"),
+)
+def ts_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every
+    forecasting deployment must beat, evaluated as a query: train on
+    all days up to a cutoff (max day − {FC_TEST_DAYS}), predict each
+    held-out day as its weekday's train-period floor-mean, score MAE
+    (cents) and MAPE (ppm) per type.  The train/test split is
+    derived from the data's own horizon, so the backtest is
+    deterministic and re-runnable on any corpus prefix.
+
+    Plan: the event stream reduces once to the |types|×|days| daily
+    table (materialized — the cutoff scalar, train means and test
+    rows all read it); train is a ≤ |types|×7-row broadcast; the
+    join and scoring are grid-sized.  MAPE's denominator is the test
+    total (> 0 whenever a test row exists since values are
+    non-negative and days only exist when events occurred)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    daily = (
+        ev.selectExpr(
+            "event_type",
+            "unix_micros(ts) DIV 86400000000 AS day",
+            "CAST(floor(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("v"))
+        .localCheckpoint()
+    )
+    horizon = daily.agg(
+        (F.max("day") - FC_TEST_DAYS).alias("cutoff")
+    )
+    with_cut = daily.join(F.broadcast(horizon))
+    train = (
+        with_cut.filter(F.col("day") <= F.col("cutoff"))
+        .groupBy(
+            "event_type",
+            F.expr(f"(day + {DOW_SHIFT}) % 7").alias("dow"),
+        )
+        .agg(F.expr("CAST(sum(v) DIV count(*) AS BIGINT)").alias("pred"))
+    )
+    test = with_cut.filter(F.col("day") > F.col("cutoff")).select(
+        "event_type",
+        F.expr(f"(day + {DOW_SHIFT}) % 7").alias("dow"),
+        "v",
+    )
+    scored = test.join(F.broadcast(train), ["event_type", "dow"])
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test_days"),
+        F.expr("CAST(sum(abs(v - pred)) DIV count(*) AS BIGINT)").alias(
+            "mae_cents"
+        ),
+        F.expr(
+            "CAST(sum(abs(v - pred)) * 1000000 DIV sum(v) AS BIGINT)"
+        ).alias("mape_ppm"),
+    )

@@ -1004,3 +1004,12 @@ def test_ts_anomaly_mad_runs_over_daily_aggregate(spark):
     assert plan.count("Scan ExistingRDD") >= 2
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ts_forecast_baseline_trains_on_daily_aggregate(spark):
+    plan = plan_of(spark, "ts_forecast_baseline")
+    # the daily table is materialized once; horizon/train/test all
+    # read it, and train broadcasts onto the grid-sized test rows
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
