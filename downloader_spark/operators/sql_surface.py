@@ -33,22 +33,33 @@ from downloader_spark.plans.registry import query
 )
 def filter_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subquery predicates: uncorrelated IN and correlated NOT EXISTS.
-    Catalyst decorrelates both into a left-semi and a left-anti join
-    (visible in the plan) — no per-row re-execution ever happens."""
-    # ds_-prefixed view names: the session is shared with the driver
-    # harness, and clobbering generically-named views would be rude
-    for t in ("orders", "customer", "lineitem"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"ds_{t}")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey, o_orderstatus
-        FROM ds_orders o
-        WHERE o_custkey IN (SELECT c_custkey FROM ds_customer WHERE c_acctbal > 5000)
-          AND NOT EXISTS (
-            SELECT 1 FROM ds_lineitem l
-            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
-          )
-        """
+
+    Two-construction differential (round 7, upgraded from same-text):
+    the oracle keeps the subquery text; the Spark side builds the
+    joins Catalyst WOULD decorrelate to — an explicit LEFT SEMI
+    against the rich customers and a LEFT ANTI against the
+    high-quantity lines (with the quantity filter pushed to the scan
+    instead of living inside the correlation).  Equal hashes prove
+    the decorrelation equivalence itself — the rewrite the engine's
+    optimizer performs is re-derived by hand and checked against the
+    engine that executes the subqueries natively."""
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    heavy = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            rich, orders.o_custkey == rich.c_custkey, "left_semi"
+        )
+        .join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
     )
 
 
