@@ -1013,3 +1013,14 @@ def test_ts_forecast_baseline_trains_on_daily_aggregate(spark):
     assert plan.count("Scan ExistingRDD") >= 3
     assert "Scan parquet" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_filter_subquery_is_semi_plus_anti_join(spark):
+    plan = plan_of(spark, "filter_subquery")
+    # the hand-decorrelated form: one semi, one anti, and the
+    # correlated quantity filter pushed to the lineitem scan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "l_quantity" in pushed
+    assert "c_acctbal" in pushed
