@@ -1,5 +1,9 @@
 """Structured Streaming forms of the reference's incremental core."""
 
+from downloader_spark.streaming.stateful import (
+    running_totals,
+    streaming_ewma,
+)
 from downloader_spark.streaming.incremental import (
     EVENTS_STREAM_SCHEMA,
     latest_pointer_stream,
@@ -16,7 +20,9 @@ from downloader_spark.streaming.incremental import (
 __all__ = [
     "EVENTS_STREAM_SCHEMA",
     "latest_pointer_stream",
+    "running_totals",
     "run_to_memory",
+    "streaming_ewma",
     "session_counts",
     "sliding_counts",
     "stream_from_parquet_dir",

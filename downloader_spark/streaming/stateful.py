@@ -50,3 +50,47 @@ def running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = "user_id long, n long, ewma_cents long"
+EWMA_STATE_SCHEMA = "n long, ewma long"
+
+
+def _ewma_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Recursive integer EWMA (alpha = 1/2): e' = (e + v) DIV 2,
+    seeded by the first observation.  Rows are folded in event-time
+    order WITHIN each batch (sorted on (ts, event_id)); cross-batch
+    order is the arrival order — correct whenever upstream delivers
+    in event-time order (the micro-batched backlog drain), and the
+    documented approximation otherwise (a true out-of-order-safe
+    EWMA needs per-key reordering buffers keyed off the watermark)."""
+    n, ewma = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            cents = int(v * 100 // 1)
+            if n == 0:
+                ewma = cents
+            else:
+                ewma = (ewma + cents) // 2
+            n += 1
+    state.update((n, ewma))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n": [n], "ewma_cents": [ewma]}
+    )
+
+
+def streaming_ewma(events: DataFrame) -> DataFrame:
+    """Per-user recursive EWMA across micro-batches — the stateful
+    smoother whose recursion (each output depends on ALL prior
+    inputs) no built-in streaming aggregation expresses; the state
+    is two integers per key."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

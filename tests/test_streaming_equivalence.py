@@ -538,3 +538,33 @@ def test_stream_dedup_key_matches_genuine_streaming_dropduplicates(
     # same surviving TIMESTAMP per key (event_id may differ only on
     # exact ts ties; the fixture's timestamps are distinct)
     assert {k: v[0] for k, v in g.items()} == {k: v[0] for k, v in e.items()}
+
+
+def test_streaming_ewma_matches_python_recursion(spark, events_dir):
+    """Drain the ts-ordered micro-batched backlog through the
+    applyInPandasWithState EWMA; the LAST emitted row per user must
+    equal a pure-Python per-key recursion over the ts-sorted batch
+    rows (alpha=1/2 integer form, seeded by the first value)."""
+    from downloader_spark.streaming import streaming_ewma
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory(streaming_ewma(stream), "ewma_out", output_mode="update")
+    got_df = spark.table("ewma_out")
+    # update mode re-emits per batch: keep the final (max-n) row per key
+    latest = {}
+    for r in got_df.collect():
+        if r.user_id not in latest or r.n > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n, r.ewma_cents)
+
+    rows = (
+        spark.read.parquet(events_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    model: dict[int, tuple[int, int]] = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        cents = int(r.value * 100 // 1)
+        n, e = model.get(r.user_id, (0, 0))
+        e = cents if n == 0 else (e + cents) // 2
+        model[r.user_id] = (n + 1, e)
+    assert latest == model
