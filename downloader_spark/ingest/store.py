@@ -211,11 +211,18 @@ class FsspecStore:
         # "2023-01-15/...") is filtered client-side below, which is
         # correct for any backend because find(dir) is always a
         # superset of the fragment's matches within that dir.
+        # The find scope must stay inside the store root: sanitize the
+        # directory part with the same rules _p applies to names
+        # (drop "" and "." segments, reject ".."), falling back to the
+        # root-wide find when the prefix would escape — the
+        # client-side startswith filter below keeps the RESULT correct
+        # either way; this keeps the backend probe root-scoped too.
         scope = self.root
         if prefix:
             dir_part = prefix.rsplit(self._SEP, 1)[0] if self._SEP in prefix else ""
-            if dir_part:
-                scope = self.root + self._SEP + dir_part
+            parts = [s for s in dir_part.split(self._SEP) if s not in ("", ".")]
+            if parts and ".." not in parts:
+                scope = self._SEP.join([self.root, *parts])
         try:
             found = self.fs.find(scope)
         except FileNotFoundError:

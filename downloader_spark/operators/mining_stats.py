@@ -312,15 +312,46 @@ WHERE p.p_size >= 48
 def sql_q2_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shape correlated scalar subquery: for each large part,
     the supplier rows offering it at its global minimum price —
-    `WHERE price = (SELECT min(price) ... WHERE same part)`.  The
-    point of this key is Catalyst's DECORRELATION: the scalar
-    subquery must rewrite to a per-part min aggregate joined back
-    (two passes over lineitem, one join), never a per-row subquery
-    execution — the plan gate asserts the rewrite.  Identical SQL
-    text runs on both engines; prices compare as floor-cents
-    integers (reference parity: the reference's latest-pointer rule
-    is itself a per-group extremum, UpdateCurrent.sh:7-9)."""
-    from downloader_spark.io import register_views
+    `WHERE price = (SELECT min(price) ... WHERE same part)`.
 
-    register_views(spark, sf_dir)
-    return spark.sql(_Q2_SQL)
+    Two-construction differential (round 8, upgraded from same-text):
+    the oracle keeps the textbook correlated scalar subquery (DuckDB
+    decorrelates it its own way); the Spark side HAND-BUILDS the
+    decorrelated plan — prune lineitem to qualifying parts first
+    (inner join on the size-filtered part projection), take the
+    per-part min of the floor-cents price, and join the min back on
+    (partkey, price) — so the two engines only agree if the manual
+    aggregate-join really is the subquery's semantics (min over ALL
+    of the part's lineitem rows: the part-prune keeps whole parts,
+    never individual rows, so the pruned min equals the global min).
+    At 100 TB the size-filtered part side prunes the fact BEFORE the
+    min aggregate, so both lineitem passes run over the qualifying
+    subset only; prices compare as floor-cents integers (reference
+    parity: the reference's latest-pointer rule is itself a
+    per-group extremum, UpdateCurrent.sh:7-9)."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 48)
+        .select("p_partkey", "p_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+    )
+    pruned = li.join(part, li.l_partkey == part.p_partkey)
+    minp = pruned.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("price_cents").alias("min_cents")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    return (
+        pruned.join(
+            minp,
+            (pruned.l_partkey == minp.mk)
+            & (pruned.price_cents == minp.min_cents),
+        )
+        .join(sup, pruned.l_suppkey == sup.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "price_cents")
+    )

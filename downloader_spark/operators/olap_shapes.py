@@ -172,8 +172,11 @@ def sql_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     AGGREGATES FIRST — per-order returned revenue is a decimal sum
     over the returnflag-pruned lineitem scan (map-side combinable,
     one combiner row per order), THEN joins the quarter-pruned
-    orders, rolls up per customer, and broadcasts customer + nation
-    onto the (small) per-customer totals.  Decimal addition is
+    orders, rolls up per customer, joins customer (no broadcast hint
+    — customer is the unbounded dimension at 100 TB, so the build
+    side is left to AQE, which will broadcast at test SF and
+    shuffle-hash at scale), and broadcasts only the 25-row nation.
+    Decimal addition is
     associative, so the regrouped sums are bit-identical.  At 100 TB
     the fact never passes through a join wider than (orderkey, one
     decimal); the top-20 is TakeOrderedAndProject on
@@ -203,9 +206,7 @@ def sql_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        per_cust.join(
-            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
-        )
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
             "c_custkey",
@@ -321,7 +322,10 @@ def sql_q18_toporders(spark: SparkSession, sf_dir: str) -> DataFrame:
     side aggregates lineitem ONCE — the per-order decimal quantity
     sum doubles as both the HAVING filter and the reported value, so
     the fact is scanned and shuffled exactly once, and the (tiny)
-    qualifying-order set joins orders and broadcast customer.  The
+    qualifying-order set joins orders and customer — customer gets
+    NO broadcast hint (it is the unbounded dimension at 100 TB; the
+    qualifying-order side is the small one, and AQE picks the build
+    side from runtime sizes).  The
     two paths only agree if the subquery's and outer query's sums are
     really the same quantity — exactly the equivalence the
     differential checks.  ORDER BY (sum_qty DESC, o_orderkey) is
@@ -336,7 +340,7 @@ def sql_q18_toporders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",

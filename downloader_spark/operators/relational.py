@@ -99,16 +99,21 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join chain fact->dim->dim with aggregation.
 
-    customer and nation are broadcast (dimension side is tiny even at
-    sf100: 25 nations, and customers are ~2% of lineitem bytes), so
-    the fact table never shuffles for the join — the only exchange is
-    the final groupBy on n_name, which carries pre-combined partials.
+    nation (25 rows) is broadcast; customer carries NO broadcast hint
+    — it is an unbounded dimension (~15 B rows at 100 TB, a
+    guaranteed build-side OOM if pinned), so the orders⋈customer
+    build side is left to AQE: broadcast at test SF, shuffle-hash at
+    scale.  customer is projected to the two join columns before the
+    join so the scale-out shuffle carries 12 bytes/row, and the final
+    groupBy on n_name carries pre-combined partials.
     """
     orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
     nation = load_table(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(

@@ -1596,6 +1596,7 @@ KMV_K = 16  # k-minimum-values sketch size
     )
     SELECT e.event_type, e.n_exact, k.n_in_sketch,
            CAST(CASE WHEN k.n_in_sketch < {KMV_K} THEN e.n_exact
+                WHEN k.h_k < {KMV_K} THEN e.n_exact
                 ELSE ({KMV_K} - 1) * 576460752303423488 // k.h_k * 2
                 END AS BIGINT) AS kmv_estimate
     FROM exact e JOIN kth k ON e.event_type = k.event_type
@@ -1648,8 +1649,17 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             # (K-1)*2^60 overflows int64; (K-1)*2^59 DIV h_k * 2 is
             # the same estimator with one deterministic bit of floor,
-            # identical arithmetic on both engines
+            # identical arithmetic on both engines.  The h_k < K arm
+            # guards the residual overflow (h_k < 16 makes the DIV
+            # exceed int63, where Spark wraps and DuckDB raises —
+            # divergent failure modes): a full sketch whose k-th
+            # SMALLEST 60-bit hash is below k is only possible when
+            # the hash universe collapses (probability ~2^-56 per
+            # group), and such a set has at most h_k+1 ≤ k distinct
+            # hashes below it in expectation, so the exact count is
+            # the right answer there anyway
             f"CAST(CASE WHEN n_in_sketch < {KMV_K} THEN n_exact"
+            f" WHEN h_k < {KMV_K} THEN n_exact"
             f" ELSE ({KMV_K} - 1) * 576460752303423488 DIV h_k * 2"
             " END AS BIGINT)"
         ).alias("kmv_estimate"),

@@ -61,13 +61,24 @@ def _ewma_update(
 ) -> Iterator[pd.DataFrame]:
     """Recursive integer EWMA (alpha = 1/2): e' = (e + v) DIV 2,
     seeded by the first observation.  Rows are folded in event-time
-    order WITHIN each batch (sorted on (ts, event_id)); cross-batch
-    order is the arrival order — correct whenever upstream delivers
-    in event-time order (the micro-batched backlog drain), and the
-    documented approximation otherwise (a true out-of-order-safe
-    EWMA needs per-key reordering buffers keyed off the watermark)."""
+    order WITHIN each micro-batch (sorted on (ts, event_id));
+    cross-batch order is the arrival order — correct whenever
+    upstream delivers in event-time order (the micro-batched backlog
+    drain), and the documented approximation otherwise (a true
+    out-of-order-safe EWMA needs per-key reordering buffers keyed
+    off the watermark).
+
+    The group's batch may arrive as MULTIPLE Arrow chunks
+    (spark.sql.execution.arrow.maxRecordsPerBatch splits large
+    groups), and chunk boundaries fall at arbitrary post-shuffle
+    positions — so the chunks are concatenated BEFORE the single
+    sort+fold; sorting each chunk independently would make the fold
+    order (hence the recursive result) nondeterministic for groups
+    larger than one chunk."""
     n, ewma = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
         for v in pdf["value"]:
             cents = int(v * 100 // 1)

@@ -48,15 +48,22 @@ def test_zero_median_returns_empty():
 
 
 def test_even_count_median_is_midpoint():
-    # median of [1,1,3,3] = 2.0; 25.0 > 10 * 2.0 flags
-    timings = {"a": 1.0, "b": 1.0, "c": 3.0, "d": 3.0, "e": 25.0}
-    # 5 keys -> odd median = 3.0 actually; build an even set instead
-    timings = {"a": 1.0, "b": 1.0, "c": 3.0, "d": 3.0}
-    timings["e"] = 21.0  # median of the 5 sorted [1,1,3,3,21] = 3.0
-    out = bench.find_outliers(timings)
-    assert out == {}  # 21.0 <= 30.0
-    timings["e"] = 31.0
+    # even count: median of sorted [1,1,3,19] = (1+3)/2 = 2.0, so the
+    # threshold is 20.0 — 19.0 passes, 21.0 flags (and the midpoint
+    # median is what makes 19.0 pass: the odd-branch median of either
+    # neighbor, 1.0 or 3.0, would give a different verdict)
+    timings = {"a": 1.0, "b": 1.0, "c": 3.0, "d": 19.0}
+    assert bench.find_outliers(timings) == {}
+    timings["d"] = 21.0
+    assert set(bench.find_outliers(timings)) == {"d"}
+
+
+def test_odd_count_median_is_middle_element():
+    # odd count: median of sorted [1,1,3,3,31] = 3.0; 31.0 > 30 flags
+    timings = {"a": 1.0, "b": 1.0, "c": 3.0, "d": 3.0, "e": 31.0}
     assert set(bench.find_outliers(timings)) == {"e"}
+    timings["e"] = 29.0  # <= 10x the 3.0 median: clean
+    assert bench.find_outliers(timings) == {}
 
 
 def test_exempt_keys_skip_flagging(monkeypatch):

@@ -74,3 +74,34 @@ def test_key_survives_single_row_corpus(spark, single_row_dir, name):
     df = _SPECS[name].fn(spark, single_row_dir)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+_CLONES = 64
+
+
+@pytest.fixture(scope="module")
+def identical_dir(spark, tmp_path_factory) -> str:
+    """The third degenerate pole: EVERY row byte-identical — one row
+    per table replicated ``_CLONES``×.  Every document is an exact
+    duplicate of every other (dedup fan-out collapses to ONE giant
+    cluster — the pole that blows up any candidate generator without
+    a df cap), every event shares one (user, type, ts) (ntile and
+    rank see nothing but ties, sessionization sees one instant,
+    seasonality one bucket), every embedding is one repeated point
+    (k-means slices are all-coincident, every pairwise cosine is 1),
+    and all group-by keys have exactly one group."""
+    d = str(tmp_path_factory.mktemp("identical_sf"))
+    for t in _TABLES:
+        raw = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        clones = raw.limit(1).crossJoin(spark.range(_CLONES)).drop("id")
+        clones.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+@pytest.mark.parametrize("name", sorted(_SPECS))
+def test_key_survives_identical_corpus(spark, identical_dir, name):
+    df = _SPECS[name].fn(spark, identical_dir)
+    assert df.count() >= 0
+    assert df.schema is not None

@@ -440,11 +440,15 @@ def test_multimodal_dedup_chunks_first_occurrence_is_aggregated(spark):
 
 def test_sql_q2_corr_subquery_is_decorrelated(spark):
     plan = plan_of(spark, "sql_q2_corr")
-    # Catalyst must rewrite the correlated scalar subquery to a
-    # per-part min aggregate joined back — no per-row subquery nodes
+    # hand-decorrelated shape (round 8): a per-part min aggregate
+    # joined back — no subquery nodes, no cartesian, and the size
+    # filter reaches the part scan so the fact is pruned BEFORE the
+    # min aggregate
     assert "Subquery" not in plan
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_size" in ln for ln in pushed)
 
 
 def test_sql_q1_is_single_two_phase_aggregation(spark):

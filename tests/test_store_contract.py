@@ -153,6 +153,32 @@ def test_escape_guard():
             s.put("../outside", b"x")
 
 
+def test_fsspec_list_scope_never_escapes_root():
+    """A listing prefix containing '..' (or other segments _p drops)
+    must not steer the backend ``find`` probe outside the store root
+    — the scope falls back to the root and the client-side filter
+    keeps the result correct.  Guard via a find-recording shim."""
+
+    class RecordingFS(DictFS):
+        def __init__(self):
+            super().__init__()
+            self.finds: list[str] = []
+
+        def find(self, root: str) -> list[str]:
+            self.finds.append(root)
+            return super().find(root)
+
+    fs = RecordingFS()
+    fs.files["other/secret"] = b"x"  # sibling OUTSIDE the store root
+    s = FsspecStore(fs, "bucket/prefix")
+    s.put("maxmind/a", b"1")
+    assert s.list("../other/") == []
+    assert s.list(".././maxmind/a") == []
+    assert s.list("maxmind/") == ["maxmind/a"]  # normal path unaffected
+    for scope in fs.finds:
+        assert scope.startswith("bucket/prefix"), scope
+
+
 def test_fsspec_names_are_root_relative():
     fs = DictFS()
     s = FsspecStore(fs, "bucket/prefix")

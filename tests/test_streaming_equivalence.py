@@ -568,3 +568,49 @@ def test_streaming_ewma_matches_python_recursion(spark, events_dir):
         e = cents if n == 0 else (e + cents) // 2
         model[r.user_id] = (n + 1, e)
     assert latest == model
+
+
+def test_ewma_update_sorts_across_arrow_chunks():
+    """applyInPandasWithState may deliver ONE group's batch as
+    MULTIPLE Arrow chunks (arrow.maxRecordsPerBatch splits large
+    groups) with rows in arbitrary post-shuffle order.  The fold must
+    concatenate the chunks and sort ONCE — sorting each chunk
+    independently would fold cross-chunk rows out of event-time order
+    and make the recursive result nondeterministic.  Feed the update
+    fn two chunks whose GLOBAL (ts, event_id) order interleaves them
+    and check the result equals the single-sorted-batch recursion."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from downloader_spark.streaming.stateful import _ewma_update
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    base = dt.datetime(2024, 1, 1)
+    # rows 0..5 in global ts order carry values 1,2,3,4,5,6 — chunk A
+    # holds rows {0,2,4}, chunk B rows {1,3,5}, each internally sorted
+    rows = [
+        (base + dt.timedelta(minutes=i), i, float(v))
+        for i, v in enumerate([1, 2, 3, 4, 5, 6])
+    ]
+    mk = lambda idx: pd.DataFrame(
+        [rows[i] for i in idx], columns=["ts", "event_id", "value"]
+    )
+    st = FakeState()
+    out = list(_ewma_update((7,), iter([mk([0, 2, 4]), mk([1, 3, 5])]), st))
+
+    e = 0
+    for i, v in enumerate([100, 200, 300, 400, 500, 600]):
+        e = v if i == 0 else (e + v) // 2
+    assert st.value == (6, e)
+    assert out[0]["ewma_cents"].iloc[0] == e
+
+    # empty iterator: state untouched semantics — n stays 0
+    st2 = FakeState()
+    list(_ewma_update((8,), iter([]), st2))
+    assert st2.value == (0, 0)
