@@ -56,6 +56,20 @@ EWMA_OUTPUT_SCHEMA = "user_id long, n long, ewma_cents long"
 EWMA_STATE_SCHEMA = "n long, ewma long"
 
 
+def fold_ewma(values, n: int = 0, ewma: int = 0) -> tuple[int, int]:
+    """The recursive integer EWMA fold shared by the streaming
+    stateful operator and its batch twin (the ``stream_ewma`` registry
+    key): e' = (e + floor(v*100)) // 2, seeded by the first
+    observation.  Python ``//`` floors like DuckDB's ``//``, so the
+    batch twin's recursive-CTE oracle replicates this arithmetic
+    exactly (including on negative values)."""
+    for v in values:
+        cents = int(v * 100 // 1)
+        ewma = cents if n == 0 else (ewma + cents) // 2
+        n += 1
+    return n, ewma
+
+
 def _ewma_update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -80,13 +94,7 @@ def _ewma_update(
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
-        for v in pdf["value"]:
-            cents = int(v * 100 // 1)
-            if n == 0:
-                ewma = cents
-            else:
-                ewma = (ewma + cents) // 2
-            n += 1
+        n, ewma = fold_ewma(pdf["value"], n, ewma)
     state.update((n, ewma))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n": [n], "ewma_cents": [ewma]}
