@@ -213,15 +213,17 @@ class FsspecStore:
         # superset of the fragment's matches within that dir.
         # The find scope must stay inside the store root: sanitize the
         # directory part with the same rules _p applies to names
-        # (drop "" and "." segments, reject ".."), falling back to the
-        # root-wide find when the prefix would escape — the
-        # client-side startswith filter below keeps the RESULT correct
-        # either way; this keeps the backend probe root-scoped too.
+        # (drop "" and "." segments, reject ".." with the same
+        # ValueError as the write path — put never creates such names,
+        # and silently widening to a root-wide find would pay the very
+        # O(archive) scan this scoping exists to avoid).
         scope = self.root
         if prefix:
             dir_part = prefix.rsplit(self._SEP, 1)[0] if self._SEP in prefix else ""
             parts = [s for s in dir_part.split(self._SEP) if s not in ("", ".")]
-            if parts and ".." not in parts:
+            if ".." in parts:
+                raise ValueError(f"name escapes store root: {prefix!r}")
+            if parts:
                 scope = self._SEP.join([self.root, *parts])
         try:
             found = self.fs.find(scope)

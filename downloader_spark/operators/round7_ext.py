@@ -1650,9 +1650,11 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (K-1)*2^60 overflows int64; (K-1)*2^59 DIV h_k * 2 is
             # the same estimator with one deterministic bit of floor,
             # identical arithmetic on both engines.  The h_k < K arm
-            # guards the residual overflow (h_k < 16 makes the DIV
-            # exceed int63, where Spark wraps and DuckDB raises —
-            # divergent failure modes): a full sketch whose k-th
+            # guards the residual overflow (only h_k == 1 makes the
+            # final *2 exceed int63, where Spark wraps and DuckDB
+            # raises — divergent failure modes; h_k < K is a
+            # deliberately wider, cross-engine-consistent guard, and
+            # statistically sound too): a full sketch whose k-th
             # SMALLEST 60-bit hash is below k is only possible when
             # the hash universe collapses (probability ~2^-56 per
             # group), and such a set has at most h_k+1 ≤ k distinct

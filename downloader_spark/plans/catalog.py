@@ -35,3 +35,4 @@ import downloader_spark.operators.windows  # noqa: F401
 # backlog (__spark_entry__.py:72-82).
 import downloader_spark.operators.round6_ext  # noqa: F401,E402
 import downloader_spark.operators.round7_ext  # noqa: F401,E402
+import downloader_spark.operators.round9_ext  # noqa: F401,E402

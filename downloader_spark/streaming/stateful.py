@@ -57,12 +57,15 @@ EWMA_STATE_SCHEMA = "n long, ewma long"
 
 
 def fold_ewma(values, n: int = 0, ewma: int = 0) -> tuple[int, int]:
-    """The recursive integer EWMA fold shared by the streaming
-    stateful operator and its batch twin (the ``stream_ewma`` registry
-    key): e' = (e + floor(v*100)) // 2, seeded by the first
-    observation.  Python ``//`` floors like DuckDB's ``//``, so the
-    batch twin's recursive-CTE oracle replicates this arithmetic
-    exactly (including on negative values)."""
+    """The recursive integer EWMA fold: e' = (e + floor(v*100)) // 2,
+    seeded by the first observation.  This is the pure-Python
+    reference model shared by the streaming stateful operator (below)
+    and the ``stream_ewma`` batch twin
+    (operators/round9_ext.py) — the twin's property test
+    (tests/test_properties_r9.py) asserts both engines against this
+    fold.  Python ``//`` floors like DuckDB's ``//`` and like the
+    twin's pmod-floor Spark arithmetic, so all three agree exactly
+    (including on negative values)."""
     for v in values:
         cents = int(v * 100 // 1)
         ewma = cents if n == 0 else (ewma + cents) // 2

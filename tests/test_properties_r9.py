@@ -1,0 +1,69 @@
+"""Differential property test for the round-9 ``stream_ewma`` batch
+twin: the Spark higher-order-function fold (array_sort + aggregate
+with explicit pmod-floor division) vs the pure-Python reference model
+``streaming.stateful.fold_ewma`` on random inputs — including
+NEGATIVE values, where floor division and truncating division
+diverge (the exact trap the pmod arithmetic exists to avoid: Spark
+``DIV`` truncates toward zero, Python/DuckDB ``//`` floor).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from downloader_spark.streaming.stateful import fold_ewma
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (user 0..3, minute-offset 0..5, cents −5000..5000): duplicate
+# (user, minute) pairs exercise the (ts, event_id) tie-break — the
+# unique event_id is the row's list index.
+event_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 5),
+        st.integers(-5000, 5000),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(event_strategy)
+def test_stream_ewma_matches_python_fold(spark, events):
+    import downloader_spark.operators.round9_ext as r9
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (uid, base + dt.timedelta(minutes=m), i, cents / 100.0)
+        for i, (uid, m, cents) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    orig = r9.load_table
+    r9.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.user_id: (r.n, r.ewma_cents)
+            for r in r9.stream_ewma(spark, "ignored").collect()
+        }
+    finally:
+        r9.load_table = orig
+
+    model: dict[int, tuple[int, int]] = {}
+    by_user: dict[int, list[tuple]] = {}
+    for uid, ts, eid, v in rows:
+        by_user.setdefault(uid, []).append((ts, eid, v))
+    for uid, evs in by_user.items():
+        vals = [v for _, _, v in sorted(evs, key=lambda e: (e[0], e[1]))]
+        model[uid] = fold_ewma(vals)
+    assert got == model

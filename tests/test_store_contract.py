@@ -154,10 +154,12 @@ def test_escape_guard():
 
 
 def test_fsspec_list_scope_never_escapes_root():
-    """A listing prefix containing '..' (or other segments _p drops)
-    must not steer the backend ``find`` probe outside the store root
-    — the scope falls back to the root and the client-side filter
-    keeps the result correct.  Guard via a find-recording shim."""
+    """A listing prefix containing '..' raises the same ValueError as
+    the write path (_p) — ``put`` never creates such names, and a
+    silent fallback would pay the O(archive) root-wide ``find`` the
+    scoping exists to avoid.  Sanitized-away segments ('' / '.') stay
+    accepted; every backend probe stays inside the store root.  Guard
+    via a find-recording shim."""
 
     class RecordingFS(DictFS):
         def __init__(self):
@@ -172,9 +174,14 @@ def test_fsspec_list_scope_never_escapes_root():
     fs.files["other/secret"] = b"x"  # sibling OUTSIDE the store root
     s = FsspecStore(fs, "bucket/prefix")
     s.put("maxmind/a", b"1")
-    assert s.list("../other/") == []
-    assert s.list(".././maxmind/a") == []
+    with pytest.raises(ValueError):
+        s.list("../other/")
+    with pytest.raises(ValueError):
+        s.list(".././maxmind/a")
     assert s.list("maxmind/") == ["maxmind/a"]  # normal path unaffected
+    # droppable segments ('' / '.') don't raise; the literal
+    # startswith match simply finds nothing for the unnormalized name
+    assert s.list(".///maxmind/a") == []
     for scope in fs.finds:
         assert scope.startswith("bucket/prefix"), scope
 

@@ -614,3 +614,32 @@ def test_ewma_update_sorts_across_arrow_chunks():
     st2 = FakeState()
     list(_ewma_update((8,), iter([]), st2))
     assert st2.value == (0, 0)
+
+
+def test_stream_ewma_batch_twin_matches_streaming_drain(spark, events_dir):
+    """The ``stream_ewma`` registry key (batch twin,
+    operators/round9_ext.py) must equal the final state of draining
+    the same rows through the stateful streaming EWMA — the shared
+    ``fold_ewma`` arithmetic promise in streaming/stateful.py, checked
+    directly end-to-end rather than only via the Python model."""
+    import downloader_spark.operators.round9_ext as r9
+    from downloader_spark.streaming import streaming_ewma
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory(streaming_ewma(stream), "ewma_twin_out", output_mode="update")
+    latest: dict[int, tuple[int, int]] = {}
+    for r in spark.table("ewma_twin_out").collect():
+        if r.user_id not in latest or r.n > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n, r.ewma_cents)
+
+    df = spark.read.parquet(events_dir)
+    orig = r9.load_table
+    r9.load_table = lambda s, d, n: df
+    try:
+        batch = {
+            r.user_id: (r.n, r.ewma_cents)
+            for r in r9.stream_ewma(spark, "ignored").collect()
+        }
+    finally:
+        r9.load_table = orig
+    assert batch == latest
