@@ -55,9 +55,38 @@ def find_outliers(timings: dict[str, float]) -> dict[str, float]:
     }
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
+def _current_round() -> int | None:
+    """Round number for the per-round artifact name: explicit env
+    override, else the last driver heartbeat in PROGRESS.jsonl."""
+    if os.environ.get("SPARK_GRAFT_ROUND"):
+        return int(os.environ["SPARK_GRAFT_ROUND"])
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "PROGRESS.jsonl"
+        )
+        with open(path) as f:
+            lines = [ln for ln in f if ln.strip()]
+        return int(json.loads(lines[-1])["round"])
+    except (OSError, ValueError, KeyError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Provenance: the settled-record protocol (PERF.md) is repeat>=3
+    # sequential in-process runs on a QUIET machine, recorded with
+    # SPARK_GRAFT_BENCH_CONDITION=settled; anything else defaults to
+    # "ambient" so a post-suite inflated run can never masquerade as
+    # the steady-state record.
+    condition = os.environ.get("SPARK_GRAFT_BENCH_CONDITION", "ambient")
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
     spark = get_spark(app="downloader-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -79,15 +108,23 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for name, spec in sorted(registry().items()):
-        t0 = time.perf_counter()
-        try:
-            force(spec.fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # record failures without sinking the run
-            timings[name] = -1.0
-            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+    # repeat>1: per-key MEDIAN of sequential full passes (the settled
+    # protocol) — whole passes, not per-key back-to-back repeats, so
+    # cache-warmth is uniform across keys within each pass.
+    runs: dict[str, list[float]] = {}
+    for _ in range(repeat):
+        for name, spec in sorted(registry().items()):
+            t0 = time.perf_counter()
+            try:
+                force(spec.fn(spark, sf_dir))
+                runs.setdefault(name, []).append(time.perf_counter() - t0)
+            except Exception as e:  # record failures without sinking the run
+                runs.setdefault(name, [])
+                print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+    timings: dict[str, float] = {
+        name: round(_median(ts), 3) if len(ts) == repeat else -1.0
+        for name, ts in runs.items()
+    }
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     failed = sorted(k for k, v in timings.items() if v < 0)
@@ -119,6 +156,11 @@ def main() -> None:
         # reported as {key: ratio} — empty means no perf outliers.
         "n_outliers": len(outliers),
         "outliers": {k: round(v, 1) for k, v in sorted(outliers.items())},
+        # Provenance: "settled" only when recorded under the quiet-
+        # machine multi-run protocol (SPARK_GRAFT_BENCH_CONDITION);
+        # repeat = number of full passes the per-key medians cover.
+        "condition": condition,
+        "repeat": repeat,
     }
     print(json.dumps(payload))
     # The driver's BENCH_r{N}.json keeps only a truncated tail of this
@@ -134,6 +176,33 @@ def main() -> None:
             f.write("\n")
     except OSError as e:
         print(f"bench: could not persist full artifact: {e}", file=sys.stderr)
+    # The driver's BENCH_r{N}.json tail-truncates the stdout line
+    # ("parsed": null), so per-round history was unreadable standalone
+    # — also write a compact self-contained per-round artifact (one
+    # line, key -> sec) that survives as committed history.
+    rnd = _current_round()
+    if rnd is not None:
+        try:
+            out = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f"BENCH_perkey_r{rnd:02d}.json",
+            )
+            with open(out, "w") as f:
+                json.dump(
+                    {
+                        "round": rnd,
+                        "sf": sf,
+                        "condition": condition,
+                        "repeat": repeat,
+                        "total_sec": total,
+                        "queries": timings,
+                    },
+                    f,
+                    sort_keys=True,
+                )
+                f.write("\n")
+        except OSError as e:
+            print(f"bench: could not persist per-round artifact: {e}", file=sys.stderr)
     spark.stop()
 
 

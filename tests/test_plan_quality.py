@@ -1028,3 +1028,59 @@ def test_filter_subquery_is_semi_plus_anti_join(spark):
     pushed = "\n".join(ln for ln in plan.splitlines() if "PushedFilters" in ln)
     assert "l_quantity" in pushed
     assert "c_acctbal" in pushed
+
+
+def _hint_subtrees(spark, name: str) -> list[str]:
+    """Return one string per ResolvedHint node in the key's ANALYZED
+    logical plan, holding the hint's child subtree.  Hints are
+    consumed during physical planning, so the analyzed plan is the
+    only place a pinned build side is still visible — and the only
+    honest gate: at test SF, AQE may legitimately auto-broadcast a
+    side that would be hinted-OOM at 100 TB."""
+    df = _SPECS[name].fn(spark, SF_DIR)
+    lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+
+    def marker(ln: str) -> int:
+        for tok in ("+- ", ":- "):
+            i = ln.find(tok)
+            if i >= 0:
+                return i
+        return -1  # root line: depth above every drawn node
+
+    out = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln:
+            continue
+        d = marker(ln)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if 0 <= marker(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+@pytest.mark.parametrize(
+    "key,n_hints",
+    [("join_inner", 1), ("sql_q10_returns", 1), ("sql_q18_toporders", 0)],
+)
+def test_customer_side_carries_no_broadcast_hint(spark, key, n_hints):
+    """The round-8 fix removed the customer-side broadcast hints from
+    these three keys (customer is the unbounded ~15 B-row dimension at
+    100 TB — a pinned build side is a guaranteed OOM; AQE picks
+    broadcast at test SF from runtime stats, which is fine).  The fix
+    was only a REMOVED hint, so a future edit re-adding it would ship
+    silently: pin the hint inventory — only the 25-row nation may be
+    hinted, never customer."""
+    subtrees = _hint_subtrees(spark, key)
+    assert len(subtrees) == n_hints, (
+        f"{key}: expected {n_hints} broadcast hint(s), found "
+        f"{len(subtrees)}"
+    )
+    for sub in subtrees:
+        assert "c_custkey" not in sub, (
+            f"{key}: a broadcast hint pins the customer side — "
+            "unbounded dimension, OOM at scale"
+        )
+        assert "n_nationkey" in sub  # the only legitimately hinted dim
