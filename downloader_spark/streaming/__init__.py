@@ -7,6 +7,8 @@ from downloader_spark.streaming.stateful import (
 from downloader_spark.streaming.incremental import (
     EVENTS_STREAM_SCHEMA,
     latest_pointer_stream,
+    parse_event_log_lines,
+    publish_deduped_stream,
     run_to_memory,
     session_counts,
     sliding_counts,
@@ -20,6 +22,8 @@ from downloader_spark.streaming.incremental import (
 __all__ = [
     "EVENTS_STREAM_SCHEMA",
     "latest_pointer_stream",
+    "parse_event_log_lines",
+    "publish_deduped_stream",
     "running_totals",
     "run_to_memory",
     "streaming_ewma",

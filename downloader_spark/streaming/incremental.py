@@ -223,3 +223,81 @@ def latest_pointer_stream(
     )
     q.awaitTermination()
     return q
+
+
+# Raw archive log line: "<epoch_s>,<user_id>,<event_type>,<value>,<payload>".
+# The leading-digit demand drops comment/blank lines, logparse.py
+# discipline (genRouteViewURLs skips non-matching lines,
+# /root/reference/download/routeviews.go:77).
+EVENT_LOG_REGEX = r"^(\d+),(\d+),([A-Za-z_]+),(-?[0-9.]+),(.*)$"
+
+
+def parse_event_log_lines(lines: DataFrame) -> DataFrame:
+    """Regex-parse raw event-log text lines (the A2 scan shape) into
+    the typed event schema every streaming operator here consumes.
+    Works identically on a batch or streaming ``value string`` frame —
+    the batch-equivalence tests rely on that symmetry."""
+    parsed = lines.select(
+        F.regexp_extract("value", EVENT_LOG_REGEX, 1).alias("ts_s"),
+        F.regexp_extract("value", EVENT_LOG_REGEX, 2).alias("user_s"),
+        F.regexp_extract("value", EVENT_LOG_REGEX, 3).alias("event_type"),
+        F.regexp_extract("value", EVENT_LOG_REGEX, 4).alias("value_s"),
+        F.regexp_extract("value", EVENT_LOG_REGEX, 5).alias("props"),
+    ).filter(F.col("ts_s") != "")
+    return parsed.select(
+        F.timestamp_seconds(F.col("ts_s").cast("bigint")).alias("ts"),
+        F.col("user_s").cast("bigint").alias("user_id"),
+        "event_type",
+        F.col("value_s").cast("double").alias("value"),
+        "props",
+    )
+
+
+def publish_deduped_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "30 days",
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """The full incremental pipeline as ONE checkpointed
+    StreamingQuery: tail the archive prefix the ingest layer publishes
+    raw log objects to (file source — each published object becomes a
+    micro-batch input exactly once, tracked in the checkpoint), parse
+    lines to typed events (A2), stateful-dedup on content hash within
+    a checkpointed watermark (A5/A3 — dropDuplicatesWithinWatermark
+    state lives in the state store and survives restarts), and publish
+    survivors to a parquet table via the exactly-once file sink (A9 —
+    the sink's transaction log makes re-runs idempotent).
+
+    Restart contract: calling this again with the same checkpoint
+    after more objects were ingested processes ONLY the new objects,
+    against the RETAINED dedup state — the reference's
+    advance-only-while-error-free incremental loop
+    (routeviews.go:45-62), with the volatile watermark replaced by
+    the checkpoint (SURVEY §4.3.3).
+
+    Scale notes (100 TB): the only state is one digest per payload
+    within the watermark horizon, hash-partitioned across the state
+    store exactly as the batch dedup shuffles; parse is a stateless
+    map; the sink appends partition-parallel.  Trigger.AvailableNow
+    drains the backlog then stops — swap for a processing-time
+    trigger in continuous deployment.
+    """
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        if max_files_per_trigger is not None
+        else spark.readStream
+    ).text(src_dir)
+    deduped = streaming_dedup(parse_event_log_lines(lines), watermark_delay)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
