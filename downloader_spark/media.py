@@ -1,0 +1,245 @@
+"""Real (if minimal) media decode for the multimodal pipeline:
+pure-Python codecs for two genuinely-standard uncompressed container
+formats — 24-bit BI_RGB BMP (struct-parsed) and PCM16 WAV (stdlib
+``wave``) — plus the Arrow-batched Spark stages built on them.
+
+This replaces the manifest-only posture of ``multimodal.py``'s
+stubbed stages for these two formats: here the decode path REALLY
+decodes payload bytes into pixel / sample arrays inside
+``mapInPandas``, resizes real images, and re-encodes real bytes — so
+the schema contract, the Arrow batch shape, and the numeric plumbing
+are exercised end-to-end with no media library in the container.
+Production swaps ``decode_bmp``/``decode_wav`` for PIL / ffmpeg
+bindings; the Spark stages do not change.
+
+Scale notes: every stage is map-only (decode pipelines with the
+binaryFile scan, no shuffle); peak executor memory is
+``arrow.maxRecordsPerBatch`` × payload size, same bound as the
+stubbed stages.  (Reference analog: payloads are opaque byte streams,
+/root/reference/download/common.go:106 — decode is strictly
+downstream of ingest, which is exactly where these stages sit.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import math
+import struct
+import wave
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# --- BMP: 24-bit uncompressed (BI_RGB), bottom-up rows -----------------
+
+_BMP_PIXEL_OFFSET = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (bottom-up rows, BGR byte order, rows padded to 4 bytes)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {px.shape}")
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    img_size = (row_bytes + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_PIXEL_OFFSET + img_size, 0, 0, _BMP_PIXEL_OFFSET
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    bgr = px[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+    if pad:
+        rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a 24-bit BI_RGB BMP into an (h, w, 3) uint8 RGB array.
+    Supports the format ``encode_bmp`` writes (positive height =
+    bottom-up) plus top-down (negative height) files."""
+    if len(data) < _BMP_PIXEL_OFFSET or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (header={hdr_size}, bpp={bpp}, "
+            f"compression={compression}); fixture codec reads BI_RGB 24-bit"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    body = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = body.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    return rgb[::-1] if bottom_up else rgb.copy()
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample to (height, width, 3) —
+    the pure-numpy reference resizer (floor sampling: source index =
+    target index * src_extent // dst_extent)."""
+    h, w, _ = pixels.shape
+    yy = (np.arange(height) * h) // height
+    xx = (np.arange(width) * w) // width
+    return pixels[yy][:, xx]
+
+
+# --- WAV: PCM16 via the stdlib wave module -----------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a 1-D int16 array as a mono PCM16 RIFF/WAVE payload."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a mono PCM16 WAV payload into (sample_rate, int16 array)."""
+    with wave.open(io.BytesIO(data), "rb") as wv:
+        if wv.getsampwidth() != 2 or wv.getnchannels() != 1:
+            raise ValueError(
+                "fixture codec reads mono PCM16 WAV; got "
+                f"width={wv.getsampwidth()} channels={wv.getnchannels()}"
+            )
+        rate = wv.getframerate()
+        frames = wv.readframes(wv.getnframes())
+    return rate, np.frombuffer(frames, dtype="<i2")
+
+
+# --- Spark stages: real decode through the Arrow path ------------------
+
+_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        # per-channel mean in exact integer milli-units:
+        # sum(channel) * 1000 // n_pixels — reproducible everywhere
+        T.StructField("mean_rgb_milli", T.ArrayType(T.LongType())),
+        # digest of the CANONICAL pixel buffer (row-major top-down
+        # RGB), independent of container padding / row order
+        T.StructField("pixel_md5", T.StringType()),
+    ]
+)
+
+
+def decode_image_pixels(binary_df: DataFrame) -> DataFrame:
+    """REAL image decode over a binary corpus: parse each BMP payload
+    into its pixel array inside Arrow-batched ``mapInPandas`` and emit
+    geometry + exact integer channel means + a canonical pixel digest.
+    Map-only; pipelines with the binaryFile scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in _IMAGE_SCHEMA}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                px = decode_bmp(bytes(content))
+                h, w, _ = px.shape
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["file"].append(path.rsplit("/", 1)[-1])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_rgb_milli"].append(
+                    [int(s) * 1000 // (h * w) for s in sums]
+                )
+                out["pixel_md5"].append(hashlib.md5(px.tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, schema=_IMAGE_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_bmp(binary_df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize: decode each BMP, nearest-neighbor resample,
+    re-encode — the output column carries genuine BMP bytes a
+    downstream decode stage can read back (round-trip asserted in
+    tests).  Same schema contract as the stubbed ``resize_images``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "file": [p.rsplit("/", 1)[-1] for p in pdf["path"]],
+                    "width": width,
+                    "height": height,
+                    "resized": [
+                        encode_bmp(
+                            resize_nearest(decode_bmp(bytes(c)), width, height)
+                        )
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        # rms in exact integer micro-units of full scale:
+        # isqrt(mean(x^2) scaled) keeps it reproducible everywhere
+        T.StructField("rms_micro", T.LongType()),
+    ]
+)
+
+
+def audio_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL audio decode over a binary corpus: parse each PCM16 WAV
+    payload into its sample array and emit rate / duration / peak /
+    integer-exact RMS.  rms_micro = isqrt(mean(x²) · 10¹²) // 32768 —
+    all-integer, so the value is bit-stable across platforms."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in _AUDIO_SCHEMA}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rate, samples = decode_wav(bytes(content))
+                n = len(samples)
+                sq = int(np.square(samples, dtype=np.int64).sum())
+                out["file"].append(path.rsplit("/", 1)[-1])
+                out["sample_rate"].append(int(rate))
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate if rate else 0)
+                out["peak"].append(
+                    int(np.abs(samples.astype(np.int32)).max()) if n else 0
+                )
+                out["rms_micro"].append(
+                    math.isqrt(sq * 10**12 // n) // 32768 if n else 0
+                )
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, schema=_AUDIO_SCHEMA)

@@ -9,12 +9,16 @@ modificationTime, content), and exactly how the reference treats its
 payloads (opaque byte streams, /root/reference/download/common.go:106
 ``io.Copy`` — bytes are never parsed).
 
-The decode step is STUBBED: the real image/audio codecs aren't in
-this container, so ``decode_image_features`` derives a deterministic
-fake feature vector from the bytes (clearly marked; swap the body for
-PIL/ffmpeg in production).  Everything AROUND the stub — the
-binaryFile scan, the mapInPandas batch plumbing, the schema contract,
-the partition behavior — is real and tested.
+The decode step HERE is STUBBED: the third-party image/audio codecs
+aren't in this container, so ``decode_image_features`` derives a
+deterministic fake feature vector from the bytes (clearly marked;
+swap the body for PIL/ffmpeg in production).  Everything AROUND the
+stub — the binaryFile scan, the mapInPandas batch plumbing, the
+schema contract, the partition behavior — is real and tested.  For
+genuinely-real decode with zero dependencies, see
+``downloader_spark.media``: pure-Python BMP/WAV codecs with decode /
+stats / resize stages whose bytes round-trip through the same Arrow
+path (round 9).
 
 Scale notes: binaryFile scans parallelize per file;
 ``spark.sql.files.maxPartitionBytes`` governs packing of small files
