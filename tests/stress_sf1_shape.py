@@ -1,0 +1,261 @@
+#!/usr/bin/env python
+"""sf1 SHAPE-REALISTIC spot-bench for the top-cost operator families
+(round-9 verdict item 2): the clone-10x stress gate duplicates rows,
+which provably UNDERSTATES vocabulary growth — a cloned corpus keeps
+the same shingle/token/node vocabulary while a real 10x corpus grows
+it (Heaps' law for text, new-node growth for graphs).  This script
+measures the realistic direction:
+
+- documents: generated at BOTH scales (5k and 50k docs) by the SAME
+  Zipf-token generator, so the vocabulary grows sub-linearly with the
+  corpus like real text (Heaps), docs carry a 15% near-duplicate rate
+  (perturbed copies — dedup candidates exist at every scale), and the
+  10x ratio isolates scale-up under vocabulary growth instead of
+  comparing two different corpus shapes.
+- lineitem AND orders: sf0.1 vs 10x offset-unions (6M / 1.5M rows)
+  whose order/part/supplier/customer KEY SPACES also grow 10x — new
+  graph nodes, not higher multiplicity (the clone direction would
+  densify every node).  Orders must grow IN STEP with lineitem: the
+  pagerank edge list is lineitem JOIN orders on orderkey, so growing
+  only lineitem leaves 9/10 of the shifted keys dangling and the
+  graph unchanged (the first run of this script measured exactly
+  that — pagerank 0.77x wall at "10x" — an invalid data point, not
+  a fast operator).
+
+Per key and scale it records wall seconds AND shuffle-write bytes
+(from the Spark UI REST API — the scale-limiting resource on a real
+cluster), prints a PERF.md-ready table, and flags any key whose
+wall-clock or shuffle growth exceeds the stress-gate band.
+
+Run manually on a QUIET machine; results recorded in PERF.md:
+
+    python tests/stress_sf1_shape.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+from downloader_spark.plans.registry import registry
+from downloader_spark.session import get_spark
+
+KEYS = (
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_simhash",
+    "text_lm_score",
+    "graph_pagerank",
+    "graph_triangles",
+)
+DOC_KEYS = frozenset(
+    {"dedup_minhash", "dedup_ngram_jaccard", "dedup_containment",
+     "dedup_simhash", "text_lm_score"}
+)
+
+SRC = "/root/testdata/sf0.1"
+BASE_DIR = "/tmp/sf1shape_base"   # 5k generated docs + sf0.1 lineitem
+BIG_DIR = "/tmp/sf1shape_big"     # 50k generated docs + 6M lineitem
+N_DOCS_BASE = 5_000
+N_DOCS_BIG = 50_000
+VOCAB = 8_000          # Zipf type universe; Heaps realizes a subset
+ZIPF_A = 1.05
+DUP_RATE = 0.15        # near-duplicate fraction (10% token perturbation)
+KEY_SHIFT = 100_000_000
+MAX_RATIO = 12.0       # stress-gate band (3x worst recorded linear key)
+MIN_BASE_SEC = 0.5
+MAX_SMALL_10X_SEC = 20.0
+
+
+def gen_documents(n_docs: int, seed: int = 20260814) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, VOCAB + 1)
+    p = 1.0 / ranks**ZIPF_A
+    p /= p.sum()
+    lengths = rng.integers(30, 91, size=n_docs)
+    tokens = [
+        ["w%d" % t for t in rng.choice(VOCAB, size=ln, p=p)]
+        for ln in lengths
+    ]
+    # near-dups: perturbed copies of a random EARLIER doc
+    n_dup = int(n_docs * DUP_RATE)
+    for i in rng.choice(np.arange(n_docs // 2, n_docs), size=n_dup, replace=False):
+        src = int(rng.integers(0, n_docs // 2))
+        toks = list(tokens[src])
+        for j in range(len(toks)):
+            if rng.random() < 0.10:
+                toks[j] = "w%d" % rng.choice(VOCAB, p=p)
+        tokens[i] = toks
+    texts = [" ".join(t) for t in tokens]
+    langs = ["en", "zh", "de", "fr", "es"]
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": [langs[i % len(langs)] for i in range(n_docs)],
+            "source": ["src%d" % (i % 20) for i in range(n_docs)],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+    from downloader_spark.io import load_table
+
+    for d, n_docs in ((BASE_DIR, N_DOCS_BASE), (BIG_DIR, N_DOCS_BIG)):
+        if os.path.exists(f"{d}/_DONE"):
+            continue
+        os.makedirs(d, exist_ok=True)
+        # generated documents (same generator both scales)
+        spark.createDataFrame(gen_documents(n_docs)).repartition(
+            32
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        # lineitem: real sf0.1 at base; 10x offset-union (10x key
+        # cardinality on orderkey/partkey/suppkey) at big
+        li = load_table(spark, SRC, "lineitem")
+        if d == BIG_DIR:
+            copies = [
+                li.select(
+                    (F.col("l_orderkey") + k * KEY_SHIFT).alias("l_orderkey"),
+                    (F.col("l_partkey") + k * KEY_SHIFT).alias("l_partkey"),
+                    (F.col("l_suppkey") + k * KEY_SHIFT).alias("l_suppkey"),
+                    "l_linenumber", "l_quantity", "l_extendedprice",
+                    "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+                    "l_shipdate",
+                )
+                for k in range(10)
+            ]
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        else:
+            out = li
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{d}/lineitem.parquet"
+        )
+        # orders must grow IN STEP with lineitem (same orderkey shift,
+        # plus a custkey shift so the customer node space grows too):
+        # graph_pagerank's edges are lineitem JOIN orders on orderkey,
+        # and a lineitem-only growth leaves 9/10 of keys dangling.
+        od = load_table(spark, SRC, "orders")
+        if d == BIG_DIR:
+            ocopies = [
+                od.select(
+                    (F.col("o_orderkey") + k * KEY_SHIFT).alias("o_orderkey"),
+                    (F.col("o_custkey") + k * KEY_SHIFT).alias("o_custkey"),
+                    "o_orderstatus", "o_totalprice", "o_orderdate",
+                    "o_orderpriority",
+                )
+                for k in range(10)
+            ]
+            oout = ocopies[0]
+            for c in ocopies[1:]:
+                oout = oout.unionByName(c)
+        else:
+            oout = od
+        oout.repartition(32).write.mode("overwrite").parquet(
+            f"{d}/orders.parquet"
+        )
+        # remaining tables: shared shape, copied verbatim
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "events", "embeddings"):
+            if not os.path.exists(f"{d}/{t}.parquet"):
+                shutil.copy(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
+        open(f"{d}/_DONE", "w").close()
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+# --- shuffle bytes via the UI REST API ---------------------------------
+
+
+def _ui(path: str):
+    with urllib.request.urlopen(f"http://127.0.0.1:4040/api/v1/{path}") as r:
+        return json.load(r)
+
+
+def shuffle_write_bytes() -> int:
+    """Total shuffle-write bytes across all completed stages so far;
+    per-key usage diffs two snapshots around the forced run."""
+    app = _ui("applications")[0]["id"]
+    stages = _ui(f"applications/{app}/stages?status=COMPLETE")
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def main() -> None:
+    spark = get_spark(
+        app="sf1-shape-stress",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print("building corpora (cached under /tmp/sf1shape_*)...", flush=True)
+    build(spark)
+    reg = registry()
+    # warm every key's plan/codegen at the smallest SF
+    for k in KEYS:
+        force(reg[k].fn(spark, "/root/testdata/sf0.001"))
+
+    rows = []
+    bad = []
+    for k in KEYS:
+        rec = {"key": k}
+        for tag, d in (("base", BASE_DIR), ("big", BIG_DIR)):
+            sb0 = shuffle_write_bytes()
+            t0 = time.perf_counter()
+            force(reg[k].fn(spark, d))
+            rec[f"{tag}_sec"] = round(time.perf_counter() - t0, 3)
+            rec[f"{tag}_shuffle_mb"] = round(
+                (shuffle_write_bytes() - sb0) / 1e6, 1
+            )
+        rec["wall_ratio"] = round(rec["big_sec"] / rec["base_sec"], 2)
+        rec["shuffle_ratio"] = (
+            round(rec["big_shuffle_mb"] / rec["base_shuffle_mb"], 2)
+            if rec["base_shuffle_mb"] > 0
+            else float("nan")
+        )
+        ok = (
+            rec["big_sec"] <= MAX_SMALL_10X_SEC
+            if rec["base_sec"] < MIN_BASE_SEC
+            else rec["wall_ratio"] <= MAX_RATIO
+        )
+        rec["verdict"] = "ok" if ok else "SUPER-LINEAR?"
+        if not ok:
+            bad.append(k)
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    print("\nPERF.md table:\n")
+    print("| key | base s | 10x s | wall ratio | base shuffle MB "
+          "| 10x shuffle MB | shuffle ratio | verdict |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| `{r['key']}` | {r['base_sec']} | {r['big_sec']} "
+            f"| {r['wall_ratio']}x | {r['base_shuffle_mb']} "
+            f"| {r['big_shuffle_mb']} | {r['shuffle_ratio']}x "
+            f"| {r['verdict']} |"
+        )
+    if bad:
+        print(f"\nFLAGGED: {bad}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
