@@ -72,10 +72,14 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
       posexplode(split) → lead(tok,1/2) window over (doc_id, pos)
       → concat_ws → distinct
 
-    The window shuffles once on doc_id (co-locating all downstream
-    per-doc work); ``distinct`` realizes the set semantics.  Docs with
-    <3 tokens contribute their whole normalized text as one shingle
-    (union of a tiny filtered branch), matching the oracle's CASE.
+    The doc_id co-location happens at the RAW-DOCS stage (hash
+    repartition on doc_id, one compact row per doc), so the window
+    runs on the already-clustered exploded tokens with NO exchange of
+    its own — the token stream never shuffles.  ``distinct`` realizes
+    the set semantics (its exchange carries shingle rows — two longs
+    in the hashed form).  Docs with <3 tokens contribute their whole
+    normalized text as one shingle (union of a tiny filtered branch),
+    matching the oracle's CASE.
 
     The explicit repartition count parallelizes a corpus arriving as
     few large files; AQE's size-based coalescing is bypassed because
@@ -87,9 +91,14 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
     """Non-distinct (doc_id, s) shingle rows — the shared core of
     shingle_sets (distinct strings) and hashed_shingle_sets (distinct
     64-bit hashes, where the distinct runs AFTER hashing so the
-    exchange carries two longs per row instead of a ~25-byte string)."""
+    exchange carries two longs per row instead of a ~25-byte string).
+
+    Hash-partitioning the raw docs on doc_id (instead of round-robin)
+    removes the shingling window's own exchange — the only shuffle of
+    the fat exploded token stream; measured at sf0.1: 4 exchanges -> 2
+    on shingle_sets().distinct(), 0.92 -> 0.55 s median."""
     n = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(n).select(
+    toks = docs.repartition(n, "doc_id").select(
         "doc_id", F.expr(_SPARK_NORM).alias("toks")
     )
     t = toks.select(
@@ -396,13 +405,24 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
     Long format, fully codegen'd: explode distinct tokens, hash each
     once, then ONE hash aggregation computing the 60 per-bit signed
-    votes as 60 sum() columns (partial-aggregated map-side); the
-    final signature is a row-wise 60-term reassembly.  The
-    array-fold formulation this replaces ran interpreted
-    (CodegenFallback) and serialized on large input files."""
+    votes as 60 sum() columns; the final signature is a row-wise
+    60-term reassembly.  The array-fold formulation this replaced
+    ran interpreted (CodegenFallback) and serialized on large files.
+
+    ONE exchange total, of the raw (doc_id, text) rows: hashing the
+    repartition on doc_id makes HashPartitioning(doc_id) satisfy the
+    clustering required by BOTH downstream aggregates (the
+    (doc_id, tok) distinct — doc_id is a subset of its keys — and
+    the doc_id vote groupBy), so Catalyst plans no further shuffle.
+    The round-robin repartition this replaced planned 3 exchanges,
+    and the distinct->groupBy pair scattered each doc's tokens over
+    every live partition, making the 60-column vote partial-aggregate
+    emit up to one ~500 B row per doc PER PARTITION — measured 24x
+    shuffle growth for 10x docs on the sf1 shape bench (PERF.md r9)
+    vs ~10x-linear after this change."""
     n = docs.sparkSession.sparkContext.defaultParallelism
     toks = (
-        docs.repartition(n)
+        docs.repartition(n, "doc_id")
         .select("doc_id", F.explode(F.expr(_SPARK_NORM)).alias("tok"))
         .distinct()
         .select("doc_id", F.expr(_spark_h60("tok")).alias("h"))

@@ -171,6 +171,39 @@ def test_dedup_url_is_single_aggregation(spark):
     assert "partial_count" in plan and "partial_min" in plan
 
 
+def test_dedup_simhash_single_exchange_on_doc_id(spark):
+    plan = plan_of(spark, "dedup_simhash")
+    # ONE exchange of the raw docs, hashed on doc_id: doc_id is a
+    # subset of both downstream grouping keys ((doc_id, tok) distinct
+    # and the vote groupBy), so neither may re-shuffle.  The 3-exchange
+    # round-robin form scattered each doc's tokens across every live
+    # partition and the 60-column vote partial-aggregate then grew
+    # super-linearly with scale (24x shuffle for 10x docs, PERF.md r9).
+    assert plan.count("Exchange") == 1
+    assert "Exchange hashpartitioning(doc_id" in plan
+
+
+def test_shingle_core_never_shuffles_token_stream(spark):
+    """The shared shingle core (minhash / ngram-jaccard / containment)
+    must co-locate on doc_id at the RAW-DOCS stage: one exchange of
+    compact (doc_id, text) rows, one of the hashed shingle rows — the
+    exploded token stream itself (the fat intermediate) never
+    shuffles.  Round-robin + window + distinct planned 4 exchanges
+    with the token stream shuffling twice."""
+    from downloader_spark.io import load_table
+    from downloader_spark.operators.llm_dedup import shingle_sets
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    plan = (
+        shingle_sets(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2
+    assert "Exchange hashpartitioning(doc_id" in plan
+
+
 def test_join_ip_prefix_broadcasts_prefixes_single_equi_join(spark):
     """LPM must stay a broadcast equi-join on (start, plen): no range
     predicate, no cartesian, and the prefix dimension on the build
