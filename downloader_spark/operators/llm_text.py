@@ -49,6 +49,22 @@ LANG_PROFILES = {
 }
 
 
+def cohort_by_doc(docs: DataFrame) -> DataFrame:
+    """Hash-partition raw (doc_id, text) rows on doc_id BEFORE any
+    explode.  doc_id is a subset of every downstream clustering key a
+    per-doc pipeline needs (doc_id windows, (doc_id, ...) groupBys and
+    distincts), so Catalyst satisfies each later distribution with
+    this one partitioning and plans NO further exchange — the fat
+    exploded token stream (~3-4x the raw text bytes once pos/tok row
+    overhead is added) never shuffles; only the compact text rows do.
+    Operators whose only grouped keys are corpus-global (text_vocab's
+    groupBy(tok)) gain nothing from this and should not pay the doc
+    exchange.  Measured on the shingle core at sf0.1: 4 -> 2
+    exchanges, 0.92 -> 0.55 s (PERF.md round-9 addendum)."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id")
+
+
 @query(
     "text_stats",
     oracle="""
@@ -400,10 +416,11 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram frequency analysis: top-20 word bigrams globally
     (the n-gram statistics pass of corpus analysis).  Spark builds
     bigrams with the same posexplode + lead window the shingle
-    pipeline uses (codegen'd, one shuffle on doc_id), counts with a
-    map-side-combinable aggregation, then global top-k before
-    ranking."""
-    docs = load_table(spark, sf_dir, "documents")
+    pipeline uses (codegen'd; cohort_by_doc co-locates the compact
+    text rows so the window never shuffles the exploded stream),
+    counts with a map-side-combinable aggregation, then global top-k
+    before ranking."""
+    docs = cohort_by_doc(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
@@ -490,8 +507,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequencies joined back on the token (the df table is
     |vocab| rows — broadcast), top-3 via per-doc window.  ln is
     libm-correct on both engines; 6dp rounding absorbs the last ulp
-    (same discipline as scalar_math)."""
-    docs = load_table(spark, sf_dir, "documents")
+    (same discipline as scalar_math).  cohort_by_doc makes the tf
+    aggregation and the per-doc top-3 window exchange-free; only the
+    df branch (corpus-global key) still shuffles its partials."""
+    docs = cohort_by_doc(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfr"))
@@ -614,8 +633,10 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ab * N * 1e6 DIV (n_a * n_b) stays in BIGINT for corpora up to
     ~1e12 token-bigram products — both engines would raise on
     overflow rather than silently diverge (ANSI mode / DuckDB
-    checked arithmetic)."""
-    docs = load_table(spark, sf_dir, "documents")
+    checked arithmetic).  cohort_by_doc keeps the bigram window off
+    the exploded stream; the unigram/bigram count exchanges carry
+    vocabulary-sized partials either way."""
+    docs = cohort_by_doc(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
@@ -778,11 +799,13 @@ def text_hashvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonzero count, L1 total, exact squared L2 norm, and the md5 of
     the bucket-ordered "bucket:count" serialization (struct-sorted
     numerically — never lexicographically — on both engines).  One
-    explode + two partial-aggregating groupBys, keyed on (doc,
-    bucket) then doc — uniform keys, no vocabulary skew by
-    construction (hot tokens spread over buckets only if they hash
-    apart; the bucket count bounds the damage either way)."""
-    docs = load_table(spark, sf_dir, "documents")
+    explode + two groupBys, keyed on (doc, bucket) then doc — both
+    satisfied exchange-free by cohort_by_doc's doc_id partitioning
+    (doc_id is a subset of both key sets); uniform keys, no
+    vocabulary skew by construction (hot tokens spread over buckets
+    only if they hash apart; the bucket count bounds the damage
+    either way)."""
+    docs = cohort_by_doc(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     b = tok.groupBy(
         "doc_id",
@@ -862,16 +885,18 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     and template spam) and longest identical-token run (stutter
     loops), per document.
 
-    ONE exchange end-to-end: tokens hash-partition by doc_id, and
-    every later step — the trigram leads (doc_id, pos window), the
+    ONE exchange end-to-end — and of the COMPACT rows: cohort_by_doc
+    hash-partitions the raw (doc_id, text) rows, and every later
+    step — the explode, the trigram leads (doc_id, pos window), the
     run-anchor window (doc_id, tok), the run-length count, and the
     final per-doc rollup — clusters by doc_id or a superset, so
     Spark satisfies each distribution with the existing partitioning
-    and never re-shuffles.  Runs use the row_number ANCHOR trick
+    and never re-shuffles (previously the one exchange carried the
+    exploded per-token rows, ~3-4x the text bytes).  Runs use the row_number ANCHOR trick
     (pos − rank-within-(doc, tok) is constant across a run); the
     oracle builds run ids with the lag-flag + running-sum
     formulation instead — two constructions, one hash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = cohort_by_doc(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )

@@ -230,9 +230,16 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
-    """Winnowing core over (doc_id, text) rows."""
+    """Winnowing core over (doc_id, text) rows.
+
+    cohort_by_doc co-locates the compact text rows up front, so the
+    window-min, the fingerprint distinct, and the per-doc rollup all
+    run exchange-free on the inherited doc_id partitioning — the
+    exploded gram stream never shuffles."""
+    from downloader_spark.operators.llm_text import cohort_by_doc
+
     grams = (
-        docs.selectExpr("doc_id", f"{_TOKS} AS toks")
+        cohort_by_doc(docs).selectExpr("doc_id", f"{_TOKS} AS toks")
         .filter(F.expr("size(toks) >= 3"))
         .selectExpr(
             "doc_id",

@@ -183,6 +183,18 @@ def test_dedup_simhash_single_exchange_on_doc_id(spark):
     assert "Exchange hashpartitioning(doc_id" in plan
 
 
+def test_text_window_keys_shuffle_docs_not_tokens(spark):
+    """text_repetition / text_winnow / text_hashvec: exactly one
+    exchange, hashed on doc_id, and it sits BELOW the explode
+    (Generate prints above it) — i.e. the shuffle carries compact
+    (doc_id, text) rows, never the exploded token/gram stream."""
+    for key in ("text_repetition", "text_winnow", "text_hashvec"):
+        plan = plan_of(spark, key)
+        assert plan.count("Exchange") == 1, key
+        assert "Exchange hashpartitioning(doc_id" in plan, key
+        assert plan.index("Generate") < plan.index("Exchange"), key
+
+
 def test_shingle_core_never_shuffles_token_stream(spark):
     """The shared shingle core (minhash / ngram-jaccard / containment)
     must co-locate on doc_id at the RAW-DOCS stage: one exchange of
