@@ -57,10 +57,13 @@ KEYS = (
     "text_lm_score",
     "graph_pagerank",
     "graph_triangles",
-)
-DOC_KEYS = frozenset(
-    {"dedup_minhash", "dedup_ngram_jaccard", "dedup_containment",
-     "dedup_simhash", "text_lm_score"}
+    # the round-9 cohort_by_doc family: prove the compact-docs-only
+    # shuffle shape holds under Heaps-law vocabulary growth
+    "text_repetition",
+    "text_winnow",
+    "text_hashvec",
+    "text_tfidf",
+    "text_collocations",
 )
 
 SRC = "/root/testdata/sf0.1"
