@@ -1,9 +1,12 @@
 """Round-9 surface extensions: the batch twin of the stateful
 streaming EWMA (``stream_ewma``), closing the round-7/8 promise in
 ``streaming/stateful.py`` that the recursive integer fold has an
-oracle-checked batch equivalent.  (Reference analog: the reference's
-per-source watermark state, routeviews.go:60-62, is the same keyed
-incremental-fold shape; an EWMA is its numeric generalisation.)
+oracle-checked batch equivalent, and the grid-bucketed interval-
+overlap join (``join_interval_overlap``) — the one join shape the
+relational surface lacked: two interval sets with NO shared equi key.
+(Reference analog: the reference's per-source watermark state,
+routeviews.go:60-62, is the same keyed incremental-fold shape; an
+EWMA is its numeric generalisation.)
 
 Differential style: the Spark side folds a sorted struct-array with a
 SQL ``aggregate`` lambda whose floor-division is spelled explicitly
@@ -107,4 +110,102 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma_cents"),
         )
         .orderBy("user_id")
+    )
+
+
+# -------------------------------------------- interval-overlap join
+
+# 10-minute grid cells in microseconds.  Cell length must exceed the
+# longest interval (90 s here) so each interval covers <= 2 cells and
+# the explode factor is bounded by 2; on a real deployment the cell is
+# sized to the 99.9th-percentile interval length, with a separate
+# "long interval" broadcast branch for the tail.
+_CELL_US = 600_000_000
+_ERR_LEN_US = 90_000_000   # error impact window
+_PUR_LEN_US = 60_000_000   # purchase attribution window
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id AS error_id, epoch_us(ts) AS a_s,
+             epoch_us(ts) + {_ERR_LEN_US} AS a_e
+      FROM events WHERE event_type = 'error'
+    ),
+    b AS (
+      SELECT epoch_us(ts) AS b_s, epoch_us(ts) + {_PUR_LEN_US} AS b_e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT error_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(least(a_e, b_e) - greatest(a_s, b_s)) AS BIGINT)
+             AS overlap_us
+    FROM a JOIN b ON a_s < b_e AND b_s < a_e
+    GROUP BY error_id
+    """,
+    tags=("relational", "join", "interval"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key: every (error-impact
+    window, purchase-attribution window) pair of overlapping time
+    intervals, rolled up per error event — the join shape incident
+    correlation, ad attribution, and sensor alignment all need, and
+    the one Spark has no native operator for (a raw theta join on
+    a_s < b_e AND b_s < a_e plans BroadcastNestedLoopJoin — O(n*m)
+    comparisons even when almost nothing overlaps).
+
+    Spark runs the GRID-BUCKETED equi form: each half-open interval
+    [s, e) is exploded onto the 10-minute cells it covers
+    (sequence(s div C, (e-1) div C) — <= 2 cells since intervals are
+    <= 90 s), the join is a plain hash equi-join on the cell with the
+    overlap predicate evaluated inside it, and the duplicate-pair
+    problem (a pair overlapping in k shared cells would emit k rows)
+    is solved WITHOUT a distinct: a pair is kept only in the single
+    cell containing the overlap's start, greatest(a_s, b_s) div C.
+    Each overlapping pair is counted exactly once, no dedup exchange
+    exists in the plan, and every shuffle key is a (cell) integer —
+    uniform by construction on event-time data.  At 100 TB both sides
+    additionally range-partition by cell so the equi-join co-locates;
+    skew only appears if one cell holds a super-spike, and then AQE
+    skew-join splits it.
+
+    The oracle is the orthogonal construction: DuckDB's native IEJoin
+    range join on the raw inequality predicates — two independent
+    algorithms, one answer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        us.alias("a_s"),
+        (us + F.lit(_ERR_LEN_US)).alias("a_e"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        us.alias("b_s"), (us + F.lit(_PUR_LEN_US)).alias("b_e")
+    )
+    cell = lambda s, e: F.explode(  # noqa: E731 — covered-cell range
+        F.sequence(
+            F.col(s) - F.pmod(F.col(s), F.lit(_CELL_US)),
+            (F.col(e) - 1) - F.pmod(F.col(e) - 1, F.lit(_CELL_US)),
+            F.lit(_CELL_US),
+        )
+    ).alias("cell")
+    ac = a.select("error_id", "a_s", "a_e", cell("a_s", "a_e"))
+    bc = b.select("b_s", "b_e", cell("b_s", "b_e"))
+    pairs = ac.join(bc, "cell").filter(
+        (F.col("a_s") < F.col("b_e"))
+        & (F.col("b_s") < F.col("a_e"))
+        # dedup-free: count the pair only in the overlap-start cell
+        & (
+            F.col("cell")
+            == F.greatest("a_s", "b_s")
+            - F.pmod(F.greatest("a_s", "b_s"), F.lit(_CELL_US))
+        )
+    )
+    return pairs.groupBy("error_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(
+            F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+        ).cast("long").alias("overlap_us"),
     )

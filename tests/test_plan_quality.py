@@ -183,6 +183,21 @@ def test_dedup_simhash_single_exchange_on_doc_id(spark):
     assert "Exchange hashpartitioning(doc_id" in plan
 
 
+def test_join_interval_overlap_is_grid_equi_join(spark):
+    """The no-equi-key interval join must run as a hash equi-join on
+    the grid cell — never the BroadcastNestedLoopJoin a raw theta
+    join plans — and the exactly-once pair accounting must be the
+    overlap-start-cell filter, not a dedup: no distinct/dedup
+    aggregation over the pair stream exists in the plan (the only
+    aggregate is the final per-error rollup)."""
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan  # the equi key
+    # one partial+final rollup pair, nothing else aggregating
+    assert plan.count("HashAggregate") == 2
+
+
 def test_text_window_keys_shuffle_docs_not_tokens(spark):
     """text_repetition / text_winnow / text_hashvec: exactly one
     exchange, hashed on doc_id, and it sits BELOW the explode

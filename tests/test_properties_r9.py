@@ -67,3 +67,63 @@ def test_stream_ewma_matches_python_fold(spark, events):
         vals = [v for _, _, v in sorted(evs, key=lambda e: (e[0], e[1]))]
         model[uid] = fold_ewma(vals)
     assert got == model
+
+
+# --------------------------------------- interval-overlap grid join
+
+# (type 0=error / 1=purchase, second-offset 0..900): offsets straddle
+# the 600 s grid-cell boundary, so pairs overlapping in one cell, in
+# two cells, and exactly at cell edges all occur — the cases the
+# overlap-start-cell exactly-once accounting must get right.
+interval_strategy = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 900)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(interval_strategy)
+def test_join_interval_overlap_matches_brute_force(spark, events):
+    import downloader_spark.operators.round9_ext as r9
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=s),
+            0,
+            "error" if t == 0 else "purchase",
+            0.0,
+            "{}",
+        )
+        for i, (t, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    )
+    orig = r9.load_table
+    r9.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.error_id: (r.n_purchases, r.overlap_us)
+            for r in r9.join_interval_overlap(spark, "ignored").collect()
+        }
+    finally:
+        r9.load_table = orig
+
+    # brute-force O(n*m) half-open overlap model in integer micros
+    us = lambda s: s * 1_000_000 + 1_704_067_200_000_000  # 2024-01-01 UTC
+    errs = [(i, us(s), us(s) + r9._ERR_LEN_US)
+            for i, (t, s) in enumerate(events) if t == 0]
+    purs = [(us(s), us(s) + r9._PUR_LEN_US)
+            for i, (t, s) in enumerate(events) if t == 1]
+    model: dict[int, tuple[int, int]] = {}
+    for eid, a_s, a_e in errs:
+        hits = [(min(a_e, b_e) - max(a_s, b_s))
+                for b_s, b_e in purs if a_s < b_e and b_s < a_e]
+        if hits:
+            model[eid] = (len(hits), sum(hits))
+    assert got == model
