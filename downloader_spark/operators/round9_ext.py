@@ -44,10 +44,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from downloader_spark.io import load_table
+from downloader_spark.operators.llm_dedup import _duck_h60, _spark_h60
+from downloader_spark.operators.round7_ext import KMV_K
 from downloader_spark.plans.registry import query
 
 
@@ -208,4 +210,116 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
         ).cast("long").alias("overlap_us"),
+    )
+
+
+# ------------------------------------- two-level mergeable sketch rollup
+
+_KMV_EST = (
+    f"CAST(CASE WHEN n_in_sketch < {KMV_K} THEN n_exact"
+    f" WHEN h_k < {KMV_K} THEN n_exact"
+    f" ELSE ({KMV_K} - 1) * 576460752303423488 DIV h_k * 2"
+    " END AS BIGINT)"
+)
+
+
+@query(
+    "agg_sketch_rollup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT n.n_regionkey, n.n_nationkey,
+             {_duck_h60("concat('kmvr:', CAST(c_custkey AS VARCHAR))")} AS h
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    ranked AS (
+      SELECT n_regionkey, h,
+             row_number() OVER (PARTITION BY n_regionkey ORDER BY h) AS rn
+      FROM hashed
+    ),
+    kth AS (
+      SELECT n_regionkey, max(h) AS h_k,
+             CAST(count(*) AS BIGINT) AS n_in_sketch
+      FROM ranked WHERE rn <= {KMV_K}
+      GROUP BY n_regionkey
+    ),
+    exact AS (
+      SELECT n_regionkey,
+             CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_nations,
+             CAST(count(*) AS BIGINT) AS n_exact
+      FROM hashed GROUP BY n_regionkey
+    )
+    SELECT r.r_name AS region, e.n_nations, e.n_exact, k.n_in_sketch,
+           {_KMV_EST.replace("h_k", "k.h_k")
+                    .replace("n_in_sketch", "k.n_in_sketch")
+                    .replace("n_exact", "e.n_exact")
+                    .replace(" DIV ", " // ")} AS kmv_estimate
+    FROM exact e
+    JOIN kth k ON e.n_regionkey = k.n_regionkey
+    JOIN region r ON r.r_regionkey = e.n_regionkey
+    """,
+    tags=("aggregate", "sketch", "distinct", "mergeable", "rollup"),
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL mergeable-sketch rollup — the pre-aggregation pattern
+    a 100 TB pipeline lives on: distinct customers per REGION estimated
+    by first building a {KMV_K}-minimum-values sketch PER NATION
+    (the partial a daily job would persist), then MERGING each
+    region's nation partials (union -> keep the {KMV_K} smallest) and
+    estimating from the merged sketch — the raw rows are touched once,
+    at the finest level, and every coarser rollup works on sketch rows
+    only ({KMV_K} hashes per nation, not |customers| rows).
+
+    The differential IS the merge-losslessness proof: Spark computes
+    the two-level merged sketch; the DuckDB oracle computes the
+    region-level sketch DIRECTLY from the raw rows.  KMV's merge
+    property (every region-level k-minimum is by definition among its
+    own nation's k minima, so min-k(union of per-nation min-k) =
+    min-k(region)) makes the two constructions equal exactly — any
+    implementation error in either level breaks the hash match.
+    Estimator arithmetic and overflow/exact-fallback arms are shared
+    with ``agg_kmv_distinct`` (round7_ext).
+
+    Plan shape: both rank prefixes are WindowGroupLimit-pruned (each
+    partition discards all but its k smallest before the exchange),
+    the nation dimension broadcasts, and the second level's input is
+    |nations| * {KMV_K} rows — constant-sized, the point of the
+    pattern."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region")
+    h = _spark_h60("concat('kmvr:', CAST(c_custkey AS STRING))")
+    hashed = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select("n_regionkey", "n_nationkey", F.expr(h).alias("h"))
+    # level 1: per-nation sketch partials (k smallest hashes)
+    w1 = Window.partitionBy("n_nationkey").orderBy("h")
+    partials = (
+        hashed.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    # level 2: merge each region's partials — union + keep k smallest
+    w2 = Window.partitionBy("n_regionkey").orderBy("h")
+    merged = (
+        partials.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    kth = merged.groupBy("n_regionkey").agg(
+        F.max("h").alias("h_k"),
+        F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+    )
+    exact = hashed.groupBy("n_regionkey").agg(
+        F.countDistinct("n_nationkey").cast("long").alias("n_nations"),
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+    )
+    return (
+        exact.join(kth, "n_regionkey")
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            "n_nations",
+            "n_exact",
+            "n_in_sketch",
+            F.expr(_KMV_EST).alias("kmv_estimate"),
+        )
     )

@@ -198,6 +198,18 @@ def test_join_interval_overlap_is_grid_equi_join(spark):
     assert plan.count("HashAggregate") == 2
 
 
+def test_agg_sketch_rollup_prunes_both_levels(spark):
+    """Both sketch levels must be WindowGroupLimit-pruned (each
+    partition discards all but its k smallest hashes BEFORE the
+    exchange — the sketch merge is the shuffle combiner), and every
+    join must broadcast a dimension side (nation/region are tiny; the
+    fact side never sort-merge-joins)."""
+    plan = plan_of(spark, "agg_sketch_rollup")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_text_window_keys_shuffle_docs_not_tokens(spark):
     """text_repetition / text_winnow / text_hashvec: exactly one
     exchange, hashed on doc_id, and it sits BELOW the explode

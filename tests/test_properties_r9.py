@@ -127,3 +127,72 @@ def test_join_interval_overlap_matches_brute_force(spark, events):
         if hits:
             model[eid] = (len(hits), sum(hits))
     assert got == model
+
+
+# ------------------------------------- mergeable-sketch rollup merge
+
+# (nation 0..5, customer-id 0..200): region = nation % 2, small K-ish
+# cardinalities so sketches both smaller and larger than K occur.
+sketch_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 200)),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@settings(**_SETTINGS)
+@given(sketch_strategy)
+def test_agg_sketch_rollup_merge_is_lossless(spark, custs):
+    """The two-level Spark rollup must equal a single-level
+    brute-force KMV computed directly per region with the same md5
+    hash — the merge property, checked against a pure-Python model
+    (hashlib md5, independent of both engines' SQL)."""
+    import hashlib
+
+    import downloader_spark.operators.round9_ext as r9
+    from downloader_spark.operators.round7_ext import KMV_K
+
+    cust = spark.createDataFrame(
+        [(cid, nat) for nat, cid in custs],
+        "c_custkey long, c_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(n, n % 2) for n in range(6)], "n_nationkey int, n_regionkey int"
+    )
+    region = spark.createDataFrame(
+        [(0, "R0"), (1, "R1")], "r_regionkey int, r_name string"
+    )
+    tables = {"customer": cust, "nation": nation, "region": region}
+    orig = r9.load_table
+    r9.load_table = lambda s, d, n: tables[n]
+    try:
+        got = {
+            r.region: (r.n_nations, r.n_exact, r.n_in_sketch, r.kmv_estimate)
+            for r in r9.agg_sketch_rollup(spark, "ignored").collect()
+        }
+    finally:
+        r9.load_table = orig
+
+    def h60(cid: int) -> int:
+        return int(hashlib.md5(f"kmvr:{cid}".encode()).hexdigest()[:15], 16)
+
+    model = {}
+    by_region: dict[int, list[tuple[int, int]]] = {}
+    for nat, cid in custs:
+        by_region.setdefault(nat % 2, []).append((nat, cid))
+    for rk, rows in by_region.items():
+        hs = sorted(h60(cid) for _, cid in rows)
+        sk = hs[:KMV_K]
+        n_exact = len(rows)
+        if len(sk) < KMV_K or sk[-1] < KMV_K:
+            est = n_exact
+        else:
+            est = (KMV_K - 1) * 576460752303423488 // sk[-1] * 2
+        model[f"R{rk}"] = (
+            len({n for n, _ in rows}),
+            n_exact,
+            len(sk),
+            est,
+        )
+    assert got == model
