@@ -41,6 +41,7 @@ if os.environ.get("RUN_STRESS"):
     import stress_events_10x as s_events
     import stress_lm_score_10x as s_lm
     import stress_r7_10x as s_r7
+    import stress_sf1_shape as s_shape
     import stress_sql_r6_10x as s_sql
 
     _FAMILIES = [
@@ -49,8 +50,10 @@ if os.environ.get("RUN_STRESS"):
         (s_r7, s_r7.EVENT_KEYS + s_r7.DOC_KEYS),
         (s_lm, s_lm.KEYS),
     ]
+    _SHAPE_KEYS = list(s_shape.KEYS)
 else:
     _FAMILIES = []
+    _SHAPE_KEYS = []
 
 MAX_RATIO = 12.0
 # below this many seconds at 1x the ratio is dominated by fixed
@@ -99,4 +102,43 @@ def test_10x_growth_is_subquadratic(spark, stress_env, mod, key):
             f"{key}: 10x/1x wall ratio {big / base:.1f} exceeds "
             f"{MAX_RATIO} ({base:.2f}s -> {big:.2f}s) — check for a "
             "pair-space or per-group-sort blowup"
+        )
+
+
+@pytest.fixture(scope="module")
+def shape_env(spark):
+    """Build the SHAPE-REALISTIC corpora (Heaps-law generated docs +
+    10x-keyspace lineitem/orders — see tests/stress_sf1_shape.py for
+    why clone corpora understate growth) and warm every plan."""
+    from downloader_spark.plans.registry import registry
+
+    reg = registry()
+    s_shape.build(spark)
+    for k in _SHAPE_KEYS:
+        s_shape.force(reg[k].fn(spark, "/root/testdata/sf0.001"))
+    return reg
+
+
+@pytest.mark.parametrize("key", _SHAPE_KEYS)
+def test_shape_10x_growth_is_subquadratic(spark, shape_env, key):
+    """Wall-only arm of the sf1 shape bench (the standalone script
+    additionally records shuffle-write bytes via the UI REST API,
+    which the shared test session has disabled)."""
+    reg = shape_env
+    t0 = time.perf_counter()
+    s_shape.force(reg[key].fn(spark, s_shape.BASE_DIR))
+    base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s_shape.force(reg[key].fn(spark, s_shape.BIG_DIR))
+    big = time.perf_counter() - t0
+    if base < MIN_BASE_SEC:
+        assert big <= MAX_SMALL_10X_SEC, (
+            f"{key}: 1x too fast to ratio ({base:.2f}s) and 10x "
+            f"absolute time {big:.2f}s exceeds {MAX_SMALL_10X_SEC}s"
+        )
+    else:
+        assert big / base <= MAX_RATIO, (
+            f"{key}: shape-10x/1x wall ratio {big / base:.1f} exceeds "
+            f"{MAX_RATIO} ({base:.2f}s -> {big:.2f}s) — check for a "
+            "vocabulary-growth or pair-space blowup"
         )
