@@ -13,7 +13,7 @@ SQL ``aggregate`` lambda whose floor-division is spelled explicitly
 as ``(a + c - pmod(a + c, 2)) DIV 2`` (Spark ``DIV`` truncates, so
 pmod-subtraction makes it a true floor); the DuckDB oracle uses a
 completely different construction — ``list(... ORDER BY ...)`` +
-``list_reduce`` with DuckDB's native flooring ``//``.  Both replicate
+``list_reduce`` with DuckDB's ``//``.  Both replicate
 ``streaming.stateful.fold_ewma`` (the pure-Python reference model,
 asserted in tests/test_properties_r9.py), so the streaming operator,
 the batch twin, and the oracle share one arithmetic definition.
@@ -21,8 +21,13 @@ the batch twin, and the oracle share one arithmetic definition.
 Cross-engine exactness: floor-cents integer state (``floor(value *
 100)`` on the same IEEE double both engines); the fold order is the
 total order (ts, event_id) — event_id is unique, so the recursion is
-deterministic; NO signed division ambiguity (pmod-floor on the Spark
-side mirrors DuckDB ``//`` flooring even for negative cents).
+deterministic; and the fold state never goes negative (value >= 0
+so cents >= 0), which is what lets the three division dialects agree:
+Spark's pmod-floor and Python ``//`` FLOOR, while DuckDB 1.0 ``//``
+actually TRUNCATES toward zero (measured ``(-7)//2 = -3``) — on the
+non-negative fold domain floor == truncate, so all three coincide.
+(round9b_ext's ts_holt_linear, whose trend state DOES go negative,
+uses plain truncating DIV on both engines instead.)
 
 IMPORTANT (driver rotation): this module must stay the LAST import in
 plans/catalog.py (after round7_ext) — the driver confirms a 50-key

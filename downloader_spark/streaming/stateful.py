@@ -63,9 +63,10 @@ def fold_ewma(values, n: int = 0, ewma: int = 0) -> tuple[int, int]:
     and the ``stream_ewma`` batch twin
     (operators/round9_ext.py) — the twin's property test
     (tests/test_properties_r9.py) asserts both engines against this
-    fold.  Python ``//`` floors like DuckDB's ``//`` and like the
-    twin's pmod-floor Spark arithmetic, so all three agree exactly
-    (including on negative values)."""
+    fold.  Python ``//`` floors like the twin's pmod-floor Spark
+    arithmetic (asserted on negatives too); DuckDB's ``//`` truncates
+    toward zero, but the fold state is non-negative (value >= 0), and
+    floor == truncate there — so the oracle agrees as well."""
     for v in values:
         cents = int(v * 100 // 1)
         ewma = cents if n == 0 else (ewma + cents) // 2

@@ -1156,3 +1156,71 @@ def test_customer_side_carries_no_broadcast_hint(spark, key, n_hints):
             "unbounded dimension, OOM at scale"
         )
         assert "n_nationkey" in sub  # the only legitimately hinted dim
+
+
+# --------------------------------------------------- round-9b gates
+
+
+def test_text_gopher_rules_is_shuffle_free(spark):
+    plan = plan_of(spark, "text_gopher_rules")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_code_detect_is_shuffle_free(spark):
+    plan = plan_of(spark, "text_code_detect")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_agg_moments_partial_aggregates_mapside(spark):
+    plan = plan_of(spark, "agg_moments")
+    # algebraic power sums: partial before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_ts_robust_trend_pairs_via_equi_join_not_nested_loop(spark):
+    # the lag-explode turns the bounded-lag pair generation into an
+    # equi-join; a range/theta formulation would plan a nested loop
+    plan = plan_of(spark, "ts_robust_trend")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_ts_holt_linear_folds_jvm_side(spark):
+    # the recursive fold is a SQL higher-order function — no Python
+    # evaluation node may appear in the hot path
+    plan = plan_of(spark, "ts_holt_linear")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sample_temperature_broadcasts_quota_table(spark):
+    plan = plan_of(spark, "sample_temperature")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_concentration_broadcasts_total_row(spark):
+    plan = plan_of(spark, "events_concentration")
+    # the 1-row totals side must broadcast; the |users| count table
+    # must partial-aggregate map-side before its exchange
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_lines_joins_on_line_hash_not_text(spark):
+    plan = plan_of(spark, "dedup_lines")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the frequency join key is the md5 hash column
+    assert "lh" in plan
+
+
+def test_embed_bucket_profile_buckets_codegen_side(spark):
+    plan = plan_of(spark, "embed_bucket_profile")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -4,7 +4,9 @@ with explicit pmod-floor division) vs the pure-Python reference model
 ``streaming.stateful.fold_ewma`` on random inputs — including
 NEGATIVE values, where floor division and truncating division
 diverge (the exact trap the pmod arithmetic exists to avoid: Spark
-``DIV`` truncates toward zero, Python/DuckDB ``//`` floor).
+``DIV`` truncates toward zero, Python ``//`` floors; DuckDB ``//``
+also truncates, but the registry oracle only sees the non-negative
+cents domain where floor == truncate).
 """
 
 from __future__ import annotations
