@@ -1074,7 +1074,10 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from downloader_spark.operators.llm_dedup import (  # noqa: E402
     _DUCK_SIGN_BUCKET,
+    _SPARK_NORM,
     SIGN_BITS,
+    _duck_h60,
+    _spark_h60,
     sign_buckets,
 )
 
@@ -1387,4 +1390,715 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(alloc), "source")
         .where(F.col("rn") <= F.col("quota"))
         .select("doc_id", "source", "quota")
+    )
+
+
+# ------------------------------------------------------------------
+# window_topk_hop — per-hopping-window top-k event types
+# ------------------------------------------------------------------
+
+_HOP_K = 2
+
+
+@query(
+    "window_topk_hop",
+    oracle=f"""
+    WITH slid AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + (epoch_us(ts) // 300000000 * 300) * INTERVAL 1 SECOND
+               - k.k * INTERVAL 5 MINUTE AS win_start
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+    ),
+    counted AS (
+      SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM slid GROUP BY win_start, event_type
+    )
+    SELECT win_start, event_type, n,
+           CAST(rn AS BIGINT) AS rank_in_window
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY win_start ORDER BY n DESC, event_type) AS rn
+      FROM counted
+    ) WHERE rn <= {_HOP_K}
+    """,
+    tags=("streaming", "window", "topk"),
+)
+def window_topk_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} event types per hopping window (10-minute length,
+    5-minute hop — every event lands in exactly 2 windows): the
+    trending-now layer on top of stream_sliding's plain counts, with
+    the deterministic (count DESC, type ASC) tie-break every exact-
+    checked top-k in this repo uses.
+
+    Shape: the fat event stream reduces to the |windows| x |types|
+    count table FIRST (map-side combinable after the 2-way window
+    explode); the rank then runs over that bounded table, and Spark 4
+    plans WindowGroupLimit — a PARTIAL per-partition top-k before the
+    exchange (plan-gated), so even the count table never shuffles
+    whole.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    counted = (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    return (
+        counted.withColumn(
+            "rank_in_window",
+            F.row_number().over(
+                W.partitionBy("win_start").orderBy(
+                    F.col("n").desc(), F.col("event_type")
+                )
+            ),
+        )
+        .where(F.col("rank_in_window") <= _HOP_K)
+        .select(
+            "win_start",
+            "event_type",
+            "n",
+            F.col("rank_in_window").cast("long").alias("rank_in_window"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# scalar_struct — STRUCT-type scalar surface
+# ------------------------------------------------------------------
+
+
+@query(
+    "scalar_struct",
+    oracle="""
+    SELECT o_orderkey,
+           {'cents': pc, 'key': o_orderkey}.cents AS price_cents,
+           {'a': {'cents': pc, 'key': o_orderkey},
+            'b': o_orderstatus}.a.key AS nested_key,
+           ({'c': pc, 'k': o_orderkey} < {'c': 250000, 'k': o_orderkey})
+             AS below_2500,
+           CASE WHEN {'c': pc, 'k': o_orderkey}
+                     < {'c': 250000, 'k': o_orderkey}
+                THEN 'low' ELSE 'high' END AS tier
+    FROM (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    """,
+    tags=("scalar", "struct", "sql-surface"),
+)
+def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT-type scalar surface: construction (named_struct),
+    field access, NESTED structs, and lexicographic struct
+    comparison driving a CASE — the composite-value vocabulary the
+    engine's own struct-min/argmax aggregation patterns build on
+    (agg_argmax, agg_mode), exposed as a user-facing scalar family.
+
+    Both engines order structs field-by-field lexicographically;
+    fields are exact integers, so comparisons carry no float
+    ambiguity.  Pure map stage over a modulus-pruned slice.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") % 13 == 0)
+        .selectExpr(
+            "o_orderkey",
+            "o_orderstatus",
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS pc",
+        )
+        .selectExpr(
+            "o_orderkey",
+            "named_struct('cents', pc, 'key', o_orderkey).cents"
+            " AS price_cents",
+            "named_struct('a', named_struct('cents', pc, 'key', o_orderkey),"
+            " 'b', o_orderstatus).a.key AS nested_key",
+            "(named_struct('c', pc, 'k', o_orderkey)"
+            " < named_struct('c', CAST(250000 AS BIGINT), 'k', o_orderkey))"
+            " AS below_2500",
+            "CASE WHEN named_struct('c', pc, 'k', o_orderkey)"
+            " < named_struct('c', CAST(250000 AS BIGINT), 'k', o_orderkey)"
+            " THEN 'low' ELSE 'high' END AS tier",
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# agg_rate_ci — Wilson confidence interval for group rates
+# ------------------------------------------------------------------
+
+# z = 2 (~95.45%), kept integer so z^2 = 4 and z^4 = 16 stay exact.
+_WILSON_FORMULAS = [
+    "round((ds + 2.0) / (dn + 4.0), 6) AS center_r6",
+    "round(((ds + 2.0) / (dn + 4.0))"
+    " - (2.0 * sqrt(dn) / (dn + 4.0))"
+    "   * sqrt(ds / dn * (1.0 - ds / dn) + 1.0 / dn), 6) AS lo_r6",
+    "round(((ds + 2.0) / (dn + 4.0))"
+    " + (2.0 * sqrt(dn) / (dn + 4.0))"
+    "   * sqrt(ds / dn * (1.0 - ds / dn) + 1.0 / dn), 6) AS hi_r6",
+]
+
+
+@query(
+    "agg_rate_ci",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM events GROUP BY event_type
+    ),
+    doubles AS (
+      SELECT event_type, n, s, CAST(n AS DOUBLE) AS dn,
+             CAST(s AS DOUBLE) AS ds
+      FROM counts
+    )
+    SELECT event_type, n, s, {", ".join(_WILSON_FORMULAS)}
+    FROM doubles
+    """,
+    tags=("aggregate", "statistics", "interval"),
+)
+def agg_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score confidence interval (z = 2) for the per-type
+    high-value-event rate — the uncertainty band an experimentation
+    or data-quality dashboard must put around every small-sample
+    rate (the plain p-hat ± z·se interval collapses pathologically
+    at p near 0/1 and small n; Wilson does not).
+
+    Exactness: n and s are exact integers from ONE combinable
+    aggregation; the interval is a shared-text double formula using
+    the agresti-coull-style z=2 arithmetic — only correctly-rounded
+    ops (+ - * / sqrt) on identical inputs, rounded 6dp.  The
+    formula is the Wilson center ± half-width rewritten so every
+    intermediate is one op: no power(), no engine-variant rounding.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") >= 100.0, 1).otherwise(0)).alias("s"),
+    )
+    doubles = counts.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(s AS BIGINT) AS s",
+        "CAST(n AS DOUBLE) AS dn",
+        "CAST(s AS DOUBLE) AS ds",
+    )
+    return doubles.selectExpr("event_type", "n", "s", *_WILSON_FORMULAS)
+
+
+# ------------------------------------------------------------------
+# dq_freshness — per-partition data-freshness audit
+# ------------------------------------------------------------------
+
+_FRESH_STALE_US = 86_400_000_000  # 1 day
+
+
+@query(
+    "dq_freshness",
+    oracle=f"""
+    WITH per_type AS (
+      SELECT event_type,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS max_us,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    anchor AS (SELECT CAST(max(max_us) AS BIGINT) AS global_us FROM per_type)
+    SELECT p.event_type, p.n,
+           a.global_us - p.max_us AS lag_us,
+           (a.global_us - p.max_us) // 3600000000 AS lag_hours,
+           a.global_us - p.max_us > {_FRESH_STALE_US} AS is_stale
+    FROM per_type p CROSS JOIN anchor a
+    """,
+    tags=("quality", "freshness", "ops"),
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: each event type's most recent
+    timestamp lagged against the newest event anywhere, with a
+    staleness flag at 1 day — the "is this feed still flowing"
+    check an ingest control plane runs before advancing watermarks
+    (the reference advances per-source watermarks only while
+    downloads are error-free, routeviews.go:60-62; this is the
+    query-side view of the same invariant).
+
+    Shape: one map-side-combinable MAX/count per type, a 1-row
+    global anchor broadcast back — integer epoch micros end-to-end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max(F.expr("unix_micros(ts)")).alias("max_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    anchor = per_type.agg(F.max("max_us").alias("global_us"))
+    return per_type.crossJoin(F.broadcast(anchor)).selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n",
+        "global_us - max_us AS lag_us",
+        "(global_us - max_us) DIV 3600000000 AS lag_hours",
+        f"global_us - max_us > {_FRESH_STALE_US} AS is_stale",
+    )
+
+
+# ------------------------------------------------------------------
+# multimodal_wav_energy — audio feature extraction, oracle-checked
+# ------------------------------------------------------------------
+
+_WAV_N = 800  # samples per synthetic clip
+_WAV_FRAME = 200  # samples per analysis frame
+_WAV_RATE = 8000
+
+
+@query(
+    "multimodal_wav_energy",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id, i,
+             (doc_id * 31 + i * 17) % 2003 - 1001 AS s
+      FROM documents,
+           unnest(generate_series(0, {_WAV_N - 1})) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(i // {_WAV_FRAME} AS BIGINT) AS frame_no,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(s * s) AS BIGINT) AS energy
+    FROM samples
+    GROUP BY doc_id, i // {_WAV_FRAME}
+    """,
+    tags=("multimodal", "audio", "mapInPandas"),
+)
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy through the REAL byte path: each doc's
+    deterministic int16 waveform is ENCODED to PCM16 RIFF/WAVE bytes
+    and DECODED back inside an Arrow ``mapInPandas`` stage (the
+    pure-Python codec in downloader_spark/media.py), then framed and
+    summed — so the exact-check covers the container roundtrip, the
+    Arrow batch plumbing, and the feature math, not a manifest stub.
+
+    Differential: the oracle never sees a byte — it recomputes each
+    frame's energy from the closed-form synthesis
+    (s_i = (doc_id·31 + i·17) mod 2003 − 1001), so any corruption in
+    the encode/decode path (endianness, header offsets, sample
+    truncation) breaks the hash.  Energy is an exact integer
+    (|s| ≤ 1001, Σs² per frame ≤ 200·1001² ≪ int64).
+
+    Shape: map-only — one Arrow stage, rows per doc bounded by the
+    frame count; at 100 TB the synthesis select is replaced by a
+    ``binaryFile`` scan feeding the same decode UDF (the
+    multimodal_inventory posture), partitioned by file.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n, frame, rate = _WAV_N, _WAV_FRAME, _WAV_RATE
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(n, dtype=np.int64)
+                s = (doc_id * 31 + i * 17) % 2003 - 1001
+                wav = encode_wav(s.astype("<i2"), rate)
+                got_rate, back = decode_wav(wav)
+                assert got_rate == rate and len(back) == n
+                sq = back.astype(np.int64) ** 2
+                for f in range(n // frame):
+                    chunk = sq[f * frame : (f + 1) * frame]
+                    out.append((int(doc_id), f, len(chunk), int(chunk.sum())))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_no", "n_samples", "energy"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, frame_no long, n_samples long, energy long",
+    )
+
+
+# ------------------------------------------------------------------
+# embed_triplet_mining — in-batch hardest positive/negative mining
+# ------------------------------------------------------------------
+
+_TRIP_DIMS = 8
+_TRIP_SCALE = 1000
+_TRIP_BATCHES = 8  # fixed width for the static oracle
+_TRIP_TARGET_POP = 64  # scale path: batches = ceil(N / this)
+
+
+def _trip_q(engine: str) -> str:
+    """Quantized first-8-component column list (shared recipe with
+    embed_kmeans: floor milli-units of the float components)."""
+    one = engine == "duck"
+    return ", ".join(
+        f"CAST(floor(CAST(embedding[{i + (1 if one else 0)}] AS DOUBLE)"
+        f" * {_TRIP_SCALE}) AS BIGINT) AS q{i}"
+        for i in range(_TRIP_DIMS)
+    )
+
+
+_TRIP_D2 = " + ".join(
+    f"(x.q{i} - y.q{i}) * (x.q{i} - y.q{i})" for i in range(_TRIP_DIMS)
+)
+
+
+@query(
+    "embed_triplet_mining",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, label,
+             {_duck_h60("CAST(vec_id AS VARCHAR)")} % {_TRIP_BATCHES}
+               AS batch,
+             {_trip_q("duck")}
+      FROM embeddings WHERE len(embedding) >= {_TRIP_DIMS}
+    ),
+    pairs AS (
+      SELECT x.vec_id, x.label,
+             y.vec_id AS other_id, y.label AS other_label,
+             {_TRIP_D2} AS d2
+      FROM pts x JOIN pts y
+        ON x.batch = y.batch AND x.vec_id <> y.vec_id
+    )
+    SELECT vec_id, label,
+           max(CASE WHEN other_label = label
+                    THEN {{'d': d2, 'i': -other_id}} END).i * -1
+             AS hard_pos_id,
+           max(CASE WHEN other_label = label
+                    THEN {{'d': d2, 'i': -other_id}} END).d AS hard_pos_d2,
+           min(CASE WHEN other_label <> label
+                    THEN {{'d': d2, 'i': other_id}} END).i AS hard_neg_id,
+           min(CASE WHEN other_label <> label
+                    THEN {{'d': d2, 'i': other_id}} END).d AS hard_neg_d2
+    FROM pairs
+    GROUP BY vec_id, label
+    """,
+    tags=("llm", "embedding", "training", "mining"),
+)
+def embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch triplet mining for metric learning: vectors are
+    dealt into deterministic md5 "batches" (exactly the in-batch
+    negative pool a contrastive trainer sees), and each anchor
+    reports its hardest positive (same label, MAXIMUM distance) and
+    hardest negative (different label, MINIMUM distance) within the
+    batch, on exact integer squared distances over floor-quantized
+    components (the embed_kmeans discipline).
+
+    Tie-breaks are pinned by struct aggregation: hardest-positive =
+    struct-max of (d2, -other_id) — farthest, then LOWEST id;
+    hardest-negative = struct-min of (d2, other_id) — closest, then
+    lowest id.  Anchors lacking a same-label (or other-label) batch
+    peer emit NULL in that column; anchors with NO batch peer at all
+    contribute no pair rows and are absent, exactly as the trainer
+    would skip them.
+
+    Scale: the exact-check runs at the fixed 8-batch width (the
+    oracle is a static string); the scale path is ``triplet_mine``
+    with n_batches=None, which derives the batch COUNT from the
+    corpus size so batch SIZE stays ~64 (the dedup_embed /
+    derive_sign_bits discipline) — per-key fan-out is then a
+    training-hyperparameter constant and pair work is O(N·B), not
+    O(N²/batches) at a frozen count.  The md5 deal is uniform, so
+    no batch skews; the pair join is an equi-join on the batch key.
+    """
+    return triplet_mine(
+        load_table(spark, sf_dir, "embeddings"), n_batches=_TRIP_BATCHES
+    )
+
+
+def triplet_mine(emb: DataFrame, n_batches: int | None = None) -> DataFrame:
+    """Mining pipeline shared by the exact-checked key (fixed
+    ``n_batches``) and the scale path (``None`` — derive the batch
+    count so expected batch population stays ~64, keeping the
+    within-batch pair join linear in the corpus)."""
+    if n_batches is None:
+        n_batches = max(1, -(-emb.count() // _TRIP_TARGET_POP))
+    pts = emb.where(F.size("embedding") >= _TRIP_DIMS).selectExpr(
+        "vec_id",
+        "label",
+        f"{_spark_h60('CAST(vec_id AS STRING)')} % {n_batches} AS batch",
+        *_trip_q("spark").split(", "),
+    )
+    x = pts.alias("x")
+    y = pts.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.batch") == F.col("y.batch"))
+        & (F.col("x.vec_id") != F.col("y.vec_id")),
+    ).selectExpr(
+        "x.vec_id AS vec_id",
+        "x.label AS label",
+        "y.vec_id AS other_id",
+        "y.label AS other_label",
+        f"{_TRIP_D2} AS d2",
+    )
+    return pairs.groupBy("vec_id", "label").agg(
+        F.expr(
+            "max(CASE WHEN other_label = label"
+            " THEN named_struct('d', d2, 'i', -other_id) END).i * -1"
+        ).alias("hard_pos_id"),
+        F.expr(
+            "max(CASE WHEN other_label = label"
+            " THEN named_struct('d', d2, 'i', -other_id) END).d"
+        ).alias("hard_pos_d2"),
+        F.expr(
+            "min(CASE WHEN other_label <> label"
+            " THEN named_struct('d', d2, 'i', other_id) END).i"
+        ).alias("hard_neg_id"),
+        F.expr(
+            "min(CASE WHEN other_label <> label"
+            " THEN named_struct('d', d2, 'i', other_id) END).d"
+        ).alias("hard_neg_d2"),
+    )
+
+
+# ------------------------------------------------------------------
+# window_nth — first/last/nth-value window surface
+# ------------------------------------------------------------------
+
+
+@query(
+    "window_nth",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id) OVER w AS last_event,
+           nth_value(event_id, 3) OVER w AS third_event,
+           lead(event_id, 1, -1) OVER w2 AS next_event,
+           lag(event_id, 2, -1) OVER w2 AS prev2_event
+    FROM events
+    WHERE user_id % 7 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING),
+           w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "sql-surface"),
+)
+def window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window-function surface: first_value / last_value /
+    nth_value over the full-partition frame, plus lead/lag with
+    explicit offsets and defaults — the session-bookend vocabulary
+    (entry event, exit event, third touch, next/previous with
+    sentinel) the events_* operators compose from, exposed directly.
+
+    All values are exact integers over a (ts, event_id) total order;
+    the frame is spelled UNBOUNDED..UNBOUNDED explicitly because the
+    default frame for last_value (UNBOUNDED..CURRENT ROW) is the
+    classic silent-wrong-answer trap — pinning it is part of the
+    surface contract.  One hash exchange on user_id, one sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.where(F.col("user_id") % 7 == 0).select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.nth_value("event_id", 3).over(w).alias("third_event"),
+        F.lead("event_id", 1, -1).over(w2).alias("next_event"),
+        F.lag("event_id", 2, -1).over(w2).alias("prev2_event"),
+    )
+
+
+# ------------------------------------------------------------------
+# pipeline_split_hygiene — train/test contamination audit
+# ------------------------------------------------------------------
+
+_HYG_MIN_SHARED = 3  # shared distinct shingle hashes that flag a doc
+
+
+@query(
+    "pipeline_split_hygiene",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+                                              ' ', 'g')), ' ') AS toks,
+             {_duck_h60("concat('split:', CAST(doc_id AS VARCHAR))")} % 100
+               AS bucket
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, bucket,
+             unnest(CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                  ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id, bucket, {_duck_h60("s")} AS h FROM sh
+    ),
+    train_set AS (
+      SELECT DISTINCT h FROM hashed WHERE bucket < 80
+    ),
+    test_overlap AS (
+      SELECT t.doc_id, CAST(count(DISTINCT t.h) AS BIGINT) AS n_shared
+      FROM hashed t JOIN train_set tr ON tr.h = t.h
+      WHERE t.bucket >= 90
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, coalesce(o.n_shared, 0) AS n_shared,
+           coalesce(o.n_shared, 0) >= {_HYG_MIN_SHARED} AS contaminated
+    FROM (SELECT doc_id FROM toks WHERE bucket >= 90) d
+    LEFT JOIN test_overlap o ON o.doc_id = d.doc_id
+    """,
+    tags=("llm", "pipeline", "hygiene", "dedup"),
+)
+def pipeline_split_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: for every TEST document of
+    the engine's own md5 train/val/test split (sample_split's exact
+    bucket arithmetic), count distinct 3-gram shingle hashes it
+    shares with ANY train document — the eval-hygiene gate that
+    catches near-duplicate leakage across the split boundary, which
+    doc-level dedup alone cannot see (a test doc can share a
+    paragraph with a different train doc).  text_contamination
+    audits an external benchmark set; this audits the pipeline's OWN
+    split.
+
+    Shape: the train side reduces to its DISTINCT shingle-hash SET
+    (bounded by the shingle vocabulary, not the corpus) before the
+    join; the test side joins on the 60-bit integer hash and
+    re-aggregates per doc.  Integer keys end-to-end (16 B/posting,
+    the llm_dedup discipline); never doc×doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from downloader_spark.operators.extended import SPLIT_BUCKETS, TRAIN_UPTO
+
+    hashed = (
+        docs.selectExpr(
+            "doc_id",
+            f"{_SPARK_NORM} AS toks",
+            f"{_spark_h60(chr(39).join(['concat(', 'split:', ', CAST(doc_id AS STRING))']))}"
+            f" % {SPLIT_BUCKETS} AS bucket",
+        )
+        .selectExpr(
+            "doc_id",
+            "bucket",
+            "explode(CASE WHEN size(toks) >= 3"
+            " THEN array_distinct(transform("
+            "   sequence(1, size(toks) - 2),"
+            "   i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
+            " ELSE array(array_join(toks, ' ')) END) AS s",
+        )
+        .selectExpr("doc_id", "bucket", f"{_spark_h60('s')} AS h")
+    )
+    train_set = (
+        hashed.where(F.col("bucket") < TRAIN_UPTO).select("h").distinct()
+    )
+    test_docs = hashed.where(F.col("bucket") >= TRAIN_UPTO + 10)
+    overlap = (
+        test_docs.join(train_set, "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+    )
+    ids = test_docs.select("doc_id").distinct()
+    return ids.join(overlap, "doc_id", "left").selectExpr(
+        "doc_id",
+        "coalesce(n_shared, CAST(0 AS BIGINT)) AS n_shared",
+        f"coalesce(n_shared, CAST(0 AS BIGINT)) >= {_HYG_MIN_SHARED}"
+        " AS contaminated",
+    )
+
+
+# ------------------------------------------------------------------
+# text_vocab_coverage — tokenizer-budget coverage curve
+# ------------------------------------------------------------------
+
+_COV_CUTS = [10, 50, 100]
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    tnz AS (SELECT tok FROM toks WHERE tok <> ''),
+    counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tnz GROUP BY tok
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rn FROM counts
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT k.k AS vocab_k,
+           CAST(sum(CASE WHEN r.rn <= k.k THEN r.n ELSE 0 END) AS BIGINT)
+             AS covered,
+           t.total,
+           CAST((CAST(sum(CASE WHEN r.rn <= k.k THEN r.n ELSE 0 END)
+                 AS BIGINT) * 1000000) // t.total AS BIGINT)
+             AS coverage_ppm
+    FROM ranked r
+    CROSS JOIN (SELECT unnest({_COV_CUTS}) AS k) k
+    CROSS JOIN tot t
+    GROUP BY k.k, t.total
+    """,
+    tags=("llm", "text", "vocabulary"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget coverage curve: what fraction of all token
+    OCCURRENCES do the top-10/50/100 corpus types cover (exact
+    integer ppm) — the sizing curve a vocabulary/BPE budget decision
+    reads before committing to a token count (text_oov_rate fixes
+    one k; this sweeps the curve).
+
+    Shape: the token stream reduces to the |vocab| count table in
+    one combinable aggregation; ranking and the three cutoff sums
+    run on that compact table (window over |vocab| rows), with the
+    1-row total broadcast.  Corpus-global key — deliberately NOT
+    doc_id-cohorted (cohort_by_doc buys nothing when the only
+    grouping key is the token).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.selectExpr(f"explode({_SPARK_NORM}) AS tok")
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = counts.select(
+        "n",
+        F.row_number().over(W.orderBy(F.col("n").desc(), F.col("tok"))).alias("rn"),
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    cuts = ranked.crossJoin(
+        F.broadcast(
+            ranked.sparkSession.createDataFrame(
+                [(k,) for k in _COV_CUTS], "k int"
+            )
+        )
+    )
+    return (
+        cuts.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").alias("vocab_k"), "total")
+        .agg(
+            F.sum(F.expr("CASE WHEN rn <= k THEN n ELSE 0 END"))
+            .cast("long")
+            .alias("covered")
+        )
+        .selectExpr(
+            "CAST(vocab_k AS BIGINT) AS vocab_k",
+            "covered",
+            "total",
+            "(covered * 1000000) DIV total AS coverage_ppm",
+        )
     )

@@ -29,6 +29,14 @@ KEYS = (
     "events_concurrency",
     "events_transitions",
     "window_cum_distinct",
+    # round-9b additions: per-user folds and compact-table analytics —
+    # the clone grows the USER key space 10x (shifted user_ids) while
+    # per-user history length stays fixed, exactly these operators'
+    # scale axis
+    "ts_holt_linear",
+    "events_interarrival",
+    "events_concentration",
+    "agg_moments",
 )
 
 BASE = "/root/testdata/sf0.1"

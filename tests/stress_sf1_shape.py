@@ -64,6 +64,12 @@ KEYS = (
     "text_hashvec",
     "text_tfidf",
     "text_collocations",
+    # round-9b additions: the line-frequency dedup under Heaps-law
+    # vocabulary growth, and the two co-supplier-graph operators whose
+    # node/edge sets grow with the 10x key spaces
+    "dedup_lines",
+    "graph_kcore_peel",
+    "graph_common_neighbors",
 )
 
 SRC = "/root/testdata/sf0.1"

@@ -1224,3 +1224,80 @@ def test_embed_bucket_profile_buckets_codegen_side(spark):
     plan = plan_of(spark, "embed_bucket_profile")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_window_topk_hop_prunes_with_window_group_limit(spark):
+    # rank <= k over the bounded count table: Spark 4 must plan
+    # WindowGroupLimit (partial per-partition top-k before the
+    # exchange), and the fat event stream must partial-aggregate
+    # before any window
+    plan = plan_of(spark, "window_topk_hop")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scalar_struct_is_shuffle_free(spark):
+    plan = plan_of(spark, "scalar_struct")
+    assert "Exchange" not in plan
+
+
+def test_agg_rate_ci_partial_aggregates_mapside(spark):
+    plan = plan_of(spark, "agg_rate_ci")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_dq_freshness_broadcasts_anchor_row(spark):
+    plan = plan_of(spark, "dq_freshness")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_multimodal_wav_energy_is_single_arrow_stage(spark):
+    # real decode work must run in ONE Arrow mapInPandas stage over
+    # the pruned doc_id column — no shuffle before the Python stage
+    plan = plan_of(spark, "multimodal_wav_energy")
+    assert "MapInPandas" in plan
+    idx = plan.index("MapInPandas")
+    assert "Exchange" not in plan[idx:], "shuffle below the Arrow stage"
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema, "doc text must be pruned from the scan"
+
+
+def test_embed_triplet_mining_joins_on_batch_key(spark):
+    # pair generation must be an equi-join on the md5 batch key,
+    # never a cartesian/nested-loop over the corpus
+    plan = plan_of(spark, "embed_triplet_mining")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_window_nth_single_exchange_single_sort(spark):
+    # both window specs share (user_id, (ts, event_id)) — Catalyst
+    # must plan ONE exchange and ONE sort for all five functions
+    plan = plan_of(spark, "window_nth")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pipeline_split_hygiene_reduces_train_to_distinct_set(spark):
+    # train side must collapse to a distinct hash set before the
+    # join; the join is an integer-key equi join, never doc x doc
+    plan = plan_of(spark, "pipeline_split_hygiene")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_text_vocab_coverage_ranks_compact_table_only(spark):
+    # the token stream must reduce to the |vocab| count table before
+    # any window; the cutoffs and total must broadcast
+    plan = plan_of(spark, "text_vocab_coverage")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

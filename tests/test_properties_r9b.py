@@ -379,3 +379,122 @@ def test_sample_temperature_matches_python_model(spark, docs):
         for d in ranked[: quota[s]]:
             model[d] = (s, quota[s])
     assert got == model
+
+
+# --- embed_triplet_mining --------------------------------------------
+
+triplet_strategy = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 2)),
+    min_size=2,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**_SETTINGS)
+@given(triplet_strategy)
+def test_embed_triplet_mining_matches_python_model(spark, vecs):
+    import downloader_spark.operators.round9b_ext as r9b
+
+    def emb_of(vid: int) -> list[float]:
+        return [((vid * 13 + i * 7) % 11 - 5) / 4.0 for i in range(8)]
+
+    df = spark.createDataFrame(
+        [(vid, emb_of(vid), lab) for vid, lab in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    orig = _patched(r9b, df)
+    try:
+        got = {
+            r.vec_id: (r.hard_pos_id, r.hard_pos_d2, r.hard_neg_id, r.hard_neg_d2)
+            for r in r9b.embed_triplet_mining(spark, "ignored").collect()
+        }
+    finally:
+        r9b.load_table = orig
+
+    def batch_of(vid: int) -> int:
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16) % 8
+
+    def quant(vid: int) -> list[int]:
+        # float32 storage round-trip, then the engine's floor-milli
+        import numpy as np
+
+        return [
+            math.floor(float(np.float32(v)) * 1000) for v in emb_of(vid)
+        ]
+
+    pts = {vid: (batch_of(vid), lab, quant(vid)) for vid, lab in vecs}
+    model = {}
+    for vid, (b, lab, q) in pts.items():
+        pos = []
+        neg = []
+        for o, (ob, olab, oq) in pts.items():
+            if o == vid or ob != b:
+                continue
+            d2 = sum((a - c) * (a - c) for a, c in zip(q, oq))
+            (pos if olab == lab else neg).append((d2, o))
+        if not pos and not neg:
+            # no batch peer at all -> no pair rows -> anchor absent
+            continue
+        hp = max(pos, key=lambda t: (t[0], -t[1])) if pos else None
+        hn = min(neg) if neg else None
+        model[vid] = (
+            hp[1] if hp else None,
+            hp[0] if hp else None,
+            hn[1] if hn else None,
+            hn[0] if hn else None,
+        )
+    assert got == model
+
+
+# --- agg_rate_ci -----------------------------------------------------
+
+rate_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 200)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(rate_strategy)
+def test_agg_rate_ci_matches_python_model(spark, vals):
+    import downloader_spark.operators.round9b_ext as r9b
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base, i, f"t{t}", float(v), None) for i, (t, v) in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = _patched(r9b, df)
+    try:
+        got = {
+            r.event_type: (r.n, r.s, r.center_r6, r.lo_r6, r.hi_r6)
+            for r in r9b.agg_rate_ci(spark, "ignored").collect()
+        }
+    finally:
+        r9b.load_table = orig
+
+    groups: dict[str, list[int]] = {}
+    for t, v in vals:
+        groups.setdefault(f"t{t}", []).append(1 if float(v) >= 100.0 else 0)
+    model = {}
+    for ty, flags in groups.items():
+        n, s = len(flags), sum(flags)
+        dn, ds = float(n), float(s)
+        center = (ds + 2.0) / (dn + 4.0)
+        half = (2.0 * math.sqrt(dn) / (dn + 4.0)) * math.sqrt(
+            ds / dn * (1.0 - ds / dn) + 1.0 / dn
+        )
+        model[ty] = (
+            n,
+            s,
+            _round_spark(center, 6),
+            _round_spark(center - half, 6),
+            _round_spark(center + half, 6),
+        )
+    assert got == model
