@@ -69,16 +69,53 @@ def _last_confirmed_round() -> dict[str, int]:
     return last
 
 
+# Keys whose physical plans were rewritten AFTER their latest driver
+# confirmation (the round-9 doc_id co-location rollout).  They sort
+# immediately after never-confirmed keys so the next driver sample
+# re-confirms the new plans; remove entries once a later-round
+# CORRECTNESS file shows them green again (the _last_confirmed_round
+# lookup below does that automatically — a post-replan confirmation
+# clears the boost).
+_REPLANNED: dict[str, int] = {
+    # key: round in which its plan was rewritten
+    "dedup_simhash": 9,
+    "dedup_minhash": 9,
+    "dedup_containment": 9,
+    "dedup_ngram_jaccard": 9,
+    "text_repetition": 9,
+    "text_winnow": 9,
+    "text_hashvec": 9,
+    "text_tfidf": 9,
+    "text_ngrams": 9,
+    "text_collocations": 9,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered least-recently-driver-confirmed first so a prefix-sampling
-    verifier reaches every key across rounds (never-confirmed keys lead).
+    verifier reaches every key across rounds: never-confirmed keys
+    lead, then keys whose plans were replanned since their latest
+    confirmation, then everything else oldest-confirmation-first.
     """
     reg = registry()
     last = _last_confirmed_round()
     order = {name: i for i, name in enumerate(reg)}
-    ranked = sorted(reg, key=lambda name: (last.get(name, -1), order[name]))
+
+    def rank(name: str) -> tuple[int, int, int, int]:
+        confirmed = last.get(name, -1)
+        # stale: plan rewritten in a round AFTER the latest confirmation.
+        stale = confirmed < _REPLANNED.get(name, -1)
+        if confirmed < 0:
+            tier = 0  # never confirmed
+        elif stale:
+            tier = 1  # confirmed, but the plan changed since
+        else:
+            tier = 2  # confirmed and current
+        return (tier, confirmed, order[name])
+
+    ranked = sorted(reg, key=rank)
     return {name: reg[name].fn for name in ranked}
 
 

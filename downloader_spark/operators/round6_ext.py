@@ -13,12 +13,9 @@ broadcast scalar thresholds instead of scalar subqueries) checked
 against DuckDB's correlated-subquery formulation — two constructions,
 one hash.
 
-IMPORTANT (driver rotation): this module must stay the LAST import in
-plans/catalog.py.  The driver confirms a 50-key prefix per round
-ordered never-confirmed-first then registry order; keys registered
-here sort AFTER the backlog of earlier never-confirmed keys, so new
-surface never delays confirmation of existing keys
-(__spark_entry__.py:72-82, r5 verdict item 1).
+Driver rotation: module import order in plans/catalog.py is
+APPEND-ONLY (the ordering rule and its rationale live in
+plans/catalog.py — newest round module goes last).
 
 Cross-engine exactness: floor-cents/centi-quantity BIGINTs for every
 compared amount (floor over an IEEE double product is deterministic),

@@ -24,10 +24,9 @@ whose numbering conventions differ); NO signed integer division
 anywhere (Spark DIV truncates, DuckDB // floors — `ts_seasonal`
 outputs the raw signed residual SUM instead of dividing it).
 
-IMPORTANT (driver rotation): this module must stay the LAST import in
-plans/catalog.py (after round6_ext) — the driver confirms a 50-key
-prefix per round ordered never-confirmed-first then registry order,
-so keys registered here sort AFTER any earlier never-confirmed keys.
+Driver rotation: module import order in plans/catalog.py is
+APPEND-ONLY (the ordering rule and its rationale live in
+plans/catalog.py — newest round module goes last).
 
 Scale notes (100 TB):
 - ``text_oov_rate``: the vocabulary is a global top-k

@@ -29,10 +29,9 @@ non-negative fold domain floor == truncate, so all three coincide.
 (round9b_ext's ts_holt_linear, whose trend state DOES go negative,
 uses plain truncating DIV on both engines instead.)
 
-IMPORTANT (driver rotation): this module must stay the LAST import in
-plans/catalog.py (after round7_ext) — the driver confirms a 50-key
-prefix per round ordered never-confirmed-first then registry order,
-so keys registered here sort AFTER any earlier never-confirmed keys.
+Driver rotation: module import order in plans/catalog.py is
+APPEND-ONLY (the ordering rule and its rationale live in
+plans/catalog.py — newest round module goes last).
 
 Scale notes (100 TB):
 - ``stream_ewma``: one hash exchange on user_id, then a per-group

@@ -17,10 +17,9 @@ Families added here:
   between two event-type daily series, the cross-series sibling of
   ``ts_autocorr``.
 
-IMPORTANT (driver rotation): this module must stay the LAST import in
-plans/catalog.py (after round9_ext) — the driver confirms a 50-key
-prefix per round ordered never-confirmed-first then registry order,
-so keys registered here sort AFTER any earlier never-confirmed keys.
+Driver rotation: module import order in plans/catalog.py is
+APPEND-ONLY (the ordering rule and its rationale live in
+plans/catalog.py — newest round module goes last).
 
 Cross-engine exactness notes shared by the keys below:
 
@@ -256,7 +255,7 @@ _TS_MAX_LAG = 7
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
       FROM events GROUP BY event_type, day
     ),
-    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    lags AS (SELECT unnest(generate_series(1, {_TS_MAX_LAG})) AS lag),
     slopes AS (
       SELECT x.event_type,
              CAST(y.v - x.v AS DOUBLE) / CAST(l.lag AS DOUBLE) AS slope
@@ -315,7 +314,7 @@ def ts_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "v",
-        F.explode(F.expr(f"sequence(1, 7)")).alias("lag"),
+        F.explode(F.expr(f"sequence(1, {_TS_MAX_LAG})")).alias("lag"),
     ).select("event_type", (F.col("day") + F.col("lag")).alias("day"), F.col("v").alias("xv"), "lag")
     slopes = lagged.join(
         series.select("event_type", "day", F.col("v").alias("yv")),

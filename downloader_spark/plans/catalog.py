@@ -28,11 +28,13 @@ import downloader_spark.operators.streaming_windows  # noqa: F401
 import downloader_spark.operators.training_prep  # noqa: F401
 import downloader_spark.operators.udfs  # noqa: F401
 import downloader_spark.operators.windows  # noqa: F401
-# round6_ext / round7_ext MUST stay last (newest module LAST): the
-# driver confirms a 50-key prefix per round ordered
-# never-confirmed-first then registry order, so new keys registered
-# after every earlier module never delay confirmation of the existing
-# backlog (__spark_entry__.py:72-82).
+# ORDERING RULE (single source of truth — round modules below are
+# APPEND-ONLY, newest round module LAST): the driver confirms a
+# 50-key prefix per round ordered never-confirmed-first then
+# registry order (__spark_entry__.py), so keys registered after
+# every earlier module never delay confirmation of the existing
+# backlog.  When adding a round module, append its import here and
+# do NOT reorder the lines above it.
 import downloader_spark.operators.round6_ext  # noqa: F401,E402
 import downloader_spark.operators.round7_ext  # noqa: F401,E402
 import downloader_spark.operators.round9_ext  # noqa: F401,E402

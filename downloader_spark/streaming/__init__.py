@@ -3,6 +3,7 @@
 from downloader_spark.streaming.stateful import (
     running_totals,
     streaming_ewma,
+    streaming_holt,
 )
 from downloader_spark.streaming.incremental import (
     EVENTS_STREAM_SCHEMA,
@@ -27,6 +28,7 @@ __all__ = [
     "running_totals",
     "run_to_memory",
     "streaming_ewma",
+    "streaming_holt",
     "session_counts",
     "sliding_counts",
     "stream_from_parquet_dir",

@@ -237,19 +237,19 @@ def parse_event_log_lines(lines: DataFrame) -> DataFrame:
     the typed event schema every streaming operator here consumes.
     Works identically on a batch or streaming ``value string`` frame —
     the batch-equivalence tests rely on that symmetry."""
-    parsed = lines.select(
-        F.regexp_extract("value", EVENT_LOG_REGEX, 1).alias("ts_s"),
-        F.regexp_extract("value", EVENT_LOG_REGEX, 2).alias("user_s"),
-        F.regexp_extract("value", EVENT_LOG_REGEX, 3).alias("event_type"),
-        F.regexp_extract("value", EVENT_LOG_REGEX, 4).alias("value_s"),
-        F.regexp_extract("value", EVENT_LOG_REGEX, 5).alias("props"),
-    ).filter(F.col("ts_s") != "")
+    # One rlike validates the line shape, then a single limit-5 split
+    # extracts the fields (the payload may itself contain commas, so
+    # the limit is load-bearing) — the regex runs once per line
+    # instead of once per field.
+    parsed = lines.filter(F.col("value").rlike(EVENT_LOG_REGEX)).select(
+        F.split("value", ",", 5).alias("f")
+    )
     return parsed.select(
-        F.timestamp_seconds(F.col("ts_s").cast("bigint")).alias("ts"),
-        F.col("user_s").cast("bigint").alias("user_id"),
-        "event_type",
-        F.col("value_s").cast("double").alias("value"),
-        "props",
+        F.timestamp_seconds(F.col("f").getItem(0).cast("bigint")).alias("ts"),
+        F.col("f").getItem(1).cast("bigint").alias("user_id"),
+        F.col("f").getItem(2).alias("event_type"),
+        F.col("f").getItem(3).cast("double").alias("value"),
+        F.col("f").getItem(4).alias("props"),
     )
 
 

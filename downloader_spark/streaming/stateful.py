@@ -117,3 +117,85 @@ def streaming_ewma(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_OUTPUT_SCHEMA = (
+    "user_id long, n long, level_cents long, trend_cents long,"
+    " forecast_cents long"
+)
+HOLT_STATE_SCHEMA = "k long, l long, b long"
+
+
+def _tdiv2(x: int) -> int:
+    """Integer division by 2 TRUNCATING toward zero — Spark ``DIV``
+    and DuckDB 1.0 ``//`` semantics (Python ``//`` floors, which
+    differs on negatives; the Holt trend state does go negative)."""
+    q = abs(x) // 2
+    return q if x >= 0 else -q
+
+
+def fold_holt(cents, k: int = 0, l: int = 0, b: int = 0) -> tuple[int, int, int]:
+    """The two-state Holt linear fold (alpha = beta = 1/2, exact
+    integer cents), the pure-Python reference model shared by the
+    streaming stateful operator below and the ``ts_holt_linear``
+    batch twin (operators/round9b_ext.py):
+
+        l' = (c + l + b) div 2     b' = ((l' - l) + b) div 2
+
+    seeded l = first observation, b = 0.  ``div`` truncates toward
+    zero on all three engines (Spark DIV, DuckDB //, _tdiv2 here) —
+    the trend state dips negative on falling series, where floor and
+    truncate genuinely differ."""
+    for c in cents:
+        c = int(c)
+        if k == 0:
+            l, b = c, 0
+        else:
+            l2 = _tdiv2(c + l + b)
+            b = _tdiv2(l2 - l + b)
+            l = l2
+        k += 1
+    return k, l, b
+
+
+def _holt_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keyed Holt level+trend state advanced per micro-batch.  Same
+    chunk discipline as ``_ewma_update``: one group's batch may span
+    several Arrow chunks with arbitrary post-shuffle row order, so the
+    chunks are concatenated and sorted ONCE on (ts, event_id) before
+    the sequential fold — per-chunk sorting would make the recursion
+    nondeterministic for groups larger than one chunk."""
+    k, l, b = state.get if state.exists else (0, 0, 0)
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = (pdf["value"] * 100).apply(lambda v: int(v // 1))
+        k, l, b = fold_holt(cents, k, l, b)
+    state.update((k, l, b))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n": [k],
+            "level_cents": [l],
+            "trend_cents": [b],
+            "forecast_cents": [l + b],
+        }
+    )
+
+
+def streaming_holt(events: DataFrame) -> DataFrame:
+    """Per-user Holt linear (level + trend) smoother across
+    micro-batches — the two-state generalization of
+    ``streaming_ewma``; state is three integers per key, and the
+    final drained state must equal the ``ts_holt_linear`` batch twin
+    (tests/test_streaming_equivalence.py)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _holt_update,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
