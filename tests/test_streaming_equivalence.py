@@ -643,3 +643,91 @@ def test_stream_ewma_batch_twin_matches_streaming_drain(spark, events_dir):
     finally:
         r9.load_table = orig
     assert batch == latest
+
+
+def test_streaming_holt_matches_batch_twin(spark, events_dir):
+    """Drain the ts-ordered micro-batched backlog (4 files -> 4
+    micro-batches) through the applyInPandasWithState Holt smoother;
+    the final state per user must equal the ``ts_holt_linear`` batch
+    twin (operators/round9b_ext.py) — the shared fold_holt arithmetic
+    promise, checked end-to-end across state-store boundaries."""
+    import downloader_spark.operators.round9b_ext as r9b
+    from downloader_spark.streaming import streaming_holt
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory(streaming_holt(stream), "holt_out", output_mode="update")
+    latest: dict[int, tuple] = {}
+    for r in spark.table("holt_out").collect():
+        if r.user_id not in latest or r.n > latest[r.user_id][0]:
+            latest[r.user_id] = (
+                r.n, r.level_cents, r.trend_cents, r.forecast_cents
+            )
+
+    df = spark.read.parquet(events_dir)
+    orig = r9b.load_table
+    r9b.load_table = lambda s, d, n: df
+    try:
+        batch = {
+            r.user_id: (r.n, r.level_cents, r.trend_cents, r.forecast_cents)
+            for r in r9b.ts_holt_linear(spark, "ignored").collect()
+        }
+    finally:
+        r9b.load_table = orig
+    assert batch == latest
+
+
+def test_holt_update_sorts_across_arrow_chunks_and_truncates():
+    """Chunk discipline + division semantics for the Holt update fn:
+    (a) two interleaved Arrow chunks must fold in GLOBAL (ts,
+    event_id) order; (b) the trend state goes negative on a falling
+    series, where truncate-toward-zero (Spark DIV / DuckDB //)
+    differs from Python floor — fold_holt must truncate."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from downloader_spark.streaming.stateful import (
+        _holt_update,
+        _tdiv2,
+        fold_holt,
+    )
+
+    # division semantics: -7 div 2 == -3 (truncate), not -4 (floor)
+    assert _tdiv2(-7) == -3 and _tdiv2(7) == 3 and (-7) // 2 == -4
+
+    # falling series drives the trend negative through the fold
+    k, l, b = fold_holt([1000, 400, 100, 50])
+    model_k, model_l, model_b = 0, 0, 0
+    for c in [1000, 400, 100, 50]:
+        if model_k == 0:
+            model_l, model_b = c, 0
+        else:
+            l2 = _tdiv2(c + model_l + model_b)
+            model_b = _tdiv2(l2 - model_l + model_b)
+            model_l = l2
+        model_k += 1
+    assert (k, l, b) == (model_k, model_l, model_b) and b < 0
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [9.0, 1.5, 7.0, 0.25, 3.0, 0.5]
+    rows = [
+        (base + dt.timedelta(minutes=i), i, v) for i, v in enumerate(vals)
+    ]
+    mk = lambda idx: pd.DataFrame(
+        [rows[i] for i in idx], columns=["ts", "event_id", "value"]
+    )
+    st = FakeState()
+    out = list(_holt_update((7,), iter([mk([0, 2, 4]), mk([1, 3, 5])]), st))
+    want = fold_holt([int(v * 100) for v in vals])
+    assert st.value == want
+    assert out[0]["forecast_cents"].iloc[0] == want[1] + want[2]
+
+    st2 = FakeState()
+    list(_holt_update((8,), iter([]), st2))
+    assert st2.value == (0, 0, 0)
