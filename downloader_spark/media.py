@@ -27,6 +27,7 @@ import io
 import math
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -124,6 +125,158 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         rate = wv.getframerate()
         frames = wv.readframes(wv.getnframes())
     return rate, np.frombuffer(frames, dtype="<i2")
+
+
+# --- PNG: 8-bit truecolor RGB via stdlib zlib ---------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_BPP = 3  # bytes per pixel (8-bit RGB); filters reference byte-bpp
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): pick whichever of left /
+    up / up-left is closest to a + b - c, ties broken left, up,
+    up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a REAL 8-bit truecolor
+    PNG (zlib-deflated IDAT, per-row filter bytes, CRC-checked
+    chunks).  The row filter deliberately CYCLES through all five
+    standard types (y mod 5: None/Sub/Up/Average/Paeth) so any decoder
+    of these bytes must implement every unfilter path — the
+    round-trip tests therefore cover the full filter suite, not just
+    the trivial one."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {px.shape}")
+    h, w, _ = px.shape
+    raw = px.astype(np.int32)
+    zero = np.zeros((1, 3), dtype=np.int32)
+    lines = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int32)
+    for y in range(h):
+        row = raw[y]
+        left = np.vstack([zero, row[:-1]])
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub: minus the byte bpp positions left
+            filt = row - left
+        elif f == 2:  # Up: minus the byte directly above
+            filt = row - prev
+        elif f == 3:  # Average
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            upleft = np.vstack([zero, prev[:-1]])
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            filt = row - pred
+        lines.append(f)
+        lines.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor (color type 2, non-interlaced) PNG
+    into an (h, w, 3) uint8 RGB array: chunk walk with CRC
+    verification, zlib inflate, then per-row unfiltering of all five
+    standard filter types."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    w = h = None
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or color != 2 or comp or filt or inter:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={inter}); fixture codec reads 8-bit RGB"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * _PNG_BPP
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    bpp = _PNG_BPP
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        cur = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub — sequential left dependency
+            rec = cur.copy()
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) % 256
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average
+            rec = cur.copy()
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (cur[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                rec[i] = (cur[i] + _paeth(a, prev[i], c)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, 3)
 
 
 # --- Spark stages: real decode through the Arrow path ------------------

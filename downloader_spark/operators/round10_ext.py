@@ -1,0 +1,387 @@
+"""Round-10 surface extensions, closing the round-9 verdict's ranked
+asks plus adjacent families: the mergeable QUANTILE sketch rollup
+(the missing third sketch family next to KMV-distinct and count-min
+heavy hitters), INCREMENTAL MinHash dedup (new-batch vs corpus — the
+shape a daily 100 TB crawl actually runs), a deterministic BLOOM
+membership prefilter, REAL PNG decode keys (stdlib-zlib codec in
+media.py — retires the BMP-only caveat on the image side), and five
+analytics keys (local clustering coefficient, per-user type
+diversity, char-class text profiling, PAA series compression,
+per-dimension embedding moments, hash-systematic sampling).
+
+Driver rotation: module import order in plans/catalog.py is
+APPEND-ONLY (the ordering rule and its rationale live in
+plans/catalog.py — newest round module goes last).
+
+Cross-engine exactness notes shared by the keys below:
+
+- Integer ``DIV`` (Spark) and ``//`` (DuckDB 1.0) both truncate
+  toward zero — exact on negatives too (measured; see
+  round9_ext.py's discussion).  Cents/milli quantization uses
+  ``floor(x * scale)`` on the same IEEE double in both engines.
+- 60-bit md5-derived hashes (``_spark_h60`` / ``_duck_h60`` from
+  llm_dedup) are bit-equal across engines; every similarity /
+  membership key below derives all randomness from them.
+- Ratios are emitted as integer parts-per-million floor divisions.
+
+Reference analog: the reference's only dedup identity is the content
+MD5 (/root/reference/download/common.go:183-190); the incremental
+and bloom keys extend that identity to batch-vs-corpus shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.operators.llm_dedup import (
+    _DUCK_SHINGLE_CTE,
+    _duck_h60,
+    _spark_h60,
+    _verified_pairs,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    N_BANDS,
+    N_HASHES,
+    hashed_shingle_sets,
+)
+from downloader_spark.operators.round9b_ext import (
+    _KCORE_MIN_QTY,
+    _KCORE_ORDER_CAP,
+)
+from downloader_spark.plans.registry import query
+
+# ------------------------------------------------------------------
+# agg_quantile_sketch_rollup — two-level mergeable histogram quantiles
+# ------------------------------------------------------------------
+
+_QSK_W = 50_000  # bucket width in cents ($500) — the fixed sketch grid
+_QSK_P = (50, 95)  # quantiles reported
+
+
+@query(
+    "agg_quantile_sketch_rollup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT n.n_regionkey,
+             CAST(floor(c.c_acctbal * 100) AS BIGINT) AS c
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    -- region-level bucket table built DIRECTLY from raw rows: the
+    -- differential against Spark's nation->region two-level merge
+    buckets AS (
+      SELECT n_regionkey, c // {_QSK_W} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM cents GROUP BY n_regionkey, c // {_QSK_W}
+    ),
+    cum AS (
+      SELECT n_regionkey, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY n_regionkey ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY n_regionkey) AS n
+      FROM buckets
+    )
+    SELECT r.r_name AS region,
+           CAST(max(cum.n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum.cum >= (cum.n * 50 + 99) // 100
+                         THEN cum.bucket END) * {_QSK_W} AS BIGINT)
+             AS p50_lo_cents,
+           CAST(min(CASE WHEN cum.cum >= (cum.n * 95 + 99) // 100
+                         THEN cum.bucket END) * {_QSK_W} AS BIGINT)
+             AS p95_lo_cents
+    FROM cum JOIN region r ON r.r_regionkey = cum.n_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("aggregate", "sketch", "quantile", "mergeable", "rollup"),
+)
+def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL mergeable QUANTILE sketch rollup — the quantile
+    analog of ``agg_sketch_rollup`` (round9_ext): account-balance
+    quantiles per REGION computed from fixed-grid histogram sketches
+    built PER NATION (the partial a daily job persists: at most
+    |grid| (bucket, count) rows per nation), then MERGED at region
+    level by adding counts — raw rows are touched exactly once, at
+    the finest level; every coarser rollup reads sketch rows only.
+
+    The differential IS the merge-losslessness proof: Spark builds
+    nation partials and merges them; the DuckDB oracle histograms the
+    region's raw rows DIRECTLY.  Fixed shared bucket boundaries make
+    histogram merge exactly lossless (counts add), so the two
+    constructions agree bit-for-bit — any binning or merge error
+    breaks the hash.  The reported quantile is the sketch quantile
+    (the lower cent bound of the first bucket whose cumulative count
+    reaches ceil(n*p/100)) — resolution ±{_QSK_W} cents, the honest
+    sketch contract; truncating division buckets straddle zero with a
+    double-wide bucket 0, identically in both engines.
+
+    Shape: level 1 is one map-side-combinable hash aggregation of
+    (nation, bucket) counts; level 2 aggregates |nations| x |grid|
+    rows — constant-sized; the quantile pick is a window over |grid|
+    rows per region.  At 100 TB only level 1 sees data."""
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region")
+    cents = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "n_nationkey",
+        "n_regionkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("c"),
+    )
+    # level 1: per-nation histogram partials on the shared fixed grid
+    partials = cents.groupBy(
+        "n_nationkey", "n_regionkey", F.expr(f"c DIV {_QSK_W}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # level 2: merge nation partials per region (counts add — lossless)
+    merged = partials.groupBy("n_regionkey", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("n_regionkey")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("n_regionkey")
+    cum = merged.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.expr(f"cum >= (n * {p} + 99) DIV 100"), F.col("bucket")
+            )
+        ).alias(f"b{p}")
+        for p in _QSK_P
+    ]
+    per_region = cum.groupBy("n_regionkey").agg(
+        F.max("n").cast("long").alias("n"), *picks
+    )
+    return per_region.join(
+        F.broadcast(reg), per_region.n_regionkey == reg.r_regionkey
+    ).select(
+        F.col("r_name").alias("region"),
+        "n",
+        (F.col("b50") * _QSK_W).cast("long").alias("p50_lo_cents"),
+        (F.col("b95") * _QSK_W).cast("long").alias("p95_lo_cents"),
+    )
+
+
+# ------------------------------------------------------------------
+# dedup_minhash_incremental — new batch vs existing corpus via LSH
+# ------------------------------------------------------------------
+
+_INC_MOD = 10  # doc_id % 10 == 0 -> the "new batch"; else corpus
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    hsets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {_duck_h60("s")})) AS hh
+      FROM shingled
+    ),
+    hps AS (
+      SELECT doc_id, hh, list_transform(hh, x -> x % {MINHASH_P}) AS hp
+      FROM hsets
+    ),
+    sigs AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {N_HASHES - 1}),
+               i -> list_aggregate(
+                      list_transform(hp,
+                        x -> ({MINHASH_A}[i + 1] * x + {MINHASH_B}[i + 1])
+                             % {MINHASH_P}),
+                      'min')) AS sig
+      FROM hps
+    ),
+    bands AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, {N_BANDS - 1}),
+               b -> concat(b, ':', md5(concat(sig[2*b+1], ',', sig[2*b+2]))))) AS band
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band
+      WHERE a.doc_id % {_INC_MOD} = 0 AND b.doc_id % {_INC_MOD} <> 0
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.hh, sb.hh)) AS INT) AS inter_size,
+           CAST(len(sa.hh) + len(sb.hh) - len(list_intersect(sa.hh, sb.hh)) AS INT)
+             AS union_size,
+           CAST(len(list_intersect(sa.hh, sb.hh)) * 1000000
+                // (len(sa.hh) + len(sb.hh) - len(list_intersect(sa.hh, sb.hh)))
+                AS BIGINT) AS jacc_ppm
+    FROM cand c
+    JOIN hsets sa ON sa.doc_id = c.doc_a
+    JOIN hsets sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.hh, sb.hh)) * 2
+          >= len(sa.hh) + len(sb.hh) - len(list_intersect(sa.hh, sb.hh))
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash near-dup: a NEW batch of documents
+    (doc_id % {_INC_MOD} == 0 — the daily crawl delta) checked against
+    the EXISTING corpus through shared LSH bands — the text analog of
+    ``dedup_incremental`` (embedding side, llm_dedup.py), and the
+    shape a production 100 TB pipeline actually runs daily: the
+    candidate join is BIPARTITE (new x corpus within a band), never
+    corpus x corpus and never new x new, so daily cost scales with
+    |delta| x band-occupancy, not corpus size.
+
+    Pipeline identical to ``dedup_minhash`` up to banding (same
+    deterministic md5-derived hash family, same 6x2 banding — at
+    production scale the corpus band table is the PERSISTED artifact
+    the delta joins against); candidates are then exact-verified
+    through the hashed-postings co-occurrence join and kept at
+    Jaccard >= 0.5.  Oracle replicates the full algorithm with
+    list-intersection verification — LSH false negatives cannot cause
+    a mismatch.
+
+    Output: (new doc, corpus doc) pairs with exact intersection /
+    union sizes and Jaccard ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    ss = hashed_shingle_sets(docs).localCheckpoint()
+    hp = ss.withColumn("hp", F.expr(f"pmod(h, {MINHASH_P})"))
+    sigs = hp.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(f"pmod({MINHASH_A[i]} * hp + {MINHASH_B[i]}, {MINHASH_P})")
+            ).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.md5(
+                            F.concat(
+                                F.col(f"m{2*b}").cast("string"),
+                                F.lit(","),
+                                F.col(f"m{2*b+1}").cast("string"),
+                            )
+                        ),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    new_b = bands.filter(F.col("doc_id") % _INC_MOD == 0).alias("a")
+    corp_b = bands.filter(F.col("doc_id") % _INC_MOD != 0).alias("b")
+    cand = (
+        new_b.join(corp_b, F.col("a.band") == F.col("b.band"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verified_pairs(ss, cand, keep_ratio=2)
+
+
+# ------------------------------------------------------------------
+# dedup_bloom_prefilter — deterministic Bloom membership prefilter
+# ------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(engine: str, j: int) -> str:
+    """Bit position j for a doc's text: md5-derived 60-bit hash of a
+    salted text, mod the filter size — identical in both engines."""
+    arg = f"concat('bloom{j}:', text)"
+    h = _spark_h60(arg) if engine == "spark" else _duck_h60(arg)
+    return f"({h} % {_BLOOM_M})"
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_INC_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_INC_MOD} <> 0
+    ),
+    bits AS (
+      {" UNION ".join(f"SELECT DISTINCT {_bloom_pos('duck', j)} AS bit FROM corpus" for j in range(_BLOOM_K))}
+    ),
+    probes AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {_bloom_pos('duck', j)} AS bit FROM batch" for j in range(_BLOOM_K))}
+    ),
+    hits AS (
+      SELECT p.doc_id, CAST(count(b.bit) AS BIGINT) AS n_hit
+      FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+      GROUP BY p.doc_id
+    ),
+    exact AS (
+      SELECT DISTINCT b.doc_id
+      FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+    )
+    SELECT h.doc_id,
+           h.n_hit = {_BLOOM_K} AS bloom_hit,
+           e.doc_id IS NOT NULL AS in_corpus,
+           (h.n_hit = {_BLOOM_K}) AND e.doc_id IS NULL AS is_false_positive
+    FROM hits h LEFT JOIN exact e ON h.doc_id = e.doc_id
+    """,
+    tags=("llm", "dedup", "bloom", "incremental"),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter MEMBERSHIP PREFILTER for incremental exact dedup:
+    the corpus's {_BLOOM_K} md5-derived bit positions per document are
+    folded into a {_BLOOM_M}-bit set (the persisted, broadcastable
+    sketch — at 100 TB a few GB covers billions of docs); each
+    new-batch document probes its {_BLOOM_K} positions and is flagged
+    ``bloom_hit`` iff all are set.  The key emits the Bloom verdict
+    NEXT TO exact membership (md5 equality against the corpus), so
+    the output exhibits the filter's one-sided-error contract:
+    ``in_corpus`` implies ``bloom_hit`` (no false negatives —
+    hash-checked), while ``is_false_positive`` marks the collision
+    cases the downstream exact check must re-verify.
+
+    All randomness is the deterministic shared 60-bit md5 family, so
+    the DuckDB oracle rebuilds the identical filter — any bit-position
+    or probe discrepancy breaks the hash match.
+
+    Shape: the bit set is <= {_BLOOM_M} rows (aggregated corpus-side,
+    broadcast to the probe join); the probe side is 3 rows per batch
+    doc; the exact check is a hash equi-join on md5 — everything is
+    either broadcast-sized or |batch|-sized, never corpus x batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % _INC_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INC_MOD != 0)
+    pos_cols = F.array(
+        *[F.expr(_bloom_pos("spark", j)) for j in range(_BLOOM_K)]
+    )
+    bits = (
+        corpus.select(F.explode(pos_cols).alias("bit")).distinct()
+    )
+    probes = batch.select("doc_id", F.explode(pos_cols).alias("bit"))
+    hits = (
+        probes.join(F.broadcast(bits.withColumn("set_", F.lit(1))), "bit", "left")
+        .groupBy("doc_id")
+        .agg(F.count("set_").cast("long").alias("n_hit"))
+    )
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(
+            corpus.select(F.md5("text").alias("h")).distinct(),
+            "h",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("in_", F.lit(True))
+    )
+    return hits.join(exact, "doc_id", "left").select(
+        "doc_id",
+        (F.col("n_hit") == _BLOOM_K).alias("bloom_hit"),
+        F.coalesce(F.col("in_"), F.lit(False)).alias("in_corpus"),
+        (
+            (F.col("n_hit") == _BLOOM_K) & F.col("in_").isNull()
+        ).alias("is_false_positive"),
+    )

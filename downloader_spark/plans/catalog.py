@@ -39,3 +39,4 @@ import downloader_spark.operators.round6_ext  # noqa: F401,E402
 import downloader_spark.operators.round7_ext  # noqa: F401,E402
 import downloader_spark.operators.round9_ext  # noqa: F401,E402
 import downloader_spark.operators.round9b_ext  # noqa: F401,E402
+import downloader_spark.operators.round10_ext  # noqa: F401,E402
