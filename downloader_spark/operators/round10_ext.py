@@ -385,3 +385,291 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit") == _BLOOM_K) & F.col("in_").isNull()
         ).alias("is_false_positive"),
     )
+
+
+# ------------------------------------------------------------------
+# multimodal_png_stats / multimodal_png_resize — real PNG byte path
+# ------------------------------------------------------------------
+
+_PNG_W = 16
+_PNG_H = 12
+_PNG_RW = 5  # resize target width (non-divisor: exercises floor sampling)
+_PNG_RH = 7  # resize target height
+
+# channel value at (doc_id, y, x, c) — closed-form synthesis shared by
+# the Spark mapInPandas stage and the oracle (which never sees a byte)
+_PNG_PIX = "(doc_id * 7 + {y} * 13 + {x} * 5 + {c} * 3) % 256"
+
+
+def _png_sum_sql(y_expr: str, x_expr: str) -> str:
+    """Oracle channel sums over a (doc_id, y2, x2) row set."""
+    return ", ".join(
+        f"CAST(sum({_PNG_PIX.format(y=y_expr, x=x_expr, c=c)}) AS BIGINT)"
+        f" AS sum_{ch}"
+        for c, ch in enumerate("rgb")
+    )
+
+
+@query(
+    "multimodal_png_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_PNG_W} AS INT) AS width,
+           CAST({_PNG_H} AS INT) AS height,
+           {_png_sum_sql("y", "x")}
+    FROM documents,
+         unnest(generate_series(0, {_PNG_H - 1})) AS u(y),
+         unnest(generate_series(0, {_PNG_W - 1})) AS v(x)
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "png", "mapInPandas"),
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image geometry + exact channel sums through the REAL PNG
+    byte path: each doc's deterministic RGB image is ENCODED to a
+    genuine zlib-deflated PNG (per-row filters cycling through all
+    five standard types) and DECODED back inside an Arrow
+    ``mapInPandas`` stage (the pure-Python codec in
+    downloader_spark/media.py), then channel-summed — the exact check
+    covers deflate/inflate, chunk CRCs, all five unfilter paths, and
+    the Arrow plumbing, not a manifest stub.  The WAV sibling is
+    ``multimodal_wav_energy`` (round9b_ext); together they retire the
+    codec-stub caveat for both image and audio families.
+
+    Differential: the oracle never sees a byte — it recomputes the
+    channel sums from the closed-form synthesis
+    p(doc,y,x,c) = (doc·7 + y·13 + x·5 + c·3) mod 256, so any
+    corruption anywhere in the container roundtrip breaks the hash.
+
+    Shape: map-only, pipelines with a binaryFile scan at production
+    scale (the multimodal_inventory posture)."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_png, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w, h = _PNG_W, _PNG_H
+
+    def run(batches):
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                px = np.stack(
+                    [
+                        (int(doc_id) * 7 + yy * 13 + xx * 5 + c * 3) % 256
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                back = decode_png(encode_png(px))
+                assert back.shape == (h, w, 3)
+                sums = back.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out.append(
+                    (int(doc_id), w, h, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
+@query(
+    "multimodal_png_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_PNG_RW} AS INT) AS width,
+           CAST({_PNG_RH} AS INT) AS height,
+           {_png_sum_sql(f"(y2 * {_PNG_H}) // {_PNG_RH}",
+                         f"(x2 * {_PNG_W}) // {_PNG_RW}")}
+    FROM documents,
+         unnest(generate_series(0, {_PNG_RH - 1})) AS u(y2),
+         unnest(generate_series(0, {_PNG_RW - 1})) AS v(x2)
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "png", "resize", "mapInPandas"),
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail generation through the real byte path: decode each
+    doc's PNG, nearest-neighbor resample to {_PNG_RW}x{_PNG_RH}
+    (deliberately NON-divisor targets so the floor sampling
+    yy = y2*h // H is exercised off the trivial stride), RE-ENCODE to
+    PNG, decode THAT, and emit the thumbnail's channel sums — two
+    full container roundtrips per image.
+
+    Differential: the oracle maps each target pixel back to its
+    source index with the same floor arithmetic and sums the
+    closed-form synthesis — resize indexing, both roundtrips, and
+    every filter path must all be correct for the hash to match.
+
+    Shape: map-only, same posture as multimodal_png_stats."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_png, encode_png, resize_nearest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w, h, rw, rh = _PNG_W, _PNG_H, _PNG_RW, _PNG_RH
+
+    def run(batches):
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                px = np.stack(
+                    [
+                        (int(doc_id) * 7 + yy * 13 + xx * 5 + c * 3) % 256
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                small = resize_nearest(decode_png(encode_png(px)), rw, rh)
+                back = decode_png(encode_png(small))
+                assert back.shape == (rh, rw, 3)
+                sums = back.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out.append(
+                    (int(doc_id), rw, rh, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
+# ------------------------------------------------------------------
+# graph_clustering_coeff — per-node local clustering coefficient
+# ------------------------------------------------------------------
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH su AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+      FROM lineitem WHERE l_quantity >= {_KCORE_MIN_QTY}
+    ),
+    capped AS (
+      SELECT ok, s FROM (
+        SELECT ok, s, count(*) OVER (PARTITION BY ok) AS n_s FROM su
+      ) WHERE n_s <= {_KCORE_ORDER_CAP}
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS a, b.s AS b
+      FROM capped a JOIN capped b ON a.ok = b.ok AND a.s < b.s
+    ),
+    adj AS (
+      SELECT a AS node, b AS nb FROM e
+      UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node
+    ),
+    -- per-node triangle count by LISTING each triangle (i<j<k) once
+    -- and crediting all three corners — a genuinely different
+    -- decomposition from the Spark side's per-node wedge closure
+    tri AS (
+      SELECT e1.a AS i, e1.b AS j, e2.b AS k
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT i AS node FROM tri
+      UNION ALL SELECT j FROM tri
+      UNION ALL SELECT k FROM tri
+    ),
+    tcount AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY node
+    )
+    SELECT d.node,
+           d.d AS degree,
+           CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN d.d >= 2
+                     THEN coalesce(t.t, 0) * 2000000 // (d.d * (d.d - 1))
+                     ELSE 0 END AS BIGINT) AS cc_ppm
+    FROM deg d LEFT JOIN tcount t ON d.node = t.node
+    """,
+    tags=("graph", "triangles", "clustering"),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node on the shared co-supplier
+    graph (same df-capped edge recipe as graph_triangles /
+    graph_kcore_peel): cc(u) = 2·T(u) / (d(u)·(d(u)−1)) in integer
+    ppm, where T(u) counts triangles through u — THE local density
+    signal behind community detection and spam-graph filtering.
+
+    Differential decompositions: Spark counts each node's triangles
+    by closing WEDGES (adjacency ⋈ adjacency on the center node,
+    ordered endpoints, closed against the edge list); the oracle
+    lists every triangle once (i<j<k three-way edge join) and credits
+    its three corners — two different triangle enumerations that must
+    agree node-by-node.
+
+    Shape: the df-cap bounds per-order pair fanout (the same device
+    that makes graph_triangles safe); the wedge join is a self-join
+    of the adjacency list hash-partitioned on the CENTER node, so
+    wedge generation never shuffles the closure probe side twice;
+    degree-2 nodes and triangle-free nodes emit cc_ppm = 0/NULL-free
+    rows.  At 100 TB the standard refinement is degree-ordered
+    orientation (probe from the lower-degree endpoint), which this
+    plan inherits from the a<b edge ordering."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = (
+        li.where(F.col("l_quantity") >= _KCORE_MIN_QTY)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    capped = (
+        su.withColumn("n_s", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("n_s") <= _KCORE_ORDER_CAP)
+        .drop("n_s")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("ea"), F.col("b.s").alias("eb"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(F.col("ea").alias("node"), F.col("eb").alias("nb")).unionAll(
+        edges.select(F.col("eb").alias("node"), F.col("ea").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    # wedges centered at node with ordered endpoints, closed on edges
+    x = adj.alias("x")
+    y = adj.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.node") == F.col("y.node")) & (F.col("x.nb") < F.col("y.nb")),
+    ).select(
+        F.col("x.node").alias("node"),
+        F.col("x.nb").alias("ea"),
+        F.col("y.nb").alias("eb"),
+    )
+    tri = wedges.join(edges, ["ea", "eb"]).groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        F.expr(
+            "CAST(CASE WHEN degree >= 2 THEN"
+            " coalesce(triangles, 0) * 2000000 DIV (degree * (degree - 1))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("cc_ppm"),
+    )
