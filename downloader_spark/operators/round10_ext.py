@@ -673,3 +673,307 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("cc_ppm"),
     )
+
+
+# ------------------------------------------------------------------
+# events_type_diversity — per-user Gini impurity over event types
+# ------------------------------------------------------------------
+
+
+@query(
+    "events_type_diversity",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST((sum(c) * sum(c) - sum(c * c)) * 1000000
+                // (sum(c) * sum(c)) AS BIGINT) AS gini_ppm
+    FROM per_type GROUP BY user_id
+    """,
+    tags=("events", "aggregate", "diversity"),
+)
+def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity as the GINI IMPURITY of the
+    event-type distribution, 1 − Σp², in exact integer ppm:
+    (n² − Σc²)·10⁶ // n² — the log-free diversity index (entropy's
+    integer-exact cousin), the standard one-number signal for
+    single-behavior bots (gini → 0) vs broad browsers (gini → max).
+
+    Exactness: all-integer — no logs, no float probabilities; counts
+    are exact and the impurity is one floor division, so the hash
+    match is unconditional (c ≤ 10⁴ per group here; at larger group
+    cardinalities both engines' sums widen to the same BIGINT).
+
+    Shape: two map-side-combinable hash aggregations — (user, type)
+    counts, then per-user moments of those counts; the second input
+    is at most |users| × |types| rows.  No windows, no explode; at
+    100 TB the first agg is the only stage that sees raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_type.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((sum(c) * sum(c) - sum(c * c)) * 1000000"
+            " DIV (sum(c) * sum(c)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+# ------------------------------------------------------------------
+# text_char_classes — per-doc character-class profile
+# ------------------------------------------------------------------
+
+
+@query(
+    "text_char_classes",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(text) AS BIGINT) AS n_chars,
+           CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                AS BIGINT) AS n_alpha,
+           CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digit,
+           CAST(len(text) - len(regexp_replace(text, ' ', '', 'g'))
+                AS BIGINT) AS n_space,
+           CAST((len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                * 1000000 // greatest(len(text), 1) AS BIGINT) AS alpha_ppm
+    FROM documents
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class profile — alpha / digit /
+    whitespace counts and alphabetic density in ppm: the cheapest
+    quality-scoring inputs there are (binary-junk detection, OCR
+    noise, code-vs-prose priors) and the usual first gate before any
+    tokenization pass.
+
+    Differential constructions: Spark counts each class by REMOVING
+    every other character and measuring what remains
+    (length(regexp_replace(text, '[^…]', ''))); the oracle removes
+    the class itself and SUBTRACTS from the total — complementary
+    count-vs-complement recipes that must agree per document.
+
+    Shape: map-only over (doc_id, text) — one regex pass per class,
+    no shuffle at all; whole-stage codegen'd JVM regexes (the A2
+    logparse posture, reference download/common.go regex discipline).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_alpha = "length(regexp_replace(text, '[^A-Za-z]', ''))"
+    return docs.select(
+        "doc_id",
+        F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
+        F.expr(f"CAST({n_alpha} AS BIGINT)").alias("n_alpha"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT)"
+        ).alias("n_digit"),
+        F.expr(
+            "CAST(length(regexp_replace(text, '[^ ]', '')) AS BIGINT)"
+        ).alias("n_space"),
+        F.expr(
+            f"CAST({n_alpha} * 1000000 DIV greatest(length(text), 1) AS BIGINT)"
+        ).alias("alpha_ppm"),
+    )
+
+
+# ------------------------------------------------------------------
+# ts_paa — piecewise aggregate approximation of daily series
+# ------------------------------------------------------------------
+
+_PAA_SEGMENTS = 6
+
+
+@query(
+    "ts_paa",
+    oracle=f"""
+    WITH series AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY event_type, day
+    ),
+    indexed AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+               AS idx,
+             count(*) OVER (PARTITION BY event_type) AS len
+      FROM series
+    )
+    SELECT event_type,
+           CAST(idx * {_PAA_SEGMENTS} // len AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(v) AS BIGINT) AS sum_cents,
+           CAST(sum(v) // count(*) AS BIGINT) AS mean_cents
+    FROM indexed
+    GROUP BY event_type, idx * {_PAA_SEGMENTS} // len
+    """,
+    tags=("timeseries", "paa", "compression"),
+)
+def ts_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise Aggregate Approximation: each event type's daily
+    value series is compressed to {_PAA_SEGMENTS} equal-width (±1)
+    segments of its time axis, emitting per-segment day counts, exact
+    cent sums, and mean — THE standard dimensionality reduction
+    before any whole-series similarity search (and the PAA stage of
+    SAX symbolization); comparing series at 100 TB happens on these
+    {_PAA_SEGMENTS}-number signatures, not raw days.
+
+    Segment assignment is the canonical integer form
+    idx·S // len (truncating division, identical in both engines),
+    so segment boundaries are derived, not stored, and per-type
+    series of different lengths land on the same fixed-width
+    signature.  All-integer (cent sums, floor mean) — hash-exact.
+
+    Shape: one hash agg to days, one window pair (row_number + count
+    over the same per-type partition — single exchange, single
+    sort), one final hash agg of |types| × |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    indexed = series.select(
+        "event_type",
+        "v",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count(F.lit(1)).over(wall).alias("len"),
+    )
+    return (
+        indexed.groupBy(
+            "event_type",
+            F.expr(f"idx * {_PAA_SEGMENTS} DIV len").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("v").cast("long").alias("sum_cents"),
+            F.expr("CAST(sum(v) DIV count(*) AS BIGINT)").alias("mean_cents"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# embed_dim_profile — per-dimension moments of the embedding space
+# ------------------------------------------------------------------
+
+
+@query(
+    "embed_dim_profile",
+    oracle="""
+    SELECT CAST(i - 1 AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+                         AS BIGINT)) AS BIGINT) AS s1_milli,
+           CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+                         AS BIGINT)
+                    * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+                           AS BIGINT)) AS BIGINT) AS s2_milli,
+           CAST(min(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+                         AS BIGINT)) AS BIGINT) AS min_milli,
+           CAST(max(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+                         AS BIGINT)) AS BIGINT) AS max_milli
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    GROUP BY i
+    """,
+    tags=("llm", "embedding", "statistics"),
+)
+def embed_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION moment profile of the embedding space: count,
+    exact milli-unit sum and sum-of-squares, min and max for every
+    coordinate — the inputs to whitening / standardization, dead-
+    dimension detection (s2 ≈ 0), and the sanity dashboard every
+    embedding pipeline runs after a model swap.
+
+    Exactness: each float32 component widens to DOUBLE exactly, and
+    floor(x·1000) of the same double is the same integer in both
+    engines; sums of |q| ≤ ~10³ over 500 rows are far inside BIGINT
+    (and the recipe widens identically at scale).  Spark explodes
+    with 0-based ``posexplode``; the oracle indexes a 1-based
+    ``generate_series`` — DuckDB 1.0 has no WITH ORDINALITY — and
+    aligns with i − 1.
+
+    Shape: one posexplode then one map-side-combinable hash agg keyed
+    on the dimension index — |dims| groups, so the shuffle carries
+    |dims| × 6 numbers per map partition regardless of corpus size.
+    At 100 TB this is the cheapest full-corpus embedding statistic
+    there is (and the explode never shuffles: the agg's partial
+    runs in the same stage)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = "CAST(floor(CAST(comp AS DOUBLE) * 1000) AS BIGINT)"
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "comp"))
+        .select(F.col("dim").cast("int").alias("dim"), F.expr(q).alias("q"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("q").cast("long").alias("s1_milli"),
+            F.sum(F.expr("q * q")).cast("long").alias("s2_milli"),
+            F.min("q").cast("long").alias("min_milli"),
+            F.max("q").cast("long").alias("max_milli"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# sample_systematic — hash-ordered systematic sampling per stratum
+# ------------------------------------------------------------------
+
+_SYS_K = 10  # keep every K-th row of the hash order
+
+
+@query(
+    "sample_systematic",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn % {_SYS_K} = 1
+    """,
+    tags=("sampling", "systematic"),
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC 1-in-{_SYS_K} sampling on a deterministic hash
+    order, stratified by order priority: rank each stratum by
+    md5(key) — a uniform, reproducible shuffle of the keyspace — and
+    keep every {_SYS_K}-th row.  Systematic-on-hash gives exact
+    per-stratum rates (⌈n/{_SYS_K}⌉, no binomial variance — unlike
+    Bernoulli sampling) while staying reproducible run-to-run and
+    engine-to-engine: the md5 hex order and the rank are identical in
+    both, so the SAMPLE ITSELF is hash-checked, not just its size.
+
+    Shape: one window per stratum (rank over the hash order).  At
+    100 TB the same guarantees come cheaper when exact ⌈n/k⌉ isn't
+    required: filter on a hash residue (md5(key) mod k = 0,
+    map-only) — documented trade-off; this key pins the
+    exact-rate variant the residue form can't give."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string"))
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.pmod(F.col("rn"), F.lit(_SYS_K)) == 1)
+    )
