@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from downloader_spark.media import (
     audio_stats,
@@ -145,3 +147,77 @@ def test_audio_stats_matches_numpy_reference(spark, media_dir):
         assert r.peak == int(np.abs(s.astype(np.int32)).max())
         sq = int(np.square(s, dtype=np.int64).sum())
         assert r.rms_micro == math.isqrt(sq * 10**12 // len(s)) // 32768
+
+
+# --- PNG codec (round 10) ------------------------------------------------
+
+
+@given(st.integers(1, 9), st.integers(1, 9), st.integers(0, 2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_png_round_trip_all_filter_rows(h, w, seed):
+    """Encode cycles the row filter through all five standard types,
+    so any h >= 5 exercises every unfilter path; random pixel content
+    makes Sub/Average/Paeth predictions genuinely heterogeneous."""
+    from downloader_spark.media import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_rejects_corruption_and_foreign_bytes():
+    from downloader_spark.media import decode_png, encode_png, encode_bmp
+
+    px = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    data = bytearray(encode_png(px))
+    data[25] ^= 0x01  # flip a bit inside IHDR -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(encode_bmp(px))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x00" * 32)
+
+
+def test_png_rejects_unsupported_color_type():
+    import struct
+    import zlib
+
+    from downloader_spark.media import decode_png, _png_chunk, _PNG_SIG
+
+    # grayscale (color type 0) header: honest rejection, not garbage
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * (4 + 1))))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(payload)
+
+
+def test_png_bytes_are_structurally_valid():
+    """Chunk-walk the encoder output independently of the decoder:
+    signature, ordered chunk types, CRCs, and IHDR geometry."""
+    import struct
+    import zlib
+
+    from downloader_spark.media import encode_png
+
+    px = np.arange(7 * 3 * 3, dtype=np.uint8).reshape(7, 3, 3)
+    data = encode_png(px)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, types = 8, []
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        assert zlib.crc32(ctype + chunk) & 0xFFFFFFFF == crc
+        types.append(ctype)
+        if ctype == b"IHDR":
+            w, h, depth, color = struct.unpack_from(">IIBB", chunk)
+            assert (w, h, depth, color) == (3, 7, 8, 2)
+        pos += 12 + length
+    assert types == [b"IHDR", b"IDAT", b"IEND"]

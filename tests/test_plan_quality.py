@@ -1301,3 +1301,97 @@ def test_text_vocab_coverage_ranks_compact_table_only(spark):
     plan = plan_of(spark, "text_vocab_coverage")
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# --------------------------------------------------- round-10 gates
+
+
+def test_agg_quantile_sketch_rollup_touches_raw_rows_once(spark):
+    # raw customer rows feed exactly ONE scan; both join sides that
+    # carry dimensions broadcast; level-1 partials aggregate map-side
+    plan = plan_of(spark, "agg_quantile_sketch_rollup")
+    assert plan.count("customer.parquet") == 1
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_events_type_diversity_two_level_hash_aggs_no_window(spark):
+    plan = plan_of(spark, "events_type_diversity")
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+    assert "Window" not in plan and "Sort [" not in plan
+
+
+def test_text_char_classes_is_shuffle_free(spark):
+    plan = plan_of(spark, "text_char_classes")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ts_paa_single_sort_for_both_windows(spark):
+    # row_number and the per-type length share one (event_type)
+    # exchange and one sort; day reduction partial-aggregates mapside
+    plan = plan_of(spark, "ts_paa")
+    assert plan.count("Sort [") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_embed_dim_profile_partial_aggregates_exploded_stream(spark):
+    # the posexplode stream must partial-aggregate in its own stage:
+    # exactly one exchange, carrying |dims| combiner rows, no Python
+    plan = plan_of(spark, "embed_dim_profile")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sample_systematic_single_exchange_single_sort(spark):
+    plan = plan_of(spark, "sample_systematic")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") == 1
+
+
+def test_multimodal_png_stats_is_single_arrow_stage(spark):
+    plan = plan_of(spark, "multimodal_png_stats")
+    assert "MapInPandas" in plan
+    idx = plan.index("MapInPandas")
+    assert "Exchange" not in plan[idx:], "shuffle below the Arrow stage"
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema, "doc text must be pruned from the scan"
+
+
+def test_multimodal_png_resize_is_single_arrow_stage(spark):
+    plan = plan_of(spark, "multimodal_png_resize")
+    assert "MapInPandas" in plan
+    idx = plan.index("MapInPandas")
+    assert "Exchange" not in plan[idx:]
+
+
+def test_dedup_bloom_prefilter_broadcasts_bit_set(spark):
+    # the <= 4096-row bit set and the md5 membership set broadcast;
+    # nothing plans corpus x batch
+    plan = plan_of(spark, "dedup_bloom_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_graph_clustering_coeff_closes_wedges_with_equi_joins(spark):
+    plan = plan_of(spark, "graph_clustering_coeff")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_minhash_incremental_is_banded_never_all_pairs(spark):
+    # candidate generation must join on the band hash (equi), and the
+    # new-batch filter must reach both band-side scans of the
+    # checkpointed signature table
+    plan = plan_of(spark, "dedup_minhash_incremental")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "band" in plan

@@ -1,0 +1,540 @@
+"""Differential property tests for the round-10 operators: each
+Spark plan vs an independent pure-Python model on random inputs
+(hypothesis), per the repo's three-layer correctness strategy
+(oracle parity at sf0.01, pure-Python models on random inputs, plan
+gates).  Division note: Spark ``DIV`` truncates toward zero; the
+round-10 keys divide only non-negative quantities, where Python
+``//`` agrees.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _patched(module, df):
+    orig = module.load_table
+    module.load_table = lambda s, d, n: df
+    return orig
+
+
+def _patched_tables(module, dfs):
+    orig = module.load_table
+    module.load_table = lambda s, d, n: dfs[n]
+    return orig
+
+
+# --- events_type_diversity -------------------------------------------
+
+div_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 4)),  # (user, type)
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(div_strategy)
+def test_events_type_diversity_matches_python_model(spark, pairs):
+    import downloader_spark.operators.round10_ext as r10
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base, uid, f"t{t}", 1.0, None) for i, (uid, t) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.user_id: (r.n_types, r.n_events, r.gini_ppm)
+            for r in r10.events_type_diversity(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    counts: dict[int, dict[int, int]] = {}
+    for uid, t in pairs:
+        counts.setdefault(uid, {}).setdefault(t, 0)
+        counts[uid][t] += 1
+    model = {}
+    for uid, per in counts.items():
+        n = sum(per.values())
+        s2 = sum(c * c for c in per.values())
+        model[uid] = (len(per), n, (n * n - s2) * 1_000_000 // (n * n))
+    assert got == model
+
+
+# --- ts_paa ------------------------------------------------------------
+
+paa_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # type
+        st.integers(0, 30),  # day offset
+        st.integers(-9999, 9999),  # cents
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(paa_strategy)
+def test_ts_paa_matches_python_model(spark, events):
+    import downloader_spark.operators.round10_ext as r10
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=d), 0, f"t{t}", cents / 100.0, None)
+        for i, (t, d, cents) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            (r.event_type, r.segment): (r.n_days, r.sum_cents, r.mean_cents)
+            for r in r10.ts_paa(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    S = r10._PAA_SEGMENTS
+    daily: dict[tuple, int] = {}
+    for t, d, cents in events:
+        key = (f"t{t}", d)
+        daily[key] = daily.get(key, 0) + math.floor(cents / 100.0 * 100)
+    series: dict[str, list[int]] = {}
+    for (t, d), v in sorted(daily.items()):
+        series.setdefault(t, []).append(v)
+    model: dict[tuple, tuple] = {}
+    for t, vs in series.items():
+        L = len(vs)
+        segs: dict[int, list[int]] = {}
+        for idx, v in enumerate(vs):
+            segs.setdefault(idx * S // L, []).append(v)
+        for s, seg in segs.items():
+            total = sum(seg)
+            # Spark DIV truncates; seg day-count > 0, sum may be < 0
+            mean = abs(total) // len(seg)
+            if total < 0:
+                mean = -mean
+            model[(t, s)] = (len(seg), total, mean)
+    assert got == model
+
+
+# --- agg_quantile_sketch_rollup ----------------------------------------
+
+qsk_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 9),  # nationkey
+        st.integers(-99999, 999999),  # cents
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(**_SETTINGS)
+@given(qsk_strategy)
+def test_agg_quantile_sketch_rollup_matches_python_model(spark, custs):
+    import downloader_spark.operators.round10_ext as r10
+
+    nations = [(n, f"N{n}", n % 3, "") for n in range(10)]
+    regions = [(r, f"R{r}", "") for r in range(3)]
+    cust_rows = [
+        (i, f"C{i}", n, cents / 100.0) for i, (n, cents) in enumerate(custs)
+    ]
+    dfs = {
+        "customer": spark.createDataFrame(
+            cust_rows,
+            "c_custkey long, c_name string, c_nationkey long,"
+            " c_acctbal double",
+        ),
+        "nation": spark.createDataFrame(
+            nations,
+            "n_nationkey long, n_name string, n_regionkey long,"
+            " n_comment string",
+        ),
+        "region": spark.createDataFrame(
+            regions, "r_regionkey long, r_name string, r_comment string"
+        ),
+    }
+    orig = _patched_tables(r10, dfs)
+    try:
+        got = {
+            r.region: (r.n, r.p50_lo_cents, r.p95_lo_cents)
+            for r in r10.agg_quantile_sketch_rollup(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    W = r10._QSK_W
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    per_region: dict[int, list[int]] = {}
+    for n, cents in custs:
+        per_region.setdefault(n % 3, []).append(
+            math.floor(cents / 100.0 * 100)
+        )
+    model = {}
+    for rk, vals in per_region.items():
+        buckets: dict[int, int] = {}
+        for c in vals:
+            b = tdiv(c, W)
+            buckets[b] = buckets.get(b, 0) + 1
+        n = len(vals)
+        out = []
+        for p in (50, 95):
+            rank = (n * p + 99) // 100
+            cum = 0
+            pick = None
+            for b in sorted(buckets):
+                cum += buckets[b]
+                if cum >= rank:
+                    pick = b
+                    break
+            out.append(pick * W)
+        model[f"R{rk}"] = (n, out[0], out[1])
+    assert got == model
+
+
+# --- embed_dim_profile ---------------------------------------------------
+
+dim_strategy = st.lists(
+    st.lists(
+        st.floats(-4.0, 4.0, allow_nan=False, width=32),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(dim_strategy)
+def test_embed_dim_profile_matches_python_model(spark, vecs):
+    import downloader_spark.operators.round10_ext as r10
+
+    rows = [(i, v, 0) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.dim: (r.n, r.s1_milli, r.s2_milli, r.min_milli, r.max_milli)
+            for r in r10.embed_dim_profile(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    import numpy as np
+
+    model = {}
+    for d in range(3):
+        qs = [
+            math.floor(float(np.float32(v[d])) * 1000) for v in vecs
+        ]
+        model[d] = (
+            len(qs),
+            sum(qs),
+            sum(q * q for q in qs),
+            min(qs),
+            max(qs),
+        )
+    assert got == model
+
+
+# --- sample_systematic ----------------------------------------------------
+
+sys_strategy = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 2)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**_SETTINGS)
+@given(sys_strategy)
+def test_sample_systematic_matches_python_model(spark, orders):
+    import downloader_spark.operators.round10_ext as r10
+
+    rows = [(k, f"P{p}") for k, p in orders]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_orderpriority string")
+    orig = _patched(r10, df)
+    try:
+        got = {
+            (r.o_orderkey, r.o_orderpriority, r.rn)
+            for r in r10.sample_systematic(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    K = r10._SYS_K
+    strata: dict[str, list[int]] = {}
+    for k, p in orders:
+        strata.setdefault(f"P{p}", []).append(k)
+    model = set()
+    for p, keys in strata.items():
+        ranked = sorted(keys, key=lambda k: hashlib.md5(str(k).encode()).hexdigest())
+        for i, k in enumerate(ranked, start=1):
+            if i % K == 1:
+                model.add((k, p, i))
+    assert got == model
+
+
+# --- text_char_classes ------------------------------------------------------
+
+txt_strategy = st.lists(
+    st.text(
+        alphabet="aZ9 .,!\t-_", min_size=0, max_size=40
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(txt_strategy)
+def test_text_char_classes_matches_python_model(spark, texts):
+    import downloader_spark.operators.round10_ext as r10
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.doc_id: (r.n_chars, r.n_alpha, r.n_digit, r.n_space, r.alpha_ppm)
+            for r in r10.text_char_classes(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    model = {}
+    for i, t in enumerate(texts):
+        na = sum(c.isascii() and c.isalpha() for c in t)
+        nd = sum(c.isdigit() for c in t)
+        ns = t.count(" ")
+        model[i] = (len(t), na, nd, ns, na * 1_000_000 // max(len(t), 1))
+    assert got == model
+
+
+# --- graph_clustering_coeff ---------------------------------------------
+
+graph_strategy = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 6)),  # (order, supplier)
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(**_SETTINGS)
+@given(graph_strategy)
+def test_graph_clustering_coeff_matches_python_model(spark, pairs):
+    import downloader_spark.operators.round10_ext as r10
+
+    qty = float(r10._KCORE_MIN_QTY)
+    rows = [(ok, s, qty) for ok, s in pairs]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_quantity double"
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.node: (r.degree, r.triangles, r.cc_ppm)
+            for r in r10.graph_clustering_coeff(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    # model: same df-capped co-occurrence edges, brute-force triangles
+    by_order: dict[int, set[int]] = {}
+    for ok, s in pairs:
+        by_order.setdefault(ok, set()).add(s)
+    edges = set()
+    for members in by_order.values():
+        if len(members) > r10._KCORE_ORDER_CAP:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                edges.add((ms[i], ms[j]))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    model = {}
+    for node, nbs in adj.items():
+        d = len(nbs)
+        tri = 0
+        ns = sorted(nbs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                if (min(ns[i], ns[j]), max(ns[i], ns[j])) in edges:
+                    tri += 1
+        cc = tri * 2_000_000 // (d * (d - 1)) if d >= 2 else 0
+        model[node] = (d, tri, cc)
+    assert got == model
+
+
+# --- dedup_bloom_prefilter -----------------------------------------------
+
+bloom_strategy = st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=12),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(bloom_strategy)
+def test_dedup_bloom_prefilter_matches_python_model(spark, texts):
+    import downloader_spark.operators.round10_ext as r10
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.doc_id: (r.bloom_hit, r.in_corpus, r.is_false_positive)
+            for r in r10.dedup_bloom_prefilter(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def positions(t: str) -> list[int]:
+        return [
+            h60(f"bloom{j}:{t}") % r10._BLOOM_M for j in range(r10._BLOOM_K)
+        ]
+
+    batch = [(i, t) for i, t in enumerate(texts) if i % r10._INC_MOD == 0]
+    corpus = [(i, t) for i, t in enumerate(texts) if i % r10._INC_MOD != 0]
+    bits = {p for _, t in corpus for p in positions(t)}
+    corpus_texts = {t for _, t in corpus}
+    model = {}
+    for i, t in batch:
+        hit = all(p in bits for p in positions(t))
+        member = t in corpus_texts
+        model[i] = (hit, member, hit and not member)
+        if member:
+            assert hit, "bloom filters must have no false negatives"
+    assert got == model
+
+
+# --- dedup_minhash_incremental (bipartite contract) -----------------------
+
+
+def test_dedup_minhash_incremental_is_bipartite_and_verified(spark):
+    """Planted near-dup check on synthetic docs: an exact duplicate
+    crossing the batch/corpus split MUST surface (its bands collide
+    everywhere); pairs inside one side must NOT, even when identical;
+    every emitted pair's Jaccard is >= the 0.5 keep threshold."""
+    import downloader_spark.operators.round10_ext as r10
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    alt = "completely different content with no shared shingles at all here"
+    rows = [
+        (10, base, "en", "s", len(base)),  # batch (10 % 10 == 0)
+        (20, alt, "en", "s", len(alt)),  # batch — dup of 30 inside? no: 20%10==0
+        (3, base, "en", "s", len(base)),  # corpus dup of 10 -> must pair
+        (7, base, "en", "s", len(base)),  # corpus dup -> must pair with 10
+        (30, alt, "en", "s", len(alt)),  # batch dup of 20: SAME side -> no pair
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(r10, df)
+    try:
+        pairs = {
+            (r.doc_a, r.doc_b): r.jacc_ppm
+            for r in r10.dedup_minhash_incremental(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    assert (10, 3) in pairs and (10, 7) in pairs
+    assert pairs[(10, 3)] == 1_000_000  # exact duplicate
+    for a, b in pairs:
+        assert a % 10 == 0 and b % 10 != 0, "pairs must be batch x corpus"
+    assert (20, 30) not in pairs and (30, 20) not in pairs
+
+
+# --- multimodal png keys (model = closed-form synthesis) -------------------
+
+
+def test_multimodal_png_stats_matches_closed_form(spark):
+    import numpy as np
+
+    import downloader_spark.operators.round10_ext as r10
+
+    df = spark.createDataFrame([(i,) for i in [0, 1, 7, 255]], "doc_id long")
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.doc_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+            for r in r10.multimodal_png_stats(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+    yy, xx = np.mgrid[0 : r10._PNG_H, 0 : r10._PNG_W]
+    for doc in [0, 1, 7, 255]:
+        sums = tuple(
+            int(((doc * 7 + yy * 13 + xx * 5 + c * 3) % 256).sum())
+            for c in range(3)
+        )
+        assert got[doc] == (r10._PNG_W, r10._PNG_H, *sums)
+
+
+def test_multimodal_png_resize_matches_closed_form(spark):
+    import numpy as np
+
+    import downloader_spark.operators.round10_ext as r10
+
+    df = spark.createDataFrame([(i,) for i in [0, 3, 42]], "doc_id long")
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.doc_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+            for r in r10.multimodal_png_resize(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+    h, w, rh, rw = r10._PNG_H, r10._PNG_W, r10._PNG_RH, r10._PNG_RW
+    for doc in [0, 3, 42]:
+        sums = [0, 0, 0]
+        for y2 in range(rh):
+            for x2 in range(rw):
+                y, x = y2 * h // rh, x2 * w // rw
+                for c in range(3):
+                    sums[c] += (doc * 7 + y * 13 + x * 5 + c * 3) % 256
+        assert got[doc] == (rw, rh, *sums)
