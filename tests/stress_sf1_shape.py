@@ -70,6 +70,19 @@ KEYS = (
     "dedup_lines",
     "graph_kcore_peel",
     "graph_common_neighbors",
+    # round-10 sweep (verdict item 3 + the new round-10 keys): events
+    # and embeddings now GROW (generated at both scales — time axis
+    # and user keyspace x10 at constant daily density; vector count
+    # x10), so the interval join, the triplet miner, and the PAA
+    # rollup measure real scale-up instead of a copied-verbatim table
+    "join_interval_overlap",
+    "embed_triplet_mining",
+    "pipeline_split_hygiene",
+    "dedup_minhash_incremental",
+    "dedup_bloom_prefilter",
+    "graph_clustering_coeff",
+    "ts_paa",
+    "sample_systematic",
 )
 
 SRC = "/root/testdata/sf0.1"
@@ -114,6 +127,56 @@ def gen_documents(n_docs: int, seed: int = 20260814) -> pd.DataFrame:
             "lang": [langs[i % len(langs)] for i in range(n_docs)],
             "source": ["src%d" % (i % 20) for i in range(n_docs)],
             "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+
+
+N_EVENTS_BASE = 100_000   # matches sf0.1 density: /30 days /1500 users
+N_DAYS_BASE = 30
+N_USERS_BASE = 1_500
+N_VECS_BASE = 5_000
+EMB_DIMS = 64
+
+
+def gen_events(scale: int, seed: int = 20260815) -> pd.DataFrame:
+    """Events at constant DAILY DENSITY: the 10x direction grows the
+    time axis and the user keyspace, not per-cell crowding — the
+    realistic growth for interval joins (pairs grow with cells, not
+    quadratically with density) and cohort/seasonality rollups."""
+    rng = np.random.default_rng(seed)
+    n = N_EVENTS_BASE * scale
+    days = N_DAYS_BASE * scale
+    start = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = days * 86_400_000_000
+    ts = start + rng.integers(0, span_us, size=n).astype("timedelta64[us]")
+    types = np.array(["view", "click", "purchase", "error", "signup"])
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, N_USERS_BASE * scale, size=n),
+            "event_type": types[rng.integers(0, len(types), size=n)],
+            "value": np.round(rng.uniform(0, 560, size=n), 2),
+            "props": ["{}"] * n,
+        }
+    )
+
+
+def gen_embeddings(scale: int, seed: int = 20260816) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    n = N_VECS_BASE * scale
+    # 10 loose label clusters so triplet mining sees both positives
+    # and negatives inside every md5-dealt batch
+    labels = rng.integers(0, 10, size=n)
+    centers = rng.normal(0, 1, size=(10, EMB_DIMS))
+    vecs = (centers[labels] + rng.normal(0, 0.6, size=(n, EMB_DIMS))).astype(
+        np.float32
+    )
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(vecs),
+            "label": labels.astype(np.int32),
         }
     )
 
@@ -176,9 +239,16 @@ def build(spark) -> None:
         oout.repartition(32).write.mode("overwrite").parquet(
             f"{d}/orders.parquet"
         )
+        # events and embeddings: generated at BOTH scales (round 10)
+        scale = 10 if d == BIG_DIR else 1
+        spark.createDataFrame(gen_events(scale)).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/events.parquet")
+        spark.createDataFrame(gen_embeddings(scale)).repartition(
+            32
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
         # remaining tables: shared shape, copied verbatim
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "events", "embeddings"):
+        for t in ("region", "nation", "customer", "supplier", "part"):
             if not os.path.exists(f"{d}/{t}.parquet"):
                 shutil.copy(f"{SRC}/{t}.parquet", f"{d}/{t}.parquet")
         open(f"{d}/_DONE", "w").close()
