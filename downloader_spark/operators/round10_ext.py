@@ -977,3 +977,376 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.pmod(F.col("rn"), F.lit(_SYS_K)) == 1)
     )
+
+
+# ------------------------------------------------------------------
+# events_survival_curve — signup -> purchase conversion survival
+# ------------------------------------------------------------------
+
+_SURV_MAX_DAY = 13  # day grid 0..13 (two weeks)
+
+
+@query(
+    "events_survival_curve",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id,
+             min((epoch_us(e.ts) - s.s_us) // 86400000000) AS conv_day
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND epoch_us(e.ts) >= s.s_us
+      GROUP BY s.user_id
+    ),
+    u AS (
+      SELECT s.user_id, c.conv_day
+      FROM s LEFT JOIN conv c ON s.user_id = c.user_id
+    )
+    SELECT d.day,
+           CAST(count(*) AS BIGINT) AS n_at_risk,
+           CAST(count(CASE WHEN u.conv_day <= d.day THEN 1 END) AS BIGINT)
+             AS n_converted,
+           CAST((count(*) - count(CASE WHEN u.conv_day <= d.day THEN 1 END))
+                * 1000000 // count(*) AS BIGINT) AS surviving_ppm
+    FROM u, (SELECT unnest(generate_series(0, {_SURV_MAX_DAY})) AS day) d
+    GROUP BY d.day
+    """,
+    tags=("events", "survival", "retention"),
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style conversion SURVIVAL CURVE: for each day d
+    in 0..{_SURV_MAX_DAY} after a user's first signup, the share of
+    signed-up users NOT yet converted (first purchase at or after the
+    signup) — the curve behind activation dashboards and churn-model
+    labels, complementing ``events_time_to_convert``'s per-user lags
+    with the population-level survival function.
+
+    All-integer: conversion day is a truncating microsecond division
+    (non-negative by the >= signup filter, so DIV == // == floor),
+    survival share in exact ppm.
+
+    Shape: two hash aggregations to one row per signed-up user, then
+    a broadcast expansion over the fixed {_SURV_MAX_DAY + 1}-day grid
+    and one final |grid|-group aggregation — the heavy side is
+    touched twice (signup firsts, purchase-after-signup join) and
+    both are equi-joins on user_id; the grid expansion carries
+    |users| x {_SURV_MAX_DAY + 1} tiny rows, map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", F.expr("unix_micros(ts)").alias("us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("unix_micros(ts)").alias("p_us")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.expr("(p_us - s_us) DIV 86400000000")).alias("conv_day")
+        )
+    )
+    u = s.join(conv, "user_id", "left").select("user_id", "conv_day")
+    grid = spark.range(_SURV_MAX_DAY + 1).select(F.col("id").alias("day"))
+    return (
+        u.crossJoin(F.broadcast(grid))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_at_risk"),
+            F.count(F.when(F.col("conv_day") <= F.col("day"), 1))
+            .cast("long")
+            .alias("n_converted"),
+        )
+        .select(
+            "day",
+            "n_at_risk",
+            "n_converted",
+            F.expr(
+                "CAST((n_at_risk - n_converted) * 1000000 DIV n_at_risk"
+                " AS BIGINT)"
+            ).alias("surviving_ppm"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# multimodal_wav_decimate — 2:1 audio downsample through real bytes
+# ------------------------------------------------------------------
+
+_DEC_N = 800  # samples per synthetic clip (matches multimodal_wav_energy)
+_DEC_RATE = 8000
+_DEC_M = 2  # decimation factor
+
+
+@query(
+    "multimodal_wav_decimate",
+    oracle=f"""
+    WITH samples AS (
+      SELECT doc_id, i,
+             (doc_id * 31 + (i * {_DEC_M}) * 17) % 2003 - 1001 AS s
+      FROM documents,
+           unnest(generate_series(0, {_DEC_N // _DEC_M - 1})) AS u(i)
+    )
+    SELECT doc_id,
+           CAST({_DEC_RATE // _DEC_M} AS INT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(s * s) AS BIGINT) AS energy
+    FROM samples GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "resample", "mapInPandas"),
+)
+def multimodal_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2:1 audio DECIMATION through the real byte path — the audio
+    analog of ``multimodal_png_resize``: each doc's deterministic
+    waveform is encoded to PCM16 WAV, decoded, every {_DEC_M}-th
+    sample kept at half the rate, RE-ENCODED, decoded again, and the
+    decimated clip's exact energy emitted — two container roundtrips
+    plus the rate bookkeeping, all hash-checked.
+
+    Differential: the oracle synthesizes the DECIMATED sequence
+    directly (s at index 2i) and never sees a byte.
+
+    Shape: map-only Arrow stage over the pruned doc_id column (the
+    multimodal_wav_energy posture)."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n, m, rate = _DEC_N, _DEC_M, _DEC_RATE
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(n, dtype=np.int64)
+                s = (int(doc_id) * 31 + i * 17) % 2003 - 1001
+                rate1, back = decode_wav(encode_wav(s.astype("<i2"), rate))
+                dec = back[::m]
+                rate2, final = decode_wav(
+                    encode_wav(dec.astype("<i2"), rate1 // m)
+                )
+                assert rate2 == rate // m and len(final) == n // m
+                energy = int((final.astype(np.int64) ** 2).sum())
+                out.append((int(doc_id), rate2, len(final), energy))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "sample_rate", "n_samples", "energy"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, sample_rate int, n_samples long, energy long"
+    )
+
+
+# ------------------------------------------------------------------
+# graph_degree_assortativity — degree-degree Pearson over edges
+# ------------------------------------------------------------------
+
+# regular graphs (all degrees equal) have zero degree variance: the
+# correlation is undefined there and must be NULL in BOTH engines
+# (Spark's double x/0 is NaN/Inf; DuckDB's is NULL — so the guard is
+# load-bearing, not cosmetic)
+_ASSORT_FORMULA = (
+    "CASE WHEN m * sxx - sx * sx = 0 THEN NULL"
+    " ELSE round(CAST((m * sxy - sx * sx) AS DOUBLE)"
+    " / (m * sxx - sx * sx), 6) END"
+)
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH su AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+      FROM lineitem WHERE l_quantity >= {_KCORE_MIN_QTY}
+    ),
+    capped AS (
+      SELECT ok, s FROM (
+        SELECT ok, s, count(*) OVER (PARTITION BY ok) AS n_s FROM su
+      ) WHERE n_s <= {_KCORE_ORDER_CAP}
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS a, b.s AS b
+      FROM capped a JOIN capped b ON a.ok = b.ok AND a.s < b.s
+    ),
+    adj AS (
+      SELECT a AS node, b AS nb FROM e
+      UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node
+    ),
+    pairs AS (
+      SELECT dx.d AS du, dy.d AS dv
+      FROM adj j JOIN deg dx ON j.node = dx.node
+                 JOIN deg dy ON j.nb = dy.node
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(du) AS BIGINT) AS sx,
+             CAST(sum(du * du) AS BIGINT) AS sxx,
+             CAST(sum(du * dv) AS BIGINT) AS sxy
+      FROM pairs
+    )
+    SELECT m, sx, sxx, sxy,
+           {_ASSORT_FORMULA.replace(" // ", " / ")} AS assortativity
+    FROM sums
+    """,
+    tags=("graph", "statistics", "assortativity"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the shared co-supplier graph: the
+    Pearson correlation of endpoint degrees over every directed edge
+    — positive means hubs attach to hubs (social-network shape),
+    negative means hub-and-spoke (infrastructure shape); THE
+    one-number topology fingerprint next to clustering coefficient.
+
+    Exactness recipe is the agg_corr pattern: all four moment sums
+    are exact BIGINTs (degrees are small ints), the final Pearson is
+    ONE shared double expression evaluated on identical integers in
+    both engines, rounded at 6dp.  Over the symmetric directed edge
+    list the x and y marginals coincide (sx = sy, sxx = syy), so the
+    correlation simplifies to (m·sxy − sx²)/(m·sxx − sx²) — computed
+    from one pass over the edge list.
+
+    Shape: degree table (one hash agg), two broadcast-sized joins of
+    the edge list against it, one global 4-sum aggregate — the edge
+    list is touched once; the driver sees a single row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = (
+        li.where(F.col("l_quantity") >= _KCORE_MIN_QTY)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    capped = (
+        su.withColumn("n_s", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("n_s") <= _KCORE_ORDER_CAP)
+        .drop("n_s")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("ea"), F.col("b.s").alias("eb"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(F.col("ea").alias("node"), F.col("eb").alias("nb")).unionAll(
+        edges.select(F.col("eb").alias("node"), F.col("ea").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dx = deg.select(F.col("node"), F.col("d").alias("du"))
+    dy = deg.select(F.col("node").alias("nb"), F.col("d").alias("dv"))
+    pairs = adj.join(dx, "node").join(dy, "nb")
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("du").cast("long").alias("sx"),
+        F.sum(F.expr("du * du")).cast("long").alias("sxx"),
+        F.sum(F.expr("du * dv")).cast("long").alias("sxy"),
+    )
+    return sums.select(
+        "m", "sx", "sxx", "sxy", F.expr(_ASSORT_FORMULA).alias("assortativity")
+    )
+
+
+# ------------------------------------------------------------------
+# pipeline_gate_funnel — sequential corpus-hygiene gate accounting
+# ------------------------------------------------------------------
+
+_GATE_MIN_CHARS = 200
+_GATE_ALPHA_PPM = 600_000
+_GATE_DIGIT_PPM = 100_000
+
+
+@query(
+    "pipeline_gate_funnel",
+    oracle=f"""
+    WITH flags AS (
+      SELECT doc_id,
+             len(text) >= {_GATE_MIN_CHARS} AS g1,
+             (len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')))
+               * 1000000 >= {_GATE_ALPHA_PPM} * greatest(len(text), 1) AS g2,
+             (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1000000 <= {_GATE_DIGIT_PPM} * greatest(len(text), 1) AS g3
+      FROM documents
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(count(CASE WHEN g1 THEN 1 END) AS BIGINT) AS n1,
+             CAST(count(CASE WHEN g1 AND g2 THEN 1 END) AS BIGINT) AS n2,
+             CAST(count(CASE WHEN g1 AND g2 AND g3 THEN 1 END) AS BIGINT)
+               AS n3
+      FROM flags
+    )
+    SELECT s.stage, s.gate,
+           CASE s.stage WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS n_in,
+           CASE s.stage WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS n_out,
+           CASE s.stage WHEN 1 THEN (n0 - n1) * 1000000 // greatest(n0, 1)
+                        WHEN 2 THEN (n1 - n2) * 1000000 // greatest(n1, 1)
+                        ELSE (n2 - n3) * 1000000 // greatest(n2, 1)
+           END AS drop_ppm
+    FROM counts,
+         (VALUES (1, 'min_chars'), (2, 'alpha_ratio'), (3, 'digit_ratio'))
+           AS s(stage, gate)
+    """,
+    tags=("llm", "pipeline", "quality", "observability"),
+)
+def pipeline_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene GATE FUNNEL accounting: the per-stage in/out/
+    drop-rate table every production filtering pipeline publishes
+    (the observability layer over text_quality/text_gopher_rules-
+    style gates) — three sequential gates (min length, alphabetic
+    ratio >= 60%, digit ratio <= 10%), each counted AFTER all prior
+    gates, drop rates in exact ppm.
+
+    The ratio gates are spelled in cross-multiplied integer form
+    (count·10⁶ >= threshold·len) — no division, no floats, no
+    boundary ambiguity.
+
+    Shape: ONE pass over the corpus computes all four cumulative
+    counts as conditional aggregates (map-side combined to a single
+    row); the 3-row funnel is then a broadcast expansion of that row
+    — at 100 TB the funnel costs exactly one scan regardless of gate
+    count.  A sequential multi-job implementation (filter, count,
+    filter, count...) would scan per gate; this is the fused form."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_alpha = "length(regexp_replace(text, '[^A-Za-z]', ''))"
+    n_digit = "length(regexp_replace(text, '[^0-9]', ''))"
+    flags = docs.select(
+        F.expr(f"length(text) >= {_GATE_MIN_CHARS}").alias("g1"),
+        F.expr(
+            f"{n_alpha} * 1000000 >= {_GATE_ALPHA_PPM} * greatest(length(text), 1)"
+        ).alias("g2"),
+        F.expr(
+            f"{n_digit} * 1000000 <= {_GATE_DIGIT_PPM} * greatest(length(text), 1)"
+        ).alias("g3"),
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.count(F.when(F.col("g1"), 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("g1") & F.col("g2"), 1)).cast("long").alias("n2"),
+        F.count(F.when(F.col("g1") & F.col("g2") & F.col("g3"), 1))
+        .cast("long")
+        .alias("n3"),
+    )
+    stages = spark.createDataFrame(
+        [(1, "min_chars"), (2, "alpha_ratio"), (3, "digit_ratio")],
+        "stage int, gate string",
+    )
+    return counts.crossJoin(F.broadcast(stages)).selectExpr(
+        "stage",
+        "gate",
+        "CASE stage WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS n_in",
+        "CASE stage WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS n_out",
+        "CASE stage WHEN 1 THEN (n0 - n1) * 1000000 DIV greatest(n0, 1)"
+        " WHEN 2 THEN (n1 - n2) * 1000000 DIV greatest(n1, 1)"
+        " ELSE (n2 - n3) * 1000000 DIV greatest(n2, 1) END AS drop_ppm",
+    )

@@ -1395,3 +1395,33 @@ def test_dedup_minhash_incremental_is_banded_never_all_pairs(spark):
     plan = plan_of(spark, "dedup_minhash_incremental")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "band" in plan
+
+
+def test_events_survival_curve_broadcasts_day_grid(spark):
+    plan = plan_of(spark, "events_survival_curve")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_multimodal_wav_decimate_is_single_arrow_stage(spark):
+    plan = plan_of(spark, "multimodal_wav_decimate")
+    assert "MapInPandas" in plan
+    idx = plan.index("MapInPandas")
+    assert "Exchange" not in plan[idx:]
+
+
+def test_graph_degree_assortativity_single_pass_over_edges(spark):
+    # edge list touched once; moment sums partial-aggregate map-side;
+    # driver sees one row
+    plan = plan_of(spark, "graph_degree_assortativity")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pipeline_gate_funnel_is_one_scan(spark):
+    # all cumulative gate counts fuse into ONE aggregation over ONE
+    # scan of documents; the 3-row funnel is a broadcast expansion
+    plan = plan_of(spark, "pipeline_gate_funnel")
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("HashAggregate") >= 2

@@ -538,3 +538,194 @@ def test_multimodal_png_resize_matches_closed_form(spark):
                 for c in range(3):
                     sums[c] += (doc * 7 + y * 13 + x * 5 + c * 3) % 256
         assert got[doc] == (rw, rh, *sums)
+
+
+# --- events_survival_curve -------------------------------------------
+
+surv_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # user
+        st.sampled_from(["signup", "purchase", "view"]),
+        st.integers(0, 20),  # day offset
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(**_SETTINGS)
+@given(surv_strategy)
+def test_events_survival_curve_matches_python_model(spark, events):
+    import downloader_spark.operators.round10_ext as r10
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=d, minutes=i), uid, t, 1.0, None)
+        for i, (uid, t, d) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.day: (r.n_at_risk, r.n_converted, r.surviving_ppm)
+            for r in r10.events_survival_curve(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    first_signup: dict[int, dt.datetime] = {}
+    for _, ts, uid, t, _, _ in rows:
+        if t == "signup" and (uid not in first_signup or ts < first_signup[uid]):
+            first_signup[uid] = ts
+    conv: dict[int, int] = {}
+    for _, ts, uid, t, _, _ in rows:
+        if t == "purchase" and uid in first_signup and ts >= first_signup[uid]:
+            us = int((ts - first_signup[uid]).total_seconds() * 1_000_000)
+            day = us // 86_400_000_000
+            if uid not in conv or day < conv[uid]:
+                conv[uid] = day
+    model = {}
+    if first_signup:
+        n = len(first_signup)
+        for d in range(r10._SURV_MAX_DAY + 1):
+            c = sum(1 for uid in first_signup if conv.get(uid, 10**9) <= d)
+            model[d] = (n, c, (n - c) * 1_000_000 // n)
+    assert got == model
+
+
+# --- multimodal_wav_decimate -------------------------------------------
+
+
+def test_multimodal_wav_decimate_matches_closed_form(spark):
+    import downloader_spark.operators.round10_ext as r10
+
+    df = spark.createDataFrame([(i,) for i in [0, 5, 99]], "doc_id long")
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.doc_id: (r.sample_rate, r.n_samples, r.energy)
+            for r in r10.multimodal_wav_decimate(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+    n, m = r10._DEC_N, r10._DEC_M
+    for doc in [0, 5, 99]:
+        e = sum(
+            ((doc * 31 + (i * m) * 17) % 2003 - 1001) ** 2
+            for i in range(n // m)
+        )
+        assert got[doc] == (r10._DEC_RATE // m, n // m, e)
+
+
+# --- graph_degree_assortativity ------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(graph_strategy)
+def test_graph_degree_assortativity_matches_python_model(spark, pairs):
+    import downloader_spark.operators.round10_ext as r10
+
+    qty = float(r10._KCORE_MIN_QTY)
+    rows = [(ok, s, qty) for ok, s in pairs]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_quantity double"
+    )
+    orig = _patched(r10, df)
+    try:
+        out = r10.graph_degree_assortativity(spark, "ignored").collect()
+    finally:
+        r10.load_table = orig
+
+    by_order: dict[int, set[int]] = {}
+    for ok, s in pairs:
+        by_order.setdefault(ok, set()).add(s)
+    edges = set()
+    for members in by_order.values():
+        if len(members) > r10._KCORE_ORDER_CAP:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                edges.add((ms[i], ms[j]))
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    duv = [(deg[a], deg[b]) for a, b in edges] + [
+        (deg[b], deg[a]) for a, b in edges
+    ]
+    assert len(out) == 1
+    r = out[0]
+    m = len(duv)
+    if m == 0:
+        # SQL sums over an empty edge list are NULL in both engines
+        assert (r.m, r.sx, r.sxx, r.sxy, r.assortativity) == (
+            0, None, None, None, None,
+        )
+        return
+    sx = sum(u for u, _ in duv)
+    sxx = sum(u * u for u, _ in duv)
+    sxy = sum(u * v for u, v in duv)
+    assert (r.m, r.sx, r.sxx, r.sxy) == (m, sx, sxx, sxy)
+    denom = m * sxx - sx * sx
+    if denom == 0:
+        assert r.assortativity is None
+    else:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want = float(
+            Decimal(float(m * sxy - sx * sx) / denom).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert r.assortativity == want
+
+
+# --- pipeline_gate_funnel ---------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(txt_strategy)
+def test_pipeline_gate_funnel_matches_python_model(spark, texts):
+    import downloader_spark.operators.round10_ext as r10
+
+    # pad some texts past the min-chars gate so stage 2+ sees traffic
+    texts = [t * 30 if i % 2 == 0 else t for i, t in enumerate(texts)]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.stage: (r.gate, r.n_in, r.n_out, r.drop_ppm)
+            for r in r10.pipeline_gate_funnel(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    def flags(t: str) -> tuple[bool, bool, bool]:
+        na = sum(c.isascii() and c.isalpha() for c in t)
+        nd = sum(c.isdigit() for c in t)
+        L = max(len(t), 1)
+        return (
+            len(t) >= r10._GATE_MIN_CHARS,
+            na * 1_000_000 >= r10._GATE_ALPHA_PPM * L,
+            nd * 1_000_000 <= r10._GATE_DIGIT_PPM * L,
+        )
+
+    fl = [flags(t) for t in texts]
+    n0 = len(fl)
+    n1 = sum(1 for f in fl if f[0])
+    n2 = sum(1 for f in fl if f[0] and f[1])
+    n3 = sum(1 for f in fl if all(f))
+    model = {
+        1: ("min_chars", n0, n1, (n0 - n1) * 1_000_000 // max(n0, 1)),
+        2: ("alpha_ratio", n1, n2, (n1 - n2) * 1_000_000 // max(n1, 1)),
+        3: ("digit_ratio", n2, n3, (n2 - n3) * 1_000_000 // max(n2, 1)),
+    }
+    assert got == model
