@@ -1350,3 +1350,318 @@ def pipeline_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN 2 THEN (n1 - n2) * 1000000 DIV greatest(n1, 1)"
         " ELSE (n2 - n3) * 1000000 DIV greatest(n2, 1) END AS drop_ppm",
     )
+
+
+# ------------------------------------------------------------------
+# agg_ttest_ab — Welch t statistic over the deterministic A/B split
+# ------------------------------------------------------------------
+
+# Welch's t from exact integer moments; ONE expression text evaluated
+# on identical BIGINTs in both engines (the agg_corr recipe).  NULL
+# when either arm lacks the 2 observations variance needs, or when
+# both sample variances are zero (0/0 — Spark NaN vs DuckDB NULL).
+_TTEST_FORMULA = """
+CASE WHEN n_t < 2 OR n_c < 2 THEN NULL
+     WHEN (CAST(s2_t AS DOUBLE) - CAST(s1_t AS DOUBLE) * s1_t / n_t)
+            / (n_t - 1) / n_t
+          + (CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE) * s1_c / n_c)
+            / (n_c - 1) / n_c = 0 THEN NULL
+     ELSE round(
+       (CAST(s1_t AS DOUBLE) / n_t - CAST(s1_c AS DOUBLE) / n_c)
+       / sqrt(
+           (CAST(s2_t AS DOUBLE) - CAST(s1_t AS DOUBLE) * s1_t / n_t)
+             / (n_t - 1) / n_t
+           + (CAST(s2_c AS DOUBLE) - CAST(s1_c AS DOUBLE) * s1_c / n_c)
+             / (n_c - 1) / n_c
+       ), 6)
+END
+"""
+
+
+@query(
+    "agg_ttest_ab",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN {_duck_h60("concat('ab:', CAST(user_id AS VARCHAR))")}
+                       % 100 < 50
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             CAST(floor(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT
+        CAST(count(CASE WHEN arm = 'treatment' THEN 1 END) AS BIGINT) AS n_t,
+        CAST(coalesce(sum(CASE WHEN arm = 'treatment' THEN c END), 0)
+             AS BIGINT) AS s1_t,
+        CAST(coalesce(sum(CASE WHEN arm = 'treatment' THEN c * c END), 0)
+             AS BIGINT) AS s2_t,
+        CAST(count(CASE WHEN arm = 'control' THEN 1 END) AS BIGINT) AS n_c,
+        CAST(coalesce(sum(CASE WHEN arm = 'control' THEN c END), 0)
+             AS BIGINT) AS s1_c,
+        CAST(coalesce(sum(CASE WHEN arm = 'control' THEN c * c END), 0)
+             AS BIGINT) AS s2_c
+      FROM assigned
+    )
+    SELECT n_t, s1_t, s2_t, n_c, s1_c, s2_c,
+           {_TTEST_FORMULA} AS t_stat
+    FROM m
+    """,
+    tags=("aggregate", "statistics", "experiment", "ab-test"),
+)
+def agg_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S T STATISTIC for the deterministic A/B experiment:
+    completes ``events_ab_assign`` (which emits the per-arm/week
+    moment partials) with the actual experiment readout — the
+    two-sample unequal-variance t over purchase values, arms assigned
+    by the same sticky md5 ring (salt 'ab:', 50/50).
+
+    Exactness is the agg_corr recipe: the six moment inputs (n, Σc,
+    Σc²) per arm are exact BIGINTs from ONE conditional aggregation
+    pass; the t statistic is a single shared double expression
+    rounded at 6dp.  NULL when an arm has < 2 observations or both
+    variances are zero — spelled identically in both engines
+    (Spark's 0/0 double is NaN where DuckDB's is NULL, so the guard
+    is part of the contract).
+
+    Shape: one scan, one map-side-combinable aggregation to a single
+    row — the experimentation platform's cheapest possible readout at
+    any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    h = F.expr(_spark_h60("concat('ab:', CAST(user_id AS STRING))"))
+    treat = (h % 100 < 50)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    assigned = ev.select(treat.alias("t"), cents.alias("c"))
+    m = assigned.agg(
+        F.count(F.when(F.col("t"), 1)).cast("long").alias("n_t"),
+        F.coalesce(F.sum(F.when(F.col("t"), F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("s1_t"),
+        F.coalesce(
+            F.sum(F.when(F.col("t"), F.expr("c * c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("s2_t"),
+        F.count(F.when(~F.col("t"), 1)).cast("long").alias("n_c"),
+        F.coalesce(F.sum(F.when(~F.col("t"), F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("s1_c"),
+        F.coalesce(
+            F.sum(F.when(~F.col("t"), F.expr("c * c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("s2_c"),
+    )
+    return m.select(
+        "n_t", "s1_t", "s2_t", "n_c", "s1_c", "s2_c",
+        F.expr(_TTEST_FORMULA).alias("t_stat"),
+    )
+
+
+# ------------------------------------------------------------------
+# dedup_rate_by_source — exact-duplicate dashboard per source
+# ------------------------------------------------------------------
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           CAST((count(*) - count(DISTINCT md5(text))) * 1000000
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM documents GROUP BY source
+    """,
+    tags=("llm", "dedup", "observability"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate RATE per ingest source — the dedup dashboard
+    slice that tells a crawl operator WHICH feed is redundant before
+    any pair-level work runs (the content-md5 identity is the
+    reference's own, download/common.go:183-190, grouped by origin).
+
+    Shape: one hash aggregation with a distinct-count (Spark plans
+    the standard two-phase expand+agg); the only data touched is
+    (source, md5(text)) — the text itself reduces to 32 hex chars in
+    the scan stage and never shuffles raw."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.expr(
+                "CAST((n_docs - n_distinct) * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# dedup_lsh_tuning — candidate yield / precision per band config
+# ------------------------------------------------------------------
+
+# (bands, rows-per-band) splits of the 12-hash MinHash signature;
+# banding theory: threshold ~ (1/b)^(1/r) — sweeping configs measures
+# the precision/recall trade the pipeline designer actually tunes
+_LSH_CONFIGS = ((6, 2), (4, 3), (3, 4), (2, 6))
+
+
+def _lsh_duck_bands() -> str:
+    parts = []
+    for b, r in _LSH_CONFIGS:
+        # one SELECT per band k of this config
+        for k in range(b):
+            cols = ", ".join(f"sig[{k * r + j + 1}]" for j in range(r))
+            parts.append(
+                f"SELECT doc_id, '{b}x{r}' AS cfg,"
+                f" concat('{k}:', md5(concat_ws(',', {cols}))) AS band"
+                " FROM sigs"
+            )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "dedup_lsh_tuning",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    hsets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {_duck_h60("s")})) AS hh
+      FROM shingled
+    ),
+    hps AS (
+      SELECT doc_id, hh, list_transform(hh, x -> x % {MINHASH_P}) AS hp
+      FROM hsets
+    ),
+    sigs AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {N_HASHES - 1}),
+               i -> list_aggregate(
+                      list_transform(hp,
+                        x -> ({MINHASH_A}[i + 1] * x + {MINHASH_B}[i + 1])
+                             % {MINHASH_P}),
+                      'min')) AS sig
+      FROM hps
+    ),
+    bands AS ({_lsh_duck_bands()}),
+    cand AS (
+      SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.cfg = b.cfg AND a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.cfg,
+             len(list_intersect(sa.hh, sb.hh)) * 2
+               >= len(sa.hh) + len(sb.hh) - len(list_intersect(sa.hh, sb.hh))
+               AS is_true
+      FROM cand c
+      JOIN hsets sa ON sa.doc_id = c.doc_a
+      JOIN hsets sb ON sb.doc_id = c.doc_b
+    )
+    SELECT cfg,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(count(CASE WHEN is_true THEN 1 END) AS BIGINT) AS n_true,
+           CAST(count(CASE WHEN is_true THEN 1 END) * 1000000
+                // count(*) AS BIGINT) AS precision_ppm
+    FROM scored GROUP BY cfg
+    """,
+    tags=("llm", "dedup", "lsh", "tuning", "observability"),
+)
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BAND-CONFIGURATION sweep: candidate-pair yield and
+    verification precision for every (bands x rows) split of the
+    12-hash MinHash signature — {_LSH_CONFIGS} — the measurement a
+    pipeline designer runs to pick the banding before committing a
+    100 TB pass (theory: threshold ~ (1/b)^(1/r); this key measures
+    the actual trade on the corpus).
+
+    The signature table is computed ONCE and fanned out to all four
+    configs (the persisted-artifact posture); candidates stay banded
+    per config (never all-pairs), and verification reuses the hashed
+    postings co-occurrence count.  Precision in exact ppm; true pair
+    = exact Jaccard >= 0.5 (the dedup_minhash keep threshold).
+
+    Shape: |configs| x |bands| band rows per doc, one self-join per
+    the shared (cfg, band) key — the sweep costs ~2x one production
+    config, not 4x, because candidate verification dominates and
+    candidate sets overlap heavily across configs."""
+    docs = load_table(spark, sf_dir, "documents")
+    ss = hashed_shingle_sets(docs).localCheckpoint()
+    hp = ss.withColumn("hp", F.expr(f"pmod(h, {MINHASH_P})"))
+    sigs = hp.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(f"pmod({MINHASH_A[i]} * hp + {MINHASH_B[i]}, {MINHASH_P})")
+            ).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    ).localCheckpoint()
+    band_frames = []
+    for b, r in _LSH_CONFIGS:
+        cols = []
+        for k in range(b):
+            cols.append(
+                F.concat(
+                    F.lit(f"{k}:"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{k * r + j}").cast("string")
+                                for j in range(r)
+                            ],
+                        )
+                    ),
+                ).alias(f"b{k}")
+            )
+        band_frames.append(
+            sigs.select(
+                "doc_id", F.lit(f"{b}x{r}").alias("cfg"),
+                F.explode(F.array(*cols)).alias("band"),
+            )
+        )
+    bands = band_frames[0]
+    for f in band_frames[1:]:
+        bands = bands.unionByName(f)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # verify each DISTINCT pair once, then join the verdict back to
+    # the per-config candidate lists
+    pairs = cand.select("doc_a", "doc_b").distinct()
+    verified = _verified_pairs(ss, pairs, keep_ratio=2).select(
+        "doc_a", "doc_b", F.lit(True).alias("is_true")
+    )
+    scored = cand.join(verified, ["doc_a", "doc_b"], "left").select(
+        "cfg", F.coalesce(F.col("is_true"), F.lit(False)).alias("is_true")
+    )
+    return scored.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("is_true"), 1)).cast("long").alias("n_true"),
+        F.expr(
+            "CAST(count(CASE WHEN is_true THEN 1 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("precision_ppm"),
+    )

@@ -1425,3 +1425,24 @@ def test_pipeline_gate_funnel_is_one_scan(spark):
     plan = plan_of(spark, "pipeline_gate_funnel")
     assert plan.count("documents.parquet") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_agg_ttest_ab_is_one_pass_one_row(spark):
+    plan = plan_of(spark, "agg_ttest_ab")
+    assert plan.count("events.parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_dedup_rate_by_source_reduces_text_to_md5_in_scan_stage(spark):
+    # the shuffle must carry (source, 32-hex md5), never raw text
+    plan = plan_of(spark, "dedup_rate_by_source")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_lsh_tuning_stays_banded_per_config(spark):
+    plan = plan_of(spark, "dedup_lsh_tuning")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the self-join key includes both cfg and band
+    assert "cfg" in plan and "band" in plan

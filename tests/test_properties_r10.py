@@ -729,3 +729,151 @@ def test_pipeline_gate_funnel_matches_python_model(spark, texts):
         3: ("digit_ratio", n2, n3, (n2 - n3) * 1_000_000 // max(n2, 1)),
     }
     assert got == model
+
+
+# --- agg_ttest_ab --------------------------------------------------------
+
+ttest_strategy = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 56021)),  # (user, cents)
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(ttest_strategy)
+def test_agg_ttest_ab_matches_python_model(spark, purchases):
+    import downloader_spark.operators.round10_ext as r10
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base, uid, "purchase", cents / 100.0, None)
+        for i, (uid, cents) in enumerate(purchases)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = _patched(r10, df)
+    try:
+        out = r10.agg_ttest_ab(spark, "ignored").collect()
+    finally:
+        r10.load_table = orig
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    arms: dict[bool, list[int]] = {True: [], False: []}
+    for uid, cents in purchases:
+        treat = h60(f"ab:{uid}") % 100 < 50
+        arms[treat].append(math.floor(cents / 100.0 * 100))
+    t_, c_ = arms[True], arms[False]
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_t, r.s1_t, r.s2_t) == (
+        len(t_), sum(t_), sum(x * x for x in t_),
+    )
+    assert (r.n_c, r.s1_c, r.s2_c) == (
+        len(c_), sum(c_), sum(x * x for x in c_),
+    )
+    if len(t_) < 2 or len(c_) < 2:
+        assert r.t_stat is None
+        return
+    vt = (sum(x * x for x in t_) - sum(t_) ** 2 / len(t_)) / (len(t_) - 1)
+    vc = (sum(x * x for x in c_) - sum(c_) ** 2 / len(c_)) / (len(c_) - 1)
+    se2 = vt / len(t_) + vc / len(c_)
+    if se2 == 0:
+        assert r.t_stat is None
+        return
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = float(
+        Decimal(
+            (sum(t_) / len(t_) - sum(c_) / len(c_)) / math.sqrt(se2)
+        ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+    assert r.t_stat == want
+
+
+# --- dedup_rate_by_source -------------------------------------------------
+
+src_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5)),  # (source, text id)
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(**_SETTINGS)
+@given(src_strategy)
+def test_dedup_rate_by_source_matches_python_model(spark, docs):
+    import downloader_spark.operators.round10_ext as r10
+
+    rows = [
+        (i, f"text number {t}", "en", f"src{s}", 12)
+        for i, (s, t) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.source: (r.n_docs, r.n_distinct, r.dup_ppm)
+            for r in r10.dedup_rate_by_source(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    per: dict[str, list[int]] = {}
+    for s, t in docs:
+        per.setdefault(f"src{s}", []).append(t)
+    model = {
+        s: (len(ts), len(set(ts)),
+            (len(ts) - len(set(ts))) * 1_000_000 // len(ts))
+        for s, ts in per.items()
+    }
+    assert got == model
+
+
+# --- dedup_lsh_tuning ------------------------------------------------------
+
+
+def test_dedup_lsh_tuning_monotone_in_bands(spark):
+    """Banding theory on a corpus with planted near-dups: MORE bands
+    (fewer rows per band) can only ADD candidate pairs — the 6x2
+    candidate set contains the 2x6 set — and exact duplicates must be
+    candidates under EVERY config; precision is verified-over-
+    candidates in ppm."""
+    import downloader_spark.operators.round10_ext as r10
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(12):
+        # three exact-dup clusters + unrelated fillers
+        if i % 4 == 0:
+            rows.append((i, base, "en", "s", len(base)))
+        else:
+            t = f"unrelated document number {i} with its own words {i * 7}"
+            rows.append((i, t, "en", "s", len(t)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.cfg: (r.n_candidates, r.n_true, r.precision_ppm)
+            for r in r10.dedup_lsh_tuning(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    # exact dups (3 docs -> 3 pairs) are candidates in every config
+    for cfg, (n_cand, n_true, prec) in got.items():
+        assert n_true >= 3, cfg
+        assert 0 <= prec <= 1_000_000
+        assert n_cand >= n_true
+    # candidate yield is monotone in band count (2x6 ⊆ 3x4 ⊆ ... not
+    # strictly nested pairwise, but the extremes are comparable)
+    assert got["6x2"][0] >= got["2x6"][0]
