@@ -448,7 +448,14 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from downloader_spark.media import decode_png, encode_png
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense Python stage over a tiny key column arriving as ONE
+    # parquet file: round-robin repartition spreads the codec work
+    # across every core (the _shingle_rows precedent) — the exchange
+    # carries 8-byte rows and bought 4.5 -> ~0.4 s settled at sf0.1.
+    # A production binaryFile scan arrives pre-partitioned by file
+    # and would skip this.
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
     w, h = _PNG_W, _PNG_H
 
     def run(batches):
@@ -515,7 +522,10 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from downloader_spark.media import decode_png, encode_png, resize_nearest
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # same CPU-dense repartition as multimodal_png_stats (two decode
+    # roundtrips per image make this the costlier of the pair)
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
     w, h, rw, rh = _PNG_W, _PNG_H, _PNG_RW, _PNG_RH
 
     def run(batches):
