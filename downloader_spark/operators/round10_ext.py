@@ -47,6 +47,7 @@ from downloader_spark.operators.llm_dedup import (
     N_HASHES,
     hashed_shingle_sets,
 )
+from downloader_spark.operators.llm_text import LANG_PROFILES, _lang_scores
 from downloader_spark.operators.round9b_ext import (
     _KCORE_MIN_QTY,
     _KCORE_ORDER_CAP,
@@ -1674,4 +1675,281 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(count(CASE WHEN is_true THEN 1 END) * 1000000"
             " DIV count(*) AS BIGINT)"
         ).alias("precision_ppm"),
+    )
+
+
+# ------------------------------------------------------------------
+# multimodal_phash_dedup — average-hash image dedup, real byte path
+# ------------------------------------------------------------------
+
+_PH_CELLS = 8  # aHash grid: 8x8 = 64 bits
+
+
+def _phash_gray_sql(y_expr: str, x_expr: str) -> str:
+    """Closed-form grayscale (channel sum) at a sampled source pixel."""
+    return " + ".join(
+        f"(doc_id * 7 + ({y_expr}) * 13 + ({x_expr}) * 5 + {c} * 3) % 256"
+        for c in range(3)
+    )
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH cells AS (
+      SELECT doc_id,
+             y2 * {_PH_CELLS} + x2 AS cell,
+             {_phash_gray_sql(f"(y2 * {_PNG_H}) // {_PH_CELLS}",
+                              f"(x2 * {_PNG_W}) // {_PH_CELLS}")} AS gray
+      FROM documents,
+           unnest(generate_series(0, {_PH_CELLS - 1})) AS u(y2),
+           unnest(generate_series(0, {_PH_CELLS - 1})) AS v(x2)
+    ),
+    tot AS (
+      SELECT doc_id, sum(gray) AS total FROM cells GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT c.doc_id, c.cell,
+             CASE WHEN c.gray * {_PH_CELLS * _PH_CELLS} > t.total
+                  THEN '1' ELSE '0' END AS b
+      FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+    ),
+    folded AS (
+      SELECT doc_id, string_agg(b, '' ORDER BY cell) AS ahash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, ahash,
+           CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS cluster_size,
+           count(*) OVER (PARTITION BY ahash) > 1 AS is_dup
+    FROM folded
+    """,
+    tags=("multimodal", "image", "dedup", "phash", "mapInPandas"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup through the real byte path: each
+    doc's PNG is decoded, nearest-neighbor downsampled to the
+    {_PH_CELLS}x{_PH_CELLS} aHash grid, grayscaled (channel sum), and
+    thresholded against the grid mean into a 64-bit signature; images
+    sharing a signature cluster as near-duplicates — the standard
+    first-pass image dedup (average hash), with the byte path (PNG
+    inflate + unfilter + resample) inside the hash-checked contract.
+
+    The synthesis plants GENUINE duplicate clusters: pixel values
+    depend on doc_id only mod 256, so docs d and d+256 render
+    identical images — the key must group them (and the planted-dup
+    property test pins that recall directly).
+
+    Differential: the oracle computes the same signature closed-form
+    (sampled-index arithmetic, integer cross-multiplied mean compare
+    gray·64 > Σgray) and never sees a byte.
+
+    Shape: one Arrow stage over the repartitioned key column emits
+    (doc_id, 64-char signature); clustering is one window count over
+    the signature hash — at corpus scale the shuffle carries 8 bytes
+    + 64 chars per image, never pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_png, encode_png, resize_nearest
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+    w, h, g = _PNG_W, _PNG_H, _PH_CELLS
+
+    def run(batches):
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                px = np.stack(
+                    [
+                        (int(doc_id) * 7 + yy * 13 + xx * 5 + c * 3) % 256
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                small = resize_nearest(decode_png(encode_png(px)), g, g)
+                gray = small.astype(np.int64).sum(axis=2)
+                total = int(gray.sum())
+                bits = (gray.reshape(-1) * (g * g) > total).astype(np.uint8)
+                out.append((int(doc_id), "".join("1" if b else "0" for b in bits)))
+            yield pd.DataFrame(out, columns=["doc_id", "ahash"])
+
+    sigs = docs.mapInPandas(run, "doc_id long, ahash string")
+    w_cl = Window.partitionBy("ahash")
+    return sigs.select(
+        "doc_id",
+        "ahash",
+        F.count(F.lit(1)).over(w_cl).cast("long").alias("cluster_size"),
+        (F.count(F.lit(1)).over(w_cl) > 1).alias("is_dup"),
+    )
+
+
+# ------------------------------------------------------------------
+# text_lang_confusion — declared-vs-detected language matrix
+# ------------------------------------------------------------------
+
+
+def _langid_case_sql() -> str:
+    """The text_langid argmax CASE (fixed tie-break en>de>fr>es>zh),
+    generated from LANG_PROFILES so this key cannot drift from the
+    classifier it audits."""
+    langs = list(LANG_PROFILES)
+    arms = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs[i + 1 :]
+        )
+        arms.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{langs[-1]}' END"
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(
+               f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT)"
+               f" AS s_{lang}"
+               for lang, pat in LANG_PROFILES.items())}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS declared, {_langid_case_sql()} AS detected
+      FROM scored
+    )
+    SELECT declared, detected,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * 1000000 //
+                sum(count(*)) OVER (PARTITION BY declared) AS BIGINT)
+             AS row_ppm
+    FROM pred GROUP BY declared, detected
+    """,
+    tags=("llm", "text", "langid", "observability"),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE CONFUSION MATRIX: declared corpus label x detected
+    language (the text_langid argmax heuristic), with each cell's
+    share of its declared row in exact ppm — the audit table that
+    turns a per-doc classifier into a corpus-level quality decision
+    (which declared languages does the detector actually recognize,
+    and where does the mass leak).  The CASE/argmax is generated from
+    the SAME ``LANG_PROFILES`` the classifier uses, so this key
+    cannot drift from ``text_langid``.
+
+    Shape: one map pass scores five regexes per doc; the matrix is a
+    |langs|² hash aggregation plus a window over |langs|² rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = _lang_scores(F.col("text"))
+    langs = list(LANG_PROFILES)
+    expr = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            piece = c[lang] >= c[other]
+            cond = piece if cond is None else (cond & piece)
+        expr = (
+            F.when(cond, F.lit(lang))
+            if expr is None
+            else expr.when(cond, F.lit(lang))
+        )
+    detected = expr.otherwise(F.lit(langs[-1]))
+    cells = (
+        docs.select(F.col("lang").alias("declared"), detected.alias("detected"))
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_row = Window.partitionBy("declared")
+    return cells.withColumn("row_total", F.sum("n").over(w_row)).selectExpr(
+        "declared",
+        "detected",
+        "n",
+        "CAST(n * 1000000 DIV row_total AS BIGINT) AS row_ppm",
+    )
+
+
+# ------------------------------------------------------------------
+# agg_spearman — rank correlation via exact 2x-scaled average ranks
+# ------------------------------------------------------------------
+
+# Pearson over the integer 2x-ranks; shared double formula at 6dp,
+# NULL when either rank variance is zero (constant column)
+_SPEARMAN_FORMULA = """
+CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+     ELSE round(
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+END
+"""
+
+
+@query(
+    "agg_spearman",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type,
+             -- 2x-scaled AVERAGE rank of value (ties share the mean
+             -- of their rank range): 2*avg = 2*rank + (ties - 1)
+             2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+               + count(*) OVER (PARTITION BY event_type, value) - 1 AS rx,
+             -- time order is unique under the (ts, event_id) tie-break
+             2 * row_number() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS ry
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx,
+             CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n, {_SPEARMAN_FORMULA} AS spearman
+    FROM sums
+    """,
+    tags=("aggregate", "statistics", "rank-correlation", "timeseries"),
+)
+def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation between event VALUE and TIME ORDER
+    per event type — the robust monotonic-trend detector (is this
+    metric drifting up over time, outlier-proof?), complementing
+    ts_trend's least-squares slope with a distribution-free statistic.
+
+    Exactness: Spearman is Pearson over ranks, and ranks are made
+    exact integers by 2x-scaling the tie-averaged rank (ties share
+    the mean of their range: 2·avg = 2·rank + ties − 1 — integer
+    always); the time axis ranks uniquely under the (ts, event_id)
+    tie-break.  The five moment sums are exact BIGINTs; the final
+    coefficient is one shared double formula at 6dp, NULL when either
+    marginal is constant (zero rank variance) in both engines.
+
+    Shape: one exchange per type partition drives BOTH rank windows
+    (same partition key), then a map-side-combinable moment
+    aggregation — |types| output rows, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    w_val = Window.partitionBy("event_type").orderBy("value")
+    w_ties = Window.partitionBy("event_type", "value")
+    w_time = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "event_type",
+        (
+            2 * F.rank().over(w_val) + F.count(F.lit(1)).over(w_ties) - 1
+        ).alias("rx"),
+        (2 * F.row_number().over(w_time)).alias("ry"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.expr("rx * rx")).cast("long").alias("sxx"),
+        F.sum(F.expr("ry * ry")).cast("long").alias("syy"),
+        F.sum(F.expr("rx * ry")).cast("long").alias("sxy"),
+    )
+    return sums.select(
+        "event_type", "n", F.expr(_SPEARMAN_FORMULA).alias("spearman")
     )

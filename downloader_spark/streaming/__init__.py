@@ -4,6 +4,7 @@ from downloader_spark.streaming.stateful import (
     running_totals,
     streaming_ewma,
     streaming_holt,
+    streaming_user_topk,
 )
 from downloader_spark.streaming.incremental import (
     EVENTS_STREAM_SCHEMA,
@@ -29,6 +30,7 @@ __all__ = [
     "run_to_memory",
     "streaming_ewma",
     "streaming_holt",
+    "streaming_user_topk",
     "session_counts",
     "sliding_counts",
     "stream_from_parquet_dir",

@@ -199,3 +199,55 @@ def streaming_holt(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOPK_K = 3
+TOPK_OUTPUT_SCHEMA = "user_id long, n_seen long, top_cents array<long>"
+TOPK_STATE_SCHEMA = "n_seen long, tops array<long>"
+
+
+def fold_topk(cents, n_seen: int = 0, tops: list | None = None) -> tuple:
+    """Bounded per-key top-k state: keep the TOPK_K largest integer
+    cent values seen so far (descending, ties keep duplicates — it's
+    a multiset of values, not of rows).  The pure-Python reference
+    shared by the streaming operator below and its batch-equivalence
+    test: custom bounded-state EVICTION is exactly the update logic
+    built-in streaming aggregations cannot express."""
+    tops = list(tops or [])
+    for c in cents:
+        tops.append(int(c))
+        tops.sort(reverse=True)
+        del tops[TOPK_K:]
+        n_seen += 1
+    return n_seen, tops
+
+
+def _topk_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_seen, tops = state.get if state.exists else (0, [])
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
+        cents = (pdf["value"] * 100).apply(lambda v: int(v // 1))
+        n_seen, tops = fold_topk(cents, n_seen, list(tops))
+    state.update((n_seen, list(tops)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_seen": [n_seen], "top_cents": [list(tops)]}
+    )
+
+
+def streaming_user_topk(events: DataFrame) -> DataFrame:
+    """Per-user TOP-{k} largest event values across micro-batches —
+    bounded custom state ({k} longs per key) with explicit eviction,
+    the state shape dropDuplicates/windowed aggs can't hold.  Order
+    of arrival does not matter (max-multiset is commutative), so no
+    per-batch sort discipline is needed, unlike the EWMA/Holt
+    folds.""".format(k=TOPK_K)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _topk_update,
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

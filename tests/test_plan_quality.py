@@ -1453,3 +1453,26 @@ def test_dedup_lsh_tuning_stays_banded_per_config(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     # the self-join key includes both cfg and band
     assert "cfg" in plan and "band" in plan
+
+
+def test_multimodal_phash_dedup_shuffles_signatures_not_pixels(spark):
+    # the Arrow stage emits (doc_id, 64-char ahash); the cluster
+    # window's exchange moves those rows, never pixel data
+    plan = plan_of(spark, "multimodal_phash_dedup")
+    assert "MapInPandas" in plan
+    assert "ahash" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_lang_confusion_is_langs_squared_aggregation(spark):
+    plan = plan_of(spark, "text_lang_confusion")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_spearman_single_exchange_drives_both_rank_windows(spark):
+    # both rank windows and the tie-count window share the event_type
+    # partitioning: one hash exchange total
+    plan = plan_of(spark, "agg_spearman")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2

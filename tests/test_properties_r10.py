@@ -877,3 +877,142 @@ def test_dedup_lsh_tuning_monotone_in_bands(spark):
     # candidate yield is monotone in band count (2x6 ⊆ 3x4 ⊆ ... not
     # strictly nested pairwise, but the extremes are comparable)
     assert got["6x2"][0] >= got["2x6"][0]
+
+
+# --- multimodal_phash_dedup ------------------------------------------------
+
+
+def test_multimodal_phash_dedup_groups_planted_duplicates(spark):
+    """The synthesis depends on doc_id mod 256 only, so d and d+256
+    render IDENTICAL images — they must share an ahash and cluster;
+    images from different residues overwhelmingly must not."""
+    import downloader_spark.operators.round10_ext as r10
+
+    ids = [1, 257, 513, 7, 263, 100]  # {1,257,513} and {7,263} planted
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.doc_id: (r.ahash, r.cluster_size, r.is_dup)
+            for r in r10.multimodal_phash_dedup(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    # planted identical images MUST share a signature and cluster
+    # (recall contract); unrelated residues MAY also collide — aHash
+    # is deliberately lossy, and these smooth gradients collide often
+    assert got[1][0] == got[257][0] == got[513][0]
+    assert got[1][1] >= 3 and got[1][2] is True
+    assert got[7][0] == got[263][0] and got[7][1] >= 2 and got[7][2] is True
+    assert len(got[1][0]) == 64 and set(got[1][0]) <= {"0", "1"}
+    # cluster_size is consistent per signature
+    sizes: dict[str, set] = {}
+    for h, size, _ in got.values():
+        sizes.setdefault(h, set()).add(size)
+    assert all(len(s) == 1 for s in sizes.values())
+
+
+# --- text_lang_confusion -----------------------------------------------
+
+
+def test_text_lang_confusion_matches_python_model(spark):
+    """Docs written in each profile's own stopwords must land on the
+    diagonal; row ppm shares sum to ~1e6 per declared language."""
+    import downloader_spark.operators.round10_ext as r10
+
+    texts = {
+        "en": "the cat and the dog is a friend of the house",
+        "de": "der hund und die katze ist das tier und der baum",
+        "fr": "le chien et la maison est les arbres et le chat",
+        "es": "el perro y los gatos es las casas y el arbol",
+    }
+    rows = []
+    for i, (lang, t) in enumerate(sorted(texts.items())):
+        rows.append((i, t, lang, "s", len(t)))
+    # one mislabeled doc: declared zh, english content
+    rows.append((99, texts["en"], "zh", "s", len(texts["en"])))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            (r.declared, r.detected): (r.n, r.row_ppm)
+            for r in r10.text_lang_confusion(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    for lang in texts:
+        assert got[(lang, lang)] == (1, 1_000_000), lang
+    assert got[("zh", "en")] == (1, 1_000_000)
+
+
+# --- agg_spearman ----------------------------------------------------------
+
+spearman_strategy = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 500)),  # (type, cents)
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(spearman_strategy)
+def test_agg_spearman_matches_python_model(spark, events):
+    import downloader_spark.operators.round10_ext as r10
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 0, f"t{t}", cents / 100.0, None)
+        for i, (t, cents) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = _patched(r10, df)
+    try:
+        got = {
+            r.event_type: (r.n, r.spearman)
+            for r in r10.agg_spearman(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    by_type: dict[str, list[tuple[int, float]]] = {}
+    for i, (t, cents) in enumerate(events):
+        by_type.setdefault(f"t{t}", []).append((i, cents / 100.0))
+    model = {}
+    for t, evs in by_type.items():
+        n = len(evs)
+        vals = [v for _, v in evs]
+        # 2x tie-averaged value ranks
+        rx = []
+        for _, v in evs:
+            less = sum(1 for u in vals if u < v)
+            ties = sum(1 for u in vals if u == v)
+            rx.append(2 * (less + 1) + ties - 1)
+        ry = [2 * (k + 1) for k in range(n)]  # arrival == time order
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(a * a for a in rx)
+        syy = sum(a * a for a in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if dx == 0 or dy == 0:
+            model[t] = (n, None)
+        else:
+            rho = (n * sxy - sx * sy) / math.sqrt(dx * dy)
+            model[t] = (
+                n,
+                float(
+                    Decimal(rho).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                ),
+            )
+    assert got == model

@@ -731,3 +731,39 @@ def test_holt_update_sorts_across_arrow_chunks_and_truncates():
     st2 = FakeState()
     list(_holt_update((8,), iter([]), st2))
     assert st2.value == (0, 0, 0)
+
+
+def test_streaming_user_topk_matches_batch(spark, events_dir):
+    """Drain 4 micro-batches through the bounded top-k state; the
+    final state per user must equal the batch top-3 multiset of
+    floor-cent values (arrival order must NOT matter — the fold is
+    commutative, unlike EWMA/Holt)."""
+    from downloader_spark.streaming import streaming_user_topk
+    from downloader_spark.streaming.stateful import TOPK_K, fold_topk
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory(streaming_user_topk(stream), "topk_out", output_mode="update")
+    latest: dict[int, tuple] = {}
+    for r in spark.table("topk_out").collect():
+        if r.user_id not in latest or r.n_seen > latest[r.user_id][0]:
+            latest[r.user_id] = (r.n_seen, list(r.top_cents))
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .selectExpr("user_id", "CAST(floor(value * 100) AS BIGINT) AS c")
+        .collect()
+    )
+    model: dict[int, list[int]] = {}
+    counts: dict[int, int] = {}
+    for r in batch:
+        model.setdefault(r.user_id, []).append(r.c)
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+    want = {
+        uid: (counts[uid], sorted(cs, reverse=True)[:TOPK_K])
+        for uid, cs in model.items()
+    }
+    assert latest == want
+
+    # pure-model sanity: eviction keeps duplicates-by-value
+    assert fold_topk([5, 5, 9, 1]) == (4, [9, 5, 5])
+    assert fold_topk([1], 3, [9, 5, 5]) == (4, [9, 5, 5])
