@@ -1874,9 +1874,22 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------
 
 # Pearson over the integer 2x-ranks; shared double formula at 6dp,
-# NULL when either rank variance is zero (constant column)
-_SPEARMAN_FORMULA = """
-CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+# NULL when either rank variance is zero (constant column).  The
+# zero-variance GUARD must stay exact, and sx ~ n², so sx*sx ~ n⁴
+# blows past int64 around n = 55k rows per group — the guard widens
+# per engine (Spark DECIMAL(38,0), DuckDB HUGEINT; both exact to
+# ~1e38, i.e. n up to ~3e9 per group).  The 10x shape stress caught
+# exactly this overflow at 200k rows/group (sf1 shape run, r10).
+def _spearman_formula(engine: str) -> str:
+    wide = "DECIMAL(38,0)" if engine == "spark" else "HUGEINT"
+
+    def w(prod: str) -> str:
+        a, b = prod.split(" * ")
+        return f"CAST({a} AS {wide}) * {b}"
+
+    return f"""
+CASE WHEN {w("n * sxx")} - {w("sx * sx")} = 0
+       OR {w("n * syy")} - {w("sy * sy")} = 0 THEN NULL
      ELSE round(
        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
        / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
@@ -1909,7 +1922,7 @@ END
              CAST(sum(rx * ry) AS BIGINT) AS sxy
       FROM ranked GROUP BY event_type
     )
-    SELECT event_type, n, {_SPEARMAN_FORMULA} AS spearman
+    SELECT event_type, n, {_spearman_formula("duck")} AS spearman
     FROM sums
     """,
     tags=("aggregate", "statistics", "rank-correlation", "timeseries"),
@@ -1935,12 +1948,17 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_val = Window.partitionBy("event_type").orderBy("value")
     w_ties = Window.partitionBy("event_type", "value")
     w_time = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # rank()/row_number() are 32-bit INTs: widen to BIGINT before any
+    # arithmetic — ry² overflows int32 past ~23k rows per group (the
+    # sf1 shape stress caught this at 200k rows/group)
     ranked = ev.select(
         "event_type",
         (
-            2 * F.rank().over(w_val) + F.count(F.lit(1)).over(w_ties) - 1
+            2 * F.rank().over(w_val).cast("long")
+            + F.count(F.lit(1)).over(w_ties)
+            - 1
         ).alias("rx"),
-        (2 * F.row_number().over(w_time)).alias("ry"),
+        (2 * F.row_number().over(w_time).cast("long")).alias("ry"),
     )
     sums = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1951,5 +1969,5 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("rx * ry")).cast("long").alias("sxy"),
     )
     return sums.select(
-        "event_type", "n", F.expr(_SPEARMAN_FORMULA).alias("spearman")
+        "event_type", "n", F.expr(_spearman_formula("spark")).alias("spearman")
     )

@@ -83,6 +83,12 @@ KEYS = (
     "graph_clustering_coeff",
     "ts_paa",
     "sample_systematic",
+    # round-10 batch 3/4: the 4-config LSH sweep (heaviest new key),
+    # the codec-bound image dedup, and the rank/survival rollups
+    "dedup_lsh_tuning",
+    "multimodal_phash_dedup",
+    "agg_spearman",
+    "events_survival_curve",
 )
 
 SRC = "/root/testdata/sf0.1"
