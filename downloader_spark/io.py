@@ -103,6 +103,19 @@ def load_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def load_orc(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """ORC scan (columnar alternative to parquet — some upstream lakes
+    ship it).  Spark's native ORC reader gives the same predicate
+    pushdown and column pruning as parquet; the round-trip + pushdown
+    contract is pinned in tests/test_io_loaders.py."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() use."""
     for name in TABLES:

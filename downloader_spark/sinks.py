@@ -71,6 +71,14 @@ def write_partitioned(
     )
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (native Spark writer) — interop with ORC-based lakes;
+    carries the same pushdown/pruning contract as parquet on read
+    (tests/test_io_loaders.py pins the round-trip and the pushed
+    filters)."""
+    df.write.mode(mode).orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -55,3 +55,30 @@ def test_json_corrupt_records_are_captured_not_fatal(spark, tmp_path):
     bad = [r._corrupt for r in rows if r._corrupt is not None]
     assert sorted(good) == [1, 2]
     assert len(bad) == 2
+
+
+def test_orc_round_trip_preserves_values_and_pushes_filters(spark, tmp_path):
+    """ORC interop: write lineitem slice as ORC, read it back
+    value-identical, and confirm the scan gets the same predicate
+    pushdown + column pruning contract the parquet paths rely on."""
+    from downloader_spark.io import load_orc, load_table
+    from downloader_spark.sinks import write_orc
+
+    src = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate", "l_returnflag"
+    )
+    path = str(tmp_path / "li_orc")
+    write_orc(src, path)
+
+    back = load_orc(spark, path)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+    filtered = back.filter(back.l_quantity > 30).select("l_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in read_schema, (
+        "pruning must reach the ORC scan"
+    )

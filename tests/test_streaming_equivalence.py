@@ -767,3 +767,73 @@ def test_streaming_user_topk_matches_batch(spark, events_dir):
     # pure-model sanity: eviction keeps duplicates-by-value
     assert fold_topk([5, 5, 9, 1]) == (4, [9, 5, 5])
     assert fold_topk([1], 3, [9, 5, 5]) == (4, [9, 5, 5])
+
+
+def test_streaming_holt_checkpoint_restart_resumes_state(spark, tmp_path):
+    """Durability for the NEW stateful ops: a checkpointed Holt
+    stream stopped and restarted over a grown input directory must
+    resume its per-key (k, l, b) state — the final forecast equals
+    the single-pass fold over ALL rows, not a reseeded fold over the
+    second half (which would differ: the fold is order-sensitive and
+    seeded by the first observation)."""
+    import os
+
+    from downloader_spark.streaming import streaming_holt
+    from downloader_spark.streaming.stateful import fold_holt
+
+    base = dt_module = __import__("datetime")
+    base = dt_module.datetime(2024, 3, 1)
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    cols = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    vals1 = [9.0, 1.5, 7.0]
+    vals2 = [0.25, 3.0, 0.5]
+
+    def write_rows(vals, offset):
+        rows = [
+            (offset + i, base + dt_module.timedelta(minutes=offset + i), 1,
+             "a", v, "{}")
+            for i, v in enumerate(vals)
+        ]
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            seen.append((r.user_id, r.n, r.level_cents, r.trend_cents,
+                         r.forecast_cents))
+
+    def run_once():
+        stream = stream_from_parquet_dir(spark, input_dir)
+        q = (
+            streaming_holt(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_rows(vals1, 0)
+    run_once()
+    write_rows(vals2, 100)
+    run_once()  # restart over the SAME checkpoint: only new file reads
+
+    final = None
+    for uid, n, l, b, f in seen:
+        if uid == 1 and (final is None or n > final[0]):
+            final = (n, l, b, f)
+
+    k, l, b = fold_holt([int(v * 100) for v in vals1 + vals2])
+    assert final == (k, l, b, l + b), (
+        "restart must RESUME the fold, not reseed it"
+    )
+    # and a reseeded second-half fold is genuinely different
+    k2, l2, b2 = fold_holt([int(v * 100) for v in vals2])
+    assert (k2, l2, b2) != (k, l, b)
