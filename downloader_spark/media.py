@@ -279,6 +279,74 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+# --- Y4M: uncompressed YUV4MPEG2 video via plain header parsing --------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Encode an (n, h, w, 3) uint8 Y'UV (C444) frame stack as a REAL
+    YUV4MPEG2 stream — the standard uncompressed video interchange
+    container (mjpegtools/ffmpeg-compatible): one ASCII stream header,
+    then per frame a FRAME marker + raw planar Y, U, V bytes.  C444
+    (no chroma subsampling) keeps the payload lossless, so round-trips
+    are bit-exact and oracle-checkable."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) YUV frames, got {fr.shape}")
+    n, h, w, _ = fr.shape
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode())
+    for i in range(n):
+        out.extend(b"FRAME\n")
+        # planar: all Y, then all U, then all V
+        for c in range(3):
+            out.extend(fr[i, :, :, c].tobytes())
+    return bytes(out)
+
+
+def decode_y4m(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a C444 YUV4MPEG2 stream into (fps, (n, h, w, 3) uint8
+    planar-Y'UV frame stack)."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = data.index(b"\n")
+    header = data[:nl].decode("ascii", "replace").split(" ")
+    w = h = fps = None
+    colorspace = "C420jpeg"  # the spec default when absent
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            fps = int(tok[1:].split(":")[0])
+        elif tok.startswith("C"):
+            colorspace = tok
+    if colorspace != "C444":
+        raise ValueError(
+            f"unsupported Y4M colorspace {colorspace}; fixture codec reads C444"
+        )
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    plane = w * h
+    pos = nl + 1
+    frames = []
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("Y4M frame marker missing")
+        pos = fnl + 1
+        if pos + 3 * plane > len(data):
+            raise ValueError("Y4M truncated frame payload")
+        planes = [
+            np.frombuffer(data, np.uint8, plane, pos + c * plane).reshape(h, w)
+            for c in range(3)
+        ]
+        frames.append(np.stack(planes, axis=-1))
+        pos += 3 * plane
+    return fps, np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)
+
+
 # --- Spark stages: real decode through the Arrow path ------------------
 
 _IMAGE_SCHEMA = T.StructType(

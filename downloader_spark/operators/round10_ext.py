@@ -1971,3 +1971,85 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "event_type", "n", F.expr(_spearman_formula("spark")).alias("spearman")
     )
+
+
+# ------------------------------------------------------------------
+# multimodal_video_luma — frame-sampled stats through real Y4M bytes
+# ------------------------------------------------------------------
+
+_VID_W = 16
+_VID_H = 12
+_VID_FRAMES = 12
+_VID_STEP = 3  # keep every 3rd frame (the frame-sample stage)
+_VID_FPS = 25
+
+# plane value at (doc, frame, y, x, c) — closed-form synthesis shared
+# with the oracle (c = 0 is the luma plane)
+_VID_PIX = "(doc_id * 11 + {f} * 29 + {y} * 13 + {x} * 5 + {c} * 3) % 256"
+
+
+@query(
+    "multimodal_video_luma",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_no,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum({_VID_PIX.format(f="f", y="y", x="x", c=0)}) AS BIGINT)
+             AS luma_sum
+    FROM documents,
+         unnest(generate_series(0, {_VID_FRAMES - 1}, {_VID_STEP})) AS u(f),
+         unnest(generate_series(0, {_VID_H - 1})) AS v(y),
+         unnest(generate_series(0, {_VID_W - 1})) AS w(x)
+    GROUP BY doc_id, f
+    """,
+    tags=("multimodal", "video", "frame-sample", "mapInPandas"),
+)
+def multimodal_video_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-SAMPLING through a REAL video container: each doc's
+    deterministic {_VID_FRAMES}-frame clip is encoded to a genuine
+    YUV4MPEG2 stream (the standard uncompressed interchange format —
+    header + FRAME markers + planar Y'UV bytes, C444), DECODED back
+    inside the Arrow stage, every {_VID_STEP}rd frame sampled, and
+    the sampled frames' exact luma sums emitted — the
+    decode/frame-sample shape of a video training-data pipeline with
+    the container parsing inside the hash-checked contract.  Retires
+    the video-side manifest-stub caveat the way multimodal_png_stats
+    retired the image one (codec-library formats like H.264 stay
+    honest stubs; the CONTAINER layer here is real).
+
+    Differential: the oracle recomputes sampled-frame luma sums from
+    the closed-form plane synthesis and never sees a byte.
+
+    Shape: map-only Arrow stage over the repartitioned key column
+    (the PNG keys' posture); at 100 TB the synthesis select becomes a
+    binaryFile scan partitioned by clip."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_y4m, encode_y4m
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+    w, h, nf, step, fps = _VID_W, _VID_H, _VID_FRAMES, _VID_STEP, _VID_FPS
+
+    def run(batches):
+        ff, yy, xx, cc = np.mgrid[0:nf, 0:h, 0:w, 0:3]
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                clip = (
+                    (int(doc_id) * 11 + ff * 29 + yy * 13 + xx * 5 + cc * 3)
+                    % 256
+                ).astype(np.uint8)
+                got_fps, back = decode_y4m(encode_y4m(clip, fps))
+                assert got_fps == fps and back.shape == (nf, h, w, 3)
+                for f in range(0, nf, step):
+                    luma = int(back[f, :, :, 0].astype(np.int64).sum())
+                    out.append((int(doc_id), f, h * w, luma))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_no", "n_pixels", "luma_sum"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, frame_no long, n_pixels long, luma_sum long"
+    )

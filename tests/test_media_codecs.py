@@ -221,3 +221,52 @@ def test_png_bytes_are_structurally_valid():
             assert (w, h, depth, color) == (3, 7, 8, 2)
         pos += 12 + length
     assert types == [b"IHDR", b"IDAT", b"IEND"]
+
+
+# --- Y4M codec (round 10) --------------------------------------------------
+
+
+@given(
+    st.integers(0, 4), st.integers(1, 8), st.integers(1, 8),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_y4m_round_trip(n, h, w, seed):
+    from downloader_spark.media import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(seed)
+    fr = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    fps, back = decode_y4m(encode_y4m(fr, 24))
+    assert fps == 24 and back.shape == fr.shape
+    assert np.array_equal(back, fr)
+
+
+def test_y4m_rejects_foreign_and_subsampled():
+    from downloader_spark.media import decode_y4m, encode_y4m
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"\x00" * 32)
+    # C420 header (subsampled): honest rejection, not silent garbage
+    fr = np.zeros((1, 2, 2, 3), np.uint8)
+    data = encode_y4m(fr).replace(b"C444", b"C420")
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        decode_y4m(data)
+    # truncated frame payload
+    good = encode_y4m(fr)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(good[:-3])
+
+
+def test_y4m_bytes_are_structurally_valid():
+    from downloader_spark.media import encode_y4m
+
+    fr = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    data = encode_y4m(fr, 30)
+    header, rest = data.split(b"\n", 1)
+    assert header == b"YUV4MPEG2 W4 H3 F30:1 Ip A1:1 C444"
+    # two frames, each FRAME\n + 3 planes of 12 bytes
+    assert rest.count(b"FRAME\n") == 2
+    assert len(rest) == 2 * (6 + 3 * 12)
+    # planar order: first plane of frame 0 is channel 0 row-major
+    first_plane = rest[6 : 6 + 12]
+    assert first_plane == fr[0, :, :, 0].tobytes()

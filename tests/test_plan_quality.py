@@ -1476,3 +1476,12 @@ def test_agg_spearman_single_exchange_drives_both_rank_windows(spark):
     plan = plan_of(spark, "agg_spearman")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_multimodal_video_luma_parallelizes_codec_work(spark):
+    plan = plan_of(spark, "multimodal_video_luma")
+    assert "MapInPandas" in plan
+    idx = plan.index("MapInPandas")
+    below = plan[idx:]
+    assert below.count("Exchange") == 1
+    assert "roundrobin" in below.lower()

@@ -1016,3 +1016,30 @@ def test_agg_spearman_matches_python_model(spark, events):
                 ),
             )
     assert got == model
+
+
+# --- multimodal_video_luma ------------------------------------------------
+
+
+def test_multimodal_video_luma_matches_closed_form(spark):
+    import downloader_spark.operators.round10_ext as r10
+
+    df = spark.createDataFrame([(i,) for i in [0, 9, 300]], "doc_id long")
+    orig = _patched(r10, df)
+    try:
+        got = {
+            (r.doc_id, r.frame_no): (r.n_pixels, r.luma_sum)
+            for r in r10.multimodal_video_luma(spark, "ignored").collect()
+        }
+    finally:
+        r10.load_table = orig
+    h, w = r10._VID_H, r10._VID_W
+    for doc in [0, 9, 300]:
+        for f in range(0, r10._VID_FRAMES, r10._VID_STEP):
+            s = sum(
+                (doc * 11 + f * 29 + y * 13 + x * 5) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            assert got[(doc, f)] == (h * w, s)
+    assert len(got) == 3 * (r10._VID_FRAMES // r10._VID_STEP)
