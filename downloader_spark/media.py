@@ -328,6 +328,8 @@ def decode_y4m(data: bytes) -> tuple[int, np.ndarray]:
         )
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
+    if fps is None:
+        raise ValueError("Y4M header missing F (frame-rate) token")
     plane = w * h
     pos = nl + 1
     frames = []

@@ -238,12 +238,12 @@ def _topk_update(
 
 
 def streaming_user_topk(events: DataFrame) -> DataFrame:
-    """Per-user TOP-{k} largest event values across micro-batches —
-    bounded custom state ({k} longs per key) with explicit eviction,
-    the state shape dropDuplicates/windowed aggs can't hold.  Order
-    of arrival does not matter (max-multiset is commutative), so no
-    per-batch sort discipline is needed, unlike the EWMA/Holt
-    folds.""".format(k=TOPK_K)
+    """Per-user TOP-K (K = ``TOPK_K``) largest event values across
+    micro-batches — bounded custom state (K longs per key) with
+    explicit eviction, the state shape dropDuplicates/windowed aggs
+    can't hold.  Order of arrival does not matter (max-multiset is
+    commutative), so no per-batch sort discipline is needed, unlike
+    the EWMA/Holt folds."""
     return events.groupBy("user_id").applyInPandasWithState(
         _topk_update,
         outputStructType=TOPK_OUTPUT_SCHEMA,

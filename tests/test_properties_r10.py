@@ -2,9 +2,12 @@
 Spark plan vs an independent pure-Python model on random inputs
 (hypothesis), per the repo's three-layer correctness strategy
 (oracle parity at sf0.01, pure-Python models on random inputs, plan
-gates).  Division note: Spark ``DIV`` truncates toward zero; the
+gates).  Division note: Spark ``DIV`` truncates toward zero; most
 round-10 keys divide only non-negative quantities, where Python
-``//`` agrees.
+``//`` agrees — the exception is ``ts_paa``, whose ``mean_cents``
+divides a possibly-negative day-sum and therefore relies on
+DIV-vs-``//`` truncate-toward-zero parity (the model below
+special-cases truncation toward zero accordingly).
 """
 
 from __future__ import annotations
