@@ -108,6 +108,24 @@ def main() -> None:
         except Exception:
             pass
 
+    # Settled protocol only: one UNTIMED settle pass at the target SF
+    # before the timed passes.  The sf0.001 warmup compiles every
+    # plan's codegen but never runs the sf0.1-sized loops long enough
+    # for the JIT to reach steady tier-4 — measured (r11 drift probe):
+    # a 12-key trivial-plan probe re-timed after one full sf0.1 pass
+    # ran at 0.48-0.88x its fresh-session times, i.e. pass 1 of a
+    # repeat=3 run still carries ~15-50% JIT warmup on sub-second
+    # keys, which biases the per-key MEDIAN up whenever passes 2/3
+    # straddle it.  That warmup tail — not plan changes, host drift,
+    # or registry growth (code cache measured 78/116 MB, zero old-gen
+    # GCs at 260 keys) — was the r10 "suite-wide ~11% drift".
+    if condition == "settled":
+        for name, spec in sorted(registry().items()):
+            try:
+                force(spec.fn(spark, sf_dir))
+            except Exception:
+                pass
+
     # repeat>1: per-key MEDIAN of sequential full passes (the settled
     # protocol) — whole passes, not per-key back-to-back repeats, so
     # cache-warmth is uniform across keys within each pass.

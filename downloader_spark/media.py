@@ -255,23 +255,53 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += stride
         if f == 0:
             rec = cur
-        elif f == 1:  # Sub — sequential left dependency
-            rec = cur.copy()
-            for i in range(bpp, stride):
-                rec[i] = (rec[i] + rec[i - bpp]) % 256
+        elif f == 1:  # Sub — rec[x] = sum of filt bytes up to x, per
+            # channel: mod distributes over the left-recurrence, so the
+            # whole row is one vectorized cumulative sum mod 256
+            rec = (
+                cur.reshape(-1, bpp)
+                .cumsum(axis=0, dtype=np.int64)
+                .reshape(stride)
+                % 256
+            ).astype(np.int32)
         elif f == 2:  # Up
             rec = (cur + prev) % 256
-        elif f == 3:  # Average
-            rec = cur.copy()
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                rec[i] = (cur[i] + (left + prev[i]) // 2) % 256
-        elif f == 4:  # Paeth
-            rec = cur.copy()
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                rec[i] = (cur[i] + _paeth(a, prev[i], c)) % 256
+        elif f == 3:  # Average — sequential left dependency; channels
+            # are independent, so run one plain-int recurrence per
+            # channel (numpy scalar indexing is ~10x slower per step)
+            c_l = cur.tolist()
+            p_l = prev.tolist()
+            rec_l = [0] * stride
+            for ch in range(bpp):
+                left = 0
+                for i in range(ch, stride, bpp):
+                    left = (c_l[i] + ((left + p_l[i]) >> 1)) & 255
+                    rec_l[i] = left
+            rec = np.asarray(rec_l, dtype=np.int32)
+        elif f == 4:  # Paeth — same per-channel recurrence; carry the
+            # up-left byte forward instead of re-indexing prev
+            c_l = cur.tolist()
+            p_l = prev.tolist()
+            rec_l = [0] * stride
+            for ch in range(bpp):
+                a = 0  # left (reconstructed)
+                ul = 0  # up-left (previous row, one pixel back)
+                for i in range(ch, stride, bpp):
+                    b = p_l[i]
+                    p = a + b - ul
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - ul if p >= ul else ul - p
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = ul
+                    a = (c_l[i] + pred) & 255
+                    rec_l[i] = a
+                    ul = b
+            rec = np.asarray(rec_l, dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = rec.astype(np.uint8)

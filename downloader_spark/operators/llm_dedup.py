@@ -242,6 +242,46 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def minhash_band_rows(ss: DataFrame) -> DataFrame:
+    """(doc_id, band) LSH band table from hashed shingle sets — the
+    shared banding stage of ``dedup_minhash`` /
+    ``dedup_minhash_incremental`` and the streaming incremental-dedup
+    pipeline (streaming/incremental_dedup.py): 12 deterministic
+    minhash AGGREGATES (multiply-add over the pre-hashed shingle
+    value, partial-aggregated map-side), then ``N_BANDS`` band hashes
+    exploded long-format.  At production scale this table is the
+    PERSISTED corpus artifact a daily delta joins against."""
+    hp = ss.withColumn("hp", F.expr(f"pmod(h, {MINHASH_P})"))
+    sigs = hp.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(f"pmod({MINHASH_A[i]} * hp + {MINHASH_B[i]}, {MINHASH_P})")
+            ).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.md5(
+                            F.concat(
+                                F.col(f"m{2*b}").cast("string"),
+                                F.lit(","),
+                                F.col(f"m{2*b+1}").cast("string"),
+                            )
+                        ),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+
+
 def minhash_pairs(docs: DataFrame) -> DataFrame:
     """Core MinHash+LSH pipeline over any (doc_id, text) DataFrame.
 

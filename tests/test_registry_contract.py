@@ -119,6 +119,41 @@ def test_queries_rotation_live_files_cover_unconfirmed_in_prefix():
     assert all(ranked.index(k) < 50 for k in stale)
 
 
+def test_confirmation_freshness_within_rotation_horizon():
+    """Driver-confirmation FRESHNESS gate (r10 verdict item 6): with
+    50 keys sampled per round over a 260-key registry, a healthy
+    least-recently-confirmed-first rotation re-confirms every key at
+    least every ceil(260/50) + 1 = 6 rounds.  Assert no key's latest
+    confirmation is older than that horizon unless it is already
+    queued inside the next 50-key sample prefix (i.e. the debt drains
+    next round by construction)."""
+    import importlib
+
+    se = importlib.import_module("__spark_entry__")
+    last = se._last_confirmed_round()
+    if not last:
+        pytest.skip("no driver correctness files present")
+    current = max(last.values())
+    ranked = list(se.queries())
+    horizon = -(-len(ranked) // 50) + 1  # ceil + 1 round of slack
+    prefix = set(ranked[:50])
+    overdue = [
+        k
+        for k in ranked
+        if last.get(k, -1) < current - horizon + 1 and k not in prefix
+    ]
+    assert not overdue, (
+        f"keys unconfirmed for > {horizon} rounds and not queued in the "
+        f"next driver sample: {overdue}"
+    )
+    # and the prefix really is oldest-first: every key holding the
+    # minimum confirmation round must be inside the sample window
+    oldest = min(last.get(k, -1) for k in ranked)
+    laggards = [k for k in ranked if last.get(k, -1) == oldest]
+    if len(laggards) <= 50:
+        assert all(k in prefix for k in laggards)
+
+
 def test_udaf_salted_equals_direct(spark):
     """The salted two-phase pandas UDAF must produce exactly the direct
     GROUPED_AGG sums, per group, regardless of salt count — including

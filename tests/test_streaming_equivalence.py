@@ -837,3 +837,173 @@ def test_streaming_holt_checkpoint_restart_resumes_state(spark, tmp_path):
     # and a reseeded second-half fold is genuinely different
     k2, l2, b2 = fold_holt([int(v * 100) for v in vals2])
     assert (k2, l2, b2) != (k, l, b)
+
+
+# ------------------------------------------------------------------
+# Incremental dedup as genuine Structured Streaming (foreachBatch
+# with persisted corpus state) — streaming/incremental_dedup.py.
+# ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_delta_dir(spark, tmp_path_factory):
+    """The dedup_minhash_incremental 'new batch' (doc_id % 10 == 0)
+    split into 3 parquet files so maxFilesPerTrigger=1 yields 3
+    micro-batches."""
+    out = tmp_path_factory.mktemp("incdedup") / "delta"
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(out))
+    return str(out)
+
+
+def test_incremental_minhash_stream_matches_batch_twin(
+    spark, docs_delta_dir, tmp_path
+):
+    """Frozen-corpus drain: corpus state seeded from the %10 != 0
+    docs, the %10 == 0 delta streamed in 3 micro-batches — the union
+    of per-batch matches must be EXACTLY the batch twin's output
+    (dedup_minhash_incremental computes the same thing in one shot)."""
+    from downloader_spark.plans.registry import registry
+    from downloader_spark.streaming.incremental_dedup import (
+        IncrementalMinhashDedup,
+    )
+
+    pipe = IncrementalMinhashDedup(
+        spark, str(tmp_path / "state"), append_corpus=False
+    )
+    corpus = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    pipe.seed_corpus(corpus)
+    q = pipe.run(docs_delta_dir, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = {
+        (r.doc_a, r.doc_b, r.inter_size, r.union_size, r.jacc_ppm)
+        for r in pipe.matches().collect()
+    }
+    expect = {
+        (r.doc_a, r.doc_b, r.inter_size, r.union_size, r.jacc_ppm)
+        for r in registry()["dedup_minhash_incremental"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_incremental_bloom_stream_matches_batch_twin(
+    spark, docs_delta_dir, tmp_path
+):
+    """Frozen-corpus Bloom drain == dedup_bloom_prefilter's one-shot
+    verdicts (bit set, exact membership, and false-positive audit all
+    carried through per-batch parquet state)."""
+    from downloader_spark.plans.registry import registry
+    from downloader_spark.streaming.incremental_dedup import (
+        IncrementalBloomPrefilter,
+    )
+
+    pipe = IncrementalBloomPrefilter(
+        spark, str(tmp_path / "state"), append_corpus=False
+    )
+    corpus = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    pipe.seed_corpus(corpus)
+    q = pipe.run(docs_delta_dir, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = {
+        (r.doc_id, r.bloom_hit, r.in_corpus, r.is_false_positive)
+        for r in pipe.results().collect()
+    }
+    expect = {
+        (r.doc_id, r.bloom_hit, r.in_corpus, r.is_false_positive)
+        for r in registry()["dedup_bloom_prefilter"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_incremental_minhash_growing_corpus_and_restart(spark, tmp_path):
+    """Daily-crawl mode (append_corpus=True), plus checkpoint-restart:
+
+    1. drain 2 document files -> batches 0,1 fold into corpus state;
+    2. a 3rd file arrives; re-run with the SAME checkpoint -> only
+       batch 2 is processed (offsets resumed, no reprocessing);
+    3. the accumulated matches must equal the batch reconstruction
+       that joins each delta's bands against strictly-earlier deltas
+       only (b.batch < a.batch), verified through the shared exact-
+       Jaccard path — i.e. the stream discovered exactly the pairs a
+       one-shot run over the arrival order would;
+    4. a final drain with no new files adds nothing (idempotence).
+    """
+    from downloader_spark.operators.llm_dedup import _verified_pairs
+    from downloader_spark.streaming.incremental_dedup import (
+        IncrementalMinhashDedup,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = tmp_path / "docs"
+    for i in range(2):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    pipe = IncrementalMinhashDedup(
+        spark, str(tmp_path / "state"), append_corpus=True
+    )
+    ck = str(tmp_path / "ckpt")
+    pipe.run(str(src), ck, max_files_per_trigger=1).awaitTermination(300)
+    import os
+
+    done = sorted(os.listdir(str(tmp_path / "state" / "bands")))
+    assert done == ["batch_id=0", "batch_id=1"]
+
+    # late file arrives; restart from the same checkpoint
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    pipe.run(str(src), ck, max_files_per_trigger=1).awaitTermination(300)
+    done = sorted(os.listdir(str(tmp_path / "state" / "bands")))
+    assert done == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+    # reconstruction: bands/shingles state carries which batch each
+    # doc arrived in; matches must be exactly the earlier-batch joins
+    bands = spark.read.option("basePath", str(tmp_path / "state" / "bands")).parquet(
+        str(tmp_path / "state" / "bands")
+    )
+    ss = (
+        spark.read.option("basePath", str(tmp_path / "state" / "shingles"))
+        .parquet(str(tmp_path / "state" / "shingles"))
+        .select("doc_id", "h")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("b.batch_id") < F.col("a.batch_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    expect = {
+        (r.doc_a, r.doc_b, r.inter_size, r.union_size, r.jacc_ppm)
+        for r in _verified_pairs(ss, cand, keep_ratio=2).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.inter_size, r.union_size, r.jacc_ppm)
+        for r in pipe.matches().collect()
+    }
+    assert got == expect and len(got) > 0
+
+    # no new files -> nothing reprocessed, nothing duplicated
+    pipe.run(str(src), ck, max_files_per_trigger=1).awaitTermination(300)
+    assert sorted(os.listdir(str(tmp_path / "state" / "bands"))) == done
+    assert {
+        (r.doc_a, r.doc_b) for r in pipe.matches().collect()
+    } == {(a, b) for a, b, *_ in got}
