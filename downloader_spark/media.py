@@ -379,6 +379,402 @@ def decode_y4m(data: bytes) -> tuple[int, np.ndarray]:
     return fps, np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)
 
 
+# --- JPEG: baseline sequential DCT, grayscale, pure stdlib -------------
+#
+# A REAL (if single-component) ITU-T T.81 baseline JPEG codec: forward
+# /inverse 8x8 DCT, Annex-K quantization tables with libjpeg-style
+# quality scaling, Annex-K Huffman tables, DC differential + AC
+# run-length entropy coding with 0xFF byte stuffing, JFIF markers.
+# The decoder parses DQT/DHT/SOF0/SOS from the stream (it decodes any
+# conforming 8-bit single-component baseline JPEG, not just our own
+# bytes).  Retires the JPEG stub in multimodal.py for grayscale;
+# color (YCbCr) stays a documented stub.
+
+_JPEG_QTBL_LUMA = np.array(
+    [  # ITU-T T.81 Annex K.1, raster order
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+_JPEG_ZZ = np.array(
+    [  # raster index of each zigzag position
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3: standard luminance Huffman tables (BITS counts per code
+# length 1..16, then the symbol values in canonical order)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def jpeg_qtable(quality: int) -> np.ndarray:
+    """Annex-K luminance table under the libjpeg quality scaling
+    (integer arithmetic end-to-end, so the scaled entries — which the
+    multimodal oracles inline as literals — are deterministic)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (_JPEG_QTBL_LUMA * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M: forward S = M s Mᵀ,
+    inverse s = Mᵀ S M (T.81 A.3.3 with C(0)=1/√2 folded in)."""
+    x = np.arange(8, dtype=np.float64)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
+    m[0, :] *= 1.0 / math.sqrt(2.0)
+    return m
+
+
+_JPEG_DCT_M = _dct_matrix()
+
+
+def _quantize(coefs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero quantization (libjpeg convention;
+    the multimodal oracles replicate it as an integer formula).
+
+    Coefficients within float-DCT error of an integer are snapped
+    first: an exactly-integer coefficient (every coefficient of a
+    constant block) must quantize by the INTEGER tie rule — the raw
+    DCT float can land a hair below the true half-integer quotient
+    (measured: S(0,0) = -55.99999999999999 for a constant c = -7
+    block at q = 16) and silently round toward zero instead."""
+    r = np.rint(coefs)
+    snapped = np.where(np.abs(coefs - r) < 1e-9, r, coefs)
+    return (
+        np.sign(snapped) * np.floor(np.abs(snapped) / q + 0.5)
+    ).astype(np.int64)
+
+
+def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, nbits) per T.81 C.2 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for nbits, count in enumerate(bits, start=1):
+        for _ in range(count):
+            out[vals[k]] = (code, nbits)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (code & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:  # byte-align with 1-bits (T.81 F.1.2.3)
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, size-bit code) for a DC diff / AC level."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _blockify(px: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad to 8x8 MCU multiples by edge replication, return
+    (n_blocks, 8, 8) float blocks in raster MCU order + mcu dims."""
+    h, w = px.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(px.astype(np.float64), ((0, ph), (0, pw)), mode="edge")
+    hh, ww = padded.shape
+    blocks = (
+        padded.reshape(hh // 8, 8, ww // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    return blocks, hh // 8, ww // 8
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quality: int = 50) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a REAL baseline JFIF
+    JPEG (SOF0, one component, Annex-K quant + Huffman tables)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError(f"expected (h, w) grayscale array, got {px.shape}")
+    h, w = px.shape
+    q_raster = jpeg_qtable(quality)
+    blocks, _, _ = _blockify(px)
+    coefs = np.einsum(
+        "ux,nxy,vy->nuv", _JPEG_DCT_M, blocks - 128.0, _JPEG_DCT_M
+    )
+    quant = _quantize(coefs, q_raster.reshape(8, 8))
+    zz = quant.reshape(-1, 64)[:, _JPEG_ZZ]
+
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for blk in zz:
+        size, code = _magnitude(int(blk[0]) - prev_dc)
+        prev_dc = int(blk[0])
+        c, n = dc_codes[size]
+        bw.put(c, n)
+        if size:
+            bw.put(code, size)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, n = ac_codes[0xF0]  # ZRL: 16 zeros
+                bw.put(c, n)
+                run -= 16
+            size, code = _magnitude(v)
+            c, n = ac_codes[(run << 4) | size]
+            bw.put(c, n)
+            bw.put(code, size)
+            run = 0
+        if last < 63:
+            c, n = ac_codes[0x00]  # EOB
+            bw.put(c, n)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    qtbl_zz = q_raster[_JPEG_ZZ]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in qtbl_zz))  # DQT
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits, vals):
+    """(code, nbits) -> symbol lookup for bit-serial decode."""
+    table = {}
+    for sym, (code, nbits) in _canonical_codes(bits, vals).items():
+        table[(nbits, code)] = sym
+    def decode(br: _JpegBitReader) -> int:
+        code = 0
+        for nbits in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = table.get((nbits, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG scan")
+    return decode
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Decode an 8-bit single-component baseline JPEG into an (h, w)
+    uint8 array.  Parses DQT / SOF0 / DHT / SOS from the stream —
+    table-agnostic, so it reads any conforming grayscale baseline
+    file, not just ``encode_jpeg_gray`` output."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], object] = {}
+    h = w = None
+    comp_q = comp_dc = comp_ac = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        payload = data[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(payload, np.uint8, 64, p + 1).astype(np.int64)
+                raster = np.empty(64, np.int64)
+                raster[_JPEG_ZZ] = zz
+                qtables[tq] = raster
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    f"unsupported JPEG (precision={prec}, components="
+                    f"{ncomp}); codec reads 8-bit grayscale baseline"
+                )
+            if payload[7] != 0x11:
+                raise ValueError("subsampled grayscale is malformed")
+            comp_q = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = tuple(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = tuple(payload[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _huff_decoder(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDA:  # SOS — entropy data follows
+            comp_dc = payload[2] >> 4
+            comp_ac = payload[2] & 0x0F
+            break
+    if h is None or not qtables:
+        raise ValueError("JPEG missing SOF0/DQT")
+    q = qtables[comp_q]
+    dc_dec = huff[(0, comp_dc)]
+    ac_dec = huff[(1, comp_ac)]
+    mby, mbx = -(-h // 8), -(-w // 8)
+    br = _JpegBitReader(data, pos)
+    zz_blocks = np.zeros((mby * mbx, 64), np.int64)
+    prev_dc = 0
+    for b in range(mby * mbx):
+        size = dc_dec(br)
+        diff = _extend(br.bits(size), size) if size else 0
+        prev_dc += diff
+        zz_blocks[b, 0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = ac_dec(br)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            size = rs & 0x0F
+            if k > 63:
+                raise ValueError("AC coefficient index overran the block")
+            zz_blocks[b, k] = _extend(br.bits(size), size)
+            k += 1
+    raster = np.zeros((mby * mbx, 64), np.int64)
+    raster[:, _JPEG_ZZ] = zz_blocks
+    deq = (raster * q).reshape(-1, 8, 8).astype(np.float64)
+    spatial = np.einsum("xu,nuv,yv->nxy", _JPEG_DCT_M.T, deq, _JPEG_DCT_M.T)
+    # floor(x + 0.5) — deterministic half-up rounding the closed-form
+    # oracles replicate exactly (np.round's banker's ties would not be
+    # SQL-expressible).  Sums within float-IDCT error of an integer
+    # snap to it first so an exact boundary can't flip on a 1-ulp
+    # wobble (mirror of the encoder-side _quantize snap).
+    s = spatial + 128.5
+    r = np.rint(s)
+    s = np.where(np.abs(s - r) < 1e-9, r, s)
+    out = np.clip(np.floor(s), 0, 255).astype(np.uint8)
+    img = (
+        out.reshape(mby, mbx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(mby * 8, mbx * 8)
+    )
+    return img[:h, :w]
+
+
 # --- Spark stages: real decode through the Arrow path ------------------
 
 _IMAGE_SCHEMA = T.StructType(

@@ -270,3 +270,166 @@ def test_y4m_bytes_are_structurally_valid():
     # planar order: first plane of frame 0 is channel 0 row-major
     first_plane = rest[6 : 6 + 12]
     assert first_plane == fr[0, :, :, 0].tobytes()
+
+
+# --- JPEG: baseline sequential DCT (T.81), grayscale ---------------------
+
+
+def test_jpeg_dct_matrix_is_orthonormal():
+    from downloader_spark.media import _JPEG_DCT_M
+
+    assert np.allclose(_JPEG_DCT_M @ _JPEG_DCT_M.T, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_entropy_layer_roundtrips_symbols_losslessly():
+    """Huffman + bit-stuffing is the LOSSLESS layer: a random stream
+    of Annex-K symbols (with their magnitude payloads) written through
+    the stuffing bit-writer must decode back exactly through the
+    canonical-code reader — including streams dense in 0xFF bytes."""
+    from downloader_spark.media import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _canonical_codes,
+        _huff_decoder,
+        _JpegBitReader,
+        _JpegBitWriter,
+    )
+
+    codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    decode = _huff_decoder(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    rng = np.random.default_rng(5)
+    syms = rng.choice(np.array(_JPEG_AC_VALS), size=400)
+    bw = _JpegBitWriter()
+    payloads = []
+    for s in syms:
+        c, n = codes[int(s)]
+        bw.put(c, n)
+        size = int(s) & 0x0F
+        v = int(rng.integers(0, 1 << size)) if size else 0
+        payloads.append(v)
+        if size:
+            bw.put(v, size)
+    data = bw.flush()
+    assert b"\xff" not in data.replace(b"\xff\x00", b"")  # all stuffed
+    br = _JpegBitReader(data, 0)
+    for s, v in zip(syms, payloads):
+        got = decode(br)
+        assert got == int(s)
+        size = int(s) & 0x0F
+        if size:
+            assert br.bits(size) == v
+
+
+@pytest.mark.parametrize("quality,q00", [(25, 32), (50, 16), (75, 8)])
+def test_jpeg_constant_blocks_match_dc_closed_form(quality, q00):
+    """Constant 8x8 blocks exercise the whole pipeline (DCT, quant,
+    zigzag, DC-diff Huffman, stuffing, markers) yet decode to an
+    exactly predictable value — the identity the multimodal oracles
+    rely on."""
+    from downloader_spark.media import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        jpeg_qtable,
+    )
+
+    assert int(jpeg_qtable(quality)[0]) == q00
+    rng = np.random.default_rng(quality)
+    vals = rng.integers(0, 256, (3, 4))
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img, quality=quality))
+    for by in range(3):
+        for bx in range(4):
+            x = 8 * (int(vals[by, bx]) - 128)
+            dcq = (2 * abs(x) + q00) // (2 * q00) * (1 if x >= 0 else -1)
+            exp = max(0, min(255, int((2 * dcq * q00 + 2056) / 16)))
+            blk = dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk == exp).all()
+
+
+def test_jpeg_quality_monotone_and_smooth_images_reconstruct():
+    from downloader_spark.media import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    maes = []
+    sizes = []
+    for q in (10, 25, 50, 75, 95):
+        data = encode_jpeg_gray(img, quality=q)
+        dec = decode_jpeg_gray(data)
+        maes.append(np.abs(dec.astype(int) - img.astype(int)).mean())
+        sizes.append(len(data))
+    assert maes == sorted(maes, reverse=True)  # higher quality, lower error
+    assert sizes == sorted(sizes)  # ...and more bytes
+    # a linear gradient is DC+low-AC only: near-exact at high quality
+    yy, xx = np.mgrid[0:48, 0:48]
+    smooth = (yy * 2 + xx * 2).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(smooth, quality=95))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 1
+
+
+@given(
+    h=st.integers(min_value=1, max_value=26),
+    w=st.integers(min_value=1, max_value=26),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=12, deadline=None)
+def test_jpeg_arbitrary_dims_crop_and_bounded_error(h, w, seed):
+    """Non-multiple-of-8 images pad at encode and crop at decode; the
+    lossy error stays within the coarse q=50 quantizer's bound."""
+    from downloader_spark.media import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img, quality=50))
+    assert dec.shape == (h, w)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 255
+
+
+def test_jpeg_rejects_foreign_and_unsupported():
+    from downloader_spark.media import decode_jpeg_gray, encode_jpeg_gray
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x89PNG1234")
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((4, 4, 3), np.uint8))  # not grayscale
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((4, 4), np.uint8), quality=0)
+    # progressive marker (SOF2) must be refused, not mis-decoded
+    data = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    idx = data.find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(bytes(data))
+
+
+def test_jpeg_bytes_are_structurally_valid_jfif():
+    """Marker walk of our own bytes: SOI, APP0/JFIF, one DQT, SOF0
+    with 1 component, two DHTs, SOS, EOI terminator — and every
+    in-scan 0xFF is stuffed."""
+    from downloader_spark.media import encode_jpeg_gray
+
+    rng = np.random.default_rng(3)
+    data = encode_jpeg_gray(rng.integers(0, 256, (16, 16)).astype(np.uint8))
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    import struct as _s
+
+    pos, markers = 2, []
+    while pos < len(data) - 2:
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        markers.append(marker)
+        (ln,) = _s.unpack_from(">H", data, pos + 2)
+        payload = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xE0:
+            assert payload[:5] == b"JFIF\x00"
+        if marker == 0xC0:
+            assert payload[0] == 8 and payload[5] == 1  # 8-bit, 1 comp
+        pos += 2 + ln
+        if marker == 0xDA:
+            break
+    assert markers == [0xE0, 0xDB, 0xC0, 0xC4, 0xC4, 0xDA]
+    scan = data[pos:-2]
+    i = scan.find(b"\xff")
+    while i != -1:
+        assert scan[i + 1] == 0x00, "unstuffed 0xFF inside entropy data"
+        i = scan.find(b"\xff", i + 2)

@@ -1546,3 +1546,20 @@ def test_cluster_stats_final_plan_is_checkpoint_rooted(spark):
     plan = final_plan_of(spark, "dedup_cluster_stats")
     assert plan.count("Scan parquet") == 0
     assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_multimodal_jpeg_keys_parallelize_codec_work(spark):
+    """Round-11 JPEG keys: the Arrow codec stage must sit above a
+    round-robin repartition of the 8-byte key column (one parquet
+    file would otherwise serialize the whole DCT/Huffman work into a
+    single Python worker — the round-10 PNG lesson), and the sweep's
+    aggregate must be partial before its exchange."""
+    for key in ("multimodal_jpeg_stats", "multimodal_jpeg_quality_sweep"):
+        plan = plan_of(spark, key)
+        assert "MapInPandas" in plan
+        idx = plan.index("MapInPandas")
+        below = plan[idx:]
+        assert "roundrobin" in below.lower(), f"{key} codec not spread"
+        assert "CartesianProduct" not in plan
+    sweep = plan_of(spark, "multimodal_jpeg_quality_sweep")
+    assert sweep.count("HashAggregate") >= 2  # map-side partial
