@@ -211,3 +211,443 @@ def multimodal_jpeg_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.sum("abs_err").cast("long").alias("total_abs_err"),
     )
+
+
+# ------------------------------------------------------------------
+# graph_resource_alloc — Resource-Allocation link prediction
+# ------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from downloader_spark.operators.llm_dedup import (  # noqa: E402
+    _DUCK_SHINGLE_CTE,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    N_BANDS,
+    N_HASHES,
+    _duck_h60,
+    hashed_shingle_sets,
+    minhash_band_rows,
+)
+from downloader_spark.operators.round9b_ext import (  # noqa: E402
+    _CN_MIN,
+    _KCORE_MIN_QTY,
+    _KCORE_ORDER_CAP,
+)
+
+_RA_GRAPH_CTE = f"""
+    su AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+      FROM lineitem WHERE l_quantity >= {_KCORE_MIN_QTY}
+    ),
+    capped AS (
+      SELECT ok, s FROM (
+        SELECT ok, s, count(*) OVER (PARTITION BY ok) AS n_s FROM su
+      ) WHERE n_s <= {_KCORE_ORDER_CAP}
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS a, b.s AS b
+      FROM capped a JOIN capped b ON a.ok = b.ok AND a.s < b.s
+    ),
+    adj AS (
+      SELECT a AS node, b AS nb FROM e
+      UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node
+    )
+"""
+
+
+@query(
+    "graph_resource_alloc",
+    oracle=f"""
+    WITH {_RA_GRAPH_CTE},
+    shared AS (
+      SELECT x.node AS u, y.node AS v, x.nb AS z
+      FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node
+    ),
+    scored AS (
+      SELECT s.u, s.v,
+             CAST(count(*) AS BIGINT) AS common,
+             CAST(sum(1000000 // dz.d) AS BIGINT) AS ra_upm
+      FROM shared s JOIN deg dz ON dz.node = s.z
+      GROUP BY s.u, s.v
+      HAVING count(*) >= {_CN_MIN}
+    )
+    SELECT sc.u, sc.v, sc.common, sc.ra_upm,
+           l.a IS NOT NULL AS already_linked
+    FROM scored sc
+    LEFT JOIN e l ON l.a = sc.u AND l.b = sc.v
+    """,
+    tags=("graph", "link-prediction"),
+)
+def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou/Lü/Zhang 2009,
+    public work) on the co-supplier graph: for every non-/already-
+    linked pair sharing >= {_CN_MIN} neighbors, RA = Σ_z 1/deg(z)
+    over the SHARED neighbors z — the index that discounts promiscuous
+    hubs, where plain common-neighbor counting (graph_common_neighbors)
+    treats every witness equally.  Emitted in exact integer
+    micro-units (1e6 DIV deg) so both engines agree to the last digit.
+
+    Shape: the candidate join is the adjacency self-join ON THE SHARED
+    NEIGHBOR (fan-out bounded by the order-cap in the edge recipe);
+    unlike the common-neighbor key the intermediate z RIDES THROUGH
+    the join so its degree can weight the pair — one extra broadcast-
+    sized equi-join on deg(z), then the same (u, v) aggregation.
+    Never all-pairs; hub damping is the POINT of the statistic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = (
+        li.where(F.col("l_quantity") >= _KCORE_MIN_QTY)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    capped = (
+        su.withColumn("n_s", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .where(F.col("n_s") <= _KCORE_ORDER_CAP)
+        .drop("n_s")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("a"), F.col("b.s").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
+        edges.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    x = adj.alias("x")
+    y = adj.alias("y")
+    shared = x.join(
+        y, (F.col("x.nb") == F.col("y.nb")) & (F.col("x.node") < F.col("y.node"))
+    ).select(
+        F.col("x.node").alias("u"), F.col("y.node").alias("v"),
+        F.col("x.nb").alias("z"),
+    )
+    scored = (
+        shared.join(
+            F.broadcast(deg.select(F.col("node").alias("z"), F.col("d").alias("dz"))),
+            "z",
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum(F.expr("1000000 DIV dz")).cast("long").alias("ra_upm"),
+        )
+        .where(F.col("common") >= _CN_MIN)
+    )
+    linked = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), F.lit(True).alias("lk")
+    )
+    return scored.join(linked, ["u", "v"], "left").select(
+        "u", "v", "common", "ra_upm",
+        F.coalesce(F.col("lk"), F.lit(False)).alias("already_linked"),
+    )
+
+
+# ------------------------------------------------------------------
+# dedup_minhash_estimate_error — sketch-vs-exact calibration
+# ------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    hsets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {_duck_h60("s")})) AS hh
+      FROM shingled
+    ),
+    hps AS (
+      SELECT doc_id, hh, list_transform(hh, x -> x % {MINHASH_P}) AS hp
+      FROM hsets
+    ),
+    sigs AS (
+      SELECT doc_id, hh,
+             list_transform(generate_series(0, {N_HASHES - 1}),
+               i -> list_aggregate(
+                      list_transform(hp,
+                        x -> ({MINHASH_A}[i + 1] * x + {MINHASH_B}[i + 1])
+                             % {MINHASH_P}),
+                      'min')) AS sig
+      FROM hps
+    ),
+    bands AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, {N_BANDS - 1}),
+               b -> concat(b, ':', md5(concat(sig[2*b+1], ',', sig[2*b+2]))))) AS band
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT len(list_filter(generate_series(1, {N_HASHES}),
+                             i -> sa.sig[i] = sb.sig[i])) AS agree,
+             len(list_intersect(sa.hh, sb.hh)) AS inter,
+             len(sa.hh) + len(sb.hh) - len(list_intersect(sa.hh, sb.hh)) AS un
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    ),
+    errs AS (
+      SELECT agree,
+             abs(agree * 1000000 // {N_HASHES} - inter * 1000000 // un) AS err
+      FROM scored
+    )
+    SELECT CAST(agree AS INT) AS agree,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(err) AS BIGINT) AS sum_abs_err_ppm,
+           CAST(max(err) AS BIGINT) AS max_abs_err_ppm
+    FROM errs GROUP BY agree
+    """,
+    tags=("llm", "dedup", "sketch", "observability"),
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash CALIBRATION: for every banded candidate pair, the
+    sketch's Jaccard estimate (matching signature positions / 12)
+    against the EXACT Jaccard, bucketed by agreement count — the
+    measurement that tells a pipeline designer whether 12 hashes are
+    enough before trusting the sketch on a 100 TB corpus ("measure,
+    don't guess" applied to the sketch itself).
+
+    Shape: candidates from the production banding (never all-pairs);
+    the exact side reuses the hashed-postings co-occurrence count;
+    the estimate side is a 12-column signature comparison on the
+    already-joined pair rows — everything integer (ppm floors), so
+    the oracle (which rebuilds the identical hash family) matches to
+    the digit.  Output is |distinct agreement levels| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ss = hashed_shingle_sets(docs).localCheckpoint()
+    hp = ss.withColumn("hp", F.expr(f"pmod(h, {MINHASH_P})"))
+    sigs = hp.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(f"pmod({MINHASH_A[i]} * hp + {MINHASH_B[i]}, {MINHASH_P})")
+            ).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    ).localCheckpoint()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.md5(
+                            F.concat(
+                                F.col(f"m{2*b}").cast("string"),
+                                F.lit(","),
+                                F.col(f"m{2*b+1}").cast("string"),
+                            )
+                        ),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    ba = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact intersection via the postings co-occurrence count (the
+    # _verified_pairs recipe, unfiltered: calibration needs the low-
+    # similarity candidates too)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ssc = ss.join(cand_docs, "doc_id", "left_semi")
+    sizes = ss.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    inter = (
+        cand.join(ssc.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(ssc.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    agree_expr = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    scored = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            agree_expr.alias("agree"),
+            F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0))).alias(
+                "un"
+            ),
+        )
+        .withColumn(
+            "err",
+            F.abs(
+                F.expr(f"agree * 1000000 DIV {N_HASHES}")
+                - F.expr("inter * 1000000 DIV un")
+            ),
+        )
+    )
+    return scored.groupBy(F.col("agree").cast("int").alias("agree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("err").cast("long").alias("sum_abs_err_ppm"),
+        F.max("err").cast("long").alias("max_abs_err_ppm"),
+    )
+
+
+# ------------------------------------------------------------------
+# text_bpe_train_steps — iterative BPE merge training (3 rounds)
+# ------------------------------------------------------------------
+
+_BPE_STEPS = 3
+
+# DuckDB replica: the same three merge rounds as chained CTEs.  Each
+# symbol is wrapped /sym/, so the winning pair's textual form
+# '/a//b/' matches ONLY whole adjacent symbols (a bare 'a b' search
+# would false-match inside multi-char symbols after round 1), and
+# replace() consumes matches left-to-right exactly like the greedy
+# merge pass of a real BPE trainer.
+_BPE_VOCAB_CTE = """
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS nw
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2 AND regexp_full_match(w, '[a-z]+')
+      GROUP BY w
+    ),
+    s0 AS (
+      SELECT regexp_replace(w, '(.)', '/\\1/', 'g') AS seq, nw FROM vocab
+    )
+"""
+
+
+def _bpe_duck_round(r: int) -> str:
+    """pairs -> winner -> merged-sequences CTEs for round ``r``."""
+    return f"""
+    l{r} AS (
+      SELECT string_split(substr(seq, 2, len(seq) - 2), '//') AS l, nw
+      FROM s{r}
+    ),
+    p{r} AS (
+      SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(nw) AS BIGINT) AS n
+      FROM l{r}, unnest(generate_series(1, len(l) - 1)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    w{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+    s{r + 1} AS (
+      SELECT replace(seq, '/' || w{r}.a || '//' || w{r}.b || '/',
+                     '/' || w{r}.a || w{r}.b || '/') AS seq, nw
+      FROM s{r}, w{r}
+    )"""
+
+
+@query(
+    "text_bpe_train_steps",
+    oracle=f"""
+    WITH {_BPE_VOCAB_CTE},
+    {",".join(_bpe_duck_round(r) for r in range(_BPE_STEPS))}
+    {" UNION ALL ".join(
+        f"SELECT {r + 1} AS step, a AS sym_a, b AS sym_b,"
+        f" a || b AS merged, n FROM w{r}"
+        for r in range(_BPE_STEPS)
+    )}
+    """,
+    tags=("llm", "text", "tokenizer", "bpe", "iterative"),
+)
+def text_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, {_BPE_STEPS} merge rounds (Sennrich et
+    al. 2016, public work) — the iterative loop ``text_bpe_pairs``
+    measures one round of: count adjacent symbol pairs over the
+    frequency-weighted vocab, merge the argmax pair (ties broken
+    lexicographically) in every word, repeat.  Output is the merge
+    TABLE — (step, pair, merged symbol, weighted count) — the actual
+    artifact a tokenizer trainer persists.
+
+    Scale shape: like every real BPE trainer, the working set is the
+    VOCAB (distinct words + counts), not the corpus — pair counting
+    and merging cost O(|vocab| x word length) per round.  Each round
+    is one map-side-combinable pair count + one argmax (a 1-row
+    collect — the iterative-driver pattern of graph_pagerank /
+    embed_kmeans) + one codegen'd string rewrite; the vocab table is
+    localCheckpointed so round k+1 reads materialized partitions, not
+    a growing lineage.  Greedy left-to-right merge semantics come
+    from ``replace()``'s scan order, identical in both engines; the
+    /sym/ wrapping keeps matches whole-symbol (an unwrapped 'a b'
+    would false-match inside multi-char symbols after round 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("nw"))
+    )
+    seqs = vocab.select(
+        F.regexp_replace("w", "(.)", "/$1/").alias("seq"), "nw"
+    ).localCheckpoint()
+    merges = []
+    for step in range(1, _BPE_STEPS + 1):
+        pairs = (
+            seqs.select(
+                F.expr(
+                    "split(substr(seq, 2, length(seq) - 2), '//')"
+                ).alias("l"),
+                "nw",
+            )
+            # fully-merged words carry no pairs; Spark's sequence(0, -1)
+            # would DESCEND (DuckDB's generate_series is empty) — drop
+            # single-symbol rows before pair extraction
+            .filter(F.expr("size(l) >= 2"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(l) - 2),"
+                        " i -> struct(l[i] AS a, l[i + 1] AS b))"
+                    )
+                ).alias("p"),
+                "nw",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("nw").cast("long").alias("n"))
+        )
+        rows = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        if not rows:  # vocab exhausted (degenerate corpus): stop early
+            break
+        win = rows[0]
+        merges.append((step, win.a, win.b, win.a + win.b, win.n))
+        seqs = seqs.select(
+            F.expr(
+                f"replace(seq, '/{win.a}//{win.b}/', '/{win.a}{win.b}/')"
+            ).alias("seq"),
+            "nw",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, sym_a string, sym_b string, merged string, n long"
+    )

@@ -1563,3 +1563,25 @@ def test_multimodal_jpeg_keys_parallelize_codec_work(spark):
         assert "CartesianProduct" not in plan
     sweep = plan_of(spark, "multimodal_jpeg_quality_sweep")
     assert sweep.count("HashAggregate") >= 2  # map-side partial
+
+
+def test_resource_alloc_broadcasts_degree_and_avoids_cartesian(spark):
+    """graph_resource_alloc: the intermediate-node degree attaches by
+    a BROADCAST equi-join (|nodes|-sized table against the shared-
+    neighbor fan-out), and candidate generation stays the bounded
+    adjacency self-join — never a cartesian product."""
+    plan = plan_of(spark, "graph_resource_alloc")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial on (u,v)
+
+
+def test_minhash_estimate_error_reads_only_checkpointed_artifacts(spark):
+    """dedup_minhash_estimate_error fans the checkpointed shingle and
+    signature tables into candidates, exact intersections, sizes, and
+    the 12-column agreement compare — no consumer may re-derive them
+    from the documents scan."""
+    plan = final_plan_of(spark, "dedup_minhash_estimate_error")
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 5
+    assert "CartesianProduct" not in plan

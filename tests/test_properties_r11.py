@@ -1,0 +1,143 @@
+"""Differential property tests for the round-11 algorithmic keys:
+Spark plan vs an independent pure-Python model on random inputs
+(hypothesis), per the repo's three-layer correctness strategy.
+
+``text_bpe_train_steps`` is the algorithmic key of the round — the
+model below reimplements weighted BPE training (pair counting over
+the vocab, argmax with lexicographic tie-break, greedy left-to-right
+merging) from the Sennrich et al. description, sharing no code with
+the Spark side's replace()-driven rewrite.  Tiny alphabets force
+frequency TIES, so the tie-break order is genuinely exercised.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _bpe_model(words: list[str], steps: int) -> list[tuple]:
+    vocab = Counter(
+        w for w in words if len(w) >= 2 and re.fullmatch("[a-z]+", w)
+    )
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(1, steps + 1):
+        pc: Counter = Counter()
+        for w, nw in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += nw
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, n))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+words_strategy = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(words_strategy)
+def test_bpe_train_steps_matches_python_model(spark, words):
+    import downloader_spark.operators.round11_ext as r11
+
+    df = spark.createDataFrame(
+        [(0, " ".join(words), "en", "s", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = r11.load_table
+    r11.load_table = lambda s, d, n: df
+    try:
+        got = [
+            (r.step, r.sym_a, r.sym_b, r.merged, r.n)
+            for r in r11.text_bpe_train_steps(spark, "ignored")
+            .orderBy("step")
+            .collect()
+        ]
+    finally:
+        r11.load_table = orig
+    assert got == _bpe_model(words, r11._BPE_STEPS)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 5)),  # (order, supplier)
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_resource_alloc_matches_python_model(spark, rows):
+    """RA index vs a brute-force model over a tiny co-occurrence
+    graph (the lineitem edge recipe monkeypatched to raw pairs)."""
+    import downloader_spark.operators.round11_ext as r11
+    from downloader_spark.operators.round9b_ext import (
+        _CN_MIN,
+        _KCORE_ORDER_CAP,
+    )
+
+    li = spark.createDataFrame(
+        [(ok, s, 50.0) for ok, s in rows],
+        "l_orderkey long, l_suppkey long, l_quantity double",
+    )
+    orig = r11.load_table
+    r11.load_table = lambda s, d, n: li
+    try:
+        got = {
+            (r.u, r.v): (r.common, r.ra_upm, r.already_linked)
+            for r in r11.graph_resource_alloc(spark, "ignored").collect()
+        }
+    finally:
+        r11.load_table = orig
+
+    # model: same cap, undirected edges, RA = sum 1e6 // deg(z)
+    by_order: dict = {}
+    for ok, s in set(rows):
+        by_order.setdefault(ok, set()).add(s)
+    edges = set()
+    for members in by_order.values():
+        if len(members) > _KCORE_ORDER_CAP:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                edges.add((ms[i], ms[j]))
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    expect = {}
+    nodes = sorted(nbrs)
+    for i in range(len(nodes)):
+        for j in range(i + 1, len(nodes)):
+            u, v = nodes[i], nodes[j]
+            shared = nbrs[u] & nbrs[v]
+            if len(shared) >= _CN_MIN:
+                ra = sum(1_000_000 // len(nbrs[z]) for z in shared)
+                expect[(u, v)] = (len(shared), ra, (u, v) in edges)
+    assert got == expect
