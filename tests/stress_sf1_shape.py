@@ -89,6 +89,15 @@ KEYS = (
     "multimodal_phash_dedup",
     "agg_spearman",
     "events_survival_curve",
+    # round-11 keys: the lossy-codec pair (codec-bound, linear in
+    # images), the sketch calibration (candidate-join-bound under
+    # Heaps growth), iterative BPE (vocab-sized rounds), and the
+    # degree-weighted link-prediction join
+    "multimodal_jpeg_stats",
+    "multimodal_jpeg_quality_sweep",
+    "dedup_minhash_estimate_error",
+    "text_bpe_train_steps",
+    "graph_resource_alloc",
 )
 
 SRC = "/root/testdata/sf0.1"
@@ -293,13 +302,17 @@ def main() -> None:
     print("building corpora (cached under /tmp/sf1shape_*)...", flush=True)
     build(spark)
     reg = registry()
+    # optional subset (comma-separated) for incremental runs — new
+    # keys measured without re-timing the whole recorded sweep
+    only = os.environ.get("SPARK_GRAFT_STRESS_KEYS")
+    keys = [k for k in KEYS if not only or k in only.split(",")]
     # warm every key's plan/codegen at the smallest SF
-    for k in KEYS:
+    for k in keys:
         force(reg[k].fn(spark, "/root/testdata/sf0.001"))
 
     rows = []
     bad = []
-    for k in KEYS:
+    for k in keys:
         rec = {"key": k}
         for tag, d in (("base", BASE_DIR), ("big", BIG_DIR)):
             sb0 = shuffle_write_bytes()
