@@ -651,3 +651,248 @@ def text_bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, sym_a string, sym_b string, merged string, n long"
     )
+
+
+# ------------------------------------------------------------------
+# agg_hll_distinct — real HyperLogLog, exact register math
+# ------------------------------------------------------------------
+
+from downloader_spark.operators.llm_dedup import _spark_h60  # noqa: E402
+
+_HLL_M = 64  # registers (p = 6)
+_HLL_WBITS = 54  # 60-bit hash: 6 bucket bits, 54 rank bits
+# alpha_64 = 0.7213 / (1 + 1.079/64) = 0.709342...; the raw-estimate
+# numerator alpha * m^2 in 1e-4 fixed point (7093 * 4096), times the
+# 2^55 register scaling — exceeds int64, so HUGEINT / DECIMAL(38,0)
+_HLL_ALPHA_1E4 = 7093
+
+
+@query(
+    "agg_hll_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             {_duck_h60("concat('hll:', CAST(user_id AS VARCHAR))")} AS h
+      FROM events
+    ),
+    parts AS (
+      SELECT event_type, h % {_HLL_M} AS bucket, h // {_HLL_M} AS w
+      FROM hashed
+    ),
+    regs AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                      ELSE {_HLL_WBITS + 1} - len(bin(w)) END) AS m
+      FROM parts GROUP BY event_type, bucket
+    ),
+    folded AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << ({_HLL_WBITS + 1} - m)) AS BIGINT)
+               AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present
+      FROM regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    ),
+    summed AS (
+      SELECT f.event_type, e.n_exact,
+             f.s_present
+               + ({_HLL_M} - f.n_present)
+                 * (1::BIGINT << {_HLL_WBITS + 1}) AS sum_scaled,
+             CAST({_HLL_M} - f.n_present AS INT) AS n_zero
+      FROM folded f JOIN exact e ON e.event_type = f.event_type
+    )
+    SELECT event_type, n_exact, sum_scaled, n_zero,
+           CAST(({_HLL_ALPHA_1E4}::HUGEINT * {_HLL_M * _HLL_M}
+                 * (1::HUGEINT << {_HLL_WBITS + 1}))
+                // (10000::HUGEINT * sum_scaled) AS BIGINT) AS hll_raw_est
+    FROM summed
+    """,
+    tags=("aggregate", "sketch", "hll", "observability"),
+)
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL HyperLogLog (Flajolet et al. 2007, public work) built
+    from relational algebra, run NEXT TO the exact distinct count it
+    estimates — per event type, the {_HLL_M}-register sketch of
+    distinct users: md5-derived 60-bit hash → 6 bucket bits + 54 rank
+    bits, register = max leading-rank per bucket, harmonic fold, raw
+    estimate alpha·m²/V.  Unlike `agg_approx` (Spark's built-in HLL++
+    checked rows-only), every intermediate here is EXACT integer
+    arithmetic the oracle replicates digit-for-digit: ranks via
+    bit-length (len(bin(w))), the harmonic sum scaled by 2^55 so each
+    2^-M term is an integer shift (never float), and the estimate as
+    one HUGEINT/DECIMAL(38,0) division.  Emits the raw estimator plus
+    n_zero (the input a linear-counting correction would take) beside
+    n_exact — the sketch-accuracy audit, sibling to
+    `dedup_minhash_estimate_error`.
+
+    Shape: one partial-aggregated shuffle to (type, bucket) registers
+    (|types| x {_HLL_M} rows — the mergeable persisted artifact; at
+    100 TB rollups union registers and re-fold, never re-scan), then
+    a |types|-row fold.  The exact count is a second aggregation on
+    the same exchange key family."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.select(
+        "event_type",
+        F.expr(
+            _spark_h60("concat('hll:', CAST(user_id AS STRING))")
+        ).alias("h"),
+    )
+    parts = hashed.select(
+        "event_type",
+        F.expr(f"h % {_HLL_M}").alias("bucket"),
+        F.expr(f"h DIV {_HLL_M}").alias("w"),
+    )
+    rank = (
+        F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin("w")))
+    )
+    # max rank per register, then fold per type
+    regs = (
+        parts.withColumn("r", rank)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+    folded = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)"))
+        .cast("long")
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    summed = folded.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("n_present"))
+            * F.lit(1 << (_HLL_WBITS + 1))
+        ).cast("long").alias("sum_scaled"),
+        (F.lit(_HLL_M) - F.col("n_present")).cast("int").alias("n_zero"),
+    )
+    num = _HLL_ALPHA_1E4 * _HLL_M * _HLL_M * (1 << (_HLL_WBITS + 1))
+    return summed.withColumn(
+        "hll_raw_est",
+        F.expr(
+            f"CAST(CAST({num} AS DECIMAL(38,0))"
+            f" DIV (CAST(10000 AS DECIMAL(38,0)) * sum_scaled) AS BIGINT)"
+        ),
+    )
+
+
+# ------------------------------------------------------------------
+# events_markov_stationary — power iteration on the transition matrix
+# ------------------------------------------------------------------
+
+_MK_ITERS = 3
+_MK_SCALE = 1_000_000  # fixed-point ppm
+
+
+def _mk_duck_round(r: int) -> str:
+    """One fixed-point power-iteration step as a CTE: v'(b) = sum_a
+    floor(v(a) * P(a,b) / 1e6) — the floor is applied PER TERM, so
+    the contract is bit-deterministic regardless of add order."""
+    return f"""
+    v{r + 1} AS (
+      SELECT p.to_type AS event_type,
+             CAST(sum(v.w * p.prob_ppm // {_MK_SCALE}) AS BIGINT) AS w
+      FROM v{r} v JOIN p ON p.from_type = v.event_type
+      GROUP BY p.to_type
+    )"""
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT from_type, to_type,
+             CAST(n * {_MK_SCALE} // SUM(n) OVER (PARTITION BY from_type)
+                  AS BIGINT) AS prob_ppm
+      FROM c
+    ),
+    states AS (SELECT DISTINCT from_type AS event_type FROM c),
+    v0 AS (
+      SELECT event_type,
+             CAST({_MK_SCALE} // (SELECT count(*) FROM states) AS BIGINT) AS w
+      FROM states
+    ),
+    {",".join(_mk_duck_round(r) for r in range(_MK_ITERS))}
+    SELECT event_type, w AS stationary_ppm FROM v{_MK_ITERS}
+    """,
+    tags=("events", "analytics", "iterative", "markov"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain by
+    {_MK_ITERS} POWER-ITERATION steps over `events_transitions`'
+    matrix — "where do user sessions spend their time in the limit",
+    the chain-level summary the per-edge matrix can't give directly.
+
+    All arithmetic is fixed-point ppm with the floor applied PER TERM
+    (v'(b) = Σ_a floor(v(a)·P(a,b)/1e6)), so the result is exactly
+    reproducible in any engine and independent of float addition
+    order — the same bit-determinism discipline as graph_pagerank's
+    integer contributions.  Mass lost to flooring (< |states| ppm per
+    step) is the documented contract, not drift.
+
+    Shape: one window shuffle on user_id builds the pair counts; the
+    matrix is |types|² rows (tiny, broadcast) and each iteration is a
+    broadcast join + |types|-row aggregate — iteration cost is
+    independent of corpus size, exactly how a 100 TB chain summary
+    should behave.  Unrolled {_MK_ITERS}x like graph_pagerank."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = c.select(
+        "from_type",
+        "to_type",
+        F.expr(f"n * {_MK_SCALE} DIV sum(n) OVER (PARTITION BY from_type)")
+        .alias("prob_ppm"),
+    ).localCheckpoint()
+    states = p.select(F.col("from_type").alias("event_type")).distinct()
+    n_states = states.count()  # |types| — a scalar, the iterative-driver pattern
+    v = states.select(
+        "event_type", F.lit(_MK_SCALE // max(n_states, 1)).cast("long").alias("w")
+    )
+    for _ in range(_MK_ITERS):
+        v = (
+            v.join(
+                F.broadcast(p),
+                v.event_type == p.from_type,
+            )
+            .groupBy(F.col("to_type").alias("et"))
+            .agg(
+                F.sum(F.expr(f"w * prob_ppm DIV {_MK_SCALE}"))
+                .cast("long")
+                .alias("w")
+            )
+            .select(F.col("et").alias("event_type"), "w")
+        )
+    return v.select("event_type", F.col("w").alias("stationary_ppm"))

@@ -98,6 +98,8 @@ KEYS = (
     "dedup_minhash_estimate_error",
     "text_bpe_train_steps",
     "graph_resource_alloc",
+    "agg_hll_distinct",
+    "events_markov_stationary",
 )
 
 SRC = "/root/testdata/sf0.1"

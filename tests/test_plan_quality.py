@@ -1585,3 +1585,24 @@ def test_minhash_estimate_error_reads_only_checkpointed_artifacts(spark):
     assert plan.count("Scan parquet") == 0
     assert plan.count("Scan ExistingRDD") >= 5
     assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_are_partial_aggregated(spark):
+    """agg_hll_distinct: register construction must be a two-phase
+    hash aggregation (map-side max-rank combine before the (type,
+    bucket) exchange) — at 100 TB the shuffle carries one combiner
+    row per register per partition, never raw hashes."""
+    plan = plan_of(spark, "agg_hll_distinct")
+    assert plan.count("HashAggregate") >= 4  # regs fold + exact count
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_stationary_iterations_broadcast_the_matrix(spark):
+    """events_markov_stationary: each power-iteration step joins the
+    |types|-row vector to the |types|^2 matrix — all three joins must
+    be broadcasts (iteration cost independent of corpus size), and
+    the matrix computes once behind a checkpoint."""
+    plan = plan_of(spark, "events_markov_stationary")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed transition matrix

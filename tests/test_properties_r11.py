@@ -141,3 +141,67 @@ def test_resource_alloc_matches_python_model(spark, rows):
                 ra = sum(1_000_000 // len(nbrs[z]) for z in shared)
                 expect[(u, v)] = (len(shared), ra, (u, v) in edges)
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 3)),  # (user, type)
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_markov_stationary_matches_python_model(spark, rows):
+    """Fixed-point power iteration vs a pure-Python model: per-term
+    floor, ppm transition matrix, uniform ppm start — bit-equal."""
+    import datetime as dt
+
+    import downloader_spark.operators.round11_ext as r11
+
+    base = dt.datetime(2024, 1, 1)
+    ev = [
+        (i, base + dt.timedelta(minutes=i), uid, f"t{t}", 1.0, None)
+        for i, (uid, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = r11.load_table
+    r11.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.event_type: r.stationary_ppm
+            for r in r11.events_markov_stationary(spark, "ignored").collect()
+        }
+    finally:
+        r11.load_table = orig
+
+    # model
+    from collections import Counter, defaultdict
+
+    by_user = defaultdict(list)
+    for i, (uid, t) in enumerate(rows):
+        by_user[uid].append((i, f"t{t}"))  # ts order == event_id order
+    counts: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    if not counts:
+        assert got == {}
+        return
+    totals: Counter = Counter()
+    for (a, _), n in counts.items():
+        totals[a] += n
+    p = {(a, b): n * 1_000_000 // totals[a] for (a, b), n in counts.items()}
+    states = sorted(totals)
+    v = {s: 1_000_000 // len(states) for s in states}
+    for _ in range(r11._MK_ITERS):
+        nv: Counter = Counter()
+        for (a, b), ppm in p.items():
+            if a in v:
+                nv[b] += v[a] * ppm // 1_000_000
+        v = dict(nv)
+    assert got == v
