@@ -448,14 +448,31 @@ _JPEG_AC_VALS = (
 )
 
 
-def jpeg_qtable(quality: int) -> np.ndarray:
-    """Annex-K luminance table under the libjpeg quality scaling
-    (integer arithmetic end-to-end, so the scaled entries — which the
-    multimodal oracles inline as literals — are deterministic)."""
+_JPEG_QTBL_CHROMA = np.array(
+    [  # ITU-T T.81 Annex K.2, raster order
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+
+def jpeg_qtable(quality: int, chroma: bool = False) -> np.ndarray:
+    """Annex-K luminance (K.1) or chrominance (K.2) table under the
+    libjpeg quality scaling (integer arithmetic end-to-end, so the
+    scaled entries — which the multimodal oracles inline as literals
+    — are deterministic)."""
     if not 1 <= quality <= 100:
         raise ValueError(f"quality must be 1..100, got {quality}")
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    t = (_JPEG_QTBL_LUMA * scale + 50) // 100
+    base = _JPEG_QTBL_CHROMA if chroma else _JPEG_QTBL_LUMA
+    t = (base * scale + 50) // 100
     return np.clip(t, 1, 255).astype(np.int64)
 
 
@@ -550,6 +567,73 @@ def _blockify(px: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, hh // 8, ww // 8
 
 
+def _encode_block(bw, blk, prev_dc, dc_codes, ac_codes) -> int:
+    """Entropy-encode one zigzag block (DC diff + AC run-length);
+    returns the block's DC for the component's predictor chain."""
+    size, code = _magnitude(int(blk[0]) - prev_dc)
+    c, n = dc_codes[size]
+    bw.put(c, n)
+    if size:
+        bw.put(code, size)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, n = ac_codes[0xF0]  # ZRL: 16 zeros
+            bw.put(c, n)
+            run -= 16
+        size, code = _magnitude(v)
+        c, n = ac_codes[(run << 4) | size]
+        bw.put(c, n)
+        bw.put(code, size)
+        run = 0
+    if last < 63:
+        c, n = ac_codes[0x00]  # EOB
+        bw.put(c, n)
+    return int(blk[0])
+
+
+def _plane_zz_blocks(plane: np.ndarray, q_raster: np.ndarray) -> np.ndarray:
+    """DCT + quantize one component plane into (n, 64) zigzag blocks."""
+    blocks, _, _ = _blockify(plane)
+    coefs = np.einsum(
+        "ux,nxy,vy->nuv", _JPEG_DCT_M, blocks - 128.0, _JPEG_DCT_M
+    )
+    quant = _quantize(coefs, q_raster.reshape(8, 8))
+    return quant.reshape(-1, 64)[:, _JPEG_ZZ]
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _jpeg_headers(h: int, w: int, qtables: list[np.ndarray], comps) -> bytes:
+    """SOI + JFIF APP0 + DQTs + SOF0 + the two Annex-K luma DHTs.
+    ``comps`` is [(component id, qtable index), ...]."""
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q_raster in enumerate(qtables):
+        out += _jpeg_seg(
+            0xDB, bytes([tq]) + bytes(int(v) for v in q_raster[_JPEG_ZZ])
+        )
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, tq in comps:
+        sof += bytes([cid, 0x11, tq])
+    out += _jpeg_seg(0xC0, sof)
+    out += _jpeg_seg(
+        0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    )
+    out += _jpeg_seg(
+        0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    return bytes(out)
+
+
 def encode_jpeg_gray(pixels: np.ndarray, quality: int = 50) -> bytes:
     """Encode an (h, w) uint8 grayscale array as a REAL baseline JFIF
     JPEG (SOF0, one component, Annex-K quant + Huffman tables)."""
@@ -558,64 +642,82 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 50) -> bytes:
         raise ValueError(f"expected (h, w) grayscale array, got {px.shape}")
     h, w = px.shape
     q_raster = jpeg_qtable(quality)
-    blocks, _, _ = _blockify(px)
-    coefs = np.einsum(
-        "ux,nxy,vy->nuv", _JPEG_DCT_M, blocks - 128.0, _JPEG_DCT_M
-    )
-    quant = _quantize(coefs, q_raster.reshape(8, 8))
-    zz = quant.reshape(-1, 64)[:, _JPEG_ZZ]
-
+    zz = _plane_zz_blocks(px, q_raster)
     dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _JpegBitWriter()
     prev_dc = 0
     for blk in zz:
-        size, code = _magnitude(int(blk[0]) - prev_dc)
-        prev_dc = int(blk[0])
-        c, n = dc_codes[size]
-        bw.put(c, n)
-        if size:
-            bw.put(code, size)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(blk[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, n = ac_codes[0xF0]  # ZRL: 16 zeros
-                bw.put(c, n)
-                run -= 16
-            size, code = _magnitude(v)
-            c, n = ac_codes[(run << 4) | size]
-            bw.put(c, n)
-            bw.put(code, size)
-            run = 0
-        if last < 63:
-            c, n = ac_codes[0x00]  # EOB
-            bw.put(c, n)
-    scan = bw.flush()
+        prev_dc = _encode_block(bw, blk, prev_dc, dc_codes, ac_codes)
+    out = bytearray(_jpeg_headers(h, w, [q_raster], [(1, 0)]))
+    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
-    qtbl_zz = q_raster[_JPEG_ZZ]
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in qtbl_zz))  # DQT
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += seg(
-        0xC4,
-        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS),
+# Fixed-point JFIF color transforms: 1e3/1e4/1e6-scaled integer
+# arithmetic with floor(x + 0.5) rounding and a final clamp — chosen
+# so BOTH engines' truncating integer division reproduces the codec
+# exactly (any negative quotient is clamped to 0, where floor-vs-
+# trunc differences cannot matter).  Coefficients are the JFIF 1.02
+# YCbCr definitions at 4 decimal places.
+
+
+def _rgb_to_ycbcr_int(px: np.ndarray) -> np.ndarray:
+    r = px[..., 0].astype(np.int64)
+    g = px[..., 1].astype(np.int64)
+    b = px[..., 2].astype(np.int64)
+    y = (2990 * r + 5870 * g + 1140 * b + 5000) // 10000
+    cb = (-1687 * r - 3313 * g + 5000 * b + 1285000) // 10000
+    cr = (5000 * r - 4187 * g - 813 * b + 1285000) // 10000
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb_int(planes: np.ndarray) -> np.ndarray:
+    y = planes[..., 0].astype(np.int64)
+    cb = planes[..., 1].astype(np.int64) - 128
+    cr = planes[..., 2].astype(np.int64) - 128
+    r = (1000000 * y + 1402000 * cr + 500000) // 1000000
+    g = (1000000 * y - 344136 * cb - 714136 * cr + 500000) // 1000000
+    b = (1000000 * y + 1772000 * cb + 500000) // 1000000
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_color(pixels: np.ndarray, quality: int = 50) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a REAL 3-component
+    baseline JFIF JPEG: fixed-point YCbCr transform, 4:4:4 (no
+    subsampling), Annex-K luminance + chrominance quant tables,
+    interleaved Y/Cb/Cr MCUs with per-component DC predictors.  All
+    components share the Annex-K luminance Huffman tables (declared
+    in the stream — a conforming, decoder-agnostic choice)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {px.shape}")
+    h, w, _ = px.shape
+    ycc = _rgb_to_ycbcr_int(px)
+    q_luma = jpeg_qtable(quality)
+    q_chroma = jpeg_qtable(quality, chroma=True)
+    zz = [
+        _plane_zz_blocks(ycc[..., c], q_luma if c == 0 else q_chroma)
+        for c in range(3)
+    ]
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev = [0, 0, 0]
+    for m in range(zz[0].shape[0]):  # interleaved MCUs (4:4:4)
+        for c in range(3):
+            prev[c] = _encode_block(bw, zz[c][m], prev[c], dc_codes, ac_codes)
+    out = bytearray(
+        _jpeg_headers(h, w, [q_luma, q_chroma], [(1, 0), (2, 1), (3, 1)])
     )
-    out += seg(
-        0xC4,
-        bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
-    )
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
-    out += scan
+    out += _jpeg_seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    )  # SOS: all components on the declared (luma) DC0/AC0 tables
+    out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -669,18 +771,20 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
 
 
-def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """Decode an 8-bit single-component baseline JPEG into an (h, w)
-    uint8 array.  Parses DQT / SOF0 / DHT / SOS from the stream —
-    table-agnostic, so it reads any conforming grayscale baseline
-    file, not just ``encode_jpeg_gray`` output."""
+def _decode_jpeg_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
+    """Decode an 8-bit baseline JPEG into per-component (h, w) uint8
+    planes (interleaved scan, every component 1x1-sampled).  Parses
+    DQT / SOF0 / DHT / SOS from the stream — table-agnostic, so it
+    reads any conforming 4:4:4 (or grayscale) baseline file, not just
+    this encoder's output."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], object] = {}
     h = w = None
-    comp_q = comp_dc = comp_ac = 0
+    comp_q: list[int] = []  # per-component quant table id (SOF order)
+    comp_hufs: list[tuple[int, int]] = []  # per-component (dc, ac) ids
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -703,14 +807,17 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
                     f"unsupported JPEG (precision={prec}, components="
-                    f"{ncomp}); codec reads 8-bit grayscale baseline"
+                    f"{ncomp}); codec reads 8-bit baseline gray/4:4:4"
                 )
-            if payload[7] != 0x11:
-                raise ValueError("subsampled grayscale is malformed")
-            comp_q = payload[8]
+            for c in range(ncomp):
+                if payload[7 + 3 * c] != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported; codec reads 4:4:4"
+                    )
+                comp_q.append(payload[8 + 3 * c])
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -723,56 +830,90 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 huff[(tc, th)] = _huff_decoder(bits, vals)
                 p += 17 + nv
         elif marker == 0xDA:  # SOS — entropy data follows
-            comp_dc = payload[2] >> 4
-            comp_ac = payload[2] & 0x0F
+            ns = payload[0]
+            for c in range(ns):
+                sel = payload[2 + 2 * c]
+                comp_hufs.append((sel >> 4, sel & 0x0F))
             break
     if h is None or not qtables:
         raise ValueError("JPEG missing SOF0/DQT")
-    q = qtables[comp_q]
-    dc_dec = huff[(0, comp_dc)]
-    ac_dec = huff[(1, comp_ac)]
+    ncomp = len(comp_q)
+    if len(comp_hufs) != ncomp:
+        raise ValueError("SOS component count disagrees with SOF0")
+    dc_dec = [huff[(0, comp_hufs[c][0])] for c in range(ncomp)]
+    ac_dec = [huff[(1, comp_hufs[c][1])] for c in range(ncomp)]
     mby, mbx = -(-h // 8), -(-w // 8)
+    n_mcu = mby * mbx
     br = _JpegBitReader(data, pos)
-    zz_blocks = np.zeros((mby * mbx, 64), np.int64)
-    prev_dc = 0
-    for b in range(mby * mbx):
-        size = dc_dec(br)
-        diff = _extend(br.bits(size), size) if size else 0
-        prev_dc += diff
-        zz_blocks[b, 0] = prev_dc
-        k = 1
-        while k < 64:
-            rs = ac_dec(br)
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += rs >> 4
-            size = rs & 0x0F
-            if k > 63:
-                raise ValueError("AC coefficient index overran the block")
-            zz_blocks[b, k] = _extend(br.bits(size), size)
-            k += 1
-    raster = np.zeros((mby * mbx, 64), np.int64)
-    raster[:, _JPEG_ZZ] = zz_blocks
-    deq = (raster * q).reshape(-1, 8, 8).astype(np.float64)
-    spatial = np.einsum("xu,nuv,yv->nxy", _JPEG_DCT_M.T, deq, _JPEG_DCT_M.T)
-    # floor(x + 0.5) — deterministic half-up rounding the closed-form
-    # oracles replicate exactly (np.round's banker's ties would not be
-    # SQL-expressible).  Sums within float-IDCT error of an integer
-    # snap to it first so an exact boundary can't flip on a 1-ulp
-    # wobble (mirror of the encoder-side _quantize snap).
-    s = spatial + 128.5
-    r = np.rint(s)
-    s = np.where(np.abs(s - r) < 1e-9, r, s)
-    out = np.clip(np.floor(s), 0, 255).astype(np.uint8)
-    img = (
-        out.reshape(mby, mbx, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(mby * 8, mbx * 8)
-    )
-    return img[:h, :w]
+    zz_blocks = [np.zeros((n_mcu, 64), np.int64) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    for m in range(n_mcu):  # interleaved: one block per component
+        for c in range(ncomp):
+            size = dc_dec[c](br)
+            diff = _extend(br.bits(size), size) if size else 0
+            prev_dc[c] += diff
+            zz_blocks[c][m, 0] = prev_dc[c]
+            k = 1
+            while k < 64:
+                rs = ac_dec[c](br)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 0x0F
+                if k > 63:
+                    raise ValueError("AC coefficient index overran the block")
+                zz_blocks[c][m, k] = _extend(br.bits(size), size)
+                k += 1
+    planes = []
+    for c in range(ncomp):
+        raster = np.zeros((n_mcu, 64), np.int64)
+        raster[:, _JPEG_ZZ] = zz_blocks[c]
+        deq = (raster * qtables[comp_q[c]]).reshape(-1, 8, 8).astype(np.float64)
+        spatial = np.einsum(
+            "xu,nuv,yv->nxy", _JPEG_DCT_M.T, deq, _JPEG_DCT_M.T
+        )
+        # floor(x + 0.5) — deterministic half-up rounding the closed-
+        # form oracles replicate exactly (np.round's banker's ties
+        # would not be SQL-expressible).  Sums within float-IDCT error
+        # of an integer snap to it first so an exact boundary can't
+        # flip on a 1-ulp wobble (mirror of the _quantize snap).
+        s = spatial + 128.5
+        r = np.rint(s)
+        s = np.where(np.abs(s - r) < 1e-9, r, s)
+        out = np.clip(np.floor(s), 0, 255).astype(np.uint8)
+        planes.append(
+            out.reshape(mby, mbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(mby * 8, mbx * 8)[:h, :w]
+        )
+    return planes, h, w
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Decode an 8-bit single-component baseline JPEG into an (h, w)
+    uint8 array (see ``_decode_jpeg_planes``)."""
+    planes, _, _ = _decode_jpeg_planes(data)
+    if len(planes) != 1:
+        raise ValueError(
+            f"expected a grayscale JPEG, found {len(planes)} components"
+        )
+    return planes[0]
+
+
+def decode_jpeg_rgb(data: bytes) -> np.ndarray:
+    """Decode an 8-bit 3-component 4:4:4 baseline JPEG into an
+    (h, w, 3) uint8 RGB array: per-plane baseline decode, then the
+    fixed-point YCbCr -> RGB transform (exactly inverse-symmetric to
+    ``encode_jpeg_color``'s forward transform)."""
+    planes, _, _ = _decode_jpeg_planes(data)
+    if len(planes) != 3:
+        raise ValueError(
+            f"expected a 3-component JPEG, found {len(planes)}"
+        )
+    return _ycbcr_to_rgb_int(np.stack(planes, axis=-1))
 
 
 # --- Spark stages: real decode through the Arrow path ------------------

@@ -896,3 +896,129 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("et").alias("event_type"), "w")
         )
     return v.select("event_type", F.col("w").alias("stationary_ppm"))
+
+
+# ------------------------------------------------------------------
+# multimodal_jpeg_color_stats — 3-component 4:4:4 color byte path
+# ------------------------------------------------------------------
+
+# per-channel synthesis (constant per 8x8 block, distinct per channel)
+_J_RGBPIX = "(doc_id * 11 + {by} * 17 + {bx} * 23 + {c} * 31) % 256"
+_J_QC50 = 17  # jpeg_qtable(50, chroma=True)[0] — Annex-K K.2 DC entry
+
+
+def _duck_clamp255(e: str) -> str:
+    return f"GREATEST(0, LEAST(255, {e}))"
+
+
+def _jpeg_color_duck() -> str:
+    """The full color closed form as chained CTEs: fixed-point RGB ->
+    YCbCr, per-component DC-quantization roundtrip (luma q00
+    {_J_Q50}, chroma q00 {_J_QC50}), fixed-point YCbCr -> RGB.  Every
+    divide is a truncating integer division whose numerator is only
+    negative when the result clamps to 0, so trunc-vs-floor can never
+    diverge between the engines and the codec."""
+    r = _J_RGBPIX.format(by="by", bx="bx", c=0)
+    g = _J_RGBPIX.format(by="by", bx="bx", c=1)
+    b = _J_RGBPIX.format(by="by", bx="bx", c=2)
+    return f"""
+    rgb AS (
+      SELECT doc_id, {r} AS r, {g} AS g, {b} AS b FROM {_J_BLOCK_GRID}
+    ),
+    ycc AS (
+      SELECT doc_id,
+        {_duck_clamp255("(2990*r + 5870*g + 1140*b + 5000) // 10000")} AS y,
+        {_duck_clamp255("(-1687*r - 3313*g + 5000*b + 1285000) // 10000")} AS cb,
+        {_duck_clamp255("(5000*r - 4187*g - 813*b + 1285000) // 10000")} AS cr
+      FROM rgb
+    ),
+    dec AS (
+      SELECT doc_id,
+             {_duck_dec("y", _J_Q50)} AS y2,
+             {_duck_dec("cb", _J_QC50)} AS cb2,
+             {_duck_dec("cr", _J_QC50)} AS cr2
+      FROM ycc
+    ),
+    px AS (
+      SELECT doc_id,
+        {_duck_clamp255(
+            "(1000000*y2 + 1402000*(cr2 - 128) + 500000) // 1000000")} AS r2,
+        {_duck_clamp255(
+            "(1000000*y2 - 344136*(cb2 - 128) - 714136*(cr2 - 128)"
+            " + 500000) // 1000000")} AS g2,
+        {_duck_clamp255(
+            "(1000000*y2 + 1772000*(cb2 - 128) + 500000) // 1000000")} AS b2
+      FROM dec
+    )"""
+
+
+@query(
+    "multimodal_jpeg_color_stats",
+    oracle=f"""
+    WITH {_jpeg_color_duck()}
+    SELECT doc_id,
+           CAST({_J_W} AS INT) AS width,
+           CAST({_J_H} AS INT) AS height,
+           CAST(sum(r2) * 64 AS BIGINT) AS sum_r,
+           CAST(sum(g2) * 64 AS BIGINT) AS sum_g,
+           CAST(sum(b2) * 64 AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "jpeg", "color", "mapInPandas"),
+)
+def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image RGB channel sums through the REAL 3-component COLOR
+    JPEG byte path: fixed-point YCbCr transform, 4:4:4 interleaved
+    MCUs, Annex-K luminance AND chrominance quantization tables —
+    encode then decode inside the Arrow stage (media.py's
+    encode_jpeg_color/decode_jpeg_rgb), channel-summed.  Retires the
+    color half of the JPEG stub (chroma SUBSAMPLING remains the
+    honest out-of-scope piece).
+
+    Differential: the oracle chains the ENTIRE lossy pipeline as
+    integer CTEs — RGB→YCbCr (1e4 fixed point), three per-component
+    DC-quantization roundtrips (luma q00 {_J_Q50}, chroma q00
+    {_J_QC50} — the chroma table's non-power-of-two entry exercises
+    the closed form off the dyadic easy case), YCbCr→RGB (1e6 fixed
+    point) — so the color transform, both quant tables, interleaved
+    MCU ordering, and three DC predictor chains must all be right.
+
+    Shape: map-only, round-robin spread, same posture as the
+    grayscale sibling."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_jpeg_rgb, encode_jpeg_color
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        by, bx = np.mgrid[0:_J_BH, 0:_J_BW]
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                chans = [
+                    (int(doc_id) * 11 + by * 17 + bx * 23 + c * 31) % 256
+                    for c in range(3)
+                ]
+                img = np.repeat(
+                    np.repeat(np.stack(chans, axis=-1), 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                back = decode_jpeg_rgb(encode_jpeg_color(img, quality=50))
+                assert back.shape == (_J_H, _J_W, 3)
+                sums = back.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out.append(
+                    (int(doc_id), _J_W, _J_H,
+                     int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )

@@ -433,3 +433,72 @@ def test_jpeg_bytes_are_structurally_valid_jfif():
     while i != -1:
         assert scan[i + 1] == 0x00, "unstuffed 0xFF inside entropy data"
         i = scan.find(b"\xff", i + 2)
+
+
+def test_jpeg_color_constant_blocks_match_full_closed_form():
+    """3-component 4:4:4 color path: constant-per-block RGB images
+    decode to the exactly predictable value of the chained integer
+    closed form (RGB->YCbCr 1e4 fixed point, per-component DC quant
+    roundtrip with luma/chroma tables, YCbCr->RGB 1e6 fixed point) —
+    the identity multimodal_jpeg_color_stats' oracle relies on."""
+    from downloader_spark.media import (
+        decode_jpeg_rgb,
+        encode_jpeg_color,
+        jpeg_qtable,
+    )
+
+    qL = int(jpeg_qtable(50)[0])
+    qC = int(jpeg_qtable(50, chroma=True)[0])
+    assert (qL, qC) == (16, 17)
+
+    def dc_rt(v, q00):
+        x = 8 * (v - 128)
+        dcq = (2 * abs(x) + q00) // (2 * q00) * (1 if x >= 0 else -1)
+        num = 2 * dcq * q00 + 2056
+        return max(0, min(255, num // 16 if num >= 0 else 0))
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        rgb = rng.integers(0, 256, (2, 3, 3))
+        img = np.repeat(np.repeat(rgb, 8, 0), 8, 1).astype(np.uint8)
+        dec = decode_jpeg_rgb(encode_jpeg_color(img, quality=50))
+        for by in range(2):
+            for bx in range(3):
+                r, g, b = (int(v) for v in rgb[by, bx])
+                y = max(0, min(255, (2990 * r + 5870 * g + 1140 * b + 5000) // 10000))
+                cb = max(0, min(255, (-1687 * r - 3313 * g + 5000 * b + 1285000) // 10000))
+                cr = max(0, min(255, (5000 * r - 4187 * g - 813 * b + 1285000) // 10000))
+                y2, cb2, cr2 = dc_rt(y, qL), dc_rt(cb, qC) - 128, dc_rt(cr, qC) - 128
+                exp = [
+                    max(0, min(255, (1000000 * y2 + 1402000 * cr2 + 500000) // 1000000)),
+                    max(0, min(255, (1000000 * y2 - 344136 * cb2 - 714136 * cr2 + 500000) // 1000000)),
+                    max(0, min(255, (1000000 * y2 + 1772000 * cb2 + 500000) // 1000000)),
+                ]
+                blk = dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk == np.array(exp, np.uint8)).all()
+
+
+def test_jpeg_color_roundtrip_and_structure():
+    from downloader_spark.media import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    maes = []
+    for q in (25, 50, 90):
+        dec = decode_jpeg_rgb(encode_jpeg_color(img, quality=q))
+        assert dec.shape == img.shape
+        maes.append(np.abs(dec.astype(int) - img.astype(int)).mean())
+    assert maes == sorted(maes, reverse=True)
+    # component-count mismatches are refused, not mis-decoded
+    with pytest.raises(ValueError, match="3-component"):
+        decode_jpeg_rgb(encode_jpeg_gray(img[..., 0]))
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_jpeg_gray(encode_jpeg_color(img))
+    # odd dims crop in color too
+    odd = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
+    assert decode_jpeg_rgb(encode_jpeg_color(odd, 75)).shape == (13, 21, 3)

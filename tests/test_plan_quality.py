@@ -1606,3 +1606,11 @@ def test_markov_stationary_iterations_broadcast_the_matrix(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan  # checkpointed transition matrix
+
+
+def test_jpeg_color_key_parallelizes_codec_work(spark):
+    plan = plan_of(spark, "multimodal_jpeg_color_stats")
+    assert "MapInPandas" in plan
+    below = plan[plan.index("MapInPandas"):]
+    assert "roundrobin" in below.lower()
+    assert "CartesianProduct" not in plan
