@@ -1022,3 +1022,254 @@ def multimodal_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int,"
         " sum_r long, sum_g long, sum_b long",
     )
+
+
+# ------------------------------------------------------------------
+# text_keyword_rake — RAKE keyword extraction (islands shape)
+# ------------------------------------------------------------------
+
+# delimiter words for phrase candidacy (RAKE stopword role); small
+# fixed list matching the corpus register
+_RAKE_STOPS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+_RAKE_TOP_K = 40
+
+
+@query(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, t.w AS w,
+             t.w IN {_RAKE_STOPS} AS is_stop
+      FROM (
+        SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+      ), unnest(generate_series(1, len(l))) AS u(i),
+        LATERAL (SELECT l[i] AS w) t
+      WHERE len(t.w) >= 2 AND regexp_full_match(t.w, '[a-z]+')
+    ),
+    isl AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM (SELECT * FROM toks WHERE NOT is_stop)
+    ),
+    ph AS (
+      SELECT doc_id, grp, w,
+             count(*) OVER (PARTITION BY doc_id, grp) AS plen
+      FROM isl
+    ),
+    wscore AS (
+      SELECT w,
+             CAST(sum(plen) * 1000 // count(*) AS BIGINT) AS score_milli
+      FROM ph GROUP BY w
+    ),
+    phrases AS (
+      SELECT doc_id, grp,
+             string_agg(p.w, ' ' ORDER BY p.pos) AS phrase,
+             CAST(sum(s.score_milli) AS BIGINT) AS score_milli
+      FROM (SELECT doc_id, grp, w, pos FROM isl) p
+      JOIN wscore s ON s.w = p.w
+      GROUP BY doc_id, grp
+    ),
+    ranked AS (
+      SELECT phrase,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             max(score_milli) AS score_milli
+      FROM phrases GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, score_milli,
+           CAST(row_number() OVER (ORDER BY score_milli DESC, phrase)
+                AS INT) AS rank
+    FROM ranked
+    QUALIFY rank <= {_RAKE_TOP_K}
+    """,
+    tags=("llm", "text", "keywords", "islands"),
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public work): split
+    each document at delimiter words, score every remaining CONTIGUOUS
+    word run (candidate phrase) by the summed degree/frequency ratio
+    of its words, report the corpus top-{_RAKE_TOP_K} phrases.
+
+    Relational shape: phrase segmentation is the GAPS-AND-ISLANDS
+    trick (pos - row_number over the non-stop rows groups each
+    contiguous run without any per-doc UDF), word scores are one
+    aggregation over the islands (deg(w) = Σ phrase-length via a
+    whole-partition count window, freq(w) = row count — score kept in
+    exact integer milli-units), and the phrase score re-joins word
+    scores back to the islands.  Everything shuffles (long, string)
+    rows; the global top-k is a 40-row TakeOrdered tail."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"),
+        )
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[a-z]+$"))
+    )
+    nonstop = toks.filter(~F.col("w").isin(*_RAKE_STOPS))
+    wi = Window.partitionBy("doc_id").orderBy("pos")
+    isl = nonstop.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wi)
+    )
+    wp = Window.partitionBy("doc_id", "grp")
+    ph = isl.withColumn("plen", F.count(F.lit(1)).over(wp))
+    wscore = ph.groupBy("w").agg(
+        F.expr("CAST(sum(plen) * 1000 DIV count(*) AS BIGINT)").alias(
+            "score_milli"
+        )
+    )
+    phrases = (
+        isl.join(wscore, "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, w))),"
+                       " s -> s.w)"),
+                " ",
+            ).alias("phrase"),
+            F.sum("score_milli").cast("long").alias("score_milli"),
+        )
+    )
+    ranked = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("score_milli").alias("score_milli"),
+    )
+    top = ranked.orderBy(
+        F.col("score_milli").desc(), "phrase"
+    ).limit(_RAKE_TOP_K)
+    wr = Window.orderBy(F.col("score_milli").desc(), "phrase")
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "phrase", "n_occurrences", "score_milli", "rank"
+    )
+
+
+# ------------------------------------------------------------------
+# events_bot_detection — traffic-hygiene heuristics (islands + lag)
+# ------------------------------------------------------------------
+
+_BOT_MIN_EVENTS = 20
+_BOT_GAP_DUP_PPM = 400_000  # >= 40% duplicated inter-arrival gaps
+_BOT_MAX_RUN = 8  # >= 8 consecutive identical event types
+
+
+@query(
+    "events_bot_detection",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us,
+             CASE WHEN event_type = lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)
+               THEN 0 ELSE 1 END AS brk
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS run_id
+      FROM seq
+    ),
+    runlen AS (
+      SELECT user_id, CAST(max(n) AS BIGINT) AS max_type_run
+      FROM (
+        SELECT user_id, run_id, count(*) AS n
+        FROM runs GROUP BY user_id, run_id
+      ) GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT user_id,
+             CAST(count(gap_us) AS BIGINT) AS n_gaps,
+             CAST(count(DISTINCT gap_us) AS BIGINT) AS n_distinct_gaps
+      FROM seq GROUP BY user_id
+    ),
+    base AS (
+      SELECT g.user_id,
+             CAST(n_gaps + 1 AS BIGINT) AS n_events,
+             n_gaps,
+             CASE WHEN n_gaps > 0
+                  THEN (n_gaps - n_distinct_gaps) * 1000000 // n_gaps
+                  ELSE 0 END AS dup_gap_ppm,
+             r.max_type_run
+      FROM gaps g JOIN runlen r ON r.user_id = g.user_id
+    )
+    SELECT user_id, n_events, dup_gap_ppm, max_type_run,
+           n_events >= {_BOT_MIN_EVENTS}
+             AND (dup_gap_ppm >= {_BOT_GAP_DUP_PPM}
+                  OR max_type_run >= {_BOT_MAX_RUN}) AS is_bot
+    FROM base
+    """,
+    tags=("events", "hygiene", "islands", "window"),
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-hygiene BOT heuristics per user — the pre-training
+    corpus question "is this activity organic?" asked of the event
+    stream: (1) inter-arrival REGULARITY (share of duplicated gap
+    values in ppm — schedulers fire on fixed periods, humans don't),
+    (2) the longest run of identical event types (islands via the
+    classic break-flag running sum), with a conjunction flag at
+    >= {_BOT_MIN_EVENTS} events and (>= 40% duplicate gaps or a run
+    of {_BOT_MAX_RUN}).
+
+    Shape: ONE window shuffle on user_id drives the lag-gap, the
+    break flags, and the running run-id (same partitioning, Catalyst
+    plans one exchange); run lengths and gap distinctness are then
+    two partial-aggregated rollups.  Total order (ts, event_id) keeps
+    ties engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+        ).alias("gap_us"),
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(wo), 0
+        ).otherwise(1).alias("brk"),
+    )
+    # ONE windowed pass feeds both rollups: without the checkpoint,
+    # column pruning specializes the two consumers' subtrees (gap_us
+    # vs brk/run_id) so neither ReusedExchange nor a shared scan
+    # survives — measured 2 full event scans + 2 window shuffles.
+    runs = seq.withColumn(
+        "run_id",
+        F.sum("brk").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).localCheckpoint()
+    runlen = (
+        runs.groupBy("user_id", "run_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.max("n").cast("long").alias("max_type_run"))
+    )
+    gaps = runs.groupBy("user_id").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.countDistinct("gap_us").cast("long").alias("n_distinct_gaps"),
+    )
+    base = gaps.join(runlen, "user_id").select(
+        "user_id",
+        (F.col("n_gaps") + 1).cast("long").alias("n_events"),
+        "n_gaps",
+        F.when(
+            F.col("n_gaps") > 0,
+            F.expr("(n_gaps - n_distinct_gaps) * 1000000 DIV n_gaps"),
+        ).otherwise(F.lit(0)).cast("long").alias("dup_gap_ppm"),
+        "max_type_run",
+    )
+    return base.select(
+        "user_id",
+        "n_events",
+        "dup_gap_ppm",
+        "max_type_run",
+        (
+            (F.col("n_events") >= _BOT_MIN_EVENTS)
+            & (
+                (F.col("dup_gap_ppm") >= _BOT_GAP_DUP_PPM)
+                | (F.col("max_type_run") >= _BOT_MAX_RUN)
+            )
+        ).alias("is_bot"),
+    )

@@ -1614,3 +1614,24 @@ def test_jpeg_color_key_parallelizes_codec_work(spark):
     below = plan[plan.index("MapInPandas"):]
     assert "roundrobin" in below.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_rake_topk_is_take_ordered_not_global_sort(spark):
+    """text_keyword_rake: the corpus top-40 must plan as
+    TakeOrderedAndProject (per-partition heaps), never a global sort
+    of the full phrase table."""
+    plan = plan_of(spark, "text_keyword_rake")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bot_detection_scans_events_once(spark):
+    """events_bot_detection: the run-length and gap-regularity rollups
+    both read the ONE checkpointed windowed pass — without it, column
+    pruning specialized the two subtrees and the plan paid two full
+    event scans + two window shuffles."""
+    plan = final_plan_of(spark, "events_bot_detection")
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "CartesianProduct" not in plan
