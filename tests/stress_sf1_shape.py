@@ -100,6 +100,9 @@ KEYS = (
     "graph_resource_alloc",
     "agg_hll_distinct",
     "events_markov_stationary",
+    "multimodal_jpeg_color_stats",
+    "text_keyword_rake",
+    "events_bot_detection",
 )
 
 SRC = "/root/testdata/sf0.1"
