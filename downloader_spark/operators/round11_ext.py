@@ -1273,3 +1273,204 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_bot"),
     )
+
+
+# ------------------------------------------------------------------
+# pipeline_multimodal — end-to-end image-corpus dedup pipeline
+# ------------------------------------------------------------------
+
+from downloader_spark.operators.round10_ext import (  # noqa: E402
+    _PH_CELLS,
+    _PNG_H,
+    _PNG_W,
+    _phash_gray_sql,
+)
+
+
+@query(
+    "pipeline_multimodal",
+    oracle=f"""
+    WITH cells AS (
+      SELECT doc_id, source,
+             y2 * {_PH_CELLS} + x2 AS cell,
+             {_phash_gray_sql(f"(y2 * {_PNG_H}) // {_PH_CELLS}",
+                              f"(x2 * {_PNG_W}) // {_PH_CELLS}")} AS gray
+      FROM documents,
+           unnest(generate_series(0, {_PH_CELLS - 1})) AS u(y2),
+           unnest(generate_series(0, {_PH_CELLS - 1})) AS v(x2)
+    ),
+    tot AS (
+      SELECT doc_id, sum(gray) AS total FROM cells GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT c.doc_id, c.source, c.cell,
+             CASE WHEN c.gray * {_PH_CELLS * _PH_CELLS} > t.total
+                  THEN '1' ELSE '0' END AS b
+      FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, source, string_agg(b, '' ORDER BY cell) AS ahash
+      FROM bits GROUP BY doc_id, source
+    ),
+    keep AS (
+      SELECT doc_id, source, ahash,
+             doc_id = min(doc_id) OVER (PARTITION BY ahash) AS kept
+      FROM sigs
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+           CAST((count(*) - count(CASE WHEN kept THEN 1 END)) * 1000000
+                // count(*) AS BIGINT) AS drop_ppm
+    FROM keep GROUP BY source
+    """,
+    tags=("multimodal", "pipeline", "image", "dedup", "mapInPandas"),
+)
+def pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image-corpus pipeline (the multimodal sibling of
+    ``pipeline_corpus``): real PNG bytes decoded in the Arrow stage →
+    aHash perceptual signature → global first-wins keep-list (min
+    doc_id per signature — the deterministic survivor rule of
+    ``dedup_exact_hash``) → per-source retention report, the summary
+    a 100 TB image-ingest run publishes.
+
+    Composes the round-10 byte path and the A5 survivor discipline in
+    one plan: the codec stage emits (doc_id, source, 64-bit ahash),
+    the keep-list is one window min over the signature, and the
+    report is one |sources|-row rollup — pixels never pass an
+    exchange.
+
+    Differential: the oracle recomputes signatures closed-form
+    (never sees a byte) and replays the same survivor rule."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_png, encode_png, resize_nearest
+
+    n = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .repartition(n)
+    )
+    w, h, g = _PNG_W, _PNG_H, _PH_CELLS
+
+    def run(batches):
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            out = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                px = np.stack(
+                    [
+                        (int(doc_id) * 7 + yy * 13 + xx * 5 + c * 3) % 256
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                small = resize_nearest(decode_png(encode_png(px)), g, g)
+                gray = small.astype(np.int64).sum(axis=2)
+                total = int(gray.sum())
+                bits = (gray.reshape(-1) * (g * g) > total).astype(np.uint8)
+                out.append(
+                    (int(doc_id), str(source),
+                     "".join("1" if b else "0" for b in bits))
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "source", "ahash"])
+
+    sigs = docs.mapInPandas(run, "doc_id long, source string, ahash string")
+    w_cl = Window.partitionBy("ahash")
+    keep = sigs.withColumn(
+        "kept", F.col("doc_id") == F.min("doc_id").over(w_cl)
+    )
+    return keep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.count(F.when(F.col("kept"), 1)).cast("long").alias("n_kept"),
+        F.expr(
+            "CAST((count(1) - count(CASE WHEN kept THEN 1 END)) * 1000000"
+            " DIV count(1) AS BIGINT)"
+        ).alias("drop_ppm"),
+    )
+
+
+# ------------------------------------------------------------------
+# sample_group_split — group-integrity train/val split + leakage audit
+# ------------------------------------------------------------------
+
+_GS_FOLDS = 5
+
+
+@query(
+    "sample_group_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id, event_id,
+             {_duck_h60("concat('fold:', CAST(user_id AS VARCHAR))")}
+               % {_GS_FOLDS} AS fold
+      FROM events
+    ),
+    per_fold AS (
+      SELECT fold,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM assigned GROUP BY fold
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_leaky_users FROM (
+        SELECT user_id FROM assigned
+        GROUP BY user_id HAVING count(DISTINCT fold) > 1
+      )
+    )
+    SELECT p.fold, p.n_users, p.n_events,
+           CAST(p.n_events * 1000000
+                // sum(p.n_events) OVER () AS BIGINT) AS share_ppm,
+           l.n_leaky_users
+    FROM per_fold p CROSS JOIN leak l
+    """,
+    tags=("sampling", "training", "split", "audit"),
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-INTEGRITY k-fold split (GroupKFold semantics): every
+    event lands in the fold of its USER (md5-derived hash mod
+    {_GS_FOLDS}), so no user's data can leak across train/validation
+    — the split discipline ``sample_split`` (per-row) cannot give.
+    Emits per-fold user/event counts and share, WITH the leakage
+    audit inline: n_leaky_users counts users observed in more than
+    one fold, and must be 0 by construction — the audit is computed
+    from the assigned data, not assumed, so a broken hash or a
+    nondeterministic assignment surfaces as a nonzero column (and a
+    hash mismatch).
+
+    Shape: assignment is a stateless row-local hash (no shuffle);
+    both rollups partial-aggregate on small keys; the leakage audit
+    groups by user (the natural event-table clustering).  Fold
+    assignment by deterministic hash is exactly how a 100 TB corpus
+    splits without a coordination pass."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    assigned = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            _spark_h60("concat('fold:', CAST(user_id AS STRING))")
+            + f" % {_GS_FOLDS}"
+        ).alias("fold"),
+    )
+    per_fold = assigned.groupBy("fold").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .where(F.col("nf") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_users"))
+    )
+    return (
+        per_fold.withColumn(
+            "share_ppm",
+            F.expr("CAST(n_events * 1000000 DIV sum(n_events) OVER () AS BIGINT)"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "fold", "n_users", "n_events", "share_ppm", "n_leaky_users"
+        )
+    )

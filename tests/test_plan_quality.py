@@ -1635,3 +1635,25 @@ def test_bot_detection_scans_events_once(spark):
     assert plan.count("Scan parquet") == 0
     assert plan.count("Scan ExistingRDD") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_pipeline_multimodal_shuffles_signatures_not_pixels(spark):
+    """pipeline_multimodal: pixels stay inside the Arrow stage — the
+    keep-list window and the per-source rollup move only (doc_id,
+    source, 64-char ahash) rows."""
+    plan = plan_of(spark, "pipeline_multimodal")
+    assert "MapInPandas" in plan
+    assert "ahash" in plan
+    below = plan[plan.index("MapInPandas"):]
+    assert "roundrobin" in below.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_group_split_assignment_is_shuffle_free_and_audit_broadcasts(spark):
+    """sample_group_split: fold assignment is a stateless row-local
+    hash (no exchange between scan and the partial aggregates), and
+    the 1-row leakage audit attaches by broadcast."""
+    plan = plan_of(spark, "sample_group_split")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # both rollups partial
