@@ -103,6 +103,8 @@ KEYS = (
     "multimodal_jpeg_color_stats",
     "text_keyword_rake",
     "events_bot_detection",
+    "pipeline_multimodal",
+    "sample_group_split",
 )
 
 SRC = "/root/testdata/sf0.1"
