@@ -228,7 +228,6 @@ from downloader_spark.operators.llm_dedup import (  # noqa: E402
     N_HASHES,
     _duck_h60,
     hashed_shingle_sets,
-    minhash_band_rows,
 )
 from downloader_spark.operators.round9b_ext import (  # noqa: E402
     _CN_MIN,

@@ -205,3 +205,59 @@ def test_markov_stationary_matches_python_model(spark, rows):
                 nv[b] += v[a] * ppm // 1_000_000
         v = dict(nv)
     assert got == v
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),  # (type, user)
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_hll_distinct_matches_python_model(spark, rows):
+    """The relational HyperLogLog vs a from-scratch Python model (own
+    md5 hashing, own register fold, own integer estimator) — every
+    emitted column bit-equal, including the HUGEINT-range raw
+    estimate."""
+    import datetime as dt
+    import hashlib
+
+    import downloader_spark.operators.round11_ext as r11
+
+    base = dt.datetime(2024, 1, 1)
+    ev = [
+        (i, base, uid, f"t{t}", 1.0, None) for i, (t, uid) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = r11.load_table
+    r11.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.event_type: (r.n_exact, r.sum_scaled, r.n_zero, r.hll_raw_est)
+            for r in r11.agg_hll_distinct(spark, "ignored").collect()
+        }
+    finally:
+        r11.load_table = orig
+
+    m, wbits, a1e4 = r11._HLL_M, r11._HLL_WBITS, r11._HLL_ALPHA_1E4
+    expect = {}
+    by_type: dict = {}
+    for t, uid in rows:
+        by_type.setdefault(f"t{t}", set()).add(uid)
+    for et, users in by_type.items():
+        regs = [0] * m
+        for uid in users:
+            h = int(hashlib.md5(f"hll:{uid}".encode()).hexdigest()[:15], 16)
+            bucket, w = h % m, h // m
+            rank = wbits + 1 if w == 0 else wbits + 1 - w.bit_length()
+            regs[bucket] = max(regs[bucket], rank)
+        sum_scaled = sum(1 << (wbits + 1 - r) for r in regs)
+        n_zero = sum(1 for r in regs if r == 0)
+        est = (a1e4 * m * m * (1 << (wbits + 1))) // (10000 * sum_scaled)
+        expect[et] = (len(users), sum_scaled, n_zero, est)
+    assert got == expect
