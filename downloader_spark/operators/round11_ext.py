@@ -666,6 +666,65 @@ _HLL_WBITS = 54  # 60-bit hash: 6 bucket bits, 54 rank bits
 _HLL_ALPHA_1E4 = 7093
 
 
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, m): the MERGEABLE HLL register table over
+    any (event_type, user_id) DataFrame — the persisted artifact the
+    batch key folds and the streaming incremental form unions across
+    micro-batches (merge = max per register, so per-batch tables
+    union and re-aggregate losslessly)."""
+    hashed = ev.select(
+        "event_type",
+        F.expr(
+            _spark_h60("concat('hll:', CAST(user_id AS STRING))")
+        ).alias("h"),
+    )
+    parts = hashed.select(
+        "event_type",
+        F.expr(f"h % {_HLL_M}").alias("bucket"),
+        F.expr(f"h DIV {_HLL_M}").alias("w"),
+    )
+    rank = (
+        F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin("w")))
+    )
+    return (
+        parts.withColumn("r", rank)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+
+
+def hll_fold(regs: DataFrame) -> DataFrame:
+    """Fold a register table (possibly a UNION of per-batch tables —
+    re-maxed here, so merging is implicit) into (event_type,
+    sum_scaled, n_zero, hll_raw_est)."""
+    merged = regs.groupBy("event_type", "bucket").agg(
+        F.max("m").alias("m")
+    )
+    folded = merged.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)"))
+        .cast("long")
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    num = _HLL_ALPHA_1E4 * _HLL_M * _HLL_M * (1 << (_HLL_WBITS + 1))
+    return folded.select(
+        "event_type",
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("n_present"))
+            * F.lit(1 << (_HLL_WBITS + 1))
+        ).cast("long").alias("sum_scaled"),
+        (F.lit(_HLL_M) - F.col("n_present")).cast("int").alias("n_zero"),
+    ).withColumn(
+        "hll_raw_est",
+        F.expr(
+            f"CAST(CAST({num} AS DECIMAL(38,0))"
+            f" DIV (CAST(10000 AS DECIMAL(38,0)) * sum_scaled) AS BIGINT)"
+        ),
+    )
+
+
 @query(
     "agg_hll_distinct",
     oracle=f"""
@@ -733,27 +792,7 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a |types|-row fold.  The exact count is a second aggregation on
     the same exchange key family."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    hashed = ev.select(
-        "event_type",
-        F.expr(
-            _spark_h60("concat('hll:', CAST(user_id AS STRING))")
-        ).alias("h"),
-    )
-    parts = hashed.select(
-        "event_type",
-        F.expr(f"h % {_HLL_M}").alias("bucket"),
-        F.expr(f"h DIV {_HLL_M}").alias("w"),
-    )
-    rank = (
-        F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1))
-        .otherwise(F.lit(_HLL_WBITS + 1) - F.length(F.bin("w")))
-    )
-    # max rank per register, then fold per type
-    regs = (
-        parts.withColumn("r", rank)
-        .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("m"))
-    )
+    regs = hll_registers(ev)
     folded = regs.groupBy("event_type").agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS + 1} - m)"))
         .cast("long")

@@ -276,3 +276,55 @@ class IncrementalBloomPrefilter:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class IncrementalHll:
+    """foreachBatch incremental HyperLogLog: each micro-batch of
+    events folds into per-batch REGISTER tables (the mergeable
+    artifact of ``agg_hll_distinct`` — merge = max per register, so
+    per-batch tables simply union and re-aggregate), published with
+    the same idempotent per-batch-subdirectory discipline as the
+    dedup pipelines above.  ``fold()`` reads the whole register
+    history and returns the identical sketch the one-shot batch key
+    computes over the union of all batches — the 100 TB rollup
+    posture (union registers and re-fold, never re-scan events)
+    proven across micro-batches."""
+
+    def __init__(self, spark: SparkSession, state_dir: str) -> None:
+        self.spark = spark
+        self.regs_dir = os.path.join(state_dir, "registers")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from downloader_spark.operators.round11_ext import hll_registers
+
+        regs = hll_registers(batch_df.select("event_type", "user_id"))
+        _write_batch(regs, self.regs_dir, batch_id)
+
+    def fold(self) -> DataFrame:
+        from downloader_spark.operators.round11_ext import hll_fold
+
+        regs = _read_state(
+            self.spark, self.regs_dir, "event_type string, bucket long, m int"
+        )
+        return hll_fold(regs)
+
+    def run(
+        self,
+        events_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+    ) -> StreamingQuery:
+        stream = (
+            self.spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(events_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

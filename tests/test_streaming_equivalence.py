@@ -1007,3 +1007,38 @@ def test_incremental_minhash_growing_corpus_and_restart(spark, tmp_path):
     assert {
         (r.doc_a, r.doc_b) for r in pipe.matches().collect()
     } == {(a, b) for a, b, *_ in got}
+
+
+def test_incremental_hll_registers_fold_to_batch_sketch(spark, events_dir, tmp_path):
+    """Mergeability of the HLL register artifact, proven end-to-end:
+    each micro-batch publishes its own register table; the union of
+    per-batch tables re-folded must equal the one-shot batch sketch
+    over ALL events (merge = max per register) — the 100 TB rollup
+    posture of agg_hll_distinct's docstring, executed."""
+    import downloader_spark.operators.round11_ext as r11
+    from downloader_spark.streaming.incremental_dedup import IncrementalHll
+
+    pipe = IncrementalHll(spark, str(tmp_path / "state"))
+    q = pipe.run(events_dir, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.awaitTermination(300)
+    import os
+
+    batches = sorted(os.listdir(str(tmp_path / "state" / "registers")))
+    assert len(batches) >= 3  # genuinely incremental
+
+    got = {
+        r.event_type: (r.sum_scaled, r.n_zero, r.hll_raw_est)
+        for r in pipe.fold().collect()
+    }
+
+    all_events = spark.read.parquet(events_dir)
+    orig = r11.load_table
+    r11.load_table = lambda s, d, n: all_events
+    try:
+        expect = {
+            r.event_type: (r.sum_scaled, r.n_zero, r.hll_raw_est)
+            for r in r11.agg_hll_distinct(spark, "ignored").collect()
+        }
+    finally:
+        r11.load_table = orig
+    assert got == expect and len(got) > 0
