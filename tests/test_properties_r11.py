@@ -261,3 +261,45 @@ def test_hll_distinct_matches_python_model(spark, rows):
         est = (a1e4 * m * m * (1 << (wbits + 1))) // (10000 * sum_scaled)
         expect[et] = (len(users), sum_scaled, n_zero, est)
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 2_000_000_000), min_size=1, max_size=60)
+)
+def test_group_split_never_leaks_and_matches_hash_model(spark, users):
+    """GroupKFold integrity on adversarial user ids: every user's
+    events land in ONE fold, the fold matches the md5 model, and the
+    audit column is 0."""
+    import hashlib
+
+    import downloader_spark.operators.round11_ext as r11
+
+    ev = [(i, uid) for i, uid in enumerate(users * 2)]  # 2 events/user
+    df = spark.createDataFrame(ev, "event_id long, user_id long")
+    orig = r11.load_table
+    r11.load_table = lambda s, d, n: df
+    try:
+        rows = r11.sample_group_split(spark, "ignored").collect()
+    finally:
+        r11.load_table = orig
+    assert all(r.n_leaky_users == 0 for r in rows)
+    # fold model: md5-derived 60-bit hash mod k per USER
+    k = r11._GS_FOLDS
+    folds = {}
+    for uid in set(users):
+        h = int(hashlib.md5(f"fold:{uid}".encode()).hexdigest()[:15], 16)
+        folds.setdefault(h % k, set()).add(uid)
+    expect = {
+        f: (len(us), sum(2 for u in users if u in us and True))
+        for f, us in folds.items()
+    }
+    # per-fold event counts: each occurrence of a user contributes 2
+    from collections import Counter
+
+    occ = Counter(users)
+    expect = {
+        f: (len(us), sum(occ[u] * 2 for u in us)) for f, us in folds.items()
+    }
+    got = {r.fold: (r.n_users, r.n_events) for r in rows}
+    assert got == expect
