@@ -3,6 +3,7 @@
 from downloader_spark.streaming.stateful import (
     running_totals,
     streaming_ewma,
+    streaming_hll,
     streaming_holt,
     streaming_user_topk,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "running_totals",
     "run_to_memory",
     "streaming_ewma",
+    "streaming_hll",
     "streaming_holt",
     "streaming_user_topk",
     "session_counts",

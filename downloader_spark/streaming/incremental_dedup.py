@@ -73,15 +73,36 @@ def docs_stream(
 
 
 def _read_state(
-    spark: SparkSession, path: str, schema: str
+    spark: SparkSession, path: str, schema: str, before_batch: int | None = None
 ) -> DataFrame:
     """Read a per-batch-partitioned state directory; schema-stable
-    empty frame when no batch has been folded in yet."""
+    empty frame when no batch has been folded in yet.
+
+    ``before_batch=N`` keeps only state folded in by batches strictly
+    earlier than N (partition-pruned on the ``batch_id`` directory
+    column).  Every ``process_batch`` below passes its own batch_id
+    here, which is what makes foreachBatch REPLAYS exact: if a crash
+    lands after batch N appended its own bands/shingles/bits but
+    before the streaming checkpoint committed, the replayed batch N
+    would otherwise read corpus state that already contains itself —
+    self-pairs at jaccard 1.0, delta x delta candidates, and doubled
+    postings skewing inter/union — and overwrite those spurious rows
+    into its results partition permanently.
+
+    State discovery uses ``os.path`` on purpose, which means
+    ``state_dir`` must be a DRIVER-LOCAL filesystem path (local mode /
+    NFS).  On a cluster with HDFS/S3 state, swap the existence check
+    for the Hadoop FileSystem API (``spark._jvm.org.apache.hadoop.fs``)
+    — the read itself already goes through Hadoop and needs no change.
+    """
     if os.path.isdir(path) and any(
         e.startswith("batch_id=") for e in os.listdir(path)
     ):
         cols = [c.split()[0] for c in schema.split(",")]
-        return spark.read.option("basePath", path).parquet(path).select(*cols)
+        df = spark.read.option("basePath", path).parquet(path)
+        if before_batch is not None:
+            df = df.filter(F.col("batch_id") < F.lit(before_batch))
+        return df.select(*cols)
     return spark.createDataFrame([], schema)
 
 
@@ -132,8 +153,10 @@ class IncrementalMinhashDedup:
         # the band table and the verification postings
         ss_new = hashed_shingle_sets(delta).localCheckpoint()
         bands_new = minhash_band_rows(ss_new).localCheckpoint()
+        # before_batch: a replayed batch N must see exactly the
+        # pre-batch-N corpus, never its own earlier append
         corpus_bands = _read_state(
-            spark, self.bands_dir, "doc_id long, band string"
+            spark, self.bands_dir, "doc_id long, band string", before_batch=batch_id
         )
         # bipartite candidates: delta x corpus within a band bucket —
         # never corpus x corpus, never delta x delta
@@ -146,9 +169,17 @@ class IncrementalMinhashDedup:
             )
             .distinct()
         )
-        ss_corpus = _read_state(spark, self.shingles_dir, "doc_id long, h long")
+        ss_corpus = _read_state(
+            spark, self.shingles_dir, "doc_id long, h long", before_batch=batch_id
+        )
+        # distinct: a doc_id re-crawled across deltas (or present in
+        # both the delta and the corpus) would carry duplicate
+        # (doc_id, h) postings, doubling set sizes and intersections
+        # for every pair touching that doc
         verified = _verified_pairs(
-            ss_new.unionByName(ss_corpus), cand, keep_ratio=self.keep_ratio
+            ss_new.unionByName(ss_corpus).distinct(),
+            cand,
+            keep_ratio=self.keep_ratio,
         )
         _write_batch(verified, self.matches_dir, batch_id)
         if self.append_corpus:
@@ -218,8 +249,13 @@ class IncrementalBloomPrefilter:
         spark = self.spark
         delta = batch_df.select("doc_id", "text").localCheckpoint()
         # distinct at read: per-batch appends may set the same bit
-        # twice, and a duplicated bit row would multiply the probe join
-        bits = _read_state(spark, self.bits_dir, "bit bigint").distinct()
+        # twice, and a duplicated bit row would multiply the probe join;
+        # before_batch keeps a replayed batch from probing its own
+        # earlier append (which would mark the whole delta as
+        # in_corpus/bloom_hit)
+        bits = _read_state(
+            spark, self.bits_dir, "bit bigint", before_batch=batch_id
+        ).distinct()
         pos_cols = F.array(
             *[F.expr(_bloom_pos("spark", j)) for j in range(_BLOOM_K)]
         )
@@ -231,7 +267,9 @@ class IncrementalBloomPrefilter:
             .groupBy("doc_id")
             .agg(F.count("set_").cast("long").alias("n_hit"))
         )
-        hashes = _read_state(spark, self.hashes_dir, "h string")
+        hashes = _read_state(
+            spark, self.hashes_dir, "h string", before_batch=batch_id
+        )
         exact = (
             delta.select("doc_id", F.md5("text").alias("h"))
             .join(hashes, "h", "left_semi")

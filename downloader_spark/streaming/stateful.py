@@ -251,3 +251,82 @@ def streaming_user_topk(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- stateful sketch twin: per-key HyperLogLog registers as state ------
+
+# mirrors operators/round11_ext.py's exact-register HLL (m = 64,
+# p = 6, 54 rank bits, md5-derived 60-bit hash) — same constants, so
+# the stateful stream and the batch key are bit-identical
+_HLL_M = 64
+_HLL_WBITS = 54
+_HLL_ALPHA_1E4 = 7093
+
+HLL_OUTPUT_SCHEMA = (
+    "event_type string, sum_scaled long, n_zero int, hll_raw_est long"
+)
+HLL_STATE_SCHEMA = "regs array<int>"
+
+
+def _hll_h60(user_id: int) -> int:
+    """The _spark_h60('hll:' || user_id) mapping in Python: md5 is
+    identical across Spark, DuckDB, and hashlib, so the stateful
+    stream hashes into EXACTLY the registers the batch key fills."""
+    import hashlib
+
+    return int(
+        hashlib.md5(f"hll:{user_id}".encode()).hexdigest()[:15], 16
+    )
+
+
+def _hll_fold_regs(regs: list[int]) -> tuple[int, int, int]:
+    """(sum_scaled, n_zero, raw_est) from a register list (0 =
+    never-hit bucket, contributing the full 2^55 term)."""
+    sum_scaled = sum(1 << (_HLL_WBITS + 1 - m) for m in regs)
+    n_zero = sum(1 for m in regs if m == 0)
+    num = _HLL_ALPHA_1E4 * _HLL_M * _HLL_M * (1 << (_HLL_WBITS + 1))
+    return sum_scaled, n_zero, num // (10000 * sum_scaled)
+
+
+def _hll_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    regs = list(state.get[0]) if state.exists else [0] * _HLL_M
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            h = _hll_h60(int(uid))
+            b, w = h % _HLL_M, h // _HLL_M
+            r = (_HLL_WBITS + 1) - w.bit_length() if w else _HLL_WBITS + 1
+            if r > regs[b]:
+                regs[b] = r
+    state.update((regs,))
+    s, z, est = _hll_fold_regs(regs)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "sum_scaled": [s],
+            "n_zero": [z],
+            "hll_raw_est": [est],
+        }
+    )
+
+
+def streaming_hll(events: DataFrame) -> DataFrame:
+    """Per-event-type HyperLogLog maintained as PER-KEY STATE in the
+    state store (``applyInPandasWithState``) — the stateful-operator
+    form of the sketch family, complementing the foreachBatch
+    register-table form (streaming/incremental_dedup.py's
+    IncrementalHll): there the mergeable artifact is a parquet table
+    unioned across batches; here it IS the state-store row (one
+    64-int register array per key, hash-partitioned on the group key
+    like every batch aggregation).  Emits the refreshed sketch per
+    key per batch (update mode); after a backlog drain the last row
+    per key is bit-identical to the batch key's fold
+    (tests/test_streaming_equivalence.py)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _hll_update,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

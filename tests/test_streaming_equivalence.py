@@ -1042,3 +1042,137 @@ def test_incremental_hll_registers_fold_to_batch_sketch(spark, events_dir, tmp_p
     finally:
         r11.load_table = orig
     assert got == expect and len(got) > 0
+
+
+def test_incremental_minhash_replay_sees_pre_batch_corpus(spark, tmp_path):
+    """Crash-window replay exactness: if a crash lands AFTER batch N
+    appended its own bands/shingles state but BEFORE the streaming
+    checkpoint committed, the replayed batch N must read exactly the
+    pre-batch-N corpus — no self-pairs (doc_a == doc_b at jaccard
+    1.0), no delta x delta candidates, no doubled postings.  Simulated
+    by invoking process_batch(delta, 0) twice: the second call IS the
+    replay (state already contains batch 0's own append)."""
+    from downloader_spark.streaming.incremental_dedup import (
+        IncrementalMinhashDedup,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pipe = IncrementalMinhashDedup(
+        spark, str(tmp_path / "state"), append_corpus=True
+    )
+    pipe.seed_corpus(docs.filter(F.col("doc_id") % 10 != 0))
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+    pipe.process_batch(delta, 0)
+    first = {
+        (r.doc_a, r.doc_b, r.inter_size, r.union_size, r.jacc_ppm)
+        for r in pipe.matches().collect()
+    }
+    assert len(first) > 0
+    assert all(a != b for a, b, *_ in first)
+
+    pipe.process_batch(delta, 0)  # the replay
+    replayed = {
+        (r.doc_a, r.doc_b, r.inter_size, r.union_size, r.jacc_ppm)
+        for r in pipe.matches().collect()
+    }
+    assert replayed == first, "replay must converge, not self-match"
+
+
+def test_incremental_bloom_replay_sees_pre_batch_corpus(spark, tmp_path):
+    """Same crash window for the Bloom prefilter: a replayed batch
+    must not probe its own earlier bit/hash append (which would mark
+    the entire delta as bloom_hit/in_corpus)."""
+    from downloader_spark.streaming.incremental_dedup import (
+        IncrementalBloomPrefilter,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pipe = IncrementalBloomPrefilter(
+        spark, str(tmp_path / "state"), append_corpus=True
+    )
+    pipe.seed_corpus(docs.filter(F.col("doc_id") % 10 != 0))
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+    pipe.process_batch(delta, 0)
+    first = {
+        (r.doc_id, r.bloom_hit, r.in_corpus, r.is_false_positive)
+        for r in pipe.results().collect()
+    }
+    assert len(first) > 0
+    assert not all(in_corpus for _, _, in_corpus, _ in first)
+
+    pipe.process_batch(delta, 0)  # the replay
+    replayed = {
+        (r.doc_id, r.bloom_hit, r.in_corpus, r.is_false_positive)
+        for r in pipe.results().collect()
+    }
+    assert replayed == first, "replay must not see its own append"
+
+
+def test_incremental_minhash_recrawled_doc_postings_not_doubled(spark, tmp_path):
+    """A doc_id present in BOTH the corpus and the delta (a re-crawl)
+    must not double its postings through the verification union: the
+    exact-Jaccard of the re-crawled doc against its corpus copy is
+    1.0 with inter == union == the true distinct-shingle count."""
+    from downloader_spark.operators.llm_dedup import hashed_shingle_sets
+    from downloader_spark.streaming.incremental_dedup import (
+        IncrementalMinhashDedup,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    recrawled = docs.filter(F.col("doc_id") % 50 == 0)
+    pipe = IncrementalMinhashDedup(
+        spark, str(tmp_path / "state"), append_corpus=False
+    )
+    pipe.seed_corpus(docs)  # corpus already contains the re-crawls
+    pipe.process_batch(recrawled, 0)
+
+    true_sizes = {
+        r.doc_id: r.n
+        for r in hashed_shingle_sets(recrawled.select("doc_id", "text"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n"))
+        .collect()
+    }
+    self_rows = {
+        r.doc_a: (r.inter_size, r.union_size, r.jacc_ppm)
+        for r in pipe.matches().filter(F.col("doc_a") == F.col("doc_b")).collect()
+    }
+    assert set(self_rows) == set(true_sizes) and len(self_rows) > 0
+    for doc_id, (inter, union, ppm) in self_rows.items():
+        assert inter == union == true_sizes[doc_id]
+        assert ppm == 1_000_000
+
+
+def test_stateful_hll_matches_batch_sketch(spark, events_dir, tmp_path):
+    """applyInPandasWithState HLL: drain the micro-batched backlog
+    with the 64-register sketch held as PER-KEY STATE; the final
+    emitted row per event_type must be bit-identical to the batch
+    key's fold over all events (same md5-derived hash mapping, so
+    the registers agree exactly — not just the estimate).  Registers
+    only rise, so sum_scaled is monotone non-increasing and the final
+    row per key is its minimum."""
+    import downloader_spark.operators.round11_ext as r11
+    from downloader_spark.operators.round11_ext import (
+        hll_fold,
+        hll_registers,
+    )
+    from downloader_spark.streaming.stateful import streaming_hll
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory(streaming_hll(stream), "hll_out", output_mode="update")
+    final = {}
+    for r in spark.table("hll_out").collect():
+        cur = final.get(r.event_type)
+        if cur is None or r.sum_scaled < cur[0]:
+            final[r.event_type] = (r.sum_scaled, r.n_zero, r.hll_raw_est)
+
+    all_events = spark.read.parquet(events_dir)
+    expect = {
+        r.event_type: (r.sum_scaled, r.n_zero, r.hll_raw_est)
+        for r in hll_fold(
+            hll_registers(all_events.select("event_type", "user_id"))
+        ).collect()
+    }
+    assert final == expect and len(final) > 0
