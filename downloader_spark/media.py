@@ -385,10 +385,14 @@ def decode_y4m(data: bytes) -> tuple[int, np.ndarray]:
 # /inverse 8x8 DCT, Annex-K quantization tables with libjpeg-style
 # quality scaling, Annex-K Huffman tables, DC differential + AC
 # run-length entropy coding with 0xFF byte stuffing, JFIF markers.
-# The decoder parses DQT/DHT/SOF0/SOS from the stream (it decodes any
-# conforming 8-bit single-component baseline JPEG, not just our own
-# bytes).  Retires the JPEG stub in multimodal.py for grayscale;
-# color (YCbCr) stays a documented stub.
+# The decoder parses DQT/DHT/SOF0/DRI/SOS from the stream, tolerates
+# 0xFF fill bytes before markers, and decodes restart-interval scans
+# (it decodes any conforming 8-bit gray/4:4:4 baseline JPEG, not just
+# our own bytes).  Hot paths are vectorized: matmul DCT/IDCT across
+# all blocks, a 16-bit-peek Huffman LUT over a pre-unstuffed scan
+# buffer for decode, and a numpy ragged bit-packer for encode.
+# Retires the JPEG stub in multimodal.py for grayscale and 4:4:4
+# color; chroma-subsampled scans stay a documented stub.
 
 _JPEG_QTBL_LUMA = np.array(
     [  # ITU-T T.81 Annex K.1, raster order
@@ -519,28 +523,44 @@ def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
     return out
 
 
+def _pack_bits(codes: list[int], nbits: list[int]) -> bytes:
+    """Vectorized variable-length bit packer: concatenate the
+    ``nbits[i]``-wide ``codes[i]`` MSB-first, 1-pad to a byte boundary
+    (T.81 F.1.2.3), then 0x00-stuff every 0xFF — all as numpy array
+    passes (ragged expansion via repeat/cumsum), no per-bit Python."""
+    if not codes:
+        return b""
+    cd = np.asarray(codes, np.int64)
+    nb = np.asarray(nbits, np.int64)
+    pad = int(-nb.sum() % 8)
+    if pad:
+        cd = np.append(cd, (1 << pad) - 1)
+        nb = np.append(nb, pad)
+    ends = np.cumsum(nb)
+    sym = np.repeat(np.arange(len(nb)), nb)
+    intra = np.arange(ends[-1]) - np.repeat(ends - nb, nb)
+    bits = (cd[sym] >> (nb[sym] - 1 - intra)) & 1
+    raw = np.packbits(bits.astype(np.uint8))
+    ff = np.flatnonzero(raw == 0xFF)
+    if len(ff):  # byte stuffing (stuffed 0x00s can't create new 0xFF)
+        raw = np.insert(raw, ff + 1, 0)
+    return raw.tobytes()
+
+
 class _JpegBitWriter:
+    """Entropy-stream writer: ``put`` only queues (code, nbits) pairs;
+    ``flush`` bit-packs, pads, and stuffs in one vectorized pass."""
+
     def __init__(self) -> None:
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
+        self.codes: list[int] = []
+        self.nbits: list[int] = []
 
     def put(self, code: int, nbits: int) -> None:
-        self.acc = (self.acc << nbits) | (code & ((1 << nbits) - 1))
-        self.n += nbits
-        while self.n >= 8:
-            b = (self.acc >> (self.n - 8)) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:  # byte stuffing
-                self.out.append(0x00)
-            self.n -= 8
-        self.acc &= (1 << self.n) - 1
+        self.codes.append(code & ((1 << nbits) - 1))
+        self.nbits.append(nbits)
 
     def flush(self) -> bytes:
-        if self.n:  # byte-align with 1-bits (T.81 F.1.2.3)
-            pad = 8 - self.n
-            self.put((1 << pad) - 1, pad)
-        return bytes(self.out)
+        return _pack_bits(self.codes, self.nbits)
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -601,9 +621,7 @@ def _encode_block(bw, blk, prev_dc, dc_codes, ac_codes) -> int:
 def _plane_zz_blocks(plane: np.ndarray, q_raster: np.ndarray) -> np.ndarray:
     """DCT + quantize one component plane into (n, 64) zigzag blocks."""
     blocks, _, _ = _blockify(plane)
-    coefs = np.einsum(
-        "ux,nxy,vy->nuv", _JPEG_DCT_M, blocks - 128.0, _JPEG_DCT_M
-    )
+    coefs = _JPEG_DCT_M @ (blocks - 128.0) @ _JPEG_DCT_M.T
     quant = _quantize(coefs, q_raster.reshape(8, 8))
     return quant.reshape(-1, 64)[:, _JPEG_ZZ]
 
@@ -614,7 +632,9 @@ def _jpeg_seg(marker: int, payload: bytes) -> bytes:
 
 def _jpeg_headers(h: int, w: int, qtables: list[np.ndarray], comps) -> bytes:
     """SOI + JFIF APP0 + DQTs + SOF0 + the two Annex-K luma DHTs.
-    ``comps`` is [(component id, qtable index), ...]."""
+    ``comps`` is [(component id, qtable index), ...] for 1x1-sampled
+    components, or [(component id, sampling byte, qtable index), ...]
+    with an explicit H<<4|V sampling byte (e.g. 0x22 for 4:2:0 luma)."""
     out = bytearray(b"\xff\xd8")
     out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tq, q_raster in enumerate(qtables):
@@ -622,8 +642,9 @@ def _jpeg_headers(h: int, w: int, qtables: list[np.ndarray], comps) -> bytes:
             0xDB, bytes([tq]) + bytes(int(v) for v in q_raster[_JPEG_ZZ])
         )
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for cid, tq in comps:
-        sof += bytes([cid, 0x11, tq])
+    for spec in comps:
+        cid, samp, tq = spec if len(spec) == 3 else (spec[0], 0x11, spec[1])
+        sof += bytes([cid, samp, tq])
     out += _jpeg_seg(0xC0, sof)
     out += _jpeg_seg(
         0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
@@ -634,9 +655,17 @@ def _jpeg_headers(h: int, w: int, qtables: list[np.ndarray], comps) -> bytes:
     return bytes(out)
 
 
-def encode_jpeg_gray(pixels: np.ndarray, quality: int = 50) -> bytes:
+def encode_jpeg_gray(
+    pixels: np.ndarray, quality: int = 50, restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w) uint8 grayscale array as a REAL baseline JFIF
-    JPEG (SOF0, one component, Annex-K quant + Huffman tables)."""
+    JPEG (SOF0, one component, Annex-K quant + Huffman tables).
+
+    ``restart_interval=N`` emits a DRI segment and splits the scan
+    into byte-aligned restart intervals of N MCUs separated by
+    modulo-8 RSTn markers with per-interval DC predictor resets
+    (T.81 E.1.4) — the stream-resynchronization form a parallel or
+    error-tolerant decoder consumes."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 2:
         raise ValueError(f"expected (h, w) grayscale array, got {px.shape}")
@@ -645,13 +674,19 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 50) -> bytes:
     zz = _plane_zz_blocks(px, q_raster)
     dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    bw = _JpegBitWriter()
-    prev_dc = 0
-    for blk in zz:
-        prev_dc = _encode_block(bw, blk, prev_dc, dc_codes, ac_codes)
     out = bytearray(_jpeg_headers(h, w, [q_raster], [(1, 0)]))
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
     out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
-    out += bw.flush()
+    step = restart_interval or len(zz)
+    for s, start in enumerate(range(0, len(zz), step)):
+        if s:  # byte-aligned RSTn between intervals
+            out += bytes([0xFF, 0xD0 + (s - 1) % 8])
+        bw = _JpegBitWriter()
+        prev_dc = 0  # DC predictor resets at each restart
+        for blk in zz[start : start + step]:
+            prev_dc = _encode_block(bw, blk, prev_dc, dc_codes, ac_codes)
+        out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -722,72 +757,196 @@ def encode_jpeg_color(pixels: np.ndarray, quality: int = 50) -> bytes:
     return bytes(out)
 
 
-class _JpegBitReader:
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
+def encode_jpeg_420(pixels: np.ndarray, quality: int = 50) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a REAL chroma-subsampled
+    4:2:0 baseline JFIF JPEG — the remaining piece of the JPEG family
+    beyond the 4:4:4 color path: Cb/Cr are 2x2-averaged (integer
+    half-up) to quarter resolution, the luma component is declared
+    2x2-sampled (SOF byte 0x22), and each 16x16 MCU interleaves FOUR
+    Y blocks (raster order within the macroblock) + one Cb + one Cr
+    with per-component DC predictor chains (T.81 A.2.3)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {px.shape}")
+    h, w, _ = px.shape
+    ycc = _rgb_to_ycbcr_int(px)
+    # pad to whole 16x16 macroblocks by edge replication, once, so the
+    # luma blocks and the subsampled chroma grid stay aligned
+    ycc = np.pad(ycc, ((0, -h % 16), (0, -w % 16), (0, 0)), mode="edge")
+    y_plane = ycc[..., 0]
+    # 2x2 mean with half-up integer rounding (the oracle-replicable
+    # choice; exact regardless of rounding when the 4 samples agree)
+    c64 = ycc.astype(np.int64)
+    sub = [
+        (
+            c64[0::2, 0::2, c]
+            + c64[0::2, 1::2, c]
+            + c64[1::2, 0::2, c]
+            + c64[1::2, 1::2, c]
+            + 2
+        )
+        // 4
+        for c in (1, 2)
+    ]
+    q_luma = jpeg_qtable(quality)
+    q_chroma = jpeg_qtable(quality, chroma=True)
+    zz_y = _plane_zz_blocks(y_plane, q_luma)
+    zz_c = [_plane_zz_blocks(p.astype(np.uint8), q_chroma) for p in sub]
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev = [0, 0, 0]
+    mcy, mcx = ycc.shape[0] // 16, ycc.shape[1] // 16
+    bw_y = 2 * mcx  # luma blocks per row
+    for my in range(mcy):
+        for mx in range(mcx):
+            for r, cc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                blk = zz_y[(2 * my + r) * bw_y + 2 * mx + cc]
+                prev[0] = _encode_block(bw, blk, prev[0], dc_codes, ac_codes)
+            for c in (0, 1):
+                blk = zz_c[c][my * mcx + mx]
+                prev[c + 1] = _encode_block(
+                    bw, blk, prev[c + 1], dc_codes, ac_codes
+                )
+    out = bytearray(
+        _jpeg_headers(
+            h, w, [q_luma, q_chroma],
+            [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)],
+        )
+    )
+    out += _jpeg_seg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    )  # SOS: all components on the declared (luma) DC0/AC0 tables
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
-    def bit(self) -> int:
-        if self.n == 0:
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+
+class _JpegBitReader:
+    """Entropy-scan reader built for table-driven decode: the stuffed
+    scan is UNSTUFFED once up front (0xFF 0x00 -> 0xFF, restart
+    markers recorded as segment boundaries, 0xFF fill bytes skipped),
+    then a precomputed 32-bit sliding-window table serves any
+    16-bit-or-narrower read as two shifts and a list index — no
+    per-bit Python, no per-read stuffing checks."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        clean = bytearray()
+        self.seg_starts = [0]  # byte offsets of restart segments
+        self.rst_seq: list[int] = []  # RSTn indices between segments
+        i = pos
+        while True:
+            j = data.find(0xFF, i)
+            if j < 0:
+                clean += data[i:]
+                self.end_pos = len(data)
+                break
+            clean += data[i:j]
+            nxt = data[j + 1] if j + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                clean.append(0xFF)
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker
+                self.seg_starts.append(len(clean))
+                self.rst_seq.append(nxt - 0xD0)
+                i = j + 2
+            elif nxt == 0xFF:  # fill byte before a marker (B.1.1.2)
+                i = j + 1
+            else:  # a real marker (EOI / next header) ends the scan
+                self.end_pos = j
+                break
+        # 4 bytes of 1-padding so a peek near the end never overruns
+        # (reads past the stream see pad bits, as a conforming decoder
+        # expects)
+        b = np.frombuffer(bytes(clean) + b"\xff\xff\xff\xff", np.uint8).astype(
+            np.uint32
+        )
+        self.w32 = (
+            (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
+        ).tolist()
+        self.p = 0  # bit position into the clean stream
+
+    def peek16(self) -> int:
+        p = self.p
+        return (self.w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        """Read k <= 16 bits MSB-first."""
+        p = self.p
+        self.p = p + k
+        return ((self.w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - k)
+
+    def next_restart_segment(self, seg: int) -> None:
+        """Byte-align onto restart segment ``seg``, verifying the
+        modulo-8 RSTn sequence (T.81 E.1.4)."""
+        if seg > len(self.seg_starts) - 1:
+            raise ValueError("JPEG scan ended before expected RST marker")
+        if self.rst_seq[seg - 1] != (seg - 1) % 8:
+            raise ValueError(
+                f"restart marker out of sequence: RST{self.rst_seq[seg - 1]}"
+                f" where RST{(seg - 1) % 8} was expected"
+            )
+        self.p = self.seg_starts[seg] * 8
+
+
+_HUFF_LUT_CACHE: dict[tuple, list[int]] = {}
+
+
+def _huff_lut(bits, vals) -> list[int]:
+    """16-bit-peek Huffman lookup table: entry = (code length << 8) |
+    symbol for every 16-bit window starting with that code, 0 for
+    invalid prefixes.  One list index decodes a whole symbol (codes
+    are <= 16 bits), replacing the bit-serial tree walk."""
+    key = (tuple(bits), tuple(vals))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is None:
+        arr = np.zeros(1 << 16, np.int32)
+        for sym, (code, nbits) in _canonical_codes(bits, vals).items():
+            start = code << (16 - nbits)
+            arr[start : start + (1 << (16 - nbits))] = (nbits << 8) | sym
+        lut = arr.tolist()
+        _HUFF_LUT_CACHE[key] = lut
+    return lut
 
 
 def _huff_decoder(bits, vals):
-    """(code, nbits) -> symbol lookup for bit-serial decode."""
-    table = {}
-    for sym, (code, nbits) in _canonical_codes(bits, vals).items():
-        table[(nbits, code)] = sym
+    """symbol decoder over a ``_JpegBitReader`` (LUT-backed)."""
+    lut = _huff_lut(bits, vals)
+
     def decode(br: _JpegBitReader) -> int:
-        code = 0
-        for nbits in range(1, 17):
-            code = (code << 1) | br.bit()
-            sym = table.get((nbits, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG scan")
+        e = lut[br.peek16()]
+        if e == 0:
+            raise ValueError("invalid Huffman code in JPEG scan")
+        br.p += e >> 8
+        return e & 0xFF
+
     return decode
-
-
-def _extend(v: int, size: int) -> int:
-    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
 
 
 def _decode_jpeg_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
     """Decode an 8-bit baseline JPEG into per-component (h, w) uint8
-    planes (interleaved scan, every component 1x1-sampled).  Parses
-    DQT / SOF0 / DHT / SOS from the stream — table-agnostic, so it
-    reads any conforming 4:4:4 (or grayscale) baseline file, not just
-    this encoder's output."""
+    planes, every plane UPSAMPLED (sample replication, the JFIF
+    default) to full image resolution.  Parses DQT / SOF0 / DHT / DRI
+    / SOS from the stream — table-agnostic, sampling-factor-general
+    (4:4:4, 4:2:0, 4:2:2 MCU interleave per A.2.3), tolerant of 0xFF
+    fill bytes before markers (T.81 B.1.1.2), with restart-interval
+    scans (DRI + RSTn) decoded per segment — so it reads any
+    conforming 8-bit baseline file, not just this encoder's output."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], object] = {}
+    huff: dict[tuple[int, int], tuple] = {}
     h = w = None
+    restart_interval = 0
     comp_q: list[int] = []  # per-component quant table id (SOF order)
+    comp_samp: list[tuple[int, int]] = []  # per-component (H, V) factors
     comp_hufs: list[tuple[int, int]] = []  # per-component (dc, ac) ids
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        while data[pos + 1] == 0xFF:  # 0xFF fill bytes (B.1.1.2)
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -810,13 +969,11 @@ def _decode_jpeg_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
             if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
                     f"unsupported JPEG (precision={prec}, components="
-                    f"{ncomp}); codec reads 8-bit baseline gray/4:4:4"
+                    f"{ncomp}); codec reads 8-bit baseline gray/color"
                 )
             for c in range(ncomp):
-                if payload[7 + 3 * c] != 0x11:
-                    raise ValueError(
-                        "chroma subsampling unsupported; codec reads 4:4:4"
-                    )
+                samp = payload[7 + 3 * c]
+                comp_samp.append((samp >> 4, samp & 0x0F))
                 comp_q.append(payload[8 + 3 * c])
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline sequential (SOF0) supported")
@@ -827,8 +984,10 @@ def _decode_jpeg_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 bits = tuple(payload[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = tuple(payload[p + 17 : p + 17 + nv])
-                huff[(tc, th)] = _huff_decoder(bits, vals)
+                huff[(tc, th)] = _huff_lut(bits, vals)
                 p += 17 + nv
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = payload[0]
             for c in range(ns):
@@ -840,22 +999,60 @@ def _decode_jpeg_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
     ncomp = len(comp_q)
     if len(comp_hufs) != ncomp:
         raise ValueError("SOS component count disagrees with SOF0")
-    dc_dec = [huff[(0, comp_hufs[c][0])] for c in range(ncomp)]
-    ac_dec = [huff[(1, comp_hufs[c][1])] for c in range(ncomp)]
-    mby, mbx = -(-h // 8), -(-w // 8)
-    n_mcu = mby * mbx
+    dc_lut = [huff[(0, comp_hufs[c][0])] for c in range(ncomp)]
+    ac_lut = [huff[(1, comp_hufs[c][1])] for c in range(ncomp)]
+    hmax = max(hi for hi, vi in comp_samp)
+    vmax = max(vi for hi, vi in comp_samp)
+    for hi, vi in comp_samp:
+        if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+            raise ValueError(f"sampling factor {hi}x{vi} out of range")
+    mcy, mcx = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    n_mcu = mcy * mcx
+    # per-component block grid (rows, cols) across the whole image,
+    # and the per-MCU block schedule (component, row-in-MCU, col-in-
+    # MCU) in the A.2.3 interleave order
+    grid = [(vi * mcy, hi * mcx) for hi, vi in comp_samp]
+    sched = [
+        (c, r, cc)
+        for c, (hi, vi) in enumerate(comp_samp)
+        for r in range(vi)
+        for cc in range(hi)
+    ]
     br = _JpegBitReader(data, pos)
-    zz_blocks = [np.zeros((n_mcu, 64), np.int64) for _ in range(ncomp)]
+    w32 = br.w32  # locals: the whole entropy decode runs on ints
+    p = 0
+    seg = 0
+    zz_flat = [[0] * (gr * gc * 64) for gr, gc in grid]
     prev_dc = [0] * ncomp
-    for m in range(n_mcu):  # interleaved: one block per component
-        for c in range(ncomp):
-            size = dc_dec[c](br)
-            diff = _extend(br.bits(size), size) if size else 0
-            prev_dc[c] += diff
-            zz_blocks[c][m, 0] = prev_dc[c]
+    my = mx = 0
+    for m in range(n_mcu):  # interleaved per the schedule
+        if restart_interval and m and m % restart_interval == 0:
+            seg += 1
+            br.next_restart_segment(seg)  # verifies RSTn sequence
+            p = br.p
+            prev_dc = [0] * ncomp
+        for c, r, cc in sched:
+            blk = zz_flat[c]
+            hi, vi = comp_samp[c]
+            base = ((my * vi + r) * grid[c][1] + mx * hi + cc) * 64
+            e = dc_lut[c][(w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+            if e == 0:
+                raise ValueError("invalid Huffman code in JPEG scan")
+            p += e >> 8
+            size = e & 0xFF
+            if size:
+                v = ((w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - size)
+                p += size
+                prev_dc[c] += v - (1 << size) + 1 if v < 1 << (size - 1) else v
+            blk[base] = prev_dc[c]
             k = 1
+            lut = ac_lut[c]
             while k < 64:
-                rs = ac_dec[c](br)
+                e = lut[(w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid Huffman code in JPEG scan")
+                p += e >> 8
+                rs = e & 0xFF
                 if rs == 0x00:  # EOB
                     break
                 if rs == 0xF0:  # ZRL
@@ -865,16 +1062,23 @@ def _decode_jpeg_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
                 size = rs & 0x0F
                 if k > 63:
                     raise ValueError("AC coefficient index overran the block")
-                zz_blocks[c][m, k] = _extend(br.bits(size), size)
+                v = ((w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - size)
+                p += size
+                blk[base + k] = v - (1 << size) + 1 if v < 1 << (size - 1) else v
                 k += 1
+        mx += 1
+        if mx == mcx:  # advance the MCU raster position
+            mx = 0
+            my += 1
+    mt = _JPEG_DCT_M.T
     planes = []
     for c in range(ncomp):
-        raster = np.zeros((n_mcu, 64), np.int64)
-        raster[:, _JPEG_ZZ] = zz_blocks[c]
+        gr, gc = grid[c]
+        zz = np.array(zz_flat[c], np.int64).reshape(gr * gc, 64)
+        raster = np.zeros((gr * gc, 64), np.int64)
+        raster[:, _JPEG_ZZ] = zz
         deq = (raster * qtables[comp_q[c]]).reshape(-1, 8, 8).astype(np.float64)
-        spatial = np.einsum(
-            "xu,nuv,yv->nxy", _JPEG_DCT_M.T, deq, _JPEG_DCT_M.T
-        )
+        spatial = mt @ deq @ _JPEG_DCT_M
         # floor(x + 0.5) — deterministic half-up rounding the closed-
         # form oracles replicate exactly (np.round's banker's ties
         # would not be SQL-expressible).  Sums within float-IDCT error
@@ -884,11 +1088,22 @@ def _decode_jpeg_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
         r = np.rint(s)
         s = np.where(np.abs(s - r) < 1e-9, r, s)
         out = np.clip(np.floor(s), 0, 255).astype(np.uint8)
-        planes.append(
-            out.reshape(mby, mbx, 8, 8)
+        plane = (
+            out.reshape(gr, gc, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(mby * 8, mbx * 8)[:h, :w]
+            .reshape(gr * 8, gc * 8)
         )
+        hi, vi = comp_samp[c]
+        if hi != hmax or vi != vmax:
+            # crop to the component's native sampled size, then
+            # replicate up to full resolution (JFIF sample expansion)
+            ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+            plane = (
+                plane[:ch, :cw]
+                .repeat(vmax // vi, axis=0)
+                .repeat(hmax // hi, axis=1)
+            )
+        planes.append(plane[:h, :w])
     return planes, h, w
 
 
@@ -904,10 +1119,12 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
 
 
 def decode_jpeg_rgb(data: bytes) -> np.ndarray:
-    """Decode an 8-bit 3-component 4:4:4 baseline JPEG into an
-    (h, w, 3) uint8 RGB array: per-plane baseline decode, then the
-    fixed-point YCbCr -> RGB transform (exactly inverse-symmetric to
-    ``encode_jpeg_color``'s forward transform)."""
+    """Decode an 8-bit 3-component baseline JPEG (4:4:4 or chroma-
+    subsampled — planes arrive replication-upsampled to full
+    resolution) into an (h, w, 3) uint8 RGB array: per-plane baseline
+    decode, then the fixed-point YCbCr -> RGB transform (exactly
+    inverse-symmetric to ``encode_jpeg_color``'s forward
+    transform)."""
     planes, _, _ = _decode_jpeg_planes(data)
     if len(planes) != 3:
         raise ValueError(

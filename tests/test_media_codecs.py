@@ -502,3 +502,106 @@ def test_jpeg_color_roundtrip_and_structure():
     # odd dims crop in color too
     odd = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
     assert decode_jpeg_rgb(encode_jpeg_color(odd, 75)).shape == (13, 21, 3)
+
+
+def test_jpeg_decoder_tolerates_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code; a conforming file padded this way must decode to the
+    same pixels (fill bytes injected before DQT, DHT, and EOI)."""
+    from downloader_spark.media import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(12)
+    img = np.repeat(
+        np.repeat(rng.integers(0, 256, (3, 4)), 8, 0), 8, 1
+    ).astype(np.uint8)
+    data = encode_jpeg_gray(img, quality=50)
+    base = decode_jpeg_gray(data)
+
+    padded = bytearray()
+    i = 0
+    while i < len(data):
+        if data[i] == 0xFF and i + 1 < len(data) and data[i + 1] in (
+            0xDB, 0xC4, 0xD9
+        ):
+            padded += b"\xff\xff"  # fill bytes ahead of the marker
+        padded.append(data[i])
+        i += 1
+    assert len(padded) > len(data)
+    assert np.array_equal(decode_jpeg_gray(bytes(padded)), base)
+
+
+@pytest.mark.parametrize("interval", [1, 2, 5])
+def test_jpeg_restart_interval_roundtrip(interval):
+    """DRI + RSTn scans: the restart-encoded stream must carry RSTn
+    markers in modulo-8 sequence, decode to exactly the plain-scan
+    pixels (DC predictors reset per interval on both sides), and a
+    marker swapped out of sequence must be rejected."""
+    from downloader_spark.media import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(interval)
+    img = np.repeat(
+        np.repeat(rng.integers(0, 256, (4, 3)), 8, 0), 8, 1
+    ).astype(np.uint8)
+    plain = decode_jpeg_gray(encode_jpeg_gray(img, quality=50))
+
+    data = encode_jpeg_gray(img, quality=50, restart_interval=interval)
+    n_rst = sum(
+        1 for i in range(len(data) - 1)
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+    )
+    assert n_rst == (12 + interval - 1) // interval - 1
+    assert np.array_equal(decode_jpeg_gray(data), plain)
+
+    if n_rst >= 2:  # corrupt the first RSTn's sequence index
+        for i in range(len(data) - 1):
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+                bad = bytearray(data)
+                bad[i + 1] = 0xD0 + ((bad[i + 1] - 0xD0 + 1) % 8)
+                with pytest.raises(ValueError, match="out of sequence"):
+                    decode_jpeg_gray(bytes(bad))
+                break
+
+
+def test_jpeg_420_roundtrip_and_stream_structure():
+    """4:2:0: the stream must declare 0x22 luma sampling, carry ~half
+    the chroma blocks of the 4:4:4 form, decode back to the exact
+    4:4:4 pixels on constant-16x16-macroblock images (chroma constant
+    => subsampling lossless there), and reject malformed shapes."""
+    from downloader_spark.media import (
+        decode_jpeg_rgb,
+        encode_jpeg_420,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(420)
+    mb = rng.integers(0, 256, (2, 3, 3))
+    img = np.repeat(np.repeat(mb, 16, 0), 16, 1).astype(np.uint8)
+    data = encode_jpeg_420(img, quality=50)
+    # SOF0 component spec: luma 0x22, chroma 0x11
+    # SOF0: 2 marker + 2 length + prec(1) h(2) w(2) ncomp(1) = 10 bytes
+    sof = data.index(b"\xff\xc0")
+    comps = data[sof + 10 : sof + 10 + 9]
+    assert comps[1] == 0x22 and comps[4] == 0x11 and comps[7] == 0x11
+    assert np.array_equal(
+        decode_jpeg_rgb(data),
+        decode_jpeg_rgb(encode_jpeg_color(img, quality=50)),
+    )
+    assert len(data) < len(encode_jpeg_color(img, quality=50))
+    with pytest.raises(ValueError, match="RGB"):
+        encode_jpeg_420(np.zeros((8, 8), np.uint8))
+
+
+def test_jpeg_420_odd_dimensions_pad_and_crop():
+    """Non-16-multiple images: edge-replication padding on encode,
+    crop on decode — output shape equals input shape, deterministic,
+    and a smooth gradient survives with small error."""
+    from downloader_spark.media import decode_jpeg_rgb, encode_jpeg_420
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack(
+        [(yy * 2 + xx) % 256, (yy + xx * 2) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+    b1 = decode_jpeg_rgb(encode_jpeg_420(img, quality=75))
+    b2 = decode_jpeg_rgb(encode_jpeg_420(img, quality=75))
+    assert b1.shape == (37, 53, 3)
+    assert np.array_equal(b1, b2)
