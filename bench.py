@@ -61,6 +61,44 @@ def _median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0
 
 
+# Canonical envelope probes: three trivial-plan keys (scan+project,
+# broadcast join, one window) whose only variable across rounds is the
+# HOST envelope (CPU clock/contention) — their medians ride along in
+# every artifact so cross-round per-key ratios can be envelope-
+# corrected mechanically (PERF.md documents repeated ~1.12-1.19x
+# uniform host shifts between recording windows).
+ENVELOPE_PROBE_KEYS = ("scan_project", "join_inner", "window_rank")
+ENVELOPE_PROBE_REPS = 3
+
+
+def artifact_path(base_dir: str, condition: str) -> str:
+    """Per-condition full-artifact path: the settled record and the
+    ambient (driver post-close, repeat=1, noisy-machine) record live
+    at DIFFERENT paths so one can never shadow the other — the r10/r11
+    failure mode was the driver's ambient run overwriting the settled
+    record at a shared filename."""
+    name = (
+        "BENCH_settled_latest.json"
+        if condition == "settled"
+        else "BENCH_full_latest.json"
+    )
+    return os.path.join(base_dir, name)
+
+
+def refuse_mixed_condition(path: str, condition: str) -> bool:
+    """True if writing a ``condition``-stamped payload to ``path`` is
+    allowed: refuse when the existing artifact there carries a
+    DIFFERENT condition (belt-and-braces behind the per-condition
+    paths; an unreadable/unstamped existing file does not block)."""
+    try:
+        with open(path) as f:
+            existing = json.load(f)
+    except (OSError, ValueError):
+        return True
+    old = existing.get("condition")
+    return old is None or old == condition
+
+
 def _current_round() -> int | None:
     """Round number for the per-round artifact name: explicit env
     override, else the last driver heartbeat in PROGRESS.jsonl."""
@@ -126,6 +164,25 @@ def main() -> None:
             except Exception:
                 pass
 
+    def probe_envelope() -> dict[str, float]:
+        """Median wall time of the canonical probe keys at the target
+        SF — the host-envelope yardstick stamped into the artifact."""
+        out: dict[str, float] = {}
+        reg = registry()
+        for name in ENVELOPE_PROBE_KEYS:
+            ts = []
+            for _ in range(ENVELOPE_PROBE_REPS):
+                t0 = time.perf_counter()
+                try:
+                    force(reg[name].fn(spark, sf_dir))
+                    ts.append(time.perf_counter() - t0)
+                except Exception:
+                    return {}
+            out[name] = round(_median(ts), 4)
+        return out
+
+    probe_before = probe_envelope()
+
     # repeat>1: per-key MEDIAN of sequential full passes (the settled
     # protocol) — whole passes, not per-key back-to-back repeats, so
     # cache-warmth is uniform across keys within each pass.
@@ -179,19 +236,33 @@ def main() -> None:
         # repeat = number of full passes the per-key medians cover.
         "condition": condition,
         "repeat": repeat,
+        # Host-envelope probes (median of ENVELOPE_PROBE_REPS runs of
+        # the canonical trivial-plan keys at the target SF), taken
+        # before and after the timed passes: cross-round comparisons
+        # divide per-key times by the probe ratio to separate host
+        # drift from plan changes; before-vs-after bounds within-run
+        # drift.
+        "envelope_probe": {"before": probe_before, "after": probe_envelope()},
     }
     print(json.dumps(payload))
     # The driver's BENCH_r{N}.json keeps only a truncated tail of this
     # line, losing per-key numbers for alphabetically-early keys across
     # rounds — persist the complete per-key medians next to the script
-    # so future rounds (and the judge) can diff every key.
+    # so future rounds (and the judge) can diff every key.  Settled and
+    # ambient records live at DIFFERENT paths (artifact_path) and a
+    # condition-mismatched overwrite is refused outright.
     try:
-        out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
-        )
-        with open(out, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
-            f.write("\n")
+        out = artifact_path(os.path.dirname(os.path.abspath(__file__)), condition)
+        if refuse_mixed_condition(out, condition):
+            with open(out, "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+                f.write("\n")
+        else:
+            print(
+                f"bench: REFUSING to overwrite {out}: existing artifact"
+                f" has a different condition than {condition!r}",
+                file=sys.stderr,
+            )
     except OSError as e:
         print(f"bench: could not persist full artifact: {e}", file=sys.stderr)
     # The driver's BENCH_r{N}.json tail-truncates the stdout line
@@ -201,24 +272,31 @@ def main() -> None:
     rnd = _current_round()
     if rnd is not None:
         try:
+            # settled per-round records keep the canonical name; any
+            # other condition gets a suffixed file so the driver's
+            # post-close ambient run can never clobber the committed
+            # settled history either
+            suffix = "" if condition == "settled" else f"_{condition}"
             out = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
-                f"BENCH_perkey_r{rnd:02d}.json",
+                f"BENCH_perkey_r{rnd:02d}{suffix}.json",
             )
-            with open(out, "w") as f:
-                json.dump(
-                    {
-                        "round": rnd,
-                        "sf": sf,
-                        "condition": condition,
-                        "repeat": repeat,
-                        "total_sec": total,
-                        "queries": timings,
-                    },
-                    f,
-                    sort_keys=True,
-                )
-                f.write("\n")
+            if refuse_mixed_condition(out, condition):
+                with open(out, "w") as f:
+                    json.dump(
+                        {
+                            "round": rnd,
+                            "sf": sf,
+                            "condition": condition,
+                            "repeat": repeat,
+                            "total_sec": total,
+                            "queries": timings,
+                            "envelope_probe": payload["envelope_probe"],
+                        },
+                        f,
+                        sort_keys=True,
+                    )
+                    f.write("\n")
         except OSError as e:
             print(f"bench: could not persist per-round artifact: {e}", file=sys.stderr)
     spark.stop()

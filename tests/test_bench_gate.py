@@ -73,3 +73,62 @@ def test_exempt_keys_skip_flagging(monkeypatch):
         bench, "OUTLIER_EXEMPT", frozenset({"known_slow"})
     )
     assert bench.find_outliers(timings) == {}
+
+
+# --- condition-split artifacts (round-12: settled vs ambient paths) ------
+
+
+def test_artifact_path_routes_by_condition():
+    assert bench.artifact_path("/x", "settled") == "/x/BENCH_settled_latest.json"
+    assert bench.artifact_path("/x", "ambient") == "/x/BENCH_full_latest.json"
+    # any non-settled condition routes to the ambient path
+    assert bench.artifact_path("/x", "weird") == "/x/BENCH_full_latest.json"
+
+
+def test_refuse_mixed_condition(tmp_path):
+    import json
+
+    p = tmp_path / "a.json"
+    # missing file: allowed
+    assert bench.refuse_mixed_condition(str(p), "settled")
+    # same condition: allowed (normal overwrite of own record)
+    p.write_text(json.dumps({"condition": "settled"}))
+    assert bench.refuse_mixed_condition(str(p), "settled")
+    # different condition: refused — the r10/r11 shadowing bug
+    assert not bench.refuse_mixed_condition(str(p), "ambient")
+    # unstamped or unreadable artifacts don't block
+    p.write_text(json.dumps({"metric": "x"}))
+    assert bench.refuse_mixed_condition(str(p), "ambient")
+    p.write_text("not json")
+    assert bench.refuse_mixed_condition(str(p), "settled")
+
+
+def test_committed_settled_record_is_condition_stamped():
+    """The settled record at its dedicated path must be stamped
+    condition=='settled' and carry the envelope probes — the driver's
+    ambient post-close run can then never masquerade as (or clobber)
+    the steady-state record."""
+    import json
+    import os
+
+    path = bench.artifact_path(
+        os.path.dirname(os.path.abspath(bench.__file__)), "settled"
+    )
+    assert os.path.exists(path), "settled record missing at HEAD"
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["condition"] == "settled"
+    assert rec["repeat"] >= 3
+    probes = rec["envelope_probe"]
+    assert set(probes) == {"before", "after"}
+    for side in probes.values():
+        assert set(side) == set(bench.ENVELOPE_PROBE_KEYS)
+        assert all(v > 0 for v in side.values())
+
+
+def test_probe_keys_are_registered():
+    from downloader_spark.plans.registry import registry
+
+    reg = registry()
+    for k in bench.ENVELOPE_PROBE_KEYS:
+        assert k in reg
