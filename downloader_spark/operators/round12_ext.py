@@ -1,0 +1,574 @@
+"""Round-12 operator keys.
+
+Continues the coverage program beyond the reference's ETL surface
+(the reference — /root/reference — is a Go fetch loop with no
+relational layer; file:line citations on each key tie the data-model
+lineage back to it where one exists).  Every key follows the repo
+registry contract: a Spark-first DataFrame plan plus an independent
+DuckDB oracle construction (never the same SQL text run twice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from downloader_spark.io import load_table
+from downloader_spark.plans.registry import query
+from downloader_spark.operators.round11_ext import (
+    _duck_clamp255,
+    _duck_dec,
+    _J_Q50,
+    _J_QC50,
+)
+
+# ------------------------------------------------------------------
+# multimodal_jpeg_420_stats — chroma-subsampled 4:2:0 color JPEG
+# ------------------------------------------------------------------
+
+# image geometry: 3x2 grid of constant 16x16 MACROBLOCKS (the 4:2:0
+# MCU unit), deliberately non-square; distinct synthesis constants
+# from the 4:4:4 sibling so the two keys can never share bytes
+_J4_MW = 3  # macroblocks per row
+_J4_MH = 2  # macroblock rows
+_J4_W = _J4_MW * 16
+_J4_H = _J4_MH * 16
+_J4_PIX = "(doc_id * 13 + {my} * 19 + {mx} * 29 + {c} * 37) % 256"
+
+_J4_GRID = (
+    f"documents, unnest(generate_series(0, {_J4_MH - 1})) AS u(my),"
+    f" unnest(generate_series(0, {_J4_MW - 1})) AS w(mx)"
+)
+
+
+def _jpeg_420_duck() -> str:
+    """The 4:2:0 closed form as chained CTEs.  An image constant per
+    16x16 macroblock keeps the whole lossy path closed-form: the 2x2
+    chroma average of four equal samples is exact under any rounding,
+    each of the four luma blocks inside the MCU carries the same DC,
+    and replication upsampling reproduces the constant — so the CTE
+    chain is RGB -> YCbCr (1e4 fixed point), per-component DC
+    quantization roundtrip (luma q00 {q}, chroma q00 {qc}), YCbCr ->
+    RGB (1e6 fixed point), exactly as in the 4:4:4 sibling but over
+    the MACROBLOCK grid.  What the closed form does NOT forgive is
+    engine-side structure: the 6-block MCU interleave (4 Y in raster
+    order + Cb + Cr), the 0x22/0x11 sampling declaration, three DC
+    predictor chains with 4 luma blocks per step, the subsample and
+    the upsample — a mistake in any of them lands the wrong constant
+    in the wrong macroblock."""
+    r = _J4_PIX.format(my="my", mx="mx", c=0)
+    g = _J4_PIX.format(my="my", mx="mx", c=1)
+    b = _J4_PIX.format(my="my", mx="mx", c=2)
+    return f"""
+    rgb AS (
+      SELECT doc_id, {r} AS r, {g} AS g, {b} AS b FROM {_J4_GRID}
+    ),
+    ycc AS (
+      SELECT doc_id,
+        {_duck_clamp255("(2990*r + 5870*g + 1140*b + 5000) // 10000")} AS y,
+        {_duck_clamp255("(-1687*r - 3313*g + 5000*b + 1285000) // 10000")} AS cb,
+        {_duck_clamp255("(5000*r - 4187*g - 813*b + 1285000) // 10000")} AS cr
+      FROM rgb
+    ),
+    dec AS (
+      SELECT doc_id,
+             {_duck_dec("y", _J_Q50)} AS y2,
+             {_duck_dec("cb", _J_QC50)} AS cb2,
+             {_duck_dec("cr", _J_QC50)} AS cr2
+      FROM ycc
+    ),
+    px AS (
+      SELECT doc_id,
+        {_duck_clamp255(
+            "(1000000*y2 + 1402000*(cr2 - 128) + 500000) // 1000000")} AS r2,
+        {_duck_clamp255(
+            "(1000000*y2 - 344136*(cb2 - 128) - 714136*(cr2 - 128)"
+            " + 500000) // 1000000")} AS g2,
+        {_duck_clamp255(
+            "(1000000*y2 + 1772000*(cb2 - 128) + 500000) // 1000000")} AS b2
+      FROM dec
+    )"""
+
+
+@query(
+    "multimodal_jpeg_420_stats",
+    oracle=f"""
+    WITH {_jpeg_420_duck()}
+    SELECT doc_id,
+           CAST({_J4_W} AS INT) AS width,
+           CAST({_J4_H} AS INT) AS height,
+           CAST(sum(r2) * 256 AS BIGINT) AS sum_r,
+           CAST(sum(g2) * 256 AS BIGINT) AS sum_g,
+           CAST(sum(b2) * 256 AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "jpeg", "chroma-subsampling", "mapInPandas"),
+)
+def multimodal_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image RGB channel sums through the REAL chroma-subsampled
+    4:2:0 JPEG byte path — the last documented piece of the JPEG
+    family (media.py's encode_jpeg_420/decode_jpeg_rgb): 2x2-average
+    Cb/Cr subsampling, 16x16 MCUs interleaving four luma blocks + Cb
+    + Cr (T.81 A.2.3), sampling-factor-general decode with
+    replication upsampling — encode then decode inside the Arrow
+    stage, channel-summed.
+
+    Differential: the oracle chains the entire lossy pipeline as
+    integer CTEs over the MACROBLOCK grid (see _jpeg_420_duck); the
+    engine path must get the 6-block interleave, the 0x22 sampling
+    declaration, the subsample/upsample pair, and all three DC
+    predictor chains right to land the same 256-pixel constants.
+
+    Shape: map-only, round-robin spread over every core; pixels never
+    cross an exchange (the multimodal_jpeg_color_stats posture —
+    round11_ext.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_jpeg_rgb, encode_jpeg_420
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        my, mx = np.mgrid[0:_J4_MH, 0:_J4_MW]
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                chans = [
+                    (int(doc_id) * 13 + my * 19 + mx * 29 + c * 37) % 256
+                    for c in range(3)
+                ]
+                img = np.repeat(
+                    np.repeat(np.stack(chans, axis=-1), 16, axis=0), 16, axis=1
+                ).astype(np.uint8)
+                back = decode_jpeg_rgb(encode_jpeg_420(img, quality=50))
+                assert back.shape == (_J4_H, _J4_W, 3)
+                sums = back.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out.append(
+                    (int(doc_id), _J4_W, _J4_H,
+                     int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int,"
+        " sum_r long, sum_g long, sum_b long",
+    )
+
+
+# ------------------------------------------------------------------
+# dedup_suffix_spans — exact substring dedup via per-partition
+# suffix arrays (Lee et al. 2021 ExactSubstr at span granularity)
+# ------------------------------------------------------------------
+
+# minimum duplicated span length in CHARACTERS.  Deliberately shorter
+# than dedup_substring_spans' floor (word 5-grams, runs >= 3 => >= 7
+# verbatim tokens): a copied phrase of ~4 words is invisible to the
+# shingle index but exact here.
+_SUF_L = 20
+
+
+def _suffix_array(arr):
+    """Suffix array by prefix doubling (numpy lexsort per round):
+    O(n log^2 n) with every comparison vectorized.  ``arr`` is a
+    codepoint array; returns the permutation sorting all suffixes."""
+    import numpy as np
+
+    n = len(arr)
+    rank = arr.astype(np.int64)
+    k = 1
+    while True:
+        second = np.full(n, -1, np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        r_ord, s_ord = rank[order], second[order]
+        new = np.empty(n, np.int64)
+        diff = np.ones(n, bool)
+        diff[1:] = (r_ord[1:] != r_ord[:-1]) | (s_ord[1:] != s_ord[:-1])
+        new[order] = np.cumsum(diff) - 1
+        rank = new
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+
+
+@query(
+    "dedup_suffix_spans",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i, substr(text, i, {_SUF_L}) AS g
+      FROM documents,
+           unnest(generate_series(1, greatest(len(text) - {_SUF_L - 1}, 0)))
+             AS u(i)
+    ),
+    dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+    cov AS (
+      SELECT doc_id, i AS s, i + {_SUF_L - 1} AS e
+      FROM pos WHERE g IN (SELECT g FROM dup)
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM cov
+    ),
+    grp AS (
+      SELECT doc_id, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(s) + 1 AS BIGINT) AS span_chars
+    FROM grp GROUP BY doc_id, gid
+    """,
+    tags=("llm", "dedup", "substring", "suffix-array", "applyInPandas"),
+)
+def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring coverage at {_SUF_L}-char
+    granularity (Lee et al. 2021's ExactSubstr, the suffix-array
+    form): per document, the merged character spans covered by some
+    {_SUF_L}-gram that occurs >= 2 times ANYWHERE in the corpus.
+    Catches what the positional shingle index
+    (dedup_substring_spans, round6_ext.py:721) structurally misses —
+    a duplicated span shorter than its word-5-gram x 3-run floor.
+
+    Spark shape — local resolve, then reconcile only the unresolved:
+    1. one SUFFIX ARRAY per partition over the partition's docs
+       concatenated with a sentinel (prefix-doubling, fully
+       vectorized; separators make grams doc-bounded with no
+       cross-partition state);
+    2. SA-adjacent runs with a shared {_SUF_L}-prefix resolve
+       within-partition repeats LOCALLY: their coverage leaves the
+       Python stage as pre-merged (doc, start, end) INTERVALS, and
+       the run's gram is advertised once — repeated positions never
+       reach an exchange individually;
+    3. only locally-UNIQUE grams ship as (gram, doc, pos) candidates;
+       a gram is corpus-duplicated iff its candidates count >= 2 or
+       any partition advertised it — one hash exchange on the gram;
+    4. covered intervals (local + reconciled) merge per doc by the
+       running-max gaps-and-islands window.
+    Coverage is partition-invariant (local-covered implies global-
+    duplicated; every globally-duplicated singleton meets a matching
+    candidate or advert), so round-robin spread is safe.  At 100 TB
+    the exchange carries one row per locally-distinct gram — the
+    worst case matches the standard gram-shuffle, and every within-
+    shard repeat (boilerplate, the common case in crawl data) is
+    absorbed before the shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    n_par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    L = _SUF_L
+
+    def resolve(batches):
+        ids: list[int] = []
+        texts: list[str] = []
+        for pdf in batches:
+            ids.extend(int(x) for x in pdf["doc_id"])
+            texts.extend(str(t) for t in pdf["text"])
+        def frame(kind, gram, doc, s, e):
+            return pd.DataFrame(
+                {
+                    "kind": pd.array(kind, dtype="int32"),
+                    "gram": pd.array(gram, dtype="string"),
+                    "doc_id": pd.array(doc, dtype="Int64"),
+                    "s": pd.array(s, dtype="Int64"),
+                    "e": pd.array(e, dtype="Int64"),
+                }
+            )
+
+        if not ids:
+            yield frame([], [], [], [], [])
+            return
+        big = "\x00".join(texts)
+        arr = np.frombuffer(big.encode("utf-32-le"), np.uint32)
+        n = len(arr)
+        out_kind: list[int] = []
+        out_gram: list[str | None] = []
+        out_doc: list[int | None] = []
+        out_s: list[int | None] = []
+        out_e: list[int | None] = []
+        if n >= L:
+            sa = _suffix_array(arr)
+            padded = np.concatenate([arr, np.zeros(L, np.uint32)])
+            chunks = padded[sa[:, None] + np.arange(L)]
+            valid = (chunks != 0).all(axis=1)
+            eq_next = np.zeros(n, bool)
+            eq_next[:-1] = valid[:-1] & valid[1:] & (
+                chunks[:-1] == chunks[1:]
+            ).all(axis=1)
+            # run ids over SA order: a run = maximal stretch of equal
+            # valid grams (the suffix array's grouping, no hashing)
+            starts_new_run = np.ones(n, bool)
+            starts_new_run[1:] = ~eq_next[:-1]
+            run_id = np.cumsum(starts_new_run) - 1
+            # doc offsets: global position -> (doc index, 1-based pos)
+            lens = np.array([len(t) for t in texts], np.int64)
+            doc_start = np.concatenate([[0], np.cumsum(lens + 1)[:-1]])
+            vpos = sa[valid]
+            vrun = run_id[valid]
+            run_sizes = np.bincount(vrun, minlength=run_id[-1] + 1)
+            sizes_of = run_sizes[vrun]
+            di = np.searchsorted(doc_start, vpos, "right") - 1
+            lpos = vpos - doc_start[di] + 1  # 1-based char position
+            # singletons -> candidates for cross-partition reconcile
+            single = sizes_of == 1
+            for p, d in zip(lpos[single], di[single]):
+                out_kind.append(1)
+                out_gram.append(texts[d][p - 1 : p - 1 + L])
+                out_doc.append(ids[d])
+                out_s.append(int(p))
+                out_e.append(int(p) + L - 1)
+            # runs >= 2: one advert per run + locally-merged intervals
+            rep = single.copy()
+            np.logical_not(rep, out=rep)
+            if rep.any():
+                first_of_run = np.zeros(len(vrun), bool)
+                first_of_run[np.unique(vrun, return_index=True)[1]] = True
+                for p, d in zip(lpos[rep & first_of_run], di[rep & first_of_run]):
+                    out_kind.append(2)
+                    out_gram.append(texts[d][p - 1 : p - 1 + L])
+                    out_doc.append(None)
+                    out_s.append(None)
+                    out_e.append(None)
+                # merge covered positions into intervals per doc:
+                # sorted (doc, pos), group starts where the doc
+                # changes or the gap exceeds adjacency, group end =
+                # last member (positions ascend within a group)
+                order = np.lexsort((lpos[rep], di[rep]))
+                dd, pp = di[rep][order], lpos[rep][order]
+                brk = np.ones(len(pp), bool)
+                brk[1:] = (dd[1:] != dd[:-1]) | (pp[1:] > pp[:-1] + L)
+                starts = np.flatnonzero(brk)
+                ends = np.concatenate([starts[1:] - 1, [len(pp) - 1]])
+                for d, s0, e0 in zip(dd[starts], pp[starts], pp[ends]):
+                    out_kind.append(0)
+                    out_gram.append(None)
+                    out_doc.append(ids[int(d)])
+                    out_s.append(int(s0))
+                    out_e.append(int(e0) + L - 1)
+        yield frame(out_kind, out_gram, out_doc, out_s, out_e)
+
+    raw = (
+        docs.repartition(n_par)
+        .mapInPandas(
+            resolve,
+            "kind int, gram string, doc_id long, s long, e long",
+        )
+        .localCheckpoint()  # three consumers below; resolve runs once
+    )
+    cand = raw.filter(F.col("kind") == 1).select("gram", "doc_id", "s", "e")
+    advert = raw.filter(F.col("kind") == 2).select("gram")
+    local_iv = raw.filter(F.col("kind") == 0).select("doc_id", "s", "e")
+    dup_gram = (
+        cand.groupBy("gram")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("gram")
+        .unionByName(advert)
+        .distinct()
+    )
+    cross_iv = cand.join(dup_gram, "gram", "left_semi").select(
+        "doc_id", "s", "e"
+    )
+    iv = local_iv.unionByName(cross_iv)
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        iv.withColumn(
+            "brk",
+            F.when(
+                F.col("s")
+                > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("gid", F.sum("brk").over(w_run))
+        .groupBy("doc_id", "gid")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            (F.max("e") - F.min("s") + 1).alias("span_chars"),
+        )
+        .drop("gid")
+    )
+    return merged
+
+
+# ------------------------------------------------------------------
+# udtf_lateral — Spark 4 Arrow-optimized Python UDTF (lateral join)
+# ------------------------------------------------------------------
+
+
+@query(
+    "udtf_lateral",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, '.') AS l FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, i AS seg_idx, trim(l[i], ' ') AS t
+      FROM parts, unnest(generate_series(1, len(l))) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(seg_idx AS INT) AS seg_idx,
+           CAST(len(t) AS INT) AS seg_chars,
+           CAST(len(regexp_extract_all(t, '[^ ]+')) AS INT) AS seg_words
+    FROM seg WHERE t <> ''
+    """,
+    tags=("udtf", "arrow", "lateral", "text"),
+)
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``@udtf`` table function driven through a LATERAL
+    join with ``useArrow=True`` — the one modern Python-API surface
+    the UDF family rows (udfs.py: pandas_udf scalar / grouped agg /
+    applyInPandas) didn't yet cover.  The function is a deterministic
+    text-span emitter (segments split on '.', 1-based ordinal among
+    ALL split parts, kept when non-blank, with char and word counts),
+    chosen precisely because plain SQL replicates it — so the Arrow
+    UDTF evaluation path itself is what the oracle exact-checks.
+
+    Shape: map-only lateral expansion (one UDTF call per row, Arrow
+    batch transfer both ways, no shuffle at all); the plan gate
+    asserts ArrowEvalPythonUDTF, i.e. the vectorized eval mode rather
+    than pickled row-at-a-time."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="seg_idx int, seg_chars int, seg_words int",
+        useArrow=True,
+    )
+    class SegmentEmitter:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, p in enumerate(text.split("."), 1):
+                t = p.strip(" ")
+                if t:
+                    yield i, len(t), sum(1 for w in t.split(" ") if w)
+
+    spark.udtf.register("seg_emit_r12", SegmentEmitter)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return spark.sql(
+        "SELECT d.doc_id, s.seg_idx, s.seg_chars, s.seg_words"
+        " FROM {d} d, LATERAL seg_emit_r12(d.text) s",
+        d=docs,
+    )
+
+
+# ------------------------------------------------------------------
+# multimodal_jpeg_restart_stats — DRI/RSTn restart-interval scans
+# ------------------------------------------------------------------
+
+# distinct geometry from the plain-gray sibling (3x2): 4x3 blocks,
+# restart interval 2 MCUs => 5 RSTn markers per image
+_JR_BW = 4
+_JR_BH = 3
+_JR_W = _JR_BW * 8
+_JR_H = _JR_BH * 8
+_JR_RI = 2
+_JR_PIX = "(doc_id * 23 + {by} * 31 + {bx} * 41) % 256"
+
+_JR_GRID = (
+    f"documents, unnest(generate_series(0, {_JR_BH - 1})) AS u(by),"
+    f" unnest(generate_series(0, {_JR_BW - 1})) AS w(bx)"
+)
+
+
+@query(
+    "multimodal_jpeg_restart_stats",
+    oracle=f"""
+    WITH dec AS (
+      SELECT doc_id,
+             {{dec}} AS d
+      FROM {_JR_GRID}
+    )
+    SELECT doc_id,
+           CAST({_JR_W} AS INT) AS width,
+           CAST({_JR_H} AS INT) AS height,
+           CAST(sum(d) * 64 AS BIGINT) AS sum_luma,
+           CAST(min(d) AS INT) AS min_luma,
+           CAST(max(d) AS INT) AS max_luma
+    FROM dec GROUP BY doc_id
+    """.format(dec=_duck_dec(_JR_PIX.format(by="by", bx="bx"), _J_Q50)),
+    tags=("multimodal", "image", "jpeg", "restart-markers", "mapInPandas"),
+)
+def multimodal_jpeg_restart_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grayscale JPEG byte path under RESTART INTERVALS — encode
+    with DRI={_JR_RI} (byte-aligned RSTn markers every {_JR_RI} MCUs,
+    modulo-8 sequence, per-interval DC predictor resets: T.81 E.1.4,
+    the stream-resynchronization form a parallel or error-tolerant
+    100 TB decoder consumes), decode back through the segment-aware
+    reader, and aggregate luma stats.
+
+    Differential: constant 8x8 blocks keep the DC closed form, but
+    the predictor chain now RESTARTS every {_JR_RI} blocks — an
+    encoder or decoder that mishandles the reset, the marker
+    sequence, or the byte alignment lands wrong constants (vs the
+    plain-scan sibling multimodal_jpeg_stats where one long predictor
+    chain would forgive a missing reset).
+
+    Shape: map-only, round-robin spread (the JPEG-family posture)."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_jpeg_gray, encode_jpeg_gray
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        by, bx = np.mgrid[0:_JR_BH, 0:_JR_BW]
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                vals = (int(doc_id) * 23 + by * 31 + bx * 41) % 256
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                    np.uint8
+                )
+                data = encode_jpeg_gray(
+                    img, quality=50, restart_interval=_JR_RI
+                )
+                back = decode_jpeg_gray(data)
+                assert back.shape == (_JR_H, _JR_W)
+                out.append(
+                    (
+                        int(doc_id), _JR_W, _JR_H,
+                        int(back.sum(dtype=np.int64)),
+                        int(back.min()), int(back.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_luma", "min_luma", "max_luma",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, width int, height int,"
+        " sum_luma long, min_luma int, max_luma int",
+    )

@@ -105,6 +105,15 @@ KEYS = (
     "events_bot_detection",
     "pipeline_multimodal",
     "sample_group_split",
+    # round-12 keys: the 4:2:0 and restart-interval codec paths
+    # (codec-bound, linear in images), the per-partition suffix-array
+    # dedup (SA build is n log^2 n per partition; the exchange carries
+    # locally-distinct grams), and the Arrow UDTF lateral expansion
+    # (map-only, linear)
+    "multimodal_jpeg_420_stats",
+    "multimodal_jpeg_restart_stats",
+    "dedup_suffix_spans",
+    "udtf_lateral",
 )
 
 SRC = "/root/testdata/sf0.1"

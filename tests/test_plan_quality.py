@@ -1657,3 +1657,50 @@ def test_group_split_assignment_is_shuffle_free_and_audit_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # both rollups partial
+
+
+def test_jpeg_420_key_parallelizes_codec_work(spark):
+    """multimodal_jpeg_420_stats: same posture as the 4:4:4 sibling —
+    the Arrow codec stage sits above a round-robin repartition of the
+    8-byte key column so the subsample/DCT/Huffman work spreads over
+    every core; pixels never cross an exchange."""
+    plan = plan_of(spark, "multimodal_jpeg_420_stats")
+    assert "MapInPandas" in plan
+    below = plan[plan.index("MapInPandas"):]
+    assert "roundrobin" in below.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_suffix_spans_resolves_locally_and_reuses_the_python_stage(spark):
+    """dedup_suffix_spans: the suffix-array Python stage runs ONCE
+    behind a checkpoint (three consumers: candidates, adverts, local
+    intervals — without it, column pruning would re-run the SA per
+    consumer), candidates sit above a round-robin spread of the slim
+    (doc_id, text) columns, and reconciliation is a gram hash join —
+    never a cartesian product."""
+    plan = final_plan_of(spark, "dedup_suffix_spans")
+    assert plan.count("Scan parquet") == 0  # all consumers read the ckpt
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_udtf_lateral_uses_arrow_eval_mode(spark):
+    """udtf_lateral: the table function must plan as the Arrow-
+    vectorized UDTF evaluator (ArrowEvalPythonUDTF), not the pickled
+    row-at-a-time BatchEvalPythonUDTF, and the lateral expansion is
+    map-only — no join, no exchange."""
+    plan = plan_of(spark, "udtf_lateral")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange" not in plan  # pure lateral map, no shuffle
+
+
+def test_jpeg_restart_key_parallelizes_codec_work(spark):
+    """multimodal_jpeg_restart_stats: JPEG-family posture — Arrow
+    codec stage above a round-robin spread of the key column."""
+    plan = plan_of(spark, "multimodal_jpeg_restart_stats")
+    assert "MapInPandas" in plan
+    below = plan[plan.index("MapInPandas"):]
+    assert "roundrobin" in below.lower()
+    assert "CartesianProduct" not in plan
