@@ -572,3 +572,339 @@ def multimodal_jpeg_restart_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id long, width int, height int,"
         " sum_luma long, min_luma int, max_luma int",
     )
+
+
+# ------------------------------------------------------------------
+# text_cdc_chunks — content-defined chunking (FastCDC-style) for
+# chunk-level dedup
+# ------------------------------------------------------------------
+
+from downloader_spark.operators.round6_ext import _h60_duck, _h60_spark
+
+_CDC_W = 8    # rolling-window width (chars)
+_CDC_MOD = 32  # boundary when h60(window) % 32 == 0 -> ~32-char chunks
+
+
+@query(
+    "text_cdc_chunks",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, i
+      FROM documents,
+           unnest(generate_series({_CDC_W}, len(text))) AS u(i)
+      WHERE {_h60_duck(f"substr(text, i - {_CDC_W - 1}, {_CDC_W})")}
+              % {_CDC_MOD} = 0
+      UNION
+      SELECT doc_id, len(text) FROM documents WHERE len(text) >= 1
+    ),
+    ch AS (
+      SELECT doc_id, i AS e,
+             coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+               AS s
+      FROM b
+    ),
+    h AS (
+      SELECT c.doc_id, md5(substr(d.text, CAST(c.s AS INT),
+                                  CAST(c.e - c.s + 1 AS INT))) AS hh,
+             c.e - c.s + 1 AS l
+      FROM ch c JOIN documents d USING (doc_id)
+    ),
+    nd AS (SELECT hh, count(DISTINCT doc_id) AS ndocs FROM h GROUP BY hh)
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           CAST(sum(CASE WHEN nd.ndocs >= 2 THEN h.l ELSE 0 END) AS BIGINT)
+             AS dup_chars
+    FROM h JOIN nd USING (hh)
+    GROUP BY h.doc_id
+    """,
+    tags=("llm", "dedup", "cdc", "chunking", "text"),
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync idea, public
+    work): a chunk boundary falls wherever the {_CDC_W}-char window's
+    md5-derived hash is 0 mod {_CDC_MOD}, so boundaries move WITH the
+    content — an insertion early in a document shifts every byte
+    offset but leaves later chunk boundaries (hence chunk hashes)
+    intact, which is what makes chunk-level dedup robust where
+    fixed-size blocking is not.  Per doc: chunk count plus how many
+    chunks (and chars) also appear verbatim in ANOTHER document —
+    the storage/dedup win estimate a training-data lake computes
+    before chunk-level sharing.
+
+    Construction differential: the Spark side never window-lags —
+    boundary positions fold into a per-doc SORTED ARRAY (one row per
+    doc again after the aggregation) and chunk spans come from an
+    index-aware ``transform`` over that array, exploded and sliced
+    JVM-side; the oracle is the classic lag-window + join-back form.
+
+    Shape: the position explode is the same token-stream-sized pass
+    every text key pays, immediately collapsed map-side by the
+    boundary filter (~1/{_CDC_MOD} survival) and the per-doc
+    collect_set; the chunk-hash exchange then carries (doc, 32-hex,
+    len) rows — never chunk text (md5 computed before the shuffle).
+    Cross-doc counting is one partial-aggregated groupBy on the
+    hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = docs.selectExpr(
+        "doc_id",
+        "text",
+        f"CASE WHEN length(text) >= {_CDC_W}"
+        f" THEN sequence({_CDC_W}, length(text)) ELSE array() END AS idx",
+    ).select("doc_id", "text", F.explode("idx").alias("i"))
+    bounds = (
+        pos.where(
+            F.expr(
+                _h60_spark(f"substring(text, i - {_CDC_W - 1}, {_CDC_W})")
+                + f" % {_CDC_MOD} = 0"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("bs"))
+    )
+    spans = (
+        docs.where(F.length("text") >= 1)
+        .join(bounds, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "text",
+            "array_sort(array_distinct(concat(coalesce(bs, array()),"
+            " array(length(text))))) AS bs",
+        )
+        .selectExpr(
+            "doc_id",
+            "text",
+            # index-aware transform: span j runs from (previous
+            # boundary + 1) to boundary j (1-based element_at)
+            "transform(bs, (b, j) -> struct("
+            " CASE WHEN j = 0 THEN 1 ELSE element_at(bs, j) + 1 END AS s,"
+            " b AS e)) AS spans",
+        )
+        .select("doc_id", "text", F.explode("spans").alias("sp"))
+        .selectExpr(
+            "doc_id",
+            "md5(substring(text, sp.s, sp.e - sp.s + 1)) AS hh",
+            "CAST(sp.e - sp.s + 1 AS BIGINT) AS l",
+        )
+        .localCheckpoint()  # two consumers: per-hash fanout + per-doc agg
+    )
+    nd = spans.groupBy("hh").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    return (
+        spans.join(nd, "hh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("ndocs") >= 2).cast("bigint")).alias("dup_chunks"),
+            F.sum(
+                F.when(F.col("ndocs") >= 2, F.col("l")).otherwise(F.lit(0))
+            ).alias("dup_chars"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# graph_bfs_levels — level-synchronous BFS vs a recursive-CTE oracle
+# ------------------------------------------------------------------
+
+_BFS_MIN_QTY = 45   # same co-supplier edge recipe as graph_triangles
+_BFS_ORDER_CAP = 20
+_BFS_SEED_MOD = 25  # seeds: suppliers with s % 25 == 0
+_BFS_MAX_LEVEL = 3
+
+
+def _bfs_edges(li: DataFrame) -> DataFrame:
+    """Undirected co-supplier edge list (both directions), the
+    graph_triangles/kcore recipe: suppliers sharing an order with
+    l_quantity >= {_BFS_MIN_QTY}, orders capped at {_BFS_ORDER_CAP}
+    suppliers so the per-order pair fan-out is bounded."""
+    from pyspark.sql import Window as W
+
+    su = (
+        li.where(F.col("l_quantity") >= _BFS_MIN_QTY)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    capped = (
+        su.withColumn("n_s", F.count(F.lit(1)).over(W.partitionBy("ok")))
+        .where(F.col("n_s") <= _BFS_ORDER_CAP)
+        .drop("n_s")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") != F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE su AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+      FROM lineitem WHERE l_quantity >= {_BFS_MIN_QTY}
+    ),
+    capped AS (
+      SELECT ok, s FROM (
+        SELECT ok, s, count(*) OVER (PARTITION BY ok) AS n_s FROM su
+      ) WHERE n_s <= {_BFS_ORDER_CAP}
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM capped a JOIN capped b ON a.ok = b.ok AND a.s <> b.s
+    ),
+    bfs AS (
+      SELECT DISTINCT u AS node, 0 AS level FROM e
+      WHERE u % {_BFS_SEED_MOD} = 0
+      UNION
+      SELECT e.v, bfs.level + 1 FROM bfs JOIN e ON e.u = bfs.node
+      WHERE bfs.level < {_BFS_MAX_LEVEL}
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(min(level) AS INT) AS level
+    FROM bfs GROUP BY node
+    """,
+    tags=("graph", "bfs", "iterative", "traversal"),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous breadth-first search: minimum hop distance
+    (<= {_BFS_MAX_LEVEL}) from the seed suppliers (s %
+    {_BFS_SEED_MOD} == 0) over the co-supplier graph — the reach /
+    blast-radius traversal every lineage or contamination audit runs
+    (which documents are within k hops of a known-bad source).
+
+    Construction differential: the oracle is a genuine WITH RECURSIVE
+    fixpoint; the Spark side is the level-synchronous unrolled form —
+    per level one (frontier JOIN edges) hop, one distinct, one
+    ANTI-JOIN against the visited set (so each node keeps its FIRST
+    visit level = min hops), with the edge list checkpointed once and
+    reused by all levels.  Agreement means the unrolled dataflow
+    implements the fixpoint exactly.
+
+    100 TB shape: each level is an equi-join of a (usually small)
+    frontier against the edge table partitioned on u — frontier rows
+    broadcast when tiny; the visited set grows monotonically but
+    carries (node, level) longs only.  Unbounded-depth BFS would wrap
+    this loop with localCheckpoint per level and a convergence check
+    (dedup_clusters precedent); {_BFS_MAX_LEVEL} unrolled levels keep
+    the oracle a static string."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _bfs_edges(li).localCheckpoint()
+    frontier = (
+        edges.select(F.col("u").alias("node"))
+        .where(F.col("node") % _BFS_SEED_MOD == 0)
+        .distinct()
+        .withColumn("level", F.lit(0))
+    )
+    visited = frontier
+    for lvl in range(1, _BFS_MAX_LEVEL + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("u")), "u", "inner"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(lvl))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select(
+        "node", F.col("level").cast("int").alias("level")
+    )
+
+
+# ------------------------------------------------------------------
+# text_bpe_encode — tokenizer APPLICATION (fixed merge table)
+# ------------------------------------------------------------------
+
+# a pretrained merge table, applied in training order; chained so
+# round 2 merges a multi-char symbol produced by round 1
+_BPE_MERGES = (("t", "h"), ("th", "e"), ("a", "n"))
+
+
+@query(
+    "text_bpe_encode",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+      ) WHERE len(w) >= 2 AND regexp_full_match(w, '[a-z]+')
+    ),
+    seq AS (
+      SELECT doc_id, len(w) AS n_chars,
+             replace(replace(replace(
+               regexp_replace(w, '(.)', '/\\1/', 'g'),
+               '/{_BPE_MERGES[0][0]}//{_BPE_MERGES[0][1]}/',
+               '/{_BPE_MERGES[0][0] + _BPE_MERGES[0][1]}/'),
+               '/{_BPE_MERGES[1][0]}//{_BPE_MERGES[1][1]}/',
+               '/{_BPE_MERGES[1][0] + _BPE_MERGES[1][1]}/'),
+               '/{_BPE_MERGES[2][0]}//{_BPE_MERGES[2][1]}/',
+               '/{_BPE_MERGES[2][0] + _BPE_MERGES[2][1]}/') AS s
+      FROM words
+    ),
+    tok AS (
+      SELECT doc_id, n_chars,
+             (len(s) - len(replace(s, '/', ''))) // 2 AS n_tokens
+      FROM seq
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) - sum(n_tokens) AS BIGINT) AS n_merges
+    FROM tok GROUP BY doc_id
+    """,
+    tags=("llm", "text", "tokenizer", "bpe"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of text_bpe_train_steps
+    (round11_ext.py trains the merge table; this key ENCODES the
+    corpus with one): each alphabetic word is exploded to wrapped
+    characters and the pretrained merges {_BPE_MERGES} are applied in
+    training order via the /sym/-wrapped replace chain (greedy
+    left-to-right in both engines = real BPE merge semantics; merge 2
+    consumes merge 1's multi-char output, so ordering is load-
+    bearing).  Emits per-doc word/char/token/merge counts — the
+    tokens-per-doc statistic every pretraining mix is budgeted in.
+
+    Shape: pure one-pass JVM string rewriting (explode, three codegen
+    replaces, two aggregations — no Python, no iteration, no
+    collect); the merge table rides along as literals exactly like a
+    production tokenizer-apply stage broadcasts its vocab.  At 100 TB
+    this is embarrassingly parallel: the only exchange is the final
+    partial-aggregated per-doc rollup."""
+    m = _BPE_MERGES
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+        .where(F.length("w") >= 2)
+        .where(F.col("w").rlike("^[a-z]+$"))
+    )
+    seq = words.selectExpr(
+        "doc_id",
+        "length(w) AS n_chars",
+        "replace(replace(replace("
+        " regexp_replace(w, '(.)', '/$1/'),"
+        f" '/{m[0][0]}//{m[0][1]}/', '/{m[0][0] + m[0][1]}/'),"
+        f" '/{m[1][0]}//{m[1][1]}/', '/{m[1][0] + m[1][1]}/'),"
+        f" '/{m[2][0]}//{m[2][1]}/', '/{m[2][0] + m[2][1]}/') AS s",
+    )
+    tok = seq.selectExpr(
+        "doc_id",
+        "n_chars",
+        "(length(s) - length(replace(s, '/', ''))) DIV 2 AS n_tokens",
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.sum("n_chars") - F.sum("n_tokens")).alias("n_merges"),
+    )

@@ -114,6 +114,13 @@ KEYS = (
     "multimodal_jpeg_restart_stats",
     "dedup_suffix_spans",
     "udtf_lateral",
+    # round-12 batch 2: CDC chunk dedup (position explode collapsed
+    # map-side by the 1/32 boundary filter; hash-only exchange) and
+    # the unrolled BFS (frontier joins against a checkpointed edge
+    # list)
+    "text_cdc_chunks",
+    "graph_bfs_levels",
+    "text_bpe_encode",
 )
 
 SRC = "/root/testdata/sf0.1"

@@ -1704,3 +1704,37 @@ def test_jpeg_restart_key_parallelizes_codec_work(spark):
     below = plan[plan.index("MapInPandas"):]
     assert "roundrobin" in below.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunks_shuffles_hashes_not_text(spark):
+    """text_cdc_chunks: the chunk table computes once behind a
+    checkpoint (two consumers: the per-hash distinct-doc count and
+    the per-doc rollup), md5 happens BEFORE the exchange so shuffles
+    carry 32-hex + longs, and both aggregations are map-side
+    partial."""
+    plan = final_plan_of(spark, "text_cdc_chunks")
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_bfs_levels_reuses_checkpointed_edges_and_avoids_cartesian(spark):
+    """graph_bfs_levels: every level's hop join and anti-join read
+    checkpointed artifacts (edge list + accumulating visited set) —
+    the lineitem scan happens once at edge build, never per level."""
+    plan = final_plan_of(spark, "graph_bfs_levels")
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_is_one_pass_jvm(spark):
+    """text_bpe_encode: tokenizer application must be pure codegen'd
+    string rewriting — no Python eval nodes, no join, exactly one
+    exchange (the final per-doc partial aggregation)."""
+    plan = plan_of(spark, "text_bpe_encode")
+    assert "Python" not in plan  # no UDF/UDTF/mapInPandas nodes
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # map-side partial

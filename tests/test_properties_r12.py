@@ -204,3 +204,110 @@ def test_jpeg_420_closed_form_per_macroblock(r, g, b):
     )
     b2 = clamp(trunc_div(1000000 * y2 + 1772000 * (cb2 - 128) + 500000, 1000000))
     assert (back == np.array([r2, g2, b2], np.uint8)).all()
+
+
+def _bfs_model(edges: set[tuple[int, int]], seeds: set[int], max_lvl: int):
+    """Plain BFS over an undirected edge set."""
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    level = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        if level[n] >= max_lvl:
+            continue
+        for m in adj.get(n, ()):
+            if m not in level:
+                level[m] = level[n] + 1
+                q.append(m)
+    return level
+
+
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(**_SETTINGS)
+def test_bfs_levels_match_queue_bfs(spark, edges):
+    """The unrolled level-synchronous plan must equal a queue BFS on
+    random graphs — first-visit anti-joins give MIN hop levels, and
+    the level cap truncates identically.  The lineitem recipe is
+    monkeypatched to a raw (order, supplier) table built so its
+    co-order pairs realize exactly the random edge set (one synthetic
+    order per edge, caps never bind)."""
+    import downloader_spark.operators.round12_ext as r12
+
+    rows = []
+    for i, (u, v) in enumerate(sorted(edges)):
+        rows.append((i, u, 50.0))
+        rows.append((i, v, 50.0))
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_quantity double"
+    )
+    orig = r12.load_table
+    r12.load_table = lambda s, d, n: li
+    try:
+        got = {
+            r.node: r.level
+            for r in r12.graph_bfs_levels(spark, "ignored").collect()
+        }
+    finally:
+        r12.load_table = orig
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    seeds = {n for n in nodes if n % r12._BFS_SEED_MOD == 0}
+    assert got == _bfs_model(edges, seeds, r12._BFS_MAX_LEVEL)
+
+
+def test_suffix_and_shingle_forms_agree_on_long_planted_duplicate(spark):
+    """The other half of the differential: a planted duplicate LONG
+    enough for both detectors (>= 7 verbatim tokens for the shingle
+    key's 5-gram x 3-run floor, >= 20 chars for the suffix key) must
+    be reported by BOTH — the pair by the shingle index, covering
+    spans in both docs by the suffix form."""
+    import downloader_spark.operators.round12_ext as r12
+    import downloader_spark.operators.round6_ext as r6
+
+    phrase = (
+        "the quick brown fox jumps over the lazy dog near the riverbank"
+    )  # 12 tokens, 63 chars
+    docs = [
+        (1, "intro words before " + phrase + " trailing remark"),
+        (2, "other framing text " + phrase + " different ending"),
+        (3, "no duplication in this one at all whatsoever truly"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    orig6 = r6.load_table
+    r6.load_table = lambda s, d, n: df
+    try:
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in r6.dedup_substring_spans(spark, "ignored").collect()
+        }
+    finally:
+        r6.load_table = orig6
+    assert pairs == {(1, 2)}
+
+    orig12 = r12.load_table
+    r12.load_table = lambda s, d, n: df
+    try:
+        spans = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in r12.dedup_suffix_spans(spark, "ignored").collect()
+        }
+    finally:
+        r12.load_table = orig12
+    by_doc = {d: (lo, hi) for d, lo, hi in spans}
+    assert set(by_doc) == {1, 2}
+    for d, text in [(1, docs[0][1]), (2, docs[1][1])]:
+        lo, hi = by_doc[d]
+        assert phrase in text[lo - 1 : hi]
