@@ -1250,3 +1250,101 @@ def audio_stats(binary_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binary_df.mapInPandas(run, schema=_AUDIO_SCHEMA)
+
+
+# --- IMA ADPCM: 4-bit adaptive differential PCM, pure integer ----------
+#
+# The IMA/DVI ADPCM algorithm (public specification: IMA Digital Audio
+# Focus and Technical Working Groups, 1992; the scheme WAV format tag
+# 0x0011 and many game/telephony containers use).  Every operation is
+# integer arithmetic on a tiny (predictor, step-index) state, which
+# makes the WHOLE lossy codec replicable by an oracle engine as a
+# recursive integer fold — no float anywhere.  The decoder reconstructs
+# exactly the encoder's predictor sequence, so decoded[i] == the
+# encoder's post-update predictor at step i.
+
+_ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_ADPCM_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _adpcm_step(sample: int, pred: int, idx: int) -> tuple[int, int, int]:
+    """One IMA encode step: returns (nibble, new predictor, new step
+    index).  The new predictor IS the decoded value for this step."""
+    step = _ADPCM_STEPS[idx]
+    diff = sample - pred
+    sign = 8 if diff < 0 else 0
+    if sign:
+        diff = -diff
+    delta = 0
+    if diff >= step:
+        delta |= 4
+        diff -= step
+    if diff >= step >> 1:
+        delta |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        delta |= 1
+    # reconstruct exactly as the decoder will
+    vpdiff = step >> 3
+    if delta & 4:
+        vpdiff += step
+    if delta & 2:
+        vpdiff += step >> 1
+    if delta & 1:
+        vpdiff += step >> 2
+    pred = pred - vpdiff if sign else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX[delta]))
+    return sign | delta, pred, idx
+
+
+def encode_adpcm(samples) -> bytes:
+    """Encode int16 samples as IMA ADPCM nibbles packed two per byte
+    (low nibble first, the IMA/WAV convention; odd counts pad the
+    final high nibble with 0).  Initial state: predictor 0, index 0."""
+    pred, idx = 0, 0
+    nibbles = []
+    for s in samples:
+        n, pred, idx = _adpcm_step(int(s), pred, idx)
+        nibbles.append(n)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    return bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+
+
+def decode_adpcm(data: bytes, n_samples: int) -> np.ndarray:
+    """Decode IMA ADPCM bytes back to int16 samples (initial state
+    predictor 0, index 0, matching ``encode_adpcm``)."""
+    pred, idx = 0, 0
+    out = np.empty(n_samples, np.int16)
+    k = 0
+    for b in data:
+        for nib in (b & 0x0F, b >> 4):
+            if k >= n_samples:
+                break
+            step = _ADPCM_STEPS[idx]
+            vpdiff = step >> 3
+            if nib & 4:
+                vpdiff += step
+            if nib & 2:
+                vpdiff += step >> 1
+            if nib & 1:
+                vpdiff += step >> 2
+            pred = pred - vpdiff if nib & 8 else pred + vpdiff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _ADPCM_INDEX[nib & 7]))
+            out[k] = pred
+            k += 1
+    if k != n_samples:
+        raise ValueError(f"ADPCM payload ended after {k}/{n_samples} samples")
+    return out

@@ -17,11 +17,13 @@ stub — the binaryFile scan, the mapInPandas batch plumbing, the
 schema contract, the partition behavior — is real and tested.  For
 genuinely-real decode with zero dependencies, see
 ``downloader_spark.media``: pure-Python BMP / WAV / PNG (zlib, all
-five filters) / YUV4MPEG2 video codecs plus a baseline-sequential
-T.81 JPEG (DCT + Annex-K quant/Huffman, grayscale; round 11) with
-decode / stats / resize stages whose bytes round-trip through the
-same Arrow path.  The remaining honest stubs are color-JPEG and
-H.264 — inter-frame prediction is out of scope for a stdlib codec.
+five filters) / YUV4MPEG2 video codecs, a baseline-sequential T.81
+JPEG family (grayscale, 4:4:4 color, 4:2:0 chroma-subsampled,
+restart-interval scans; vectorized DCT/Huffman — rounds 11-12), and
+an IMA ADPCM audio codec (round 12) with decode / stats / resize
+stages whose bytes round-trip through the same Arrow path.  The
+remaining honest stub is H.264 — inter-frame prediction is out of
+scope for a stdlib codec.
 
 Scale notes: binaryFile scans parallelize per file;
 ``spark.sql.files.maxPartitionBytes`` governs packing of small files

@@ -908,3 +908,127 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         (F.sum("n_chars") - F.sum("n_tokens")).alias("n_merges"),
     )
+
+
+# ------------------------------------------------------------------
+# multimodal_adpcm_roundtrip — IMA ADPCM audio codec byte path
+# ------------------------------------------------------------------
+
+from downloader_spark.media import _ADPCM_INDEX, _ADPCM_STEPS
+
+_ADPCM_N = 48  # samples per clip (recursion depth for the oracle)
+_ADPCM_SYNTH = "((doc_id * 37 + i * i * 13) % 65536) - 32768"
+
+
+def _adpcm_duck() -> str:
+    """The ENTIRE IMA encode+decode as one recursive integer fold:
+    the decoder reconstructs exactly the encoder's predictor chain,
+    so decoded[i] is the encoder's post-update predictor — one
+    (pred, step-index) recursion replicates the whole lossy codec.
+    DuckDB's lateral alias reuse lets each step's intermediates (step
+    size, magnitude bits b4/b2/b1, reconstruction delta) chain inside
+    a single SELECT; the step/index tables ride as list literals."""
+    steps = "[" + ", ".join(str(v) for v in _ADPCM_STEPS) + "]"
+    index = "[" + ", ".join(str(v) for v in _ADPCM_INDEX) + "]"
+    return f"""
+    r AS (
+        SELECT doc_id, 0 AS i, 0 AS pred, 0 AS idx,
+               CAST(0 AS BIGINT) AS sum_abs, CAST(0 AS BIGINT) AS sum_err
+        FROM documents
+      UNION ALL
+        SELECT doc_id, i + 1, new_pred, new_idx,
+               sum_abs + abs(new_pred), sum_err + abs(new_pred - s)
+        FROM (
+          SELECT doc_id, i, pred, idx, sum_abs, sum_err,
+                 {_ADPCM_SYNTH} AS s,
+                 ({steps})[idx + 1] AS step,
+                 abs(s - pred) AS adiff,
+                 CASE WHEN adiff >= step THEN 1 ELSE 0 END AS b4,
+                 adiff - b4 * step AS d2,
+                 CASE WHEN d2 >= step // 2 THEN 1 ELSE 0 END AS b2,
+                 d2 - b2 * (step // 2) AS d3,
+                 CASE WHEN d3 >= step // 4 THEN 1 ELSE 0 END AS b1,
+                 step // 8 + b4 * step + b2 * (step // 2)
+                   + b1 * (step // 4) AS vpdiff,
+                 GREATEST(-32768, LEAST(32767,
+                   pred + CASE WHEN s < pred THEN -vpdiff ELSE vpdiff END))
+                   AS new_pred,
+                 GREATEST(0, LEAST(88,
+                   idx + ({index})[b4 * 4 + b2 * 2 + b1 + 1])) AS new_idx
+          FROM r WHERE i < {_ADPCM_N}
+        )
+    )"""
+
+
+@query(
+    "multimodal_adpcm_roundtrip",
+    oracle=f"""
+    WITH RECURSIVE {_adpcm_duck()}
+    SELECT doc_id,
+           CAST({_ADPCM_N} AS INT) AS n_samples,
+           CAST(sum_abs AS BIGINT) AS sum_abs_decoded,
+           CAST(sum_err AS BIGINT) AS sum_abs_err,
+           CAST(pred AS INT) AS last_pred
+    FROM r WHERE i = {_ADPCM_N}
+    """,
+    tags=("multimodal", "audio", "adpcm", "codec", "mapInPandas"),
+)
+def multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed AUDIO through a real codec byte path — IMA/DVI
+    ADPCM (public 1992 spec; WAV format tag 0x0011): each doc's
+    deterministic {_ADPCM_N}-sample int16 waveform is encoded to
+    genuine 4-bit ADPCM nibbles (packed two per byte) and decoded
+    back inside the Arrow stage (media.py's encode_adpcm /
+    decode_adpcm), then reduced to decoded-signal and
+    reconstruction-error sums plus the final predictor.  Retires the
+    compressed-audio gap in the codec family (WAV was PCM-only).
+
+    Differential: the codec is pure INTEGER arithmetic on a (pred,
+    step-index) state, so the oracle replays the entire lossy
+    encode+decode as a {_ADPCM_N}-deep recursive CTE — nibble
+    quantization thresholds, reconstruction rounding (step>>3 base),
+    both clamps, and the index walk must all match bit-for-bit;
+    the jumpy full-range synth waveform exercises predictor clamping
+    and step-table saturation at both ends.
+
+    Shape: map-only, round-robin spread (the codec-family posture);
+    the oracle recursion is |docs| x {_ADPCM_N} rows — oracle-side
+    cost only, never the engine's."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_adpcm, encode_adpcm
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        i = np.arange(_ADPCM_N, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                s = ((int(doc_id) * 37 + i * i * 13) % 65536) - 32768
+                dec = decode_adpcm(
+                    encode_adpcm(s.tolist()), _ADPCM_N
+                ).astype(np.int64)
+                out.append(
+                    (
+                        int(doc_id), _ADPCM_N,
+                        int(np.abs(dec).sum()),
+                        int(np.abs(dec - s).sum()),
+                        int(dec[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "sum_abs_decoded",
+                    "sum_abs_err", "last_pred",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples int, sum_abs_decoded long,"
+        " sum_abs_err long, last_pred int",
+    )

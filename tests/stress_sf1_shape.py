@@ -121,6 +121,7 @@ KEYS = (
     "text_cdc_chunks",
     "graph_bfs_levels",
     "text_bpe_encode",
+    "multimodal_adpcm_roundtrip",
 )
 
 SRC = "/root/testdata/sf0.1"

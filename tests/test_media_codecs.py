@@ -605,3 +605,58 @@ def test_jpeg_420_odd_dimensions_pad_and_crop():
     b2 = decode_jpeg_rgb(encode_jpeg_420(img, quality=75))
     assert b1.shape == (37, 53, 3)
     assert np.array_equal(b1, b2)
+
+
+# --- IMA ADPCM ----------------------------------------------------------
+
+
+def test_adpcm_roundtrip_tracks_smooth_signal():
+    """ADPCM is lossy but adaptive: on a smooth signal the decoder
+    must track within a few step sizes once adapted, deterministically,
+    and the payload is exactly ceil(n/2) bytes (two nibbles/byte)."""
+    from downloader_spark.media import decode_adpcm, encode_adpcm
+
+    t = (2000 * np.sin(np.arange(400) / 10)).astype(np.int16)
+    data = encode_adpcm(t)
+    assert len(data) == 200
+    d1 = decode_adpcm(data, 400)
+    d2 = decode_adpcm(data, 400)
+    assert np.array_equal(d1, d2)
+    err = np.abs(d1.astype(int) - t.astype(int))
+    assert err[50:].max() < 600  # adapted tail tracks closely
+
+
+def test_adpcm_decoder_reconstructs_encoder_predictor_chain():
+    """The IMA identity the recursive oracle relies on: decoded[i] is
+    EXACTLY the encoder's post-update predictor at step i (the
+    encoder quantizes against its own reconstruction, not the raw
+    signal)."""
+    from downloader_spark.media import _adpcm_step, decode_adpcm, encode_adpcm
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, 101).astype(np.int16)  # odd: pad nibble
+    pred, idx = 0, 0
+    chain = []
+    for v in s:
+        _, pred, idx = _adpcm_step(int(v), pred, idx)
+        chain.append(pred)
+    assert decode_adpcm(encode_adpcm(s), 101).tolist() == chain
+
+
+def test_adpcm_clamps_and_index_saturation():
+    """Full-scale alternating samples must saturate the step index at
+    88 and clamp the predictor to int16 range without overflow."""
+    from downloader_spark.media import decode_adpcm, encode_adpcm
+
+    s = np.tile([32767, -32768], 50).astype(np.int16)
+    d = decode_adpcm(encode_adpcm(s), 100)
+    assert d.max() <= 32767 and d.min() >= -32768
+    assert np.abs(d[-10:].astype(int)).min() > 20000  # adapted to full swing
+
+
+def test_adpcm_short_payload_rejected():
+    from downloader_spark.media import encode_adpcm, decode_adpcm
+
+    data = encode_adpcm([0] * 10)
+    with pytest.raises(ValueError, match="ended after"):
+        decode_adpcm(data, 11)

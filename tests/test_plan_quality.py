@@ -1738,3 +1738,14 @@ def test_bpe_encode_is_one_pass_jvm(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") >= 2  # map-side partial
+
+
+def test_adpcm_key_parallelizes_codec_work(spark):
+    """multimodal_adpcm_roundtrip: codec-family posture — Arrow stage
+    above a round-robin spread of the key column, no shuffle of
+    samples."""
+    plan = plan_of(spark, "multimodal_adpcm_roundtrip")
+    assert "MapInPandas" in plan
+    below = plan[plan.index("MapInPandas"):]
+    assert "roundrobin" in below.lower()
+    assert "CartesianProduct" not in plan
