@@ -645,7 +645,16 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set; the chunk-hash exchange then carries (doc, 32-hex,
     len) rows — never chunk text (md5 computed before the shuffle).
     Cross-doc counting is one partial-aggregated groupBy on the
-    hash."""
+    hash.  Measured alternative, rejected: evaluating the boundary
+    predicate IN-ROW via filter(transform(sequence(...), i -> md5
+    window hash)) avoids the explode's per-row text copy (O(len^2)
+    bytes/doc — relevant at 100 KB docs) but runs 8x SLOWER at sf0.1
+    (32.5 s vs 4 s): md5 inside a higher-order-function lambda drops
+    the whole expression to interpreted evaluation (the
+    text_lm_score CodegenFallback class).  At corpora whose docs are
+    large enough for the copy to dominate, the right form is a
+    mapInPandas boundary scan (the dedup_suffix_spans posture), not
+    the HOF."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pos = docs.selectExpr(
         "doc_id",
