@@ -1348,3 +1348,34 @@ def decode_adpcm(data: bytes, n_samples: int) -> np.ndarray:
     if k != n_samples:
         raise ValueError(f"ADPCM payload ended after {k}/{n_samples} samples")
     return out
+
+
+# --- G.711 mu-law companding, pure integer, fully vectorized -----------
+#
+# ITU-T G.711 mu-law (the public telephony companding standard; the
+# integer form below follows the widely-published public-domain Sun
+# g711.c reference).  Unlike ADPCM there is no cross-sample state —
+# encode/decode are closed-form per sample, so both directions
+# vectorize completely in numpy AND replicate as plain per-sample SQL.
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def encode_mulaw(samples) -> bytes:
+    """Encode int16 samples as 8-bit G.711 mu-law bytes."""
+    s = np.asarray(samples, np.int64)
+    sign = np.where(s < 0, 0x80, 0)
+    m = np.minimum(np.abs(s), _ULAW_CLIP) + _ULAW_BIAS
+    seg = np.frexp(m)[1].astype(np.int64) - 8  # bit_length(m) - 8, in 0..7
+    mant = (m >> (seg + 3)) & 0x0F
+    return ((~(sign | (seg << 4) | mant)) & 0xFF).astype(np.uint8).tobytes()
+
+
+def decode_mulaw(data: bytes) -> np.ndarray:
+    """Decode G.711 mu-law bytes to int16 samples (the standard
+    midpoint reconstruction)."""
+    u = (~np.frombuffer(data, np.uint8).astype(np.int64)) & 0xFF
+    seg = (u >> 4) & 7
+    t = (((u & 0x0F) << 3) + _ULAW_BIAS) << seg
+    return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)

@@ -1041,3 +1041,102 @@ def multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples int, sum_abs_decoded long,"
         " sum_abs_err long, last_pred int",
     )
+
+
+# ------------------------------------------------------------------
+# multimodal_mulaw_roundtrip — G.711 mu-law companding byte path
+# ------------------------------------------------------------------
+
+_ULAW_N = 64
+_ULAW_SYNTH = "((doc_id * 29 + i * 101) % 65536) - 32768"
+
+
+@query(
+    "multimodal_mulaw_roundtrip",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_ULAW_SYNTH} AS v
+      FROM documents, unnest(generate_series(0, {_ULAW_N - 1})) AS u(i)
+    ),
+    enc AS (
+      SELECT doc_id, v,
+             CASE WHEN v < 0 THEN 1 ELSE 0 END AS sign,
+             LEAST(abs(v), 32635) + 132 AS m
+      FROM s
+    ),
+    seg AS (
+      SELECT doc_id, v, sign, m, len(bin(m)) - 8 AS e FROM enc
+    ),
+    dec AS (
+      SELECT doc_id, v,
+             CASE WHEN sign = 1 THEN 132 - t ELSE t - 132 END AS d
+      FROM (
+        SELECT doc_id, v, sign,
+               (((m >> (e + 3)) & 15) * 8 + 132) << e AS t
+        FROM seg
+      )
+    )
+    SELECT doc_id,
+           CAST({_ULAW_N} AS INT) AS n_samples,
+           CAST(sum(abs(d)) AS BIGINT) AS sum_abs_decoded,
+           CAST(sum(abs(d - v)) AS BIGINT) AS sum_abs_err,
+           CAST(max(abs(d - v)) AS INT) AS max_abs_err
+    FROM dec GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "g711", "companding", "mapInPandas"),
+)
+def multimodal_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law companding (the public telephony standard)
+    through the real byte path: each doc's deterministic
+    {_ULAW_N}-sample int16 waveform is companded to genuine 8-bit
+    mu-law bytes and expanded back inside the Arrow stage (media.py's
+    fully-vectorized encode_mulaw/decode_mulaw), then reduced to
+    decoded-signal and quantization-error sums.  Completes the audio
+    family: PCM (WAV), adaptive differential (ADPCM), and logarithmic
+    companding.
+
+    Differential: mu-law is stateless per sample, so the oracle is
+    the closed integer form straight from the spec — bias, clip,
+    segment from the bit length (len(bin(m)) - 8), mantissa
+    extraction, midpoint reconstruction, sign fold — while the engine
+    side packs and unpacks real uint8 bytes; the synth waveform
+    sweeps the full int16 range, so every segment (and the clip) is
+    exercised.
+
+    Shape: map-only, round-robin spread (codec-family posture)."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_mulaw, encode_mulaw
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        i = np.arange(_ULAW_N, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                v = ((int(doc_id) * 29 + i * 101) % 65536) - 32768
+                d = decode_mulaw(encode_mulaw(v)).astype(np.int64)
+                out.append(
+                    (
+                        int(doc_id), _ULAW_N,
+                        int(np.abs(d).sum()),
+                        int(np.abs(d - v).sum()),
+                        int(np.abs(d - v).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "sum_abs_decoded",
+                    "sum_abs_err", "max_abs_err",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples int, sum_abs_decoded long,"
+        " sum_abs_err long, max_abs_err int",
+    )

@@ -122,6 +122,7 @@ KEYS = (
     "graph_bfs_levels",
     "text_bpe_encode",
     "multimodal_adpcm_roundtrip",
+    "multimodal_mulaw_roundtrip",
 )
 
 SRC = "/root/testdata/sf0.1"

@@ -660,3 +660,39 @@ def test_adpcm_short_payload_rejected():
     data = encode_adpcm([0] * 10)
     with pytest.raises(ValueError, match="ended after"):
         decode_adpcm(data, 11)
+
+
+# --- G.711 mu-law ---------------------------------------------------------
+
+
+def test_mulaw_companding_properties():
+    """Logarithmic companding: small signals quantize finely (err <=
+    4 near zero), large ones coarsely but bounded by half the top
+    segment step; decode∘encode is a fixed point (re-companding a
+    decoded signal is lossless); payload is exactly 1 byte/sample."""
+    from downloader_spark.media import decode_mulaw, encode_mulaw
+
+    s = np.arange(-32768, 32768, 7).astype(np.int16)
+    data = encode_mulaw(s)
+    assert len(data) == len(s)
+    d = decode_mulaw(data)
+    err = np.abs(d.astype(int) - s.astype(int))
+    assert err.max() <= 1024 // 2 + 132  # half top-segment step + bias edge
+    small = np.arange(-100, 100).astype(np.int16)
+    e = np.abs(decode_mulaw(encode_mulaw(small)).astype(int) - small)
+    assert e.max() <= 4
+    assert np.array_equal(decode_mulaw(encode_mulaw(d)), d)
+
+
+def test_mulaw_known_vectors():
+    """Spot-check against hand-computed G.711 values: 0 encodes to
+    0xFF (all-inverted zero code) and decodes to 0; the clip value
+    and beyond share the top code."""
+    from downloader_spark.media import decode_mulaw, encode_mulaw
+
+    enc = encode_mulaw(np.array([0, 32767, 32635, -32768, 8, -8], np.int16))
+    assert enc[0] == 0xFF
+    assert enc[1] == enc[2]  # clipped to the same top code
+    d = decode_mulaw(enc)
+    assert d[0] == 0
+    assert d[3] == -d[1]  # symmetric top codes

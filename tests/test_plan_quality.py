@@ -1749,3 +1749,11 @@ def test_adpcm_key_parallelizes_codec_work(spark):
     below = plan[plan.index("MapInPandas"):]
     assert "roundrobin" in below.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_mulaw_key_parallelizes_codec_work(spark):
+    plan = plan_of(spark, "multimodal_mulaw_roundtrip")
+    assert "MapInPandas" in plan
+    below = plan[plan.index("MapInPandas"):]
+    assert "roundrobin" in below.lower()
+    assert "CartesianProduct" not in plan
