@@ -1379,3 +1379,35 @@ def decode_mulaw(data: bytes) -> np.ndarray:
     seg = (u >> 4) & 7
     t = (((u & 0x0F) << 3) + _ULAW_BIAS) << seg
     return np.where(u & 0x80, _ULAW_BIAS - t, t - _ULAW_BIAS).astype(np.int16)
+
+
+# --- G.711 A-law companding, pure integer, fully vectorized ------------
+
+
+def encode_alaw(samples) -> bytes:
+    """Encode int16 samples as 8-bit G.711 A-law bytes (the
+    even-bit-inverted 0x55 convention; integer form per the
+    public-domain Sun g711.c reference)."""
+    v = np.asarray(samples, np.int64)
+    m13 = v >> 3  # arithmetic shift == floor, the 13-bit domain
+    mask = np.where(m13 >= 0, 0xD5, 0x55)
+    mag = np.where(m13 >= 0, m13, -m13 - 1)  # ones-complement negatives
+    seg = np.maximum(np.frexp(mag)[1].astype(np.int64) - 5, 0)
+    mant = (mag >> np.maximum(seg, 1)) & 0x0F
+    return (((seg << 4) | mant) ^ mask).astype(np.uint8).tobytes()
+
+
+def decode_alaw(data: bytes) -> np.ndarray:
+    """Decode G.711 A-law bytes to int16 samples (midpoint
+    reconstruction)."""
+    a = np.frombuffer(data, np.uint8).astype(np.int64) ^ 0x55
+    seg = (a >> 4) & 7
+    t0 = (a & 0x0F) << 4
+    t = np.where(
+        seg == 0,
+        t0 + 8,
+        np.where(
+            seg == 1, t0 + 0x108, (t0 + 0x108) << np.maximum(seg - 1, 0)
+        ),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)

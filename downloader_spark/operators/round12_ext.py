@@ -1140,3 +1140,109 @@ def multimodal_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples int, sum_abs_decoded long,"
         " sum_abs_err long, max_abs_err int",
     )
+
+
+# ------------------------------------------------------------------
+# multimodal_alaw_roundtrip — G.711 A-law companding byte path
+# ------------------------------------------------------------------
+
+_ALAW_N = 64
+_ALAW_SYNTH = "((doc_id * 31 + i * 97) % 65536) - 32768"
+
+
+@query(
+    "multimodal_alaw_roundtrip",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_ALAW_SYNTH} AS v
+      FROM documents, unnest(generate_series(0, {_ALAW_N - 1})) AS u(i)
+    ),
+    m AS (
+      -- the 13-bit domain: v >> 3 as a FLOOR division (DuckDB // and
+      -- Spark DIV truncate toward zero, so negatives need the
+      -- -((-v + 7) // 8) form)
+      SELECT doc_id, v,
+             CASE WHEN v >= 0 THEN v // 8 ELSE -((-v + 7) // 8) END AS m13
+      FROM s
+    ),
+    enc AS (
+      SELECT doc_id, v, m13 >= 0 AS pos,
+             CASE WHEN m13 >= 0 THEN m13 ELSE -m13 - 1 END AS mag
+      FROM m
+    ),
+    seg AS (
+      SELECT doc_id, v, pos, mag,
+             GREATEST(len(bin(mag)) - 5, 0) AS e
+      FROM enc
+    ),
+    dec AS (
+      SELECT doc_id, v,
+             -- decoded magnitude: mant back to the segment midpoint
+             CASE WHEN pos THEN 1 ELSE -1 END
+               * CASE WHEN e = 0 THEN mant * 16 + 8
+                      WHEN e = 1 THEN mant * 16 + 264
+                      ELSE (mant * 16 + 264) << (e - 1) END AS d
+      FROM (
+        SELECT doc_id, v, pos, e,
+               (mag >> GREATEST(e, 1)) & 15 AS mant
+        FROM seg
+      )
+    )
+    SELECT doc_id,
+           CAST({_ALAW_N} AS INT) AS n_samples,
+           CAST(sum(abs(d)) AS BIGINT) AS sum_abs_decoded,
+           CAST(sum(abs(d - v)) AS BIGINT) AS sum_abs_err,
+           CAST(max(abs(d - v)) AS INT) AS max_abs_err
+    FROM dec GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "g711", "companding", "mapInPandas"),
+)
+def multimodal_alaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 A-law companding — the mu-law sibling with different
+    structure everywhere it matters: a 13-bit operating domain
+    (arithmetic >>3, which is a FLOOR shift the oracle must spell as
+    a negative-safe division), ones-complement negative magnitudes,
+    the alternating-bit 0x55 XOR convention, an INVERTED sign-bit
+    meaning versus mu-law, and segment-0/1 special cases in the
+    reconstruction.  Engine side companded to real bytes and back
+    (media.py's vectorized encode_alaw/decode_alaw); oracle is the
+    closed integer form.  Together with mu-law this closes both
+    halves of the G.711 standard.
+
+    Shape: map-only, round-robin spread (codec-family posture)."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_alaw, encode_alaw
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        i = np.arange(_ALAW_N, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                v = ((int(doc_id) * 31 + i * 97) % 65536) - 32768
+                d = decode_alaw(encode_alaw(v)).astype(np.int64)
+                out.append(
+                    (
+                        int(doc_id), _ALAW_N,
+                        int(np.abs(d).sum()),
+                        int(np.abs(d - v).sum()),
+                        int(np.abs(d - v).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "sum_abs_decoded",
+                    "sum_abs_err", "max_abs_err",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_samples int, sum_abs_decoded long,"
+        " sum_abs_err long, max_abs_err int",
+    )

@@ -123,6 +123,7 @@ KEYS = (
     "text_bpe_encode",
     "multimodal_adpcm_roundtrip",
     "multimodal_mulaw_roundtrip",
+    "multimodal_alaw_roundtrip",
 )
 
 SRC = "/root/testdata/sf0.1"

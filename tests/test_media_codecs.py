@@ -696,3 +696,40 @@ def test_mulaw_known_vectors():
     d = decode_mulaw(enc)
     assert d[0] == 0
     assert d[3] == -d[1]  # symmetric top codes
+
+
+def test_alaw_companding_properties():
+    """A-law: small-signal quantization is 16 (13-bit domain x 8 in
+    the 16-bit scale -> err <= 8+8), decode-encode is a fixed point,
+    1 byte/sample, and the mu-law/A-law codes for the same signal
+    genuinely differ (different standards, not one table renamed)."""
+    from downloader_spark.media import (
+        decode_alaw,
+        encode_alaw,
+        encode_mulaw,
+    )
+
+    s = np.arange(-32768, 32768, 7).astype(np.int16)
+    data = encode_alaw(s)
+    assert len(data) == len(s)
+    d = decode_alaw(data)
+    err = np.abs(d.astype(int) - s.astype(int))
+    assert err.max() <= 512  # half the top A-law segment step
+    small = np.arange(-200, 200).astype(np.int16)
+    e = np.abs(decode_alaw(encode_alaw(small)).astype(int) - small)
+    assert e.max() <= 8
+    assert np.array_equal(decode_alaw(encode_alaw(d)), d)
+    assert encode_alaw(s) != encode_mulaw(s)
+
+
+def test_alaw_known_vectors():
+    """Hand-checked G.711 A-law values: 0 encodes to 0xD5 (mask of
+    the all-zero positive code) and decodes to +8; full-scale
+    negative decodes symmetric to full-scale positive."""
+    from downloader_spark.media import decode_alaw, encode_alaw
+
+    enc = encode_alaw(np.array([0, 32767, -32768, 8], np.int16))
+    assert enc[0] == 0xD5
+    d = decode_alaw(enc)
+    assert d[0] == 8
+    assert d[2] == -d[1]

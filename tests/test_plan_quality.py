@@ -1757,3 +1757,11 @@ def test_mulaw_key_parallelizes_codec_work(spark):
     below = plan[plan.index("MapInPandas"):]
     assert "roundrobin" in below.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_alaw_key_parallelizes_codec_work(spark):
+    plan = plan_of(spark, "multimodal_alaw_roundtrip")
+    assert "MapInPandas" in plan
+    below = plan[plan.index("MapInPandas"):]
+    assert "roundrobin" in below.lower()
+    assert "CartesianProduct" not in plan
