@@ -88,6 +88,9 @@ _REPLANNED: dict[str, int] = {
     "text_tfidf": 9,
     "text_ngrams": 9,
     "text_collocations": 9,
+    # round-13 rewrite of the partition-local resolver (first-mismatch
+    # sweep + 0x110000 separator replacing the n x L gram matrix)
+    "dedup_suffix_spans": 13,
 }
 
 

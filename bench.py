@@ -85,7 +85,7 @@ def artifact_path(base_dir: str, condition: str) -> str:
     return os.path.join(base_dir, name)
 
 
-def refuse_mixed_condition(path: str, condition: str) -> bool:
+def condition_write_allowed(path: str, condition: str) -> bool:
     """True if writing a ``condition``-stamped payload to ``path`` is
     allowed: refuse when the existing artifact there carries a
     DIFFERENT condition (belt-and-braces behind the per-condition
@@ -253,7 +253,7 @@ def main() -> None:
     # condition-mismatched overwrite is refused outright.
     try:
         out = artifact_path(os.path.dirname(os.path.abspath(__file__)), condition)
-        if refuse_mixed_condition(out, condition):
+        if condition_write_allowed(out, condition):
             with open(out, "w") as f:
                 json.dump(payload, f, indent=1, sort_keys=True)
                 f.write("\n")
@@ -281,7 +281,7 @@ def main() -> None:
                 os.path.dirname(os.path.abspath(__file__)),
                 f"BENCH_perkey_r{rnd:02d}{suffix}.json",
             )
-            if refuse_mixed_condition(out, condition):
+            if condition_write_allowed(out, condition):
                 with open(out, "w") as f:
                     json.dump(
                         {

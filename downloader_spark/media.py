@@ -945,13 +945,19 @@ def _decode_jpeg_planes(data: bytes) -> tuple[list[np.ndarray], int, int]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
-        while data[pos + 1] == 0xFF:  # 0xFF fill bytes (B.1.1.2)
-            pos += 1
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes (B.1.1.2)
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (stream ends mid-marker)")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG (no segment length)")
         (length,) = struct.unpack_from(">H", data, pos + 2)
         payload = data[pos + 4 : pos + 2 + length]
+        if length < 2 or len(payload) != length - 2:
+            raise ValueError("truncated JPEG (short segment payload)")
         pos += 2 + length
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             p = 0

@@ -244,9 +244,11 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape — local resolve, then reconcile only the unresolved:
     1. one SUFFIX ARRAY per partition over the partition's docs
-       concatenated with a sentinel (prefix-doubling, fully
-       vectorized; separators make grams doc-bounded with no
-       cross-partition state);
+       concatenated with a non-character sentinel 0x110000
+       (prefix-doubling, fully vectorized; separators make grams
+       doc-bounded with no cross-partition state, and can never
+       collide with content — literal NULs in documents are ordinary
+       characters, exactly as the oracle's substr treats them);
     2. SA-adjacent runs with a shared {_SUF_L}-prefix resolve
        within-partition repeats LOCALLY: their coverage leaves the
        Python stage as pre-merged (doc, start, end) INTERVALS, and
@@ -291,8 +293,17 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not ids:
             yield frame([], [], [], [], [])
             return
-        big = "\x00".join(texts)
-        arr = np.frombuffer(big.encode("utf-32-le"), np.uint32)
+        # Separator = 0x110000, one past the last Unicode code point:
+        # it can never collide with document content, so a document
+        # containing a literal NUL is handled exactly like the
+        # oracle's substr (which counts NUL-containing grams).
+        sep = np.array([0x110000], np.uint32)
+        parts: list[np.ndarray] = []
+        for t in texts:
+            if parts:
+                parts.append(sep)
+            parts.append(np.frombuffer(t.encode("utf-32-le"), np.uint32))
+        arr = np.concatenate(parts) if parts else np.zeros(0, np.uint32)
         n = len(arr)
         out_kind: list[int] = []
         out_gram: list[str | None] = []
@@ -301,13 +312,32 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_e: list[int | None] = []
         if n >= L:
             sa = _suffix_array(arr)
-            padded = np.concatenate([arr, np.zeros(L, np.uint32)])
-            chunks = padded[sa[:, None] + np.arange(L)]
-            valid = (chunks != 0).all(axis=1)
+            # valid[i]: the L-gram at sa[i] fits inside one document —
+            # i.e. no separator (and no end-of-buffer) within its first
+            # L chars.  sep_next[p] = position of the first separator
+            # at/after p (n when none), so validity is one comparison;
+            # no n x L gram matrix is ever materialized (the former
+            # padded[sa[:,None]+arange(L)] cost ~4L bytes per input
+            # char — ~80x the text at L=20).
+            sep_next = np.minimum.accumulate(
+                np.where(arr == 0x110000, np.arange(n), n)[::-1]
+            )[::-1]
+            valid = sa + L <= sep_next[sa]
+            # eq_next[i]: suffixes sa[i] and sa[i+1] share their first
+            # L chars.  Vectorized first-mismatch sweep over a
+            # SHRINKING index set: adjacent SA pairs mostly diverge in
+            # the first few chars, so each column pass touches only the
+            # still-equal pairs — O(n) memory, no gram rows.
             eq_next = np.zeros(n, bool)
-            eq_next[:-1] = valid[:-1] & valid[1:] & (
-                chunks[:-1] == chunks[1:]
-            ).all(axis=1)
+            eq_next[:-1] = valid[:-1] & valid[1:]
+            a_sa, b_sa = sa[:-1], sa[1:]
+            live = np.flatnonzero(eq_next[:-1])
+            for j in range(L):
+                if live.size == 0:
+                    break
+                still = arr[a_sa[live] + j] == arr[b_sa[live] + j]
+                eq_next[live[~still]] = False
+                live = live[still]
             # run ids over SA order: a run = maximal stretch of equal
             # valid grams (the suffix array's grouping, no hashing)
             starts_new_run = np.ones(n, bool)

