@@ -240,3 +240,289 @@ def scalar_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN ip % 16777216 < 65536 THEN 1 ELSE 0 END"
         ).alias("in_low_slash16"),
     )
+
+
+# ------------------------------------------------------------------
+# IPv6 — the OTHER half of the data the reference archives
+# ------------------------------------------------------------------
+# Two of the reference's three RouteViews datasets are pfx2as for
+# IPv4 AND IPv6 (/root/reference/download/downloader.go:87-93,
+# routeviews.go:15-21 — `RouteViewIPv6/current/routeview.pfx2as.gz`);
+# everything above consumes only the v4 half.  A 128-bit address is
+# represented as a (hi, lo) BIGINT pair — hi carries the routing
+# prefix (real-world BGP v6 announcements are /16../64, i.e. entirely
+# inside the top 64 bits), lo carries the interface identifier.  The
+# nibble ladder is /16, /32, /48, /64 — the allocation boundaries the
+# registries actually delegate on — so LPM is again ONE broadcast
+# equi-join over exploded (start_hi, plen) candidates: masks touch hi
+# only, lo never participates in matching, and no range predicate
+# exists anywhere.  Group values are kept small enough that hi stays
+# far below 2^63 (no signed-overflow dialect traps).
+
+_G1_MOD = 8    # bits 63..48 — 8 slots, nations cover all of them
+_G2_MOD = 16   # bits 47..32 — 128 /32 slots, ~100 suppliers
+_G3_MOD = 32   # bits 31..16 — 4096 /48 slots, ~1.5k customers
+_G4_MOD = 16   # bits 15..0  — 65536 /64 slots, ~2k parts (sparse tail)
+
+_P48 = 281474976710656  # 2^48
+_P32 = 4294967296       # 2^32
+_P16 = 65536            # 2^16
+
+
+def _hi_expr(oct_fn, key_sql: str) -> str:
+    """Top 64 bits of the derived v6 LOOKUP address as pure BIGINT
+    arithmetic, identical in both engines.  Max value is
+    < 8 * 2^48 ≈ 2.3e15 — comfortably positive in signed 64-bit.
+    Tags are distinct from the prefix-side tags (a6..d6) so a lookup
+    key that happens to equal a generator key does not trivially
+    collide with "its" /64 (same reason v4 uses "a" vs "a16")."""
+    g1 = oct_fn("x6", key_sql, _G1_MOD)
+    g2 = oct_fn("y6", key_sql, _G2_MOD)
+    g3 = oct_fn("z6", key_sql, _G3_MOD)
+    g4 = oct_fn("w6", key_sql, _G4_MOD)
+    return (
+        f"({g1}) * {_P48} + ({g2}) * {_P32} + ({g3}) * {_P16} + ({g4})"
+    )
+
+
+def _lo_expr(oct_fn, key_sql: str) -> str:
+    """Interface-identifier half: a 60-bit hash (never > 2^60, so no
+    sign traps) that matching NEVER consults — it exists so the
+    scalar surface has real host bits to format and split."""
+    g = oct_fn("lo6", key_sql, 1152921504606846976)  # 2^60
+    return f"({g})"
+
+
+_DUCK_PREFIXES6 = f"""
+    q16 AS (
+      SELECT (n_nationkey % {_G1_MOD}) * {_P48} AS start_hi,
+             16 AS plen, min(60000 + n_nationkey) AS asn
+      FROM nation GROUP BY 1, 2
+    ),
+    q32 AS (
+      SELECT {_duck_oct("a6", "s_suppkey", _G1_MOD)} * {_P48}
+             + {_duck_oct("b6", "s_suppkey", _G2_MOD)} * {_P32} AS start_hi,
+             32 AS plen, min(70000 + s_suppkey) AS asn
+      FROM supplier GROUP BY 1, 2
+    ),
+    q48 AS (
+      SELECT {_duck_oct("a6", "c_custkey", _G1_MOD)} * {_P48}
+             + {_duck_oct("b6", "c_custkey", _G2_MOD)} * {_P32}
+             + {_duck_oct("c6", "c_custkey", _G3_MOD)} * {_P16} AS start_hi,
+             48 AS plen, min(400000 + c_custkey) AS asn
+      FROM customer GROUP BY 1, 2
+    ),
+    q64 AS (
+      SELECT {_duck_oct("a6", "p_partkey", _G1_MOD)} * {_P48}
+             + {_duck_oct("b6", "p_partkey", _G2_MOD)} * {_P32}
+             + {_duck_oct("c6", "p_partkey", _G3_MOD)} * {_P16}
+             + {_duck_oct("d6", "p_partkey", _G4_MOD)} AS start_hi,
+             64 AS plen, min(900000 + p_partkey) AS asn
+      FROM part GROUP BY 1, 2
+    ),
+    prefixes6 AS (
+      SELECT * FROM q16 UNION ALL SELECT * FROM q32
+      UNION ALL SELECT * FROM q48 UNION ALL SELECT * FROM q64
+    )
+"""
+
+
+def _spark_prefixes6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(start_hi, plen, asn) at the four nibble-ladder lengths,
+    deduplicated per network with the minimum ASN."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    q16 = nation.groupBy(
+        (F.expr(f"n_nationkey % {_G1_MOD}") * F.lit(_P48)).alias("start_hi"),
+        F.lit(16).alias("plen"),
+    ).agg(F.min(F.expr("60000 + n_nationkey")).alias("asn"))
+    q32 = supplier.groupBy(
+        F.expr(
+            f"{_spark_oct('a6', 's_suppkey', _G1_MOD)} * {_P48}"
+            f" + {_spark_oct('b6', 's_suppkey', _G2_MOD)} * {_P32}"
+        ).alias("start_hi"),
+        F.lit(32).alias("plen"),
+    ).agg(F.min(F.expr("70000 + s_suppkey")).alias("asn"))
+    q48 = customer.groupBy(
+        F.expr(
+            f"{_spark_oct('a6', 'c_custkey', _G1_MOD)} * {_P48}"
+            f" + {_spark_oct('b6', 'c_custkey', _G2_MOD)} * {_P32}"
+            f" + {_spark_oct('c6', 'c_custkey', _G3_MOD)} * {_P16}"
+        ).alias("start_hi"),
+        F.lit(48).alias("plen"),
+    ).agg(F.min(F.expr("400000 + c_custkey")).alias("asn"))
+    q64 = part.groupBy(
+        F.expr(
+            f"{_spark_oct('a6', 'p_partkey', _G1_MOD)} * {_P48}"
+            f" + {_spark_oct('b6', 'p_partkey', _G2_MOD)} * {_P32}"
+            f" + {_spark_oct('c6', 'p_partkey', _G3_MOD)} * {_P16}"
+            f" + {_spark_oct('d6', 'p_partkey', _G4_MOD)}"
+        ).alias("start_hi"),
+        F.lit(64).alias("plen"),
+    ).agg(F.min(F.expr("900000 + p_partkey")).alias("asn"))
+    return q16.unionByName(q32).unionByName(q48).unionByName(q64)
+
+
+@query(
+    "join_ip_prefix6",
+    oracle=f"""
+    WITH {_DUCK_PREFIXES6},
+    ips AS (
+      SELECT o_orderkey,
+             {_hi_expr(_duck_oct, "o_orderkey")} AS ip_hi,
+             {_lo_expr(_duck_oct, "o_orderkey")} AS ip_lo
+      FROM orders
+    ),
+    cands AS (
+      SELECT o_orderkey, ip_hi, ip_lo,
+             ip_hi - ip_hi % {_P48} AS start_hi, 16 AS plen FROM ips
+      UNION ALL
+      SELECT o_orderkey, ip_hi, ip_lo, ip_hi - ip_hi % {_P32}, 32 FROM ips
+      UNION ALL
+      SELECT o_orderkey, ip_hi, ip_lo, ip_hi - ip_hi % {_P16}, 48 FROM ips
+      UNION ALL
+      SELECT o_orderkey, ip_hi, ip_lo, ip_hi, 64 FROM ips
+    ),
+    hits AS (
+      SELECT c.o_orderkey, c.ip_hi, c.ip_lo, c.plen, p.asn
+      FROM cands c
+      JOIN prefixes6 p ON p.start_hi = c.start_hi AND p.plen = c.plen
+    )
+    SELECT o_orderkey, ip_hi, ip_lo,
+           CAST(max(plen) AS INT) AS matched_len,
+           max_by(asn, plen) AS asn
+    FROM hits
+    GROUP BY o_orderkey, ip_hi, ip_lo
+    """,
+    tags=("network", "join", "reference-domain"),
+)
+def join_ip_prefix6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 longest-prefix-match IP→AS annotation — the consumer of
+    the v6 pfx2as files the reference fetches alongside v4
+    (/root/reference/download/downloader.go:87-93: the
+    `RouteViewIPv6/current/routeview.pfx2as.gz` latest-pointer).
+
+    Same fixed-ladder recipe as ``join_ip_prefix``, lifted to 128
+    bits: the address is a (hi, lo) BIGINT pair, the ladder is the
+    registry delegation boundaries /16 /32 /48 /64 (all inside hi, so
+    lo never participates in matching), each IP explodes to exactly 4
+    (start_hi, plen) candidates by pure modulo masking, the
+    deduplicated 4-level prefix dim broadcasts, and one struct-max
+    aggregate keeps the deepest match.  No range predicate, no
+    128-bit arithmetic, no skew sensitivity: per-IP work is O(4)
+    regardless of how many announcements cover a popular /16."""
+    ips = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(_hi_expr(_spark_oct, "o_orderkey")).alias("ip_hi"),
+        F.expr(_lo_expr(_spark_oct, "o_orderkey")).alias("ip_lo"),
+    )
+    cands = ips.select(
+        "o_orderkey",
+        "ip_hi",
+        "ip_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr(f"ip_hi - ip_hi % {_P48}").alias("start_hi"),
+                    F.lit(16).alias("plen"),
+                ),
+                F.struct(
+                    F.expr(f"ip_hi - ip_hi % {_P32}").alias("start_hi"),
+                    F.lit(32).alias("plen"),
+                ),
+                F.struct(
+                    F.expr(f"ip_hi - ip_hi % {_P16}").alias("start_hi"),
+                    F.lit(48).alias("plen"),
+                ),
+                F.struct(
+                    F.col("ip_hi").alias("start_hi"),
+                    F.lit(64).alias("plen"),
+                ),
+            )
+        ).alias("cand"),
+    ).select("o_orderkey", "ip_hi", "ip_lo", "cand.start_hi", "cand.plen")
+    hits = cands.join(
+        F.broadcast(_spark_prefixes6(spark, sf_dir)), ["start_hi", "plen"]
+    )
+    best = hits.groupBy("o_orderkey", "ip_hi", "ip_lo").agg(
+        F.max(F.struct(F.col("plen"), F.col("asn"))).alias("m")
+    )
+    return best.select(
+        "o_orderkey",
+        "ip_hi",
+        "ip_lo",
+        F.col("m.plen").cast("int").alias("matched_len"),
+        F.col("m.asn").alias("asn"),
+    )
+
+
+def _hex_groups_duck(col: str, top: str) -> str:
+    """Four colon-separated lower-hex 16-bit groups of a BIGINT."""
+    gs = [
+        f"lpad(printf('%x', {top}), 4, '0')",
+        f"lpad(printf('%x', ({col} // {_P32}) % 65536), 4, '0')",
+        f"lpad(printf('%x', ({col} // 65536) % 65536), 4, '0')",
+        f"lpad(printf('%x', {col} % 65536), 4, '0')",
+    ]
+    return " || ':' || ".join(gs)
+
+
+def _hex_groups_spark(col: str, top: str) -> str:
+    gs = [
+        f"lpad(format_string('%x', {top}), 4, '0')",
+        f"lpad(format_string('%x', ({col} DIV {_P32}) % 65536), 4, '0')",
+        f"lpad(format_string('%x', ({col} DIV 65536) % 65536), 4, '0')",
+        f"lpad(format_string('%x', {col} % 65536), 4, '0')",
+    ]
+    return " || ':' || ".join(gs)
+
+
+@query(
+    "scalar_ip6",
+    oracle=f"""
+    WITH ips AS (
+      SELECT o_orderkey,
+             {_hi_expr(_duck_oct, "o_orderkey")} AS ip_hi,
+             {_lo_expr(_duck_oct, "o_orderkey")} AS ip_lo
+      FROM orders
+    )
+    SELECT o_orderkey, ip_hi, ip_lo,
+           {_hex_groups_duck("ip_hi", f"ip_hi // {_P48}")} || ':' ||
+           {_hex_groups_duck("ip_lo", f"ip_lo // {_P48}")} AS colon_hex,
+           ip_hi AS net64,
+           ip_hi - ip_hi % {_P48} AS net16,
+           CASE WHEN ip_hi % {_P32} < {_P16} THEN 1 ELSE 0 END
+             AS in_low_slash32
+    FROM ips
+    """,
+    tags=("network", "scalar", "reference-domain"),
+)
+def scalar_ip6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 scalar surface over the derived (hi, lo) pairs: full-form
+    (uncompressed — no `::` zero-run folding, which is a presentation
+    choice RFC 5952 makes optional) colon-hex formatting of all eight
+    16-bit groups, the /64 network vs interface-identifier split that
+    v6 addressing is built around, the /16 registry block, and a
+    containment predicate — all pure integer div/mod + printf so both
+    engines agree byte-for-byte."""
+    ips = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(_hi_expr(_spark_oct, "o_orderkey")).alias("ip_hi"),
+        F.expr(_lo_expr(_spark_oct, "o_orderkey")).alias("ip_lo"),
+    )
+    return ips.select(
+        "o_orderkey",
+        "ip_hi",
+        "ip_lo",
+        F.expr(
+            f"{_hex_groups_spark('ip_hi', f'ip_hi DIV {_P48}')} || ':' || "
+            f"{_hex_groups_spark('ip_lo', f'ip_lo DIV {_P48}')}"
+        ).alias("colon_hex"),
+        F.col("ip_hi").alias("net64"),
+        F.expr(f"ip_hi - ip_hi % {_P48}").alias("net16"),
+        F.expr(
+            f"CASE WHEN ip_hi % {_P32} < {_P16} THEN 1 ELSE 0 END"
+        ).alias("in_low_slash32"),
+    )

@@ -253,6 +253,16 @@ def test_join_ip_prefix_broadcasts_prefixes_single_equi_join(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_join_ip_prefix6_broadcasts_prefixes_single_equi_join(spark):
+    """v6 LPM must keep the v4 shape at 4 ladder levels: one broadcast
+    equi-join on (start_hi, plen), no range predicate, no cartesian —
+    lo never participates in matching, so no 128-bit comparisons."""
+    plan = plan_of(spark, "join_ip_prefix6")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_join_bloom_prune_broadcasts_filter_words(spark):
     """The runtime-filter pattern only pays off if the filter ships to
     the probe side: both word lookups and the exactness join must be
