@@ -1417,3 +1417,114 @@ def decode_alaw(data: bytes) -> np.ndarray:
         ),
     )
     return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+# --- PFV: from-scratch inter-frame (P-frame) delta video codec ---------
+#
+# The one video shape Y4M doesn't exercise: INTER-FRAME PREDICTION —
+# frame N stored against reconstructed frame N-1 as per-block deltas,
+# with skip flags for unchanged blocks and run-length coding for the
+# residual.  This is the structural core of every real video codec
+# (H.26x P-frames / macroblock skip) rebuilt from scratch over numpy,
+# byte-exact and lossless, so the oracle can replay it closed-form.
+#
+# Container format (little-endian):
+#   b"PFV1" | u16 w | u16 h | u16 nf | u8 block
+#   frame 0: raw h*w luma bytes (the I-frame)
+#   frames 1..nf-1, blocks in raster order (by, bx):
+#     u8 0              -> SKIP (block identical to previous frame)
+#     u8 1 | u16 npairs | npairs * (u8 run, u8 value)
+#                       -> mod-256 delta vs previous frame, RLE over
+#                          the block's row-major bytes
+
+_PFV_MAGIC = b"PFV1"
+
+
+def encode_pframe(frames: np.ndarray, block: int = 4) -> bytes:
+    """Encode a (nf, h, w) uint8 luma clip: I-frame + P-frames of
+    skip/RLE-delta blocks.  h and w must be multiples of ``block``."""
+    nf, h, w = frames.shape
+    if h % block or w % block:
+        raise ValueError("frame dims must be multiples of block size")
+    out = [_PFV_MAGIC, struct.pack("<HHHB", w, h, nf, block)]
+    out.append(frames[0].tobytes())
+    for f in range(1, nf):
+        delta = (
+            frames[f].astype(np.int16) - frames[f - 1].astype(np.int16)
+        ) % 256
+        for by in range(0, h, block):
+            for bx in range(0, w, block):
+                blk = delta[by : by + block, bx : bx + block].ravel()
+                if not blk.any():
+                    out.append(b"\x00")
+                    continue
+                # RLE: (run, value) pairs, runs capped at 255
+                b = blk.astype(np.uint8)
+                edges = np.flatnonzero(np.diff(b)) + 1
+                starts = np.concatenate(([0], edges))
+                ends = np.concatenate((edges, [len(b)]))
+                pairs = bytearray()
+                npairs = 0
+                for s, e in zip(starts, ends):
+                    run, val = int(e - s), int(b[s])
+                    while run > 255:
+                        pairs += bytes((255, val))
+                        npairs += 1
+                        run -= 255
+                    pairs += bytes((run, val))
+                    npairs += 1
+                out.append(b"\x01" + struct.pack("<H", npairs) + bytes(pairs))
+    return b"".join(out)
+
+
+def decode_pframe(data: bytes) -> tuple[np.ndarray, list[tuple[int, int]]]:
+    """Decode PFV bytes back to the (nf, h, w) uint8 clip, plus the
+    per-frame (n_skip, n_coded) block counts read from the BITSTREAM
+    (frame 0, the I-frame, reports (0, 0) — it carries no flags)."""
+    if not data.startswith(_PFV_MAGIC):
+        raise ValueError("not a PFV stream")
+    if len(data) < 11:
+        raise ValueError("truncated PFV header")
+    w, h, nf, block = struct.unpack_from("<HHHB", data, 4)
+    pos = 11
+    if len(data) < pos + h * w:
+        raise ValueError("truncated PFV I-frame")
+    frames = np.empty((nf, h, w), np.uint8)
+    frames[0] = np.frombuffer(data, np.uint8, h * w, pos).reshape(h, w)
+    pos += h * w
+    stats = [(0, 0)]
+    for f in range(1, nf):
+        cur = frames[f - 1].astype(np.int16)
+        frames[f] = frames[f - 1]
+        n_skip = n_coded = 0
+        for by in range(0, h, block):
+            for bx in range(0, w, block):
+                if pos >= len(data):
+                    raise ValueError("truncated PFV block flag")
+                flag = data[pos]
+                pos += 1
+                if flag == 0:
+                    n_skip += 1
+                    continue
+                if flag != 1:
+                    raise ValueError(f"bad PFV block flag {flag}")
+                if pos + 2 > len(data):
+                    raise ValueError("truncated PFV pair count")
+                (npairs,) = struct.unpack_from("<H", data, pos)
+                pos += 2
+                if pos + 2 * npairs > len(data):
+                    raise ValueError("truncated PFV RLE payload")
+                rle = np.frombuffer(data, np.uint8, 2 * npairs, pos)
+                pos += 2 * npairs
+                delta = np.repeat(rle[1::2], rle[0::2])
+                if delta.size != block * block:
+                    raise ValueError("PFV RLE run mismatch vs block size")
+                blk = delta.reshape(block, block).astype(np.int16)
+                frames[f, by : by + block, bx : bx + block] = (
+                    (cur[by : by + block, bx : bx + block] + blk) % 256
+                ).astype(np.uint8)
+                n_coded += 1
+        stats.append((n_skip, n_coded))
+    if pos != len(data):
+        raise ValueError("trailing PFV bytes")
+    return frames, stats

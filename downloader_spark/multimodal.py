@@ -20,10 +20,14 @@ genuinely-real decode with zero dependencies, see
 five filters) / YUV4MPEG2 video codecs, a baseline-sequential T.81
 JPEG family (grayscale, 4:4:4 color, 4:2:0 chroma-subsampled,
 restart-interval scans; vectorized DCT/Huffman — rounds 11-12), and
-an IMA ADPCM audio codec (round 12) with decode / stats / resize
-stages whose bytes round-trip through the same Arrow path.  The
-remaining honest stub is H.264 — inter-frame prediction is out of
-scope for a stdlib codec.
+an IMA ADPCM audio codec (round 12), and a PFV inter-frame video
+codec (round 13: I-frame + P-frames of block-skip flags and RLE'd
+deltas — the structural core of H.26x prediction, rebuilt from
+scratch) with decode / stats / resize stages whose bytes round-trip
+through the same Arrow path.  The remaining honest stub is
+full-standard H.264 itself (entropy-coded transform residuals +
+motion search); its inter-frame PREDICTION structure is now real via
+PFV.
 
 Scale notes: binaryFile scans parallelize per file;
 ``spark.sql.files.maxPartitionBytes`` governs packing of small files

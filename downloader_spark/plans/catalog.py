@@ -42,3 +42,4 @@ import downloader_spark.operators.round9b_ext  # noqa: F401,E402
 import downloader_spark.operators.round10_ext  # noqa: F401,E402
 import downloader_spark.operators.round11_ext  # noqa: F401,E402
 import downloader_spark.operators.round12_ext  # noqa: F401,E402
+import downloader_spark.operators.round13_ext  # noqa: F401,E402

@@ -811,3 +811,70 @@ def test_suffix_spans_handles_literal_nul_documents():
     assert covered, "fixture must contain a duplicated NUL-spanning gram"
     assert any("\x00" in t[i : i + L] for (d, i), t in
                ((k, docs[k[0]]) for k in covered))
+
+
+# ------------------------------------------------------------- PFV codec
+
+
+def test_pframe_roundtrip_random_clips():
+    """Lossless roundtrip + bitstream skip counts vs a direct
+    block-equality model, over random clips with planted skips."""
+    import numpy as np
+
+    from downloader_spark.media import decode_pframe, encode_pframe
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        nf, h, w = int(rng.integers(1, 6)), 8, 12
+        clip = rng.integers(0, 256, (nf, h, w)).astype(np.uint8)
+        for f in range(1, nf):
+            if rng.random() < 0.8:
+                clip[f, 0:4, 0:4] = clip[f - 1, 0:4, 0:4]
+        back, stats = decode_pframe(encode_pframe(clip, block=4))
+        assert (back == clip).all()
+        assert len(stats) == nf and stats[0] == (0, 0)
+        for f in range(1, nf):
+            ns, nc = stats[f]
+            true_skip = sum(
+                1
+                for by in range(0, h, 4)
+                for bx in range(0, w, 4)
+                if (
+                    clip[f, by : by + 4, bx : bx + 4]
+                    == clip[f - 1, by : by + 4, bx : bx + 4]
+                ).all()
+            )
+            assert (ns, ns + nc) == (true_skip, (h // 4) * (w // 4))
+
+
+def test_pframe_rle_run_cap():
+    """A 16x16 block whose 256 delta bytes are all equal exercises the
+    255-run RLE split."""
+    import numpy as np
+
+    from downloader_spark.media import decode_pframe, encode_pframe
+
+    clip = np.zeros((2, 16, 16), np.uint8)
+    clip[1] += 5
+    back, stats = decode_pframe(encode_pframe(clip, block=16))
+    assert (back == clip).all() and stats == [(0, 0), (0, 1)]
+
+
+def test_pframe_truncation_raises_value_error():
+    """Every truncation point must fail the decoder's ValueError
+    contract, never IndexError (the round-12 JPEG hardening rule)."""
+    import numpy as np
+    import pytest
+
+    from downloader_spark.media import decode_pframe, encode_pframe
+
+    rng = np.random.default_rng(3)
+    clip = rng.integers(0, 256, (3, 8, 8)).astype(np.uint8)
+    data = encode_pframe(clip, block=4)
+    for cut in range(len(data)):
+        with pytest.raises(ValueError):
+            decode_pframe(data[:cut])
+    with pytest.raises(ValueError):
+        decode_pframe(data + b"\x00")  # trailing garbage
+    with pytest.raises(ValueError):
+        decode_pframe(b"NOPE" + data[4:])
