@@ -39,8 +39,6 @@ corpus artifacts grow additively; nothing ever rescans corpus text.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -72,6 +70,29 @@ def docs_stream(
     )
 
 
+def _state_has_batches(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and contains at least one
+    ``batch_id=`` partition subdirectory — probed through the Hadoop
+    FileSystem resolved from the path's OWN scheme (local path,
+    ``file://``, ``hdfs://``, ``s3a://``...), never ``os.path``, so
+    state discovery works wherever the executors' reads do."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath) or not fs.getFileStatus(hpath).isDirectory():
+        return False
+    return any(
+        st.getPath().getName().startswith("batch_id=")
+        for st in fs.listStatus(hpath)
+    )
+
+
+def _join_state(state_dir: str, sub: str) -> str:
+    """Scheme-preserving child-path join (``os.path.join`` would
+    mangle ``hdfs://`` / ``s3a://`` URIs on non-POSIX separators)."""
+    return state_dir.rstrip("/") + "/" + sub
+
+
 def _read_state(
     spark: SparkSession, path: str, schema: str, before_batch: int | None = None
 ) -> DataFrame:
@@ -89,15 +110,13 @@ def _read_state(
     postings skewing inter/union — and overwrite those spurious rows
     into its results partition permanently.
 
-    State discovery uses ``os.path`` on purpose, which means
-    ``state_dir`` must be a DRIVER-LOCAL filesystem path (local mode /
-    NFS).  On a cluster with HDFS/S3 state, swap the existence check
-    for the Hadoop FileSystem API (``spark._jvm.org.apache.hadoop.fs``)
-    — the read itself already goes through Hadoop and needs no change.
+    State discovery goes through the Hadoop FileSystem API (resolved
+    from the path's own scheme), so ``state_dir`` may be a local path,
+    a ``file://`` URI, or any cluster filesystem Spark can read
+    (``hdfs://``, ``s3a://``, ...) — the same resolution the read
+    itself uses.
     """
-    if os.path.isdir(path) and any(
-        e.startswith("batch_id=") for e in os.listdir(path)
-    ):
+    if _state_has_batches(spark, path):
         cols = [c.split()[0] for c in schema.split(",")]
         df = spark.read.option("basePath", path).parquet(path)
         if before_batch is not None:
@@ -133,9 +152,9 @@ class IncrementalMinhashDedup:
         keep_ratio: int = 2,
     ) -> None:
         self.spark = spark
-        self.bands_dir = os.path.join(state_dir, "bands")
-        self.shingles_dir = os.path.join(state_dir, "shingles")
-        self.matches_dir = os.path.join(state_dir, "matches")
+        self.bands_dir = _join_state(state_dir, "bands")
+        self.shingles_dir = _join_state(state_dir, "shingles")
+        self.matches_dir = _join_state(state_dir, "matches")
         self.append_corpus = append_corpus
         self.keep_ratio = keep_ratio
 
@@ -226,9 +245,9 @@ class IncrementalBloomPrefilter:
         self, spark: SparkSession, state_dir: str, append_corpus: bool = True
     ) -> None:
         self.spark = spark
-        self.bits_dir = os.path.join(state_dir, "bits")
-        self.hashes_dir = os.path.join(state_dir, "hashes")
-        self.results_dir = os.path.join(state_dir, "results")
+        self.bits_dir = _join_state(state_dir, "bits")
+        self.hashes_dir = _join_state(state_dir, "hashes")
+        self.results_dir = _join_state(state_dir, "results")
         self.append_corpus = append_corpus
 
     @staticmethod
@@ -330,7 +349,7 @@ class IncrementalHll:
 
     def __init__(self, spark: SparkSession, state_dir: str) -> None:
         self.spark = spark
-        self.regs_dir = os.path.join(state_dir, "registers")
+        self.regs_dir = _join_state(state_dir, "registers")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from downloader_spark.operators.round11_ext import hll_registers

@@ -1176,3 +1176,44 @@ def test_stateful_hll_matches_batch_sketch(spark, events_dir, tmp_path):
         ).collect()
     }
     assert final == expect and len(final) > 0
+
+
+def test_incremental_state_discovery_via_hadoop_fs_uri(
+    spark, docs_delta_dir, tmp_path
+):
+    """Round-13: state discovery must go through the Hadoop
+    FileSystem API, so a NON-local-style ``file://`` URI (the same
+    scheme-bearing shape an ``hdfs://`` or ``s3a://`` state dir has on
+    a cluster) works end-to-end — seed, probe, drain, read back —
+    and the probe itself answers correctly at each lifecycle stage."""
+    from downloader_spark.streaming.incremental_dedup import (
+        IncrementalMinhashDedup,
+        _state_has_batches,
+    )
+
+    state_uri = "file://" + str(tmp_path / "state")
+    pipe = IncrementalMinhashDedup(spark, state_uri, append_corpus=False)
+    assert not _state_has_batches(spark, pipe.bands_dir)  # nothing yet
+    corpus = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    pipe.seed_corpus(corpus)
+    assert _state_has_batches(spark, pipe.bands_dir)  # batch_id=-1 seeded
+    assert not _state_has_batches(spark, pipe.matches_dir)
+    q = pipe.run(
+        docs_delta_dir,
+        "file://" + str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.doc_a, r.doc_b, r.inter_size, r.union_size, r.jacc_ppm)
+        for r in pipe.matches().collect()
+    }
+    from downloader_spark.plans.registry import registry
+
+    expect = {
+        (r.doc_a, r.doc_b, r.inter_size, r.union_size, r.jacc_ppm)
+        for r in registry()["dedup_minhash_incremental"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect and len(got) > 0
