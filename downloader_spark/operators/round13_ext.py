@@ -115,3 +115,518 @@ def multimodal_pframe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, frame_no long, luma_sum long, n_skip long, n_coded long",
     )
+
+
+# ------------------------------------------------------------------
+# embed_ann_graph — NSW-style graph ANN (+ recall differential)
+# ------------------------------------------------------------------
+# IVF was the only indexed search family; this adds the OTHER major
+# ANN family: a bounded-degree neighbor graph traversed by greedy
+# beam search (the structural core of NSW/HNSW).  Everything is
+# deterministic and relational so the DuckDB oracle replays it
+# exactly:
+#   - construction: each corpus vector's out-edges are its top-M
+#     cosine neighbors WITHIN its md5-derived construction bucket
+#     (bucketed kNN-graph — never corpus x corpus) plus one
+#     md5-seeded long-range edge (the small-world shortcut);
+#   - search: md5-seeded entry point per query, then HOPS unrolled
+#     greedy expansions — score all unseen out-neighbors of the
+#     frontier, keep the best W as the next frontier — with the
+#     final top-k drawn from every node scored along the way.
+# Scale shape: construction joins are bucket-bounded (|corpus|/NB
+# rows per side within a bucket) and the search frontier is W rows
+# per query with degree <= M+1, so probes per query are
+# O(1 + HOPS*W*(M+1)) — independent of corpus size, the whole point
+# of graph ANN.
+
+_NSW_NB = 8     # construction-bucket floor (actual count grows with n)
+_NSW_BSZ = 62   # target bucket size: buckets = max(NB, n // BSZ), so the
+                # per-bucket pair join stays O(BSZ^2) and total
+                # construction cost stays LINEAR in corpus size
+_NSW_M = 4      # near out-degree within bucket
+_NSW_W = 3      # beam width
+_NSW_HOPS = 4   # unrolled greedy hops
+_NSW_K = 5      # final top-k (= IVF_TOP_K, for the recall comparison)
+# W/HOPS sized so the graph's probe count (~1 + HOPS*W*(M+1) ~ 60,
+# less revisit overlap) lands in the same band as IVF nprobe=1's
+# |corpus|/|clusters| ~ 50 — the "equal probe budget" the recall
+# differential is meant to compare at.
+
+
+def _nsw_duck_parts() -> tuple[str, str]:
+    """(shared CTE chain, scored-union CTE name) for the oracle."""
+    from downloader_spark.operators.llm_dedup import _duck_h60
+    from downloader_spark.operators.llm_similarity import _DUCK_DOT, N_QUERIES
+
+    def dot(a, b):
+        return _DUCK_DOT.format(a=a, b=b)
+
+    def h(tag, key):
+        return _duck_h60(f"concat('{tag}:', CAST({key} AS VARCHAR))")
+
+    # cosine via PRE-COMPUTED per-vector norms (dot / (nrm_a * nrm_b)):
+    # one dot per pair instead of three — the construction join is the
+    # hot path.  The Spark side uses the identical formula so the
+    # doubles (and therefore every ranking) stay bit-identical.
+    score = (
+        "SELECT t.query_id, t.node, "
+        f"{dot('q.q_emb', 'c.embedding')} / (q.q_nrm * c.nrm) AS cos "
+        "FROM {src} t JOIN c ON c.vec_id = t.node "
+        "JOIN q ON q.query_id = t.query_id"
+    )
+    hops = []
+    visited = "entry"
+    frontier = "entry"
+    scored = ["s0"]
+    for i in range(1, _NSW_HOPS + 1):
+        hops.append(
+            f"""cand{i} AS (
+      SELECT DISTINCT f.query_id, ed.dst AS node
+      FROM {frontier} f JOIN edges ed ON ed.src = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM {visited} v
+                        WHERE v.query_id = f.query_id AND v.node = ed.dst)
+    ),
+    s{i} AS ({score.format(src=f"cand{i}")}),
+    f{i} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, node) AS rnk
+        FROM s{i}
+      ) WHERE rnk <= {_NSW_W}
+    ),
+    vis{i} AS (
+      SELECT query_id, node FROM {visited}
+      UNION SELECT query_id, node FROM cand{i}
+    )"""
+        )
+        visited = f"vis{i}"
+        frontier = f"f{i}"
+        scored.append(f"s{i}")
+    scored_union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in scored)
+    ctes = f"""q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb,
+             sqrt({dot("embedding", "embedding")}) AS q_nrm, label
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+        AND {dot("embedding", "embedding")} <> 0
+    ),
+    c AS (
+      SELECT vec_id, embedding,
+             sqrt({dot("embedding", "embedding")}) AS nrm, label
+      FROM embeddings
+      WHERE vec_id >= {N_QUERIES} AND {dot("embedding", "embedding")} <> 0
+    ),
+    pos AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pos FROM c
+    ),
+    ncnt AS (SELECT count(*) AS n FROM c),
+    bkts AS (
+      SELECT vec_id, embedding, nrm,
+             {h("nswb", "vec_id")}
+               % greatest({_NSW_NB}, n // {_NSW_BSZ}) AS bkt
+      FROM c, ncnt
+    ),
+    near AS (
+      SELECT src, dst FROM (
+        SELECT u.vec_id AS src, v.vec_id AS dst,
+               row_number() OVER (
+                 PARTITION BY u.vec_id
+                 ORDER BY {dot("u.embedding", "v.embedding")}
+                          / (u.nrm * v.nrm) DESC, v.vec_id
+               ) AS rnk
+        FROM bkts u JOIN bkts v
+          ON u.bkt = v.bkt AND u.vec_id <> v.vec_id
+      ) WHERE rnk <= {_NSW_M}
+    ),
+    longe AS (
+      SELECT c.vec_id AS src, p.vec_id AS dst
+      FROM c, ncnt, pos p
+      WHERE p.pos = {h("nswl", "c.vec_id")} % ncnt.n
+        AND p.vec_id <> c.vec_id
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT * FROM near UNION ALL SELECT * FROM longe
+      )
+    ),
+    entry AS (
+      SELECT q.query_id, p.vec_id AS node
+      FROM q, ncnt, pos p
+      WHERE p.pos = {h("nswe", "q.query_id")} % ncnt.n
+    ),
+    s0 AS ({score.format(src="entry")}),
+    {",".join(hops)},
+    scored AS ({scored_union})"""
+    return ctes, "scored"
+
+
+def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (query_id, node, cos) the greedy graph search scores —
+    entry point plus all unseen frontier expansions over the unrolled
+    hops.  The Spark construction mirrors the oracle CTE-for-CTE."""
+    from pyspark.sql import Window
+
+    from downloader_spark.operators.llm_dedup import _spark_h60
+    from downloader_spark.operators.llm_similarity import (
+        _SPARK_DOT,
+        _norm_nonzero,
+        N_QUERIES,
+    )
+
+    def dot(a, b):
+        return _SPARK_DOT.format(a=a, b=b)
+
+    def h(tag, key):
+        return _spark_h60(f"concat('{tag}:', CAST({key} AS STRING))")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # cosine via PRE-COMPUTED per-vector norms (dot / (nrm_a * nrm_b)):
+    # one interpreted-HOF dot per pair instead of three in the hot
+    # construction join; the oracle uses the identical formula so the
+    # doubles (hence every ranking) stay bit-identical cross-engine.
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .filter(_norm_nonzero())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.expr(f"sqrt({dot('embedding', 'embedding')})").alias("q_nrm"),
+        )
+    )
+    c = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .filter(_norm_nonzero())
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(f"sqrt({dot('embedding', 'embedding')})").alias("nrm"),
+        )
+    )
+    pos = c.select(
+        "vec_id",
+        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("pos"),
+    )
+    ncnt = c.agg(F.count("*").alias("n"))
+
+    # construction: bucketed kNN edges + one long-range edge per node;
+    # bucket count scales as max(NB, n // BSZ) so the per-bucket pair
+    # join stays bounded and total construction cost linear in n
+    bkts = c.crossJoin(F.broadcast(ncnt)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.expr(
+            f"pmod({h('nswb', 'vec_id')}, greatest({_NSW_NB}, n DIV {_NSW_BSZ}))"
+        ).alias("bkt"),
+    )
+    u = bkts.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_nrm"),
+        "bkt",
+    )
+    v = bkts.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("d_emb"),
+        F.col("nrm").alias("d_nrm"),
+        "bkt",
+    )
+    pairs = u.join(v, "bkt").filter(F.col("src") != F.col("dst")).withColumn(
+        "pcos", F.expr(f"{dot('s_emb', 'd_emb')} / (s_nrm * d_nrm)")
+    )
+    near = (
+        pairs.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(
+                    F.col("pcos").desc(), F.col("dst")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _NSW_M)
+        .select("src", "dst")
+    )
+    longe = (
+        c.select(F.col("vec_id").alias("src"))
+        .crossJoin(F.broadcast(ncnt))
+        .select("src", F.expr(f"pmod({h('nswl', 'src')}, n)").alias("tpos"))
+        .join(F.broadcast(pos), F.col("tpos") == F.col("pos"))
+        .filter(F.col("vec_id") != F.col("src"))
+        .select("src", F.col("vec_id").alias("dst"))
+    )
+    # The unrolled hops each re-reference edges/entry/visited; without
+    # a checkpoint Spark re-executes the whole construction subtree
+    # per reference (no cross-plan common-subtree sharing), turning a
+    # 4-hop search into ~4x the build cost.  The checkpointed frames
+    # are tiny: |corpus|*(M+1) edge rows and <= W rows/query frontiers
+    # — same trick as graph_pagerank's checkpointed edge table.
+    edges = near.unionByName(longe).distinct().localCheckpoint()
+
+    def score(nodes: DataFrame) -> DataFrame:
+        return (
+            nodes.join(
+                c.select(F.col("vec_id").alias("node"), "embedding", "nrm"),
+                "node",
+            )
+            .join(F.broadcast(q), "query_id")
+            .withColumn(
+                "cos", F.expr(f"{dot('q_emb', 'embedding')} / (q_nrm * nrm)")
+            )
+            .select("query_id", "node", "cos")
+        )
+
+    entry = (
+        q.select("query_id")
+        .crossJoin(F.broadcast(ncnt))
+        .select(
+            "query_id",
+            F.expr(f"pmod({h('nswe', 'query_id')}, n)").alias("tpos"),
+        )
+        .join(F.broadcast(pos), F.col("tpos") == F.col("pos"))
+        .select("query_id", F.col("vec_id").alias("node"))
+        .localCheckpoint()
+    )
+    visited = entry
+    frontier = entry
+    scored_parts = [score(entry)]
+    for _ in range(_NSW_HOPS):
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["query_id", "node"], "left_anti")
+        )
+        # each hop's scores feed the frontier, the visited set and the
+        # final union — checkpoint once, reuse thrice
+        sc = score(cand).localCheckpoint()
+        scored_parts.append(sc)
+        visited = visited.unionByName(sc.select("query_id", "node"))
+        frontier = (
+            sc.withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("cos").desc(), F.col("node")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= _NSW_W)
+            .select("query_id", "node")
+        )
+    out = scored_parts[0]
+    for p in scored_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _nsw_graph_oracle() -> str:
+    ctes, scored = _nsw_duck_parts()
+    return f"""
+    WITH {ctes}
+    SELECT query_id, node AS vec_id,
+           CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, node) AS INT) AS rank
+    FROM {scored}
+    QUALIFY rank <= {_NSW_K}
+    """
+
+
+@query(
+    "embed_ann_graph",
+    oracle=_nsw_graph_oracle(),
+    tags=("llm", "similarity", "graph-ann"),
+)
+def embed_ann_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSW-style graph ANN top-{k}: greedy beam search over a
+    deterministic bounded-degree neighbor graph (md5-bucketed kNN
+    edges + md5-seeded long-range shortcuts and entry points — the
+    small-world structure of NSW/HNSW with every random draw replaced
+    by a hash so the oracle replays it bit-for-bit).
+
+    Scale: probes per query are O(1 + HOPS * W * (M+1)) — INDEPENDENT
+    of corpus size (vs IVF's |corpus|/|clusters|); construction is
+    bucket-bounded, never all-pairs.  See embed_ann_graph_recall for
+    the measured recall-vs-probes tradeoff against IVF."""
+    from pyspark.sql import Window
+
+    sc = _nsw_scored_spark(spark, sf_dir)
+    return (
+        sc.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), F.col("node")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= _NSW_K)
+        .select(
+            "query_id",
+            F.col("node").alias("vec_id"),
+            F.floor(F.col("cos") * 1000000).cast("bigint").alias("cos_ppm"),
+            F.col("rank").cast("int"),
+        )
+    )
+
+
+def _nsw_recall_oracle() -> str:
+    from downloader_spark.operators.round7_ext import _ann_topk_cte
+
+    ctes, scored = _nsw_duck_parts()
+    return f"""
+    WITH {ctes},
+    {_ann_topk_cte("CROSS JOIN c", _NSW_K, "exact_k")},
+    {_ann_topk_cte("JOIN c ON q.label = c.label", _NSW_K, "ivf_k")},
+    graph_k AS (
+      SELECT query_id, node AS vec_id FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, node) AS rnk
+        FROM {scored}
+      ) WHERE rnk <= {_NSW_K}
+    ),
+    gcount AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS graph_scored
+      FROM {scored} GROUP BY query_id
+    ),
+    icount AS (
+      SELECT q.query_id, CAST(count(*) AS BIGINT) AS ivf_scored
+      FROM q JOIN c ON q.label = c.label GROUP BY q.query_id
+    ),
+    ghits AS (
+      SELECT e.query_id,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(g.vec_id) AS BIGINT) AS graph_hits
+      FROM exact_k e
+      LEFT JOIN graph_k g
+        ON g.query_id = e.query_id AND g.vec_id = e.vec_id
+      GROUP BY e.query_id
+    ),
+    ihits AS (
+      SELECT e.query_id, CAST(count(i.vec_id) AS BIGINT) AS ivf_hits
+      FROM exact_k e
+      LEFT JOIN ivf_k i
+        ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT gh.query_id, gh.n_exact,
+           gc.graph_scored, ic.ivf_scored,
+           gh.graph_hits, ih.ivf_hits,
+           CAST(gh.graph_hits * 1000000 // gh.n_exact AS BIGINT)
+             AS graph_recall_ppm,
+           CAST(ih.ivf_hits * 1000000 // gh.n_exact AS BIGINT)
+             AS ivf_recall_ppm
+    FROM ghits gh
+    JOIN ihits ih ON ih.query_id = gh.query_id
+    JOIN gcount gc ON gc.query_id = gh.query_id
+    JOIN icount ic ON ic.query_id = gh.query_id
+    """
+
+
+@query(
+    "embed_ann_graph_recall",
+    oracle=_nsw_recall_oracle(),
+    tags=("llm", "similarity", "graph-ann", "evaluation"),
+)
+def embed_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-vs-IVF recall differential at their actual probe
+    budgets: per query, recall@{k} of the NSW-style graph search AND
+    of IVF (nprobe=1) against the brute-force ground truth, alongside
+    how many candidates each method actually SCORED (graph: every
+    node the beam touched; IVF: the probed cluster's size) — the
+    recall-per-probe tradeoff an ANN deployment tunes.  Extends
+    embed_ann_recall the way the judge-panel pattern extends a single
+    check: two index families, one ground truth, measured side by
+    side in one row per query."""
+    from pyspark.sql import Window
+
+    from downloader_spark.operators.llm_similarity import (
+        _norm_nonzero,
+        _scored,
+        _SPARK_DOT,
+        N_QUERIES,
+        topk_per_query,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    exact_k = topk_per_query(_scored(queries, corpus), k=_NSW_K).select(
+        "query_id", "vec_id"
+    )
+
+    q_lab = queries.filter(_norm_nonzero()).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "label",
+    )
+    c_lab = corpus.filter(_norm_nonzero())
+    dot = F.expr(_SPARK_DOT.format(a="q_emb", b="embedding"))
+    nq = F.expr(_SPARK_DOT.format(a="q_emb", b="q_emb"))
+    nc = F.expr(_SPARK_DOT.format(a="embedding", b="embedding"))
+    ivf_scored_df = c_lab.join(F.broadcast(q_lab), "label")
+    ivf_k = topk_per_query(
+        ivf_scored_df.withColumn("cos", dot / F.sqrt(nq * nc)), k=_NSW_K
+    ).select(F.col("query_id").alias("iq"), F.col("vec_id").alias("iv"))
+    icount = ivf_scored_df.groupBy("query_id").agg(
+        F.count("*").alias("ivf_scored")
+    )
+
+    scored = _nsw_scored_spark(spark, sf_dir)
+    graph_k = (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), F.col("node")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _NSW_K)
+        .select(F.col("query_id").alias("gq"), F.col("node").alias("gv"))
+    )
+    gcount = scored.groupBy("query_id").agg(
+        F.count("*").alias("graph_scored")
+    )
+
+    ghits = (
+        exact_k.join(
+            graph_k,
+            (exact_k.query_id == graph_k.gq) & (exact_k.vec_id == graph_k.gv),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("gv").alias("graph_hits"),
+        )
+    )
+    ihits = (
+        exact_k.join(
+            ivf_k,
+            (exact_k.query_id == ivf_k.iq) & (exact_k.vec_id == ivf_k.iv),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("iv").alias("ivf_hits"))
+    )
+    return (
+        ghits.join(ihits, "query_id")
+        .join(gcount, "query_id")
+        .join(icount, "query_id")
+        .select(
+            "query_id",
+            "n_exact",
+            "graph_scored",
+            "ivf_scored",
+            "graph_hits",
+            "ivf_hits",
+            F.expr(
+                "CAST(graph_hits * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("graph_recall_ppm"),
+            F.expr(
+                "CAST(ivf_hits * 1000000 DIV n_exact AS BIGINT)"
+            ).alias("ivf_recall_ppm"),
+        )
+    )

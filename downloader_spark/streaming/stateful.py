@@ -330,3 +330,72 @@ def streaming_hll(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- stateful sketch twin: per-key KMV (k-minimum-values) as state -----
+
+# mirrors operators/round7_ext.py's agg_kmv_distinct (k = 16, 60-bit
+# md5 'kmv:'-tagged hash, (k-1)*2^59 DIV h_k * 2 estimator) — same
+# constants and hash, so the stateful stream and the batch key agree
+# bit-for-bit on the sketch AND the estimate
+_KMV_K = 16
+
+KMV_OUTPUT_SCHEMA = (
+    "event_type string, n_in_sketch long, h_k long, kmv_estimate long"
+)
+KMV_STATE_SCHEMA = "hs array<long>"
+
+
+def _kmv_h60(user_id: int) -> int:
+    """The _spark_h60('kmv:' || user_id) mapping in Python (md5 is
+    identical across Spark, DuckDB, and hashlib)."""
+    import hashlib
+
+    return int(
+        hashlib.md5(f"kmv:{user_id}".encode()).hexdigest()[:15], 16
+    )
+
+
+def _kmv_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    hs = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            hs.add(_kmv_h60(int(uid)))
+    # k smallest of (k smallest of old ∪ new) == k smallest of all
+    # seen — the KMV merge law that makes truncated state sufficient
+    sk = sorted(hs)[:_KMV_K]
+    state.update((sk,))
+    n, h_k = len(sk), sk[-1]
+    if n < _KMV_K or h_k < _KMV_K:
+        est = n  # sketch holds every distinct hash: exact
+    else:
+        est = (_KMV_K - 1) * (1 << 59) // h_k * 2
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_in_sketch": [n],
+            "h_k": [h_k],
+            "kmv_estimate": [est],
+        }
+    )
+
+
+def streaming_kmv(events: DataFrame) -> DataFrame:
+    """Per-event-type KMV distinct sketch maintained as PER-KEY STATE
+    (``applyInPandasWithState``) — the stateful-operator form of
+    agg_kmv_distinct, the way streaming_hll is the stateful form of
+    agg_hll_distinct: the k-smallest-hash set IS the state-store row
+    (<= k BIGINTs per key), truncation-mergeable across batches, so a
+    restart resumes the sketch exactly.  Emits the refreshed sketch
+    per key per batch (update mode); h_k only falls and n_in_sketch
+    only rises, so the final row per key after a backlog drain equals
+    the batch key's one-shot sketch over all events."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _kmv_update,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1217,3 +1217,76 @@ def test_incremental_state_discovery_via_hadoop_fs_uri(
         for r in registry()["dedup_minhash_incremental"].fn(spark, SF_DIR).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_stateful_kmv_matches_batch_sketch(spark, events_dir, tmp_path):
+    """applyInPandasWithState KMV: drain the micro-batched backlog
+    with the k-smallest-hash set held as PER-KEY STATE; the final
+    emitted row per event_type must agree bit-for-bit with
+    agg_kmv_distinct's one-shot sketch over all events (same 'kmv:'
+    md5 hash, same (k-1)*2^59 DIV h_k * 2 estimator).  n_in_sketch
+    only rises and h_k only falls, so the final row per key is the
+    (max n, min h_k) one."""
+    import downloader_spark.operators.round7_ext as r7
+    from downloader_spark.streaming.stateful import streaming_kmv
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory(streaming_kmv(stream), "kmv_out", output_mode="update")
+    final = {}
+    for r in spark.table("kmv_out").collect():
+        cur = final.get(r.event_type)
+        if cur is None or (r.n_in_sketch, -r.h_k) > (cur[0], -cur[1]):
+            final[r.event_type] = (r.n_in_sketch, r.h_k, r.kmv_estimate)
+
+    all_events = spark.read.parquet(events_dir)
+    orig = r7.load_table
+    r7.load_table = lambda s, d, n: all_events
+    try:
+        expect = {
+            r.event_type: (r.n_in_sketch, r.kmv_estimate)
+            for r in r7.agg_kmv_distinct(spark, "ignored").collect()
+        }
+    finally:
+        r7.load_table = orig
+    assert {k: (v[0], v[2]) for k, v in final.items()} == expect
+    assert len(final) > 0
+
+
+def test_stateful_kmv_both_branches_vs_python_model(spark, tmp_path):
+    """Both estimator branches against an independent Python model:
+    t0 has 5 distinct users (< k: the sketch IS the distinct set,
+    estimate exact) and t1 has 40 (> k: the (k-1)*2^59 DIV h_k * 2
+    estimator fires over the 16 smallest md5 hashes)."""
+    import hashlib
+
+    from downloader_spark.streaming.stateful import streaming_kmv
+
+    rows = [("t0", i % 5) for i in range(20)] + [
+        ("t1", 1000 + i % 40) for i in range(80)
+    ]
+    small = spark.createDataFrame(rows, "event_type string, user_id long")
+    d = str(tmp_path / "small_events")
+    small.repartition(3).write.parquet(d)
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    run_to_memory(streaming_kmv(stream), "kmv_small", output_mode="update")
+    final = {}
+    for r in spark.table("kmv_small").collect():
+        cur = final.get(r.event_type)
+        if cur is None or (r.n_in_sketch, -r.h_k) > (cur[0], -cur[1]):
+            final[r.event_type] = (r.n_in_sketch, r.h_k, r.kmv_estimate)
+
+    def h(uid):
+        return int(hashlib.md5(f"kmv:{uid}".encode()).hexdigest()[:15], 16)
+
+    t0_hashes = sorted(h(u) for u in range(5))
+    t1_hashes = sorted(h(1000 + u) for u in range(40))[:16]
+    t1_est = 15 * (1 << 59) // t1_hashes[-1] * 2
+    assert final == {
+        "t0": (5, t0_hashes[-1], 5),
+        "t1": (16, t1_hashes[-1], t1_est),
+    }
+    assert 20 <= t1_est  # sanity: estimator lands in a plausible band
