@@ -10,6 +10,8 @@ DuckDB oracle construction (never the same SQL text run twice).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves stringified UDF type hints
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -628,5 +630,113 @@ def embed_ann_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(ivf_hits * 1000000 DIV n_exact AS BIGINT)"
             ).alias("ivf_recall_ppm"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# dedup_unicode_fold — NFKC+casefold dedup over planted variants
+# ------------------------------------------------------------------
+# Web corpora carry the same sentence as fullwidth CJK-style ASCII,
+# ligatured PDFs, and case variants; byte-exact dedup sees distinct
+# documents.  A constrained planted alphabet keeps the oracle exact:
+# every group of 4 consecutive doc_ids shares one base text, each
+# member carrying one variant class whose NFKC+casefold image is
+# exactly lower(base) —
+#   0: the base text itself
+#   1: upper()                        (casefold inverts)
+#   2: a/e -> U+FF41/U+FF45 fullwidth (NFKC inverts)
+#   3: fi -> U+FB01 ligature, k -> U+212A Kelvin sign (NFKC inverts)
+# The ENGINE runs the real thing (unicodedata.normalize('NFKC') +
+# str.casefold in an Arrow stage); the ORACLE never normalizes — it
+# groups by md5(lower(base)) closed-form.  Any normalization defect
+# splits a group and fails rows+hash.
+
+_UF_VARIANT = """CASE pmod(doc_id, 4)
+      WHEN 0 THEN btext
+      WHEN 1 THEN upper(btext)
+      WHEN 2 THEN replace(replace(btext, 'a', 'ａ'), 'e', 'ｅ')
+      ELSE replace(replace(btext, 'fi', 'ﬁ'), 'k', 'K')
+    END"""
+
+_UF_VARIANT_DUCK = """CASE doc_id % 4
+      WHEN 0 THEN btext
+      WHEN 1 THEN upper(btext)
+      WHEN 2 THEN replace(replace(btext, 'a', 'ａ'), 'e', 'ｅ')
+      ELSE replace(replace(btext, 'fi', 'ﬁ'), 'k', 'K')
+    END"""
+
+
+@query(
+    "dedup_unicode_fold",
+    oracle=f"""
+    WITH base AS (SELECT doc_id AS base_id, text AS btext FROM documents),
+    var AS (
+      SELECT d.doc_id, b.btext, {_UF_VARIANT_DUCK} AS vtext
+      FROM documents d
+      JOIN base b ON b.base_id = d.doc_id - d.doc_id % 4
+    )
+    SELECT min(doc_id) AS first_doc,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT vtext) AS BIGINT) AS n_raw_variants,
+           CAST(CASE WHEN count(DISTINCT vtext) > 1 THEN 1 ELSE 0 END
+                AS INT) AS exact_dedup_blind
+    FROM var
+    GROUP BY md5(lower(btext))
+    """,
+    tags=("llm", "dedup", "unicode", "mapInPandas"),
+)
+def dedup_unicode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: md5 over the NFKC+casefold
+    image of each document, run with the REAL normalizer
+    (``unicodedata.normalize('NFKC', t).casefold()``) inside an
+    Arrow-batched stage — the dedup pass that catches the
+    width/ligature/case duplicate pairs ``dedup_exact_hash``'s raw
+    byte hash structurally misses (every emitted group with
+    exact_dedup_blind = 1 is such a catch).
+
+    Differential: the oracle never normalizes — the planted variant
+    classes are NFKC+casefold-invertible by construction, so it
+    groups by md5(lower(base)) closed-form; a wrong fold (missed
+    compatibility mapping, casefold-vs-lower confusion) splits a
+    group and fails rows + hash.
+
+    Scale shape: the fold is map-only (Arrow batches, no exchange);
+    the group-by shuffles one 32-hex key per doc — identical posture
+    to dedup_exact_hash, with keep-first min(doc_id) as the partial
+    aggregate."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fold(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFKC", t).casefold()
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        F.col("doc_id").alias("base_id"), F.col("text").alias("btext")
+    )
+    var = (
+        docs.select("doc_id")
+        .withColumn("base_id", F.expr("doc_id - doc_id % 4"))
+        .join(F.broadcast(base), "base_id")
+        .select("doc_id", F.expr(_UF_VARIANT).alias("vtext"))
+    )
+    return (
+        var.withColumn("fh", F.md5(fold(F.col("vtext"))))
+        .groupBy("fh")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("vtext").alias("n_raw_variants"),
+        )
+        .select(
+            "first_doc",
+            "n_members",
+            "n_raw_variants",
+            (F.col("n_raw_variants") > 1).cast("int").alias("exact_dedup_blind"),
         )
     )

@@ -140,3 +140,38 @@ def test_scalar_ip6_colon_hex_matches_ipaddress_module(spark):
         assert r.ip_hi == hi and r.ip_lo == lo
         assert r.net64 == hi
         assert r.net16 == hi - hi % net._P48
+
+
+# ------------------------------------------------------ unicode-fold dedup
+
+
+def test_dedup_unicode_fold_catches_pairs_exact_hash_misses(spark):
+    """The planted width/ligature/case variants must (a) hash as
+    DISTINCT raw documents — i.e. byte-exact dedup is blind to them —
+    and (b) collapse into one fold-group each, flagged
+    exact_dedup_blind = 1; and the real normalizer must agree with
+    Python's own unicodedata on every planted mapping."""
+    import unicodedata
+
+    from downloader_spark.plans.registry import registry
+
+    rows = registry()["dedup_unicode_fold"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) > 0
+    # every group of 4 consecutive doc_ids collapses to one row
+    assert all(r.n_members == 4 for r in rows)
+    assert all(r.first_doc % 4 == 0 for r in rows)
+    # blind groups exist: raw variants differ, so md5-over-raw-bytes
+    # (dedup_exact_hash's key) cannot merge them
+    blind = [r for r in rows if r.exact_dedup_blind == 1]
+    assert len(blind) > 0
+    assert all(r.n_raw_variants > 1 for r in blind)
+    # spot-check the planted alphabet against the stdlib directly
+    for v, base in [
+        ("ｅｘａｍｐｌｅ", "example"),
+        ("ﬁnal", "final"),
+        ("KELVIN", "kelvin"),
+        ("Straße", "strasse"),  # ß casefolds to ss (lower() would not)
+    ]:
+        assert unicodedata.normalize("NFKC", v).casefold() == base
