@@ -1448,18 +1448,41 @@ def encode_pframe(frames: np.ndarray, block: int = 4) -> bytes:
         raise ValueError("frame dims must be multiples of block size")
     out = [_PFV_MAGIC, struct.pack("<HHHB", w, h, nf, block)]
     out.append(frames[0].tobytes())
+    bsq = block * block
     for f in range(1, nf):
         delta = (
             frames[f].astype(np.int16) - frames[f - 1].astype(np.int16)
         ) % 256
-        for by in range(0, h, block):
-            for bx in range(0, w, block):
-                blk = delta[by : by + block, bx : bx + block].ravel()
-                if not blk.any():
-                    out.append(b"\x00")
-                    continue
-                # RLE: (run, value) pairs, runs capped at 255
-                b = blk.astype(np.uint8)
+        # one (nblocks, block*block) view per frame: the zero test and
+        # the constant test are vectorized across ALL blocks, so the
+        # Python loop body is a dict-style dispatch, not numpy setup
+        blks = (
+            delta.reshape(h // block, block, w // block, block)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, bsq)
+            .astype(np.uint8)
+        )
+        nonzero = blks.any(axis=1)
+        constant = (blks == blks[:, :1]).all(axis=1)
+        for i in range(blks.shape[0]):
+            if not nonzero[i]:
+                out.append(b"\x00")
+            elif constant[i]:
+                # constant-delta block (the common case in P-frames):
+                # one RLE run, split only by the 255 cap
+                val = int(blks[i, 0])
+                full, rem = divmod(bsq, 255)
+                pairs = bytes((255, val)) * full + (
+                    bytes((rem, val)) if rem else b""
+                )
+                out.append(
+                    b"\x01"
+                    + struct.pack("<H", full + (1 if rem else 0))
+                    + pairs
+                )
+            else:
+                # general RLE: (run, value) pairs, runs capped at 255
+                b = blks[i]
                 edges = np.flatnonzero(np.diff(b)) + 1
                 starts = np.concatenate(([0], edges))
                 ends = np.concatenate((edges, [len(b)]))
