@@ -130,7 +130,10 @@ def multimodal_pframe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   - construction: each corpus vector's out-edges are its top-M
 #     cosine neighbors WITHIN its md5-derived construction bucket
 #     (bucketed kNN-graph — never corpus x corpus) plus one
-#     md5-seeded long-range edge (the small-world shortcut);
+#     md5-seeded long-range edge to a hash-selected bucket's
+#     REPRESENTATIVE, min vec_id (the small-world shortcut; bucket
+#     reps rather than global ranks keep addressing a groupBy +
+#     broadcast join — no corpus-wide row_number);
 #   - search: md5-seeded entry point per query, then HOPS unrolled
 #     greedy expansions — score all unseen out-neighbors of the
 #     frontier, keep the best W as the next frontier — with the
@@ -218,16 +221,15 @@ def _nsw_duck_parts() -> tuple[str, str]:
       FROM embeddings
       WHERE vec_id >= {N_QUERIES} AND {dot("embedding", "embedding")} <> 0
     ),
-    pos AS (
-      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pos FROM c
-    ),
-    ncnt AS (SELECT count(*) AS n FROM c),
+    ncnt AS (SELECT count(*) AS n,
+                    greatest({_NSW_NB}, count(*) // {_NSW_BSZ}) AS nb
+             FROM c),
     bkts AS (
       SELECT vec_id, embedding, nrm,
-             {h("nswb", "vec_id")}
-               % greatest({_NSW_NB}, n // {_NSW_BSZ}) AS bkt
+             {h("nswb", "vec_id")} % nb AS bkt
       FROM c, ncnt
     ),
+    reps AS (SELECT bkt, min(vec_id) AS rep FROM bkts GROUP BY bkt),
     near AS (
       SELECT src, dst FROM (
         SELECT u.vec_id AS src, v.vec_id AS dst,
@@ -241,10 +243,12 @@ def _nsw_duck_parts() -> tuple[str, str]:
       ) WHERE rnk <= {_NSW_M}
     ),
     longe AS (
-      SELECT c.vec_id AS src, p.vec_id AS dst
-      FROM c, ncnt, pos p
-      WHERE p.pos = {h("nswl", "c.vec_id")} % ncnt.n
-        AND p.vec_id <> c.vec_id
+      SELECT t.src, r.rep AS dst
+      FROM (SELECT c.vec_id AS src,
+                   {h("nswl", "c.vec_id")} % ncnt.nb AS tbkt
+            FROM c, ncnt) t
+      JOIN reps r ON r.bkt = t.tbkt
+      WHERE r.rep <> t.src
     ),
     edges AS (
       SELECT DISTINCT src, dst FROM (
@@ -252,9 +256,11 @@ def _nsw_duck_parts() -> tuple[str, str]:
       )
     ),
     entry AS (
-      SELECT q.query_id, p.vec_id AS node
-      FROM q, ncnt, pos p
-      WHERE p.pos = {h("nswe", "q.query_id")} % ncnt.n
+      SELECT t.query_id, r.rep AS node
+      FROM (SELECT q.query_id,
+                   {h("nswe", "q.query_id")} % ncnt.nb AS tbkt
+            FROM q, ncnt) t
+      JOIN reps r ON r.bkt = t.tbkt
     ),
     s0 AS ({score.format(src="entry")}),
     {",".join(hops)},
@@ -304,23 +310,27 @@ def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"sqrt({dot('embedding', 'embedding')})").alias("nrm"),
         )
     )
-    pos = c.select(
-        "vec_id",
-        (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("pos"),
+    ncnt = c.agg(
+        F.count("*").alias("n"),
+        F.expr(
+            f"greatest({_NSW_NB}, count(*) DIV {_NSW_BSZ})"
+        ).alias("nb"),
     )
-    ncnt = c.agg(F.count("*").alias("n"))
 
     # construction: bucketed kNN edges + one long-range edge per node;
     # bucket count scales as max(NB, n // BSZ) so the per-bucket pair
-    # join stays bounded and total construction cost linear in n
+    # join stays bounded and total construction cost linear in n.
+    # Long-range targets and entry points address a hash-selected
+    # bucket's REPRESENTATIVE (min vec_id per bucket — a groupBy +
+    # broadcast join), never a global rank: a row_number() over the
+    # whole corpus would funnel 10^9 vectors through one task.
     bkts = c.crossJoin(F.broadcast(ncnt)).select(
         "vec_id",
         "embedding",
         "nrm",
-        F.expr(
-            f"pmod({h('nswb', 'vec_id')}, greatest({_NSW_NB}, n DIV {_NSW_BSZ}))"
-        ).alias("bkt"),
+        F.expr(f"pmod({h('nswb', 'vec_id')}, nb)").alias("bkt"),
     )
+    reps = bkts.groupBy("bkt").agg(F.min("vec_id").alias("rep"))
     u = bkts.select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("s_emb"),
@@ -351,10 +361,10 @@ def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     longe = (
         c.select(F.col("vec_id").alias("src"))
         .crossJoin(F.broadcast(ncnt))
-        .select("src", F.expr(f"pmod({h('nswl', 'src')}, n)").alias("tpos"))
-        .join(F.broadcast(pos), F.col("tpos") == F.col("pos"))
-        .filter(F.col("vec_id") != F.col("src"))
-        .select("src", F.col("vec_id").alias("dst"))
+        .select("src", F.expr(f"pmod({h('nswl', 'src')}, nb)").alias("tbkt"))
+        .join(F.broadcast(reps), F.col("tbkt") == F.col("bkt"))
+        .filter(F.col("rep") != F.col("src"))
+        .select("src", F.col("rep").alias("dst"))
     )
     # The unrolled hops each re-reference edges/entry/visited; without
     # a checkpoint Spark re-executes the whole construction subtree
@@ -382,10 +392,10 @@ def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ncnt))
         .select(
             "query_id",
-            F.expr(f"pmod({h('nswe', 'query_id')}, n)").alias("tpos"),
+            F.expr(f"pmod({h('nswe', 'query_id')}, nb)").alias("tbkt"),
         )
-        .join(F.broadcast(pos), F.col("tpos") == F.col("pos"))
-        .select("query_id", F.col("vec_id").alias("node"))
+        .join(F.broadcast(reps), F.col("tbkt") == F.col("bkt"))
+        .select("query_id", F.col("rep").alias("node"))
         .localCheckpoint()
     )
     visited = entry
