@@ -729,10 +729,13 @@ def dedup_unicode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         F.col("doc_id").alias("base_id"), F.col("text").alias("btext")
     )
+    # variant synthesis is fixture plumbing (a real corpus arrives
+    # with its variants already present); the self-join shuffles on
+    # base_id — no broadcast of a full text table
     var = (
         docs.select("doc_id")
         .withColumn("base_id", F.expr("doc_id - doc_id % 4"))
-        .join(F.broadcast(base), "base_id")
+        .join(base, "base_id")
         .select("doc_id", F.expr(_UF_VARIANT).alias("vtext"))
     )
     return (
