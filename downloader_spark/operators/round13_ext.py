@@ -309,6 +309,12 @@ def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             F.expr(f"sqrt({dot('embedding', 'embedding')})").alias("nrm"),
         )
+        # checkpointed: the norm-nonzero HOF filter + norm fold are
+        # interpreted (non-codegen) and c is re-referenced by the
+        # bucket build, every hop's scorer and the entry/rep joins —
+        # one materialization of |corpus| rows beats re-folding 64-dim
+        # dots per reference in every checkpoint job
+        .localCheckpoint()
     )
     ncnt = c.agg(
         F.count("*").alias("n"),
@@ -343,8 +349,32 @@ def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("d_nrm"),
         "bkt",
     )
+    # Arrow-vectorized cosine for the |corpus| x BSZ pair join — the
+    # construction hot path, where the interpreted aggregate/zip_with
+    # HOF costs ~10x.  The fold order is preserved EXACTLY: a float64
+    # accumulator adds one dimension at a time (vectorized across the
+    # batch, sequential across dims), i.e. ((0 + x1*y1) + x2*y2)... —
+    # the same left fold Spark's aggregate() and DuckDB's list_reduce
+    # evaluate, so the doubles (and every ranking) stay bit-identical.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_cos(
+        a: pd.Series, b: pd.Series, na: pd.Series, nb: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(a), np.float64)
+        for d in range(A.shape[1]):
+            acc = acc + A[:, d] * B[:, d]
+        return pd.Series(acc / (na.to_numpy() * nb.to_numpy()))
+
     pairs = u.join(v, "bkt").filter(F.col("src") != F.col("dst")).withColumn(
-        "pcos", F.expr(f"{dot('s_emb', 'd_emb')} / (s_nrm * d_nrm)")
+        "pcos", _pair_cos("s_emb", "d_emb", "s_nrm", "d_nrm")
     )
     near = (
         pairs.withColumn(
@@ -396,21 +426,29 @@ def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(reps), F.col("tbkt") == F.col("bkt"))
         .select("query_id", F.col("rep").alias("node"))
+        # checkpointed: each later reference would otherwise re-scan
+        # the corpus (the norm-nonzero HOF filter) and rebuild the
+        # reps/ncnt broadcasts — measured slower than the extra job
         .localCheckpoint()
     )
     visited = entry
     frontier = entry
     scored_parts = [score(entry)]
-    for _ in range(_NSW_HOPS):
+    for hop in range(_NSW_HOPS):
         cand = (
             frontier.join(edges, frontier.node == edges.src)
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
             .join(visited, ["query_id", "node"], "left_anti")
         )
-        # each hop's scores feed the frontier, the visited set and the
-        # final union — checkpoint once, reuse thrice
-        sc = score(cand).localCheckpoint()
+        # each non-final hop's scores feed the frontier, the visited
+        # set and the final union — checkpoint once, reuse thrice.
+        # The FINAL hop's scores have exactly one live reference (the
+        # union; its frontier and visited are dead), so a checkpoint
+        # there would be a pure extra job.
+        sc = score(cand)
+        if hop < _NSW_HOPS - 1:
+            sc = sc.localCheckpoint()
         scored_parts.append(sc)
         visited = visited.unionByName(sc.select("query_id", "node"))
         frontier = (

@@ -1775,3 +1775,39 @@ def test_alaw_key_parallelizes_codec_work(spark):
     below = plan[plan.index("MapInPandas"):]
     assert "roundrobin" in below.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_embed_ann_graph_no_global_window(spark):
+    """Graph-ANN addressing must never rank the whole corpus: every
+    Window node in the plan is partitioned (per-src kNN, per-query
+    top-k), and the candidate joins stay hash/broadcast."""
+    plan = plan_of(spark, "embed_ann_graph")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            # physical Window prints 'windowspecdefinition(<partition
+            # cols>, <order>...' — a global window has no partition col
+            assert "windowspecdefinition(query_id" in line or (
+                "windowspecdefinition(src" in line
+            ), f"unpartitioned window: {line.strip()[:120]}"
+
+
+def test_dedup_unicode_fold_arrow_fold_then_partial_agg(spark):
+    """The fold must run Arrow-batched (never row-at-a-time Python)
+    and the keep-first group-by must partial-aggregate map-side, the
+    dedup_exact_hash posture."""
+    plan = plan_of(spark, "dedup_unicode_fold")
+    assert "ArrowEvalPython" in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_multimodal_pframe_is_map_only_arrow(spark):
+    """The PFV codec key: one Arrow map stage over the repartitioned
+    key column — pixels never cross an exchange, so the only
+    exchanges are the input repartition and the stat-row aggregation
+    (none: output is per-frame rows, no group-by)."""
+    plan = plan_of(spark, "multimodal_pframe_stats")
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1  # the explicit repartition only
