@@ -526,3 +526,68 @@ def scalar_ip6(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN ip_hi % {_P32} < {_P16} THEN 1 ELSE 0 END"
         ).alias("in_low_slash32"),
     )
+
+
+def _pfx2as6_lines_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v6 prefix dimension rendered as REAL pfx2as-format text
+    lines — ``<exploded-v6-prefix>\\t<len>\\t<asn>`` — the byte shape
+    of `routeview.pfx2as.gz` the reference fetches
+    (/root/reference/download/routeviews.go:15-21).  Line synthesis
+    is fixture plumbing (production reads the fetched file); the
+    OPERATOR under test is the parse in ``parse_pfx2as6``."""
+    net = _spark_prefixes6(spark, sf_dir)
+    hexpfx = (
+        f"{_hex_groups_spark('start_hi', f'start_hi DIV {_P48}')}"
+        " || ':0000:0000:0000:0000'"
+    )
+    return net.select(
+        F.expr(
+            f"concat({hexpfx}, '\\t', CAST(plen AS STRING),"
+            " '\\t', CAST(asn AS STRING))"
+        ).alias("line")
+    )
+
+
+@query(
+    "parse_pfx2as6",
+    oracle=f"""
+    WITH {_DUCK_PREFIXES6}
+    SELECT start_hi, CAST(plen AS INT) AS plen, asn FROM prefixes6
+    """,
+    tags=("network", "parse", "reference-domain"),
+)
+def parse_pfx2as6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse v6 pfx2as text lines back into the (start_hi, plen, asn)
+    prefix dimension the LPM join consumes — the ingest step between
+    the reference's fetched `RouteViewIPv6/.../routeview.pfx2as.gz`
+    bytes and ``join_ip_prefix6``.  The whole parse is JVM-side
+    codegen: split on tab, split the exploded address on ':', and
+    ``conv(group, 16, 10)`` each 16-bit group into the hi BIGINT with
+    pure arithmetic — a regex/group-weight/base-conversion bug lands
+    a wrong start_hi.
+
+    Differential: the oracle never sees a line — it emits the
+    generator values closed-form, so engine-side line rendering AND
+    parsing must both be exact for the hash to match.
+
+    Scale shape: map-only (no exchange besides the generators'
+    dedup); at 100 TB of archived snapshots this is the per-file
+    parse stage of a partitioned text scan."""
+    lines = _pfx2as6_lines_spark(spark, sf_dir)
+    parts = lines.select(
+        F.expr("split(line, '\\t')").alias("f")
+    ).select(
+        F.expr("split(f[0], ':')").alias("g"),
+        F.expr("CAST(f[1] AS INT)").alias("plen"),
+        F.expr("CAST(f[2] AS BIGINT)").alias("asn"),
+    )
+    return parts.select(
+        F.expr(
+            f"CAST(conv(g[0], 16, 10) AS BIGINT) * {_P48}"
+            f" + CAST(conv(g[1], 16, 10) AS BIGINT) * {_P32}"
+            f" + CAST(conv(g[2], 16, 10) AS BIGINT) * {_P16}"
+            f" + CAST(conv(g[3], 16, 10) AS BIGINT)"
+        ).alias("start_hi"),
+        "plen",
+        "asn",
+    )
