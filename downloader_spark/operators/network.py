@@ -591,3 +591,90 @@ def parse_pfx2as6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "plen",
         "asn",
     )
+
+
+@query(
+    "agg_as_traffic",
+    oracle=f"""
+    WITH {_DUCK_PREFIXES},
+    ips AS (
+      SELECT o_orderkey, {_ip_expr(_duck_oct, "o_orderkey")} AS ip
+      FROM orders
+    ),
+    cands AS (
+      SELECT o_orderkey, ip - ip % 16777216 AS start, 8 AS plen FROM ips
+      UNION ALL SELECT o_orderkey, ip - ip % 65536, 16 FROM ips
+      UNION ALL SELECT o_orderkey, ip - ip % 256, 24 FROM ips
+    ),
+    best4 AS (
+      SELECT c.o_orderkey, max_by(p.asn, c.plen) AS asn
+      FROM cands c JOIN prefixes p ON p.start = c.start AND p.plen = c.plen
+      GROUP BY c.o_orderkey
+    ),
+    {_DUCK_PREFIXES6.lstrip().rstrip()},
+    ips6 AS (
+      SELECT o_orderkey, {_hi_expr(_duck_oct, "o_orderkey")} AS ip_hi
+      FROM orders
+    ),
+    cands6 AS (
+      SELECT o_orderkey, ip_hi - ip_hi % {_P48} AS start_hi, 16 AS plen
+      FROM ips6
+      UNION ALL SELECT o_orderkey, ip_hi - ip_hi % {_P32}, 32 FROM ips6
+      UNION ALL SELECT o_orderkey, ip_hi - ip_hi % {_P16}, 48 FROM ips6
+      UNION ALL SELECT o_orderkey, ip_hi, 64 FROM ips6
+    ),
+    best6 AS (
+      SELECT c.o_orderkey, max_by(p.asn, c.plen) AS asn
+      FROM cands6 c
+      JOIN prefixes6 p ON p.start_hi = c.start_hi AND p.plen = c.plen
+      GROUP BY c.o_orderkey
+    ),
+    tagged AS (
+      SELECT 'v4' AS family, asn FROM best4
+      UNION ALL SELECT 'v6', asn FROM best6
+    ),
+    counted AS (
+      SELECT family, asn, CAST(count(*) AS BIGINT) AS n_ips
+      FROM tagged GROUP BY family, asn
+    )
+    SELECT family, asn, n_ips,
+           CAST(n_ips * 1000000 //
+                sum(n_ips) OVER (PARTITION BY family) AS BIGINT)
+             AS share_ppm
+    FROM counted
+    """,
+    tags=("network", "aggregate", "reference-domain"),
+)
+def agg_as_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-AS traffic report across BOTH address families — the
+    operational rollup RouteViews pfx2as consumers actually build
+    (how much measured traffic originates from each AS), composing
+    the engine's own v4 and v6 LPM joins end-to-end: annotate every
+    derived IP with its most-specific origin AS, then count and
+    share-of-family per ASN.
+
+    Scale shape: both LPM joins keep their broadcast-ladder posture
+    (per-IP O(ladder)); the rollup shuffles one (family, asn) pair
+    per IP with map-side partial counts, and the family share is a
+    two-value-partition window over the ALREADY-aggregated per-AS
+    rows (|ASNs| rows, not |IPs|)."""
+    v4 = join_ip_prefix(spark, sf_dir).select(
+        F.lit("v4").alias("family"), "asn"
+    )
+    v6 = join_ip_prefix6(spark, sf_dir).select(
+        F.lit("v6").alias("family"), "asn"
+    )
+    counted = (
+        v4.unionByName(v6).groupBy("family", "asn").agg(
+            F.count(F.lit(1)).alias("n_ips")
+        )
+    )
+    return counted.select(
+        "family",
+        "asn",
+        "n_ips",
+        F.expr(
+            "CAST(n_ips * 1000000 DIV sum(n_ips)"
+            " OVER (PARTITION BY family) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
