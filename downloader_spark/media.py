@@ -1551,3 +1551,516 @@ def decode_pframe(data: bytes) -> tuple[np.ndarray, list[tuple[int, int]]]:
     if pos != len(data):
         raise ValueError("trailing PFV bytes")
     return frames, stats
+
+
+# --- GIF87a / LZW: variable-width dictionary codec ---------------------
+#
+# A real GIF87a writer/reader with the actual variable-width LZW the
+# format specifies (9..12-bit codes, clear/EOI, width growth as the
+# dictionary fills, 255-byte sub-block framing) — from scratch over
+# stdlib bytes, no imaging library.  Scope: single image, 2^n-entry
+# global color table, no interlace, no extensions (GIF89a blocks are
+# rejected loudly).  When the dictionary reaches 4096 entries both
+# sides stop adding and keep coding against the full table ("deferred
+# clear" — legal per the spec and bit-exact to mirror).
+
+_GIF_MAGIC = b"GIF87a"
+_LZW_MAX_CODE = 4096  # 12-bit ceiling: stop growing the table here
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW over one byte per pixel index: emits CLEAR,
+    then variable-width codes (LSB-first bit packing), then EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix = b""
+    for b in indices:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        if next_code < _LZW_MAX_CODE:
+            table[cand] = next_code
+            next_code += 1
+            # the NEXT emit may reference the entry just defined, so
+            # the width must fit it now (decoder bumps one code later
+            # because its dictionary trails by exactly one entry)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """Inverse of :func:`_lzw_encode_gif`; ``n_expected`` bounds the
+    output so a corrupt stream fails loudly instead of ballooning."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit cursor
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            raise ValueError("truncated LZW stream")
+        byte0, bit0 = divmod(pos, 8)
+        val = int.from_bytes(data[byte0 : byte0 + 3], "little") >> bit0
+        pos += width
+        return val & ((1 << width) - 1)
+
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == eoi:
+            break
+        if code == clear:
+            table = table[: eoi + 1]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW stream starts with undefined code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table) and len(table) < _LZW_MAX_CODE:
+            entry = prev + prev[:1]  # the KwKwK self-reference case
+        else:
+            raise ValueError(f"undefined LZW code {code}")
+        out += entry
+        if len(out) > n_expected:
+            raise ValueError("LZW output exceeds declared image size")
+        if prev is not None and len(table) < _LZW_MAX_CODE:
+            table.append(prev + entry[:1])
+            # before the NEXT read, the largest referencable code is
+            # len(table) (KwKwK), so grow the width as soon as that
+            # stops fitting
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif_gray(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 index plane as a GIF87a with a 256-entry
+    gray-identity global color table and a real LZW image stream."""
+    if pixels.ndim != 2 or pixels.dtype != np.uint8:
+        raise ValueError("expected (h, w) uint8 index plane")
+    h, w = pixels.shape
+    out = bytearray(_GIF_MAGIC)
+    # logical screen descriptor: global table, 8 bits/channel, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    ramp = np.arange(256, dtype=np.uint8)
+    out += np.repeat(ramp, 3).tobytes()  # gray identity palette
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(8)  # LZW minimum code size
+    lzw = _lzw_encode_gif(pixels.tobytes(), 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_gray(data: bytes) -> np.ndarray:
+    """Decode a GIF87a produced by :func:`encode_gif_gray` (or any
+    single-image, non-interlaced GIF87a with a 2^n global table) back
+    to the (h, w) uint8 index plane."""
+    if not data.startswith(_GIF_MAGIC):
+        raise ValueError("not a GIF87a stream")
+    if len(data) < 13:
+        raise ValueError("truncated GIF screen descriptor")
+    _, _, packed, _, _ = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        if len(data) < pos + 3 * n_colors:
+            raise ValueError("truncated GIF color table")
+        pos += 3 * n_colors
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF stream ended before an image block")
+        intro = data[pos]
+        if intro == 0x2C:
+            break
+        raise ValueError(f"unsupported GIF block 0x{intro:02x}")
+    if len(data) < pos + 10:
+        raise ValueError("truncated GIF image descriptor")
+    _, _, _, w, h, ipacked = struct.unpack_from("<BHHHHB", data, pos)
+    pos += 10
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    if ipacked & 0x80:
+        pos += 3 * (2 << (ipacked & 0x07))  # skip local color table
+    if pos >= len(data):
+        raise ValueError("truncated GIF before LZW code size")
+    min_code_size = data[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
+    lzw = bytearray()
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF sub-block chain")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(data):
+            raise ValueError("truncated GIF sub-block payload")
+        lzw += data[pos : pos + n]
+        pos += n
+    indices = _lzw_decode_gif(bytes(lzw), min_code_size, h * w)
+    if len(indices) != h * w:
+        raise ValueError("LZW output does not fill the image")
+    return np.frombuffer(indices, np.uint8).reshape(h, w)
+
+
+# --- DEFLATE (RFC 1951) / zlib (RFC 1950): from-scratch INFLATE --------
+#
+# The decompressor half of the most widespread byte codec in any data
+# lake (gzip members, zlib streams inside PNG/parquet pages) written
+# from scratch: stored blocks, fixed-Huffman blocks, dynamic-Huffman
+# blocks with the RFC 1951 code-length meta-alphabet (16/17/18
+# repeats), LZ77 length/distance back-references, and the RFC 1950
+# zlib wrapper with a from-scratch Adler-32 check.  The COMPRESSOR is
+# stdlib ``zlib`` (producing real-world streams the decoder must
+# accept); only decode is reimplemented, mirroring the repo's codec
+# posture (decode proves the format, the encoder supplies real bytes).
+
+_INF_LEN_BASE = (
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43,
+    51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258,
+)
+_INF_LEN_EXTRA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+    4, 4, 4, 4, 5, 5, 5, 5, 0,
+)
+_INF_DIST_BASE = (
+    1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193, 257,
+    385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289,
+    16385, 24577,
+)
+_INF_DIST_EXTRA = (
+    0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8,
+    9, 9, 10, 10, 11, 11, 12, 12, 13, 13,
+)
+_INF_CLEN_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+
+
+def _huffman_table(lengths) -> dict[tuple[int, int], int]:
+    """Canonical Huffman decode table per RFC 1951 §3.2.2:
+    (code length, code value) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    for bits in range(1, max(lengths, default=0) + 1):
+        for sym, ln in enumerate(lengths):
+            if ln == bits:
+                table[(bits, code)] = sym
+                code += 1
+        code <<= 1
+    return table
+
+
+class _InflateBitReader:
+    """LSB-first bit reader over a bytes buffer (DEFLATE bit order)."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def bits(self, n: int) -> int:
+        val = 0
+        got = 0
+        while got < n:
+            if self.byte >= len(self.data):
+                raise ValueError("truncated DEFLATE stream")
+            take = min(8 - self.bit, n - got)
+            val |= ((self.data[self.byte] >> self.bit) & ((1 << take) - 1)) << got
+            got += take
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return val
+
+    def symbol(self, table: dict[tuple[int, int], int]) -> int:
+        # Huffman codes are MSB-first within the code while the byte
+        # stream is LSB-first — accumulate bit-by-bit
+        code = 0
+        for length in range(1, 16):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def align_byte(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+_INF_FIXED_LIT = _huffman_table(
+    [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+)
+_INF_FIXED_DIST = _huffman_table([5] * 30)
+
+
+def _inflate_dynamic_tables(br: _InflateBitReader):
+    hlit = br.bits(5) + 257
+    hdist = br.bits(5) + 1
+    hclen = br.bits(4) + 4
+    clen_lengths = [0] * 19
+    for i in range(hclen):
+        clen_lengths[_INF_CLEN_ORDER[i]] = br.bits(3)
+    clen_table = _huffman_table(clen_lengths)
+    lengths: list[int] = []
+    while len(lengths) < hlit + hdist:
+        sym = br.symbol(clen_table)
+        if sym < 16:
+            lengths.append(sym)
+        elif sym == 16:
+            if not lengths:
+                raise ValueError("repeat with no previous length")
+            lengths += [lengths[-1]] * (3 + br.bits(2))
+        elif sym == 17:
+            lengths += [0] * (3 + br.bits(3))
+        else:
+            lengths += [0] * (11 + br.bits(7))
+    if len(lengths) != hlit + hdist:
+        raise ValueError("code-length run overflows the table")
+    return (
+        _huffman_table(lengths[:hlit]),
+        _huffman_table(lengths[hlit:]),
+    )
+
+
+def inflate(data: bytes, pos: int = 0) -> bytes:
+    """Decompress a raw DEFLATE stream (RFC 1951) starting at byte
+    ``pos``.  Handles stored, fixed-Huffman and dynamic-Huffman
+    blocks; raises ValueError on any malformed construct."""
+    return inflate_at(data, pos)[0]
+
+
+def inflate_at(data: bytes, pos: int = 0) -> tuple[bytes, int]:
+    """Like :func:`inflate` but also returns the byte offset just
+    past the stream (byte-aligned), so container formats that follow
+    a DEFLATE stream with a trailer — gzip members, zip entries —
+    can keep parsing."""
+    br = _InflateBitReader(data, pos)
+    out = bytearray()
+    while True:
+        bfinal = br.bits(1)
+        btype = br.bits(2)
+        if btype == 0:  # stored
+            br.align_byte()
+            if br.byte + 4 > len(data):
+                raise ValueError("truncated stored-block header")
+            ln, nln = struct.unpack_from("<HH", data, br.byte)
+            if ln ^ nln != 0xFFFF:
+                raise ValueError("stored-block LEN/NLEN mismatch")
+            br.byte += 4
+            if br.byte + ln > len(data):
+                raise ValueError("truncated stored block")
+            out += data[br.byte : br.byte + ln]
+            br.byte += ln
+        elif btype in (1, 2):
+            if btype == 1:
+                lit_table, dist_table = _INF_FIXED_LIT, _INF_FIXED_DIST
+            else:
+                lit_table, dist_table = _inflate_dynamic_tables(br)
+            while True:
+                sym = br.symbol(lit_table)
+                if sym < 256:
+                    out.append(sym)
+                elif sym == 256:
+                    break
+                else:
+                    if sym > 285:
+                        raise ValueError(f"bad length symbol {sym}")
+                    length = _INF_LEN_BASE[sym - 257] + br.bits(
+                        _INF_LEN_EXTRA[sym - 257]
+                    )
+                    dsym = br.symbol(dist_table)
+                    if dsym > 29:
+                        raise ValueError(f"bad distance symbol {dsym}")
+                    dist = _INF_DIST_BASE[dsym] + br.bits(_INF_DIST_EXTRA[dsym])
+                    if dist > len(out):
+                        raise ValueError("back-reference before stream start")
+                    # overlapping copies are the LZ77 norm: byte at a time
+                    start = len(out) - dist
+                    for i in range(length):
+                        out.append(out[start + i])
+        else:
+            raise ValueError("reserved DEFLATE block type 3")
+        if bfinal:
+            br.align_byte()
+            return bytes(out), br.byte
+
+
+def _adler32(data: bytes) -> int:
+    """RFC 1950 Adler-32, from scratch (mod 65521 over running sums)."""
+    a, b = 1, 0
+    # b is the sum of every prefix value of a, so over a chunk with
+    # cumulative sums c: a' = a + c[-1], b' = b + n*a + sum(c) — all
+    # exact in uint64 for chunks of <= 5552 bytes (zlib's own bound)
+    for i in range(0, len(data), 5552):
+        chunk = np.frombuffer(data[i : i + 5552], np.uint8)
+        c = np.cumsum(chunk, dtype=np.uint64)
+        b = (b + len(chunk) * a + int(c.sum())) % 65521
+        a = (a + int(c[-1])) % 65521
+    return (b << 16) | a
+
+
+def zlib_decode(data: bytes) -> bytes:
+    """Decode an RFC 1950 zlib stream with the from-scratch inflater
+    and verify its Adler-32 trailer (also from scratch)."""
+    if len(data) < 6:
+        raise ValueError("truncated zlib stream")
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 8:
+        raise ValueError("zlib CM is not deflate")
+    if (cmf * 256 + flg) % 31:
+        raise ValueError("zlib header check failed")
+    if flg & 0x20:
+        raise ValueError("preset dictionary not supported")
+    out = inflate(data, 2)
+    want = struct.unpack(">I", data[-4:])[0]
+    got = _adler32(out)
+    if want != got:
+        raise ValueError(f"Adler-32 mismatch: {got:#x} != {want:#x}")
+    return out
+
+
+# --- gzip (RFC 1952): multi-member parse with from-scratch CRC-32 ------
+#
+# The container the crawl world actually ships: WARC files are
+# CONCATENATED gzip members (one per record), and reading them means
+# walking member headers (FLG bit fields: FEXTRA/FNAME/FCOMMENT/
+# FHCRC), inflating each member, and checking the CRC-32 + ISIZE
+# trailer.  CRC-32 here is from scratch (reflected 0xEDB88320 table),
+# the inflater is the from-scratch one above; stdlib gzip/zlib only
+# PRODUCE the streams.
+
+_CRC32_TABLE: np.ndarray | None = None
+
+
+def _crc32_table() -> np.ndarray:
+    global _CRC32_TABLE
+    if _CRC32_TABLE is None:
+        t = np.arange(256, dtype=np.uint32)
+        for _ in range(8):
+            t = np.where(t & 1, 0xEDB88320 ^ (t >> 1), t >> 1).astype(
+                np.uint32
+            )
+        _CRC32_TABLE = t
+    return _CRC32_TABLE
+
+
+def crc32(data: bytes, crc: int = 0) -> int:
+    """Reflected CRC-32 (gzip/zip polynomial), table-driven, from
+    scratch — byte-serial by nature, table lookup per byte."""
+    table = _crc32_table()
+    c = crc ^ 0xFFFFFFFF
+    for b in data:
+        c = int(table[(c ^ b) & 0xFF]) ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def gzip_members_decode(data: bytes) -> list[bytes]:
+    """Parse a concatenation of RFC 1952 gzip members (the WARC
+    layout) into their decompressed payloads, verifying each member's
+    CRC-32 and ISIZE trailer with the from-scratch implementations."""
+    members: list[bytes] = []
+    pos = 0
+    while pos < len(data):
+        start = pos
+        if pos + 10 > len(data):
+            raise ValueError("truncated gzip member header")
+        if data[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError("bad gzip magic")
+        if data[pos + 2] != 8:
+            raise ValueError("gzip CM is not deflate")
+        flg = data[pos + 3]
+        if flg & 0xE0:
+            raise ValueError("reserved gzip FLG bits set")
+        pos += 10  # magic, CM, FLG, MTIME(4), XFL, OS
+        if flg & 0x04:  # FEXTRA
+            if pos + 2 > len(data):
+                raise ValueError("truncated FEXTRA length")
+            (xlen,) = struct.unpack_from("<H", data, pos)
+            pos += 2 + xlen
+        for bit in (0x08, 0x10):  # FNAME, FCOMMENT: NUL-terminated
+            if flg & bit:
+                end = data.find(b"\x00", pos)
+                if end < 0:
+                    raise ValueError("unterminated gzip header string")
+                pos = end + 1
+        if flg & 0x02:  # FHCRC: CRC-16 of the header bytes so far
+            if pos + 2 > len(data):
+                raise ValueError("truncated FHCRC")
+            (want16,) = struct.unpack_from("<H", data, pos)
+            if crc32(data[start:pos]) & 0xFFFF != want16:
+                raise ValueError("gzip header CRC-16 mismatch")
+            pos += 2
+        if pos > len(data):
+            raise ValueError("truncated gzip header fields")
+        payload, pos = inflate_at(data, pos)
+        if pos + 8 > len(data):
+            raise ValueError("truncated gzip trailer")
+        want_crc, want_isize = struct.unpack_from("<II", data, pos)
+        pos += 8
+        if crc32(payload) != want_crc:
+            raise ValueError("gzip CRC-32 mismatch")
+        if len(payload) % (1 << 32) != want_isize:
+            raise ValueError("gzip ISIZE mismatch")
+        members.append(payload)
+    if not members:
+        raise ValueError("empty gzip stream")
+    return members
+
+
+def encode_gzip_member(
+    payload: bytes, level: int = 6, name: bytes | None = None
+) -> bytes:
+    """Build one RFC 1952 member by hand (header incl. optional FNAME,
+    raw-deflate body from stdlib zlib, CRC-32/ISIZE trailer) — used to
+    exercise header-flag parsing that gzip.compress never emits."""
+    flg = 0x08 if name is not None else 0
+    head = b"\x1f\x8b\x08" + bytes([flg]) + b"\x00\x00\x00\x00\x00\xff"
+    if name is not None:
+        head += name + b"\x00"
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    body = co.compress(payload) + co.flush()
+    trailer = struct.pack("<II", crc32(payload), len(payload) % (1 << 32))
+    return head + body + trailer

@@ -1,0 +1,897 @@
+"""Round-13 continuation keys (second batch).
+
+Extends the codec and sketch families: a GIF87a/LZW dictionary codec
+and an RFC 1951/1950 DEFLATE inflater — both from scratch in
+downloader_spark.media — plus a theta-sketch set-intersection
+estimator completing the mergeable-sketch story started by
+``agg_kmv_distinct``.  (Reference lineage: payloads are opaque byte
+streams at /root/reference/download/common.go:106; decode sits
+strictly downstream of ingest, which is where these stages run.)
+Registry contract as everywhere: a Spark-first plan plus an
+independently-constructed DuckDB oracle, never the same SQL twice.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — resolves stringified UDF type hints
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from downloader_spark.io import load_table
+from downloader_spark.operators.llm_dedup import _duck_h60, _spark_h60
+from downloader_spark.plans.registry import query
+
+# ------------------------------------------------------------------
+# multimodal_gif_stats — GIF87a / variable-width LZW codec
+# ------------------------------------------------------------------
+
+_GIF_W = 24
+_GIF_H = 16
+_GIF_V = "(doc_id * 3 + 5 * x + 7 * y) % 256"
+
+
+@query(
+    "multimodal_gif_stats",
+    oracle=f"""
+    WITH grid AS (
+      SELECT doc_id, x, y, {_GIF_V} AS v
+      FROM documents,
+           unnest(generate_series(0, {_GIF_H - 1})) AS a(y),
+           unnest(generate_series(0, {_GIF_W - 1})) AS b(x)
+    )
+    SELECT doc_id,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN v END) AS BIGINT)
+               AS first_px,
+           CAST(max(CASE WHEN x = {_GIF_W - 1} AND y = {_GIF_H - 1}
+                    THEN v END) AS BIGINT) AS last_px
+    FROM grid
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "gif", "lzw", "mapInPandas"),
+)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DICTIONARY compression through real bytes: each doc's
+    deterministic {h}x{w} index plane is written as a complete GIF87a
+    file (256-entry global palette, 255-byte sub-block framing) whose
+    image stream is real variable-width LZW — 9..12-bit codes,
+    CLEAR/EOI, width growth as the dictionary fills, the KwKwK
+    self-reference case — then parsed and LZW-decoded back inside the
+    Arrow stage (media.encode_gif_gray / decode_gif_gray, both from
+    scratch).  Pixel stats are emitted from the RECONSTRUCTED plane,
+    so any drift anywhere in the bit packing, width schedule or
+    dictionary discipline lands a wrong pixel.
+
+    Differential: the oracle recomputes the plane closed-form from
+    the generator and never sees a byte.
+
+    Shape: map-only Arrow stage over the repartitioned key column
+    (the repo's codec posture); at 100 TB the synthesis select
+    becomes a binaryFile scan partitioned by object — pixels never
+    cross an exchange, only the per-doc stat rows do."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_gif_gray, encode_gif_gray
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+    w, h = _GIF_W, _GIF_H
+
+    def run(batches):
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                idx = ((int(doc_id) * 3 + 5 * xx + 7 * yy) % 256).astype(
+                    np.uint8
+                )
+                back = decode_gif_gray(encode_gif_gray(idx))
+                assert back.shape == (h, w)
+                out.append(
+                    (
+                        int(doc_id),
+                        int(back.astype(np.int64).sum()),
+                        int(np.unique(back).size),
+                        int(back[0, 0]),
+                        int(back[h - 1, w - 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "px_sum",
+                    "n_distinct",
+                    "first_px",
+                    "last_px",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, px_sum long, n_distinct long, first_px long, last_px long",
+    )
+
+
+# ------------------------------------------------------------------
+# multimodal_inflate_stats — RFC 1951/1950 DEFLATE decode
+# ------------------------------------------------------------------
+
+# payload: length 240 + doc_id % 64; byte i = 32 + ((doc_id % 41) +
+# 3 * (i % 29)) % 64 — period-29 structure so LZ77 finds real
+# back-references; compression level doc_id % 10 walks every zlib
+# level, so stored (0), fixed- and dynamic-Huffman blocks all occur
+# across the corpus.
+_INF_L = "(240 + doc_id % 64)"
+_INF_B = "(32 + ((doc_id % 41) + 3 * (i % 29)) % 64)"
+
+
+@query(
+    "multimodal_inflate_stats",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id, i, {_INF_B} AS b
+      FROM documents,
+           unnest(generate_series(0, 239 + 63)) AS u(i)
+      WHERE i < {_INF_L}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(b) AS BIGINT) AS byte_sum,
+           CAST(count(DISTINCT b) AS BIGINT) AS n_distinct
+    FROM bytes
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "deflate", "zlib", "huffman", "mapInPandas"),
+)
+def multimodal_inflate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY-CODED byte streams through a from-scratch inflater:
+    each doc's deterministic payload is compressed with stdlib zlib
+    at level ``doc_id % 10`` (real-world streams: level 0 emits
+    stored blocks, low levels fixed-Huffman, high levels
+    dynamic-Huffman with the RFC 1951 code-length meta-alphabet) and
+    decompressed inside the Arrow stage by media.zlib_decode — a
+    from-scratch RFC 1950/1951 decoder: zlib header check, stored /
+    fixed / dynamic blocks, LZ77 length-distance back-references with
+    overlapping copies, and a from-scratch Adler-32 trailer verify.
+    Emitted stats come from the DECOMPRESSED bytes, so a single wrong
+    bit anywhere in the Huffman or LZ77 path lands a wrong sum (and
+    the Adler check fails the task loudly first).
+
+    Differential: the oracle regenerates the plaintext closed-form
+    from the byte generator; it never sees a compressed stream.
+
+    Shape: map-only Arrow stage (codec posture); at 100 TB this is
+    the decode half of reading gzip members or zlib pages off a
+    binaryFile scan — payload bytes never cross an exchange."""
+    import numpy as np
+    import pandas as pd
+    import zlib
+
+    from downloader_spark.media import zlib_decode
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ln = 240 + d % 64
+                i = np.arange(ln)
+                payload = (32 + ((d % 41) + 3 * (i % 29)) % 64).astype(
+                    np.uint8
+                ).tobytes()
+                comp = zlib.compress(payload, d % 10)
+                back = zlib_decode(comp)
+                assert back == payload  # bit-exact roundtrip, per doc
+                arr = np.frombuffer(back, np.uint8)
+                out.append(
+                    (
+                        d,
+                        int(arr.size),
+                        int(arr.astype(np.int64).sum()),
+                        int(np.unique(arr).size),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_bytes", "byte_sum", "n_distinct"]
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, n_bytes long, byte_sum long, n_distinct long"
+    )
+
+
+# ------------------------------------------------------------------
+# agg_theta_intersect — theta-sketch set intersection
+# ------------------------------------------------------------------
+
+THETA_K = 16  # sketch size, matching agg_kmv_distinct's KMV_K
+_THETA_REF = "purchase"  # the reference cohort every type intersects
+
+
+@query(
+    "agg_theta_intersect",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             {_duck_h60("concat('tht:', CAST(user_id AS VARCHAR))")} AS h
+      FROM events
+    ), sk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    ), sketch AS (
+      -- "sketch not full" detected AFTER the rank prefix (max rn < k),
+      -- so the rank filter needs no pre-filter count window — mirrors
+      -- the Spark side, where this keeps WindowGroupLimit eligible
+      SELECT event_type, h,
+             CASE WHEN max(rn) OVER (PARTITION BY event_type) < {THETA_K}
+                  THEN 1152921504606846976
+                  ELSE max(CASE WHEN rn = {THETA_K} THEN h END)
+                       OVER (PARTITION BY event_type)
+             END AS theta
+      FROM sk WHERE rn <= {THETA_K}
+    ), pairs AS (
+      SELECT a.event_type,
+             least(max(a.theta), max(b.theta)) AS theta,
+             CAST(sum(CASE WHEN a.h < least(a.theta, b.theta)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      FROM sketch a JOIN sketch b
+        ON a.h = b.h AND b.event_type = '{_THETA_REF}'
+      GROUP BY a.event_type
+    ), exact AS (
+      SELECT e.event_type,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact_both
+      FROM events e
+      WHERE EXISTS (SELECT 1 FROM events r
+                    WHERE r.event_type = '{_THETA_REF}'
+                      AND r.user_id = e.user_id)
+      GROUP BY e.event_type
+    )
+    SELECT x.event_type, x.n_exact_both, p.n_common,
+           CAST(CASE WHEN p.theta = 1152921504606846976 THEN p.n_common
+                ELSE p.n_common * 288230376151711744 // p.theta * 4
+                END AS BIGINT) AS theta_estimate
+    FROM exact x JOIN pairs p ON x.event_type = p.event_type
+    """,
+    tags=("aggregate", "sketch", "intersection", "mergeable"),
+)
+def agg_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET INTERSECTION (the Datasketches theta family):
+    per event_type keep the {THETA_K} smallest 60-bit hashes of its
+    user set plus theta = the k-th smallest (2^60 when the set is
+    smaller than k, i.e. the sketch is exact); the overlap with the
+    '{_THETA_REF}' cohort is estimated as
+    |common hashes below min(theta_a, theta_b)| x 2^60 / min(theta).
+    This is THE mergeable way to ask "how many users who purchased
+    also did X" at 100 TB: sketches are tiny, union/intersect without
+    rescanning, and the join here is sketch x sketch ({THETA_K} rows
+    per group), never users x users.
+
+    Determinism: both engines build the identical md5-derived hash
+    set, so the normally-approximate estimate is bit-reproducible;
+    the estimator is computed as n x 2^58 DIV theta x 4 to stay
+    inside int64 (two deterministic floor bits, identical on both
+    engines — mirrors agg_kmv_distinct's trick), with the
+    both-sketches-exact case short-circuited to the exact overlap.
+    The n_exact_both column carried alongside exposes the estimation
+    error to the reader.
+
+    Plan: one distinct reduction, a rank prefix (WindowGroupLimit
+    keeps per-partition k-smallest ahead of the exchange), then a
+    broadcast-sized sketch-sketch join."""
+    ev = load_table(spark, sf_dir, "events")
+    h = _spark_h60("concat('tht:', CAST(user_id AS STRING))")
+    hashed = ev.select("event_type", F.expr(h).alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    wall = Window.partitionBy("event_type")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= THETA_K)
+        # "not full" = max rn < k AFTER the prefix filter: no unbounded
+        # count window before the filter, so the rank prefix keeps its
+        # WindowGroupLimit per-partition pre-truncation
+        .withColumn(
+            "theta",
+            F.when(
+                F.max("rn").over(wall) < THETA_K,
+                F.lit(1152921504606846976),
+            ).otherwise(
+                F.max(
+                    F.when(F.col("rn") == THETA_K, F.col("h"))
+                ).over(wall)
+            ),
+        )
+        .select("event_type", "h", "theta")
+    )
+    ref = sketch.filter(F.col("event_type") == _THETA_REF).select(
+        F.col("h").alias("rh"), F.col("theta").alias("rtheta")
+    )
+    pairs = (
+        sketch.join(F.broadcast(ref), F.col("h") == F.col("rh"))
+        .groupBy("event_type")
+        .agg(
+            F.least(F.max("theta"), F.max("rtheta")).alias("theta"),
+            F.sum(
+                F.when(
+                    F.col("h") < F.least(F.col("theta"), F.col("rtheta")), 1
+                ).otherwise(0)
+            ).alias("n_common"),
+        )
+    )
+    ref_users = (
+        ev.filter(F.col("event_type") == _THETA_REF)
+        .select("user_id")
+        .distinct()
+    )
+    exact = (
+        ev.join(F.broadcast(ref_users), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact_both"))
+    )
+    return exact.join(pairs, "event_type").select(
+        "event_type",
+        "n_exact_both",
+        "n_common",
+        F.expr(
+            "CAST(CASE WHEN theta = 1152921504606846976 THEN n_common"
+            " ELSE n_common * 288230376151711744 DIV theta * 4"
+            " END AS BIGINT)"
+        ).alias("theta_estimate"),
+    )
+
+
+# ------------------------------------------------------------------
+# multimodal_gzip_members — RFC 1952 multi-member container walk
+# ------------------------------------------------------------------
+
+# member j of doc d: length 100 + (d + j) % 50, byte i =
+# 33 + ((d * 5 + j * 11 + 3 * i) % 90); member count 2 + d % 2.
+# Levels walk (d + j) % 10 so stored/fixed/dynamic bodies all occur,
+# and member 0 carries an FNAME header field (hand-built writer) so
+# the FLG walk is exercised on real bytes, not just unit tests.
+_GZ_M = "(2 + doc_id % 2)"
+_GZ_L = "(100 + (doc_id + j) % 50)"
+_GZ_B = "(33 + ((doc_id * 5 + j * 11 + 3 * i) % 90))"
+
+
+@query(
+    "multimodal_gzip_members",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id, j, i, {_GZ_B} AS b
+      FROM documents,
+           unnest(generate_series(0, 2)) AS m(j),
+           unnest(generate_series(0, 148)) AS u(i)
+      WHERE j < {_GZ_M} AND i < {_GZ_L}
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT j) AS BIGINT) AS n_members,
+           CAST(count(*) AS BIGINT) AS total_bytes,
+           CAST(sum(b) AS BIGINT) AS byte_sum
+    FROM bytes
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "gzip", "container", "crc32", "mapInPandas"),
+)
+def multimodal_gzip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCATENATED-gzip container walk — the WARC layout every crawl
+    corpus ships: each doc's blob is 2-3 RFC 1952 members (member 0
+    hand-built with an FNAME header field, the rest stdlib
+    gzip.compress at level (doc_id+j) % 10, so stored / fixed /
+    dynamic DEFLATE bodies all occur), parsed back by
+    media.gzip_members_decode — FLG bit-field walk, the from-scratch
+    inflater for each body, and from-scratch CRC-32 + ISIZE trailer
+    verification per member.  Stats come from the DECOMPRESSED
+    payloads; the per-member CRC check fails the task loudly before a
+    wrong byte could reach them.
+
+    Differential: the oracle regenerates every member's plaintext
+    closed-form from the byte generator and never sees a container.
+
+    Shape: map-only Arrow stage (codec posture); at 100 TB this is
+    exactly the WARC ingest path — a binaryFile scan of .gz objects
+    whose member payloads never cross an exchange."""
+    import gzip
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import encode_gzip_member, gzip_members_decode
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blob = b""
+                n_members = 2 + d % 2
+                payloads = []
+                for j in range(n_members):
+                    ln = 100 + (d + j) % 50
+                    i = np.arange(ln)
+                    p = (33 + ((d * 5 + j * 11 + 3 * i) % 90)).astype(
+                        np.uint8
+                    ).tobytes()
+                    payloads.append(p)
+                    if j == 0:
+                        blob += encode_gzip_member(
+                            p, 6, name=f"doc-{d}.txt".encode()
+                        )
+                    else:
+                        blob += gzip.compress(p, (d + j) % 10, mtime=0)
+                back = gzip_members_decode(blob)
+                assert back == payloads  # member-exact roundtrip
+                arr = np.frombuffer(b"".join(back), np.uint8)
+                out.append(
+                    (
+                        d,
+                        len(back),
+                        int(arr.size),
+                        int(arr.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_members", "total_bytes", "byte_sum"],
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, n_members long, total_bytes long, byte_sum long"
+    )
+
+
+# ------------------------------------------------------------------
+# agg_exp_histogram — exponential-bucket histogram + percentiles
+# ------------------------------------------------------------------
+
+# quarter-octave log2 buckets over value-in-cents: k = floor(log2(v))
+# computed EXACTLY as length(bin(v)) - 1 (a string op both engines
+# share — no float log at bucket boundaries), sub-bucket from integer
+# division.  Bucket lower bound reported in quarter-cents:
+# 2^k * (4 + sub), always an integer.
+_EXPH_V = "greatest(1, CAST(floor(value * 100) AS BIGINT))"
+
+
+@query(
+    "agg_exp_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, {_EXPH_V} AS vc FROM events
+    ), b AS (
+      SELECT event_type,
+             length(bin(vc)) - 1 AS k,
+             vc * 4 // CAST(power(2, length(bin(vc)) - 1) AS BIGINT) - 4
+               AS sub
+      FROM v
+    ), hist AS (
+      SELECT event_type, k, sub,
+             CAST(power(2, k) AS BIGINT) * (4 + sub) AS lb_qc,
+             count(*) AS n
+      FROM b GROUP BY event_type, k, sub
+    ), c AS (
+      SELECT event_type, lb_qc, n,
+             sum(n) OVER (PARTITION BY event_type
+                          ORDER BY k * 4 + sub) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM hist
+    )
+    SELECT event_type,
+           CAST(max(total) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(min(lb_qc) FILTER (cum >= (total * 50 + 99) // 100)
+                AS BIGINT) AS p50_lb_qc,
+           CAST(min(lb_qc) FILTER (cum >= (total * 90 + 99) // 100)
+                AS BIGINT) AS p90_lb_qc,
+           CAST(min(lb_qc) FILTER (cum >= (total * 99 + 99) // 100)
+                AS BIGINT) AS p99_lb_qc
+    FROM c
+    GROUP BY event_type
+    """,
+    tags=("aggregate", "histogram", "exponential", "percentile", "sketch"),
+)
+def agg_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL-bucket histogram (the OpenTelemetry/HDR shape) with
+    quantile reconstruction from bucket boundaries — how latency and
+    value percentiles are actually computed over 100 TB of metrics:
+    per (group, quarter-octave log2 bucket) counts are mergeable
+    across shards and days, and p50/p90/p99 come from the cumulative
+    bucket walk, never from a global sort.  The octave index is
+    computed EXACTLY as length(bin(v)) - 1 — a string op both engines
+    share bit-for-bit — so no float log2 can flip a boundary; the
+    sub-bucket and the reported lower bounds are pure integer math.
+
+    Plan: one map-side-combined shuffle to (type, bucket) — the
+    histogram IS the shuffle combiner — then windows over the tiny
+    per-type bucket table (~120 rows); the raw values never feed a
+    sort.  Differential: the oracle builds the same buckets through
+    DuckDB's own bin()/window stack, filter-aggregates vs Spark's
+    conditional mins."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.expr(_EXPH_V).alias("vc")
+    )
+    b = v.select(
+        "event_type",
+        (F.length(F.bin(F.col("vc"))) - 1).alias("k"),
+        F.expr(
+            "vc * 4 DIV CAST(power(2, length(bin(vc)) - 1) AS BIGINT) - 4"
+        ).alias("sub"),
+    )
+    hist = (
+        b.groupBy("event_type", "k", "sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "lb_qc",
+            F.expr("CAST(power(2, k) AS BIGINT) * (4 + sub)"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("k") * 4 + F.col("sub"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = hist.select(
+        "event_type",
+        "lb_qc",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    agg = [
+        F.max("total").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ]
+    for p in (50, 90, 99):
+        agg.append(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"(total * {p} + 99) DIV 100"),
+                    F.col("lb_qc"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"p{p}_lb_qc")
+        )
+    return c.groupBy("event_type").agg(*agg)
+
+
+# ------------------------------------------------------------------
+# graph_scc — strongly connected components (coloring algorithm)
+# ------------------------------------------------------------------
+
+# Planted DIRECTED graph over doc ids: rings of 4 (base..base+3,
+# cyclic next-edges — each ring is one SCC) plus one cross edge per
+# ring pair j = (2j, 2j+1).  Edge direction alternates with j: even j
+# points low ring -> high ring (forward colors never flood), odd j
+# points high -> low (the high ring's color FLOODS the low ring, so
+# the low ring has no root in round 1 and is only extracted in outer
+# round 2) — both code paths of the coloring algorithm fire by
+# construction.  SCC id = the max node of the ring = base + 3.
+
+
+@query(
+    "graph_scc",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS node,
+           CAST(doc_id - doc_id % 4 + 3 AS BIGINT) AS scc_id
+    FROM documents
+    """,
+    tags=("graph", "scc", "iterative", "coloring"),
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONGLY connected components via the distributed coloring
+    algorithm (Orzan 2004 / the MaxColor scheme Spark graph libraries
+    use): iterate (1) forward max-color propagation to fixpoint,
+    (2) roots = nodes whose color is their own id, (3) backward
+    root-reachability marking WITHIN each color class — the marked
+    set of a root is exactly the root's SCC — then remove extracted
+    SCCs and repeat on the remainder.  Directed reachability is the
+    part plain connected-components (dedup_clusters) cannot see: the
+    planted cross edges connect rings weakly but never strongly, and
+    with alternating direction they force both the no-flood fast
+    path and the flooded two-round path.
+
+    Differential: the algorithm sees ONLY the edge list; the oracle
+    knows the planted rings closed-form.  A wrong color flood, a
+    backward mark that escapes its color class, or a missed root
+    each land nodes in the wrong component.
+
+    Scale: every step is an edge-colors equi-join + max aggregation
+    (map-side combinable), lineage cut per iteration with
+    localCheckpoint; the driver sees only 1-row monotone convergence
+    sums, never node data.  Outer rounds are data-dependent (2 here);
+    each round peels at least the globally-max-id SCC, and the inner
+    fixpoints are bounded by the active subgraph's diameter."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("node")
+    )
+    nodes = docs.repartition(32, "node").localCheckpoint()
+    # ring edges: node -> base + (pos+1) % 4
+    ring = nodes.select(
+        F.col("node").alias("src"),
+        (
+            F.col("node")
+            - F.col("node") % 4
+            + (F.col("node") % 4 + 1) % 4
+        ).alias("dst"),
+    )
+    # cross edges: ring pair j = (2j, 2j+1); src ring = 2j + (j % 2)
+    bases = nodes.filter(F.col("node") % 4 == 0).select(
+        (F.col("node") / 4).cast("long").alias("ring")
+    )
+    even = bases.filter(F.col("ring") % 2 == 0).select(
+        F.col("ring").alias("r0"), (F.col("ring") / 2).cast("long").alias("j")
+    )
+    # partner ring must exist (odd total ring count leaves the last unpaired)
+    paired = even.join(
+        bases.select((F.col("ring") - 1).alias("r0")), "r0", "left_semi"
+    )
+    cross = paired.select(
+        ((F.col("r0") + F.col("j") % 2) * 4).alias("src"),
+        ((F.col("r0") + 1 - F.col("j") % 2) * 4).alias("dst"),
+    )
+    edges = ring.union(cross)
+
+    remaining = nodes
+    parts = []
+    for _outer in range(8):
+        n_active = remaining.count()  # 1-row control scalar
+        if n_active == 0:
+            break
+        act_edges = (
+            edges.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .repartition(32, "src")
+            .localCheckpoint()
+        )
+        # (1) forward max-color propagation to fixpoint (one hop per
+        # iteration: the color frame is used twice per hop, so it must
+        # be checkpointed each hop or the lineage recomputes the prior
+        # hop twice — measured slower than the extra scheduling)
+        color = remaining.select("node", F.col("node").alias("color"))
+        prev_sum = None
+        for _ in range(64):
+            inc = (
+                act_edges.join(
+                    color.select(
+                        F.col("node").alias("src"), F.col("color").alias("c")
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.max("c").alias("inc"))
+            )
+            color = (
+                color.join(inc, color["node"] == inc["dst"], "left")
+                .select(
+                    "node",
+                    F.greatest(
+                        F.col("color"), F.coalesce(F.col("inc"), F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint()
+            )
+            s = color.agg(F.sum("color")).collect()[0][0]  # monotone
+            if s == prev_sum:
+                break
+            prev_sum = s
+        else:
+            raise RuntimeError("graph_scc: forward coloring did not converge")
+        # (2)+(3) roots, then backward marking within the color class
+        mark = color.select(
+            "node", "color", (F.col("node") == F.col("color")).alias("m")
+        )
+        prev_n = -1
+        for _ in range(64):
+            reach = (
+                act_edges.join(
+                    mark.filter("m").select(
+                        F.col("node").alias("dst"), F.col("color").alias("wc")
+                    ),
+                    "dst",
+                )
+                .select(F.col("src").alias("node"), "wc")
+                .distinct()
+            )
+            mark = (
+                mark.join(reach, ["node"], "left")
+                .select(
+                    "node",
+                    "color",
+                    (
+                        F.col("m")
+                        | (F.col("wc").isNotNull() & (F.col("wc") == F.col("color")))
+                    ).alias("m"),
+                )
+                .groupBy("node", "color")
+                .agg(F.max("m").alias("m"))
+                .localCheckpoint()
+            )
+            n = mark.filter("m").count()  # monotone
+            if n == prev_n:
+                break
+            prev_n = n
+        else:
+            raise RuntimeError("graph_scc: backward marking did not converge")
+        done = mark.filter("m").select("node", F.col("color").alias("scc_id"))
+        parts.append(done.localCheckpoint())
+        remaining = remaining.join(done, "node", "left_anti").localCheckpoint()
+    else:
+        raise RuntimeError("graph_scc: outer peel did not finish in 8 rounds")
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+# ------------------------------------------------------------------
+# scalar_varint — protobuf/parquet LEB128 varint encode + decode
+# ------------------------------------------------------------------
+
+# value under test: v = doc_id * 7919 + n_chars (spans 1..4-byte
+# varints across the corpus); n_bytes = ceil(bitlen(v)/7) via the
+# same exact bin() trick as agg_exp_histogram.
+
+
+@query(
+    "scalar_varint",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, doc_id * 7919 + n_chars AS val FROM documents
+    ), g AS (
+      SELECT doc_id, val,
+             (length(bin(greatest(val, 1))) + 6) // 7 AS n_bytes
+      FROM v
+    ), b AS (
+      SELECT doc_id, val, n_bytes, i,
+             (val // CAST(power(2, 7 * i) AS BIGINT)) % 128
+               + CASE WHEN i < n_bytes - 1 THEN 128 ELSE 0 END AS byte
+      FROM g, unnest(generate_series(0, 9)) AS u(i)
+      WHERE i < n_bytes
+    )
+    SELECT doc_id,
+           CAST(max(val) AS BIGINT) AS val,
+           CAST(max(n_bytes) AS BIGINT) AS n_bytes,
+           CAST(sum(byte) AS BIGINT) AS byte_sum,
+           CAST(sum((byte % 128) * CAST(power(2, 7 * i) AS BIGINT))
+                AS BIGINT) AS decoded
+    FROM b
+    GROUP BY doc_id
+    """,
+    tags=("scalar", "varint", "leb128", "codegen"),
+)
+def scalar_varint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEB128 VARINT — the integer wire format under protobuf fields
+    and parquet page headers — encoded AND decoded entirely in
+    whole-stage-codegen'd JVM expressions (no UDF, no Python): the
+    byte array is built with transform() over a sequence (7-bit
+    groups, little-endian, continuation bit on all but the last),
+    then folded back with aggregate() — index-aware via the (acc,
+    shift) struct — and the decode must reproduce the input value
+    byte-for-byte.  n_bytes uses the exact length(bin(v)) octave
+    trick (shared string op, no float log).
+
+    Differential: the oracle computes groups arithmetically from the
+    value and never builds an array — a wrong continuation bit,
+    shift, or terminal-group boundary lands a wrong byte_sum or a
+    decode mismatch.
+
+    Shape: pure projection, zero exchanges beyond the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "doc_id * 7919 + n_chars AS val",
+    ).selectExpr(
+        "doc_id",
+        "val",
+        "(length(bin(greatest(val, 1))) + 6) DIV 7 AS n_bytes",
+    ).selectExpr(
+        "doc_id",
+        "val",
+        "n_bytes",
+        # encode: LEB128 byte array
+        "transform(sequence(0, n_bytes - 1), i ->"
+        " (val DIV CAST(power(2, 7 * i) AS BIGINT)) % 128"
+        " + IF(i < n_bytes - 1, 128, 0)) AS bytes",
+    ).selectExpr(
+        "doc_id",
+        "val",
+        "n_bytes",
+        "aggregate(bytes, 0L, (s, b) -> s + b) AS byte_sum",
+        # decode: fold (acc, shift) over the bytes, masking the
+        # continuation bit — the LEB128 reader proper
+        "aggregate(bytes, named_struct('acc', 0L, 'sh', 0),"
+        " (s, b) -> named_struct("
+        "   'acc', s.acc + (b % 128) * CAST(power(2, s.sh) AS BIGINT),"
+        "   'sh', s.sh + 7),"
+        " s -> s.acc) AS decoded",
+    )
+
+
+# ------------------------------------------------------------------
+# filter_zorder_range — 2-D range query through the Morton curve
+# ------------------------------------------------------------------
+
+# the consumer of scalar_zorder's layout: a (customer, order-day) box
+# query answered as covering-z-interval prefilter + exact residual.
+_ZR_XA, _ZR_XB = 100, 600
+_ZR_YA, _ZR_YB = 200, 900
+
+
+def _morton_const(x: int, y: int) -> int:
+    z = 0
+    for i in range(12):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@query(
+    "filter_zorder_range",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderkey,
+             o_custkey % 4096 AS x,
+             (epoch_us(o_orderdate) // 86400000000) % 4096 AS y
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+    FROM c
+    WHERE x BETWEEN {_ZR_XA} AND {_ZR_XB}
+      AND y BETWEEN {_ZR_YA} AND {_ZR_YB}
+    """,
+    tags=("filter", "zorder", "layout", "pruning"),
+)
+def filter_zorder_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D BOX query answered through the Z-curve — the read half of
+    the Delta/Iceberg ZORDER story (scalar_zorder is the write half):
+    Morton interleave is monotone in each coordinate (zval =
+    spread(x) + 2*spread(y), each spread order-preserving), so
+    [morton(xa,ya), morton(xb,yb)] is a covering z-interval for the
+    box; the query filters that interval FIRST (over a zval-sorted
+    layout this is exactly the row-group min/max prune — see
+    layout_compaction), then applies the exact per-dimension
+    residual, which kills the curve's false positives (the Z jumps).
+
+    Differential: the oracle answers the box with plain per-dimension
+    predicates and never computes a z value; any error in the
+    interleave or interval bound surfaces as a row diff.
+
+    Shape: scan-side projection + filter, zero exchanges; the
+    z-interval literals are compile-time constants."""
+    zmin = _morton_const(_ZR_XA, _ZR_YA)
+    zmax = _morton_const(_ZR_XB, _ZR_YB)
+    orders = load_table(spark, sf_dir, "orders")
+    from downloader_spark.operators.layout_cdc import _morton_terms
+
+    c = orders.selectExpr(
+        "o_orderkey",
+        "o_custkey % 4096 AS x",
+        "(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000)"
+        " % 4096 AS y",
+    ).selectExpr(
+        "o_orderkey",
+        "x",
+        "y",
+        f"{_morton_terms('x', 'y')} AS zval",
+    )
+    return (
+        c.filter(F.col("zval").between(zmin, zmax))  # covering prefilter
+        .filter(
+            F.col("x").between(_ZR_XA, _ZR_XB)
+            & F.col("y").between(_ZR_YA, _ZR_YB)
+        )
+        .select("o_orderkey", F.col("x").cast("bigint"), F.col("y").cast("bigint"))
+    )

@@ -878,3 +878,261 @@ def test_pframe_truncation_raises_value_error():
         decode_pframe(data + b"\x00")  # trailing garbage
     with pytest.raises(ValueError):
         decode_pframe(b"NOPE" + data[4:])
+
+
+# --- GIF87a / LZW -------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_shapes_and_regimes():
+    """Byte-exact roundtrips across the LZW regimes: flat (long runs,
+    KwKwK chains), structured, and full-entropy noise large enough to
+    push the code width through 10/11/12 bits into the table-full
+    deferred-clear regime."""
+    import numpy as np
+
+    from downloader_spark.media import decode_gif_gray, encode_gif_gray
+
+    rng = np.random.RandomState(7)
+    cases = [
+        np.zeros((8, 8), np.uint8),
+        np.full((31, 17), 201, np.uint8),
+        (np.arange(16 * 24) % 256).astype(np.uint8).reshape(16, 24),
+        rng.randint(0, 256, (16, 24)).astype(np.uint8),
+        rng.randint(0, 256, (200, 200)).astype(np.uint8),  # 12-bit + full
+        rng.randint(0, 3, (100, 100)).astype(np.uint8),
+        np.array([[5]], np.uint8),
+    ]
+    for px in cases:
+        back = decode_gif_gray(encode_gif_gray(px))
+        assert back.dtype == np.uint8
+        assert np.array_equal(px, back)
+
+
+def test_gif_kwkwk_self_reference_case():
+    """A constant plane forces the decoder's code == len(table)
+    (KwKwK) branch immediately and repeatedly."""
+    import numpy as np
+
+    from downloader_spark.media import decode_gif_gray, encode_gif_gray
+
+    px = np.full((13, 29), 1, np.uint8)
+    assert np.array_equal(decode_gif_gray(encode_gif_gray(px)), px)
+
+
+def test_gif_container_structure():
+    """The writer emits spec-shaped GIF87a: magic, screen descriptor,
+    256-entry gray table, image descriptor, <=255-byte sub-blocks,
+    terminator and trailer."""
+    import struct
+
+    import numpy as np
+
+    from downloader_spark.media import encode_gif_gray
+
+    px = (np.indices((16, 24)).sum(0) % 256).astype(np.uint8)
+    data = encode_gif_gray(px)
+    assert data[:6] == b"GIF87a"
+    w, h, packed, _, _ = struct.unpack_from("<HHBBB", data, 6)
+    assert (w, h) == (24, 16)
+    assert packed & 0x80 and (2 << (packed & 7)) == 256
+    pal = data[13 : 13 + 768]
+    assert pal[0:3] == b"\x00\x00\x00" and pal[765:768] == bytes((255, 255, 255))
+    assert data[13 + 768] == 0x2C
+    assert data[-1] == 0x3B and data[-2] == 0x00
+    # sub-block chain parses exactly to the trailer
+    pos = 13 + 768 + 10 + 1
+    while data[pos]:
+        pos += 1 + data[pos]
+    assert pos == len(data) - 2
+
+
+def test_gif_malformed_inputs_raise_value_error():
+    import numpy as np
+    import pytest
+
+    from downloader_spark.media import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_gif_gray(px)
+    for bad in (
+        b"",
+        b"GIF89a" + data[6:],      # wrong version magic
+        data[:12],                  # truncated descriptor
+        data[:-40],                 # truncated sub-blocks
+        data[: 13 + 768] + b"\x21" + data[13 + 768 + 1 :],  # extension block
+    ):
+        with pytest.raises(ValueError):
+            decode_gif_gray(bad)
+    with pytest.raises(ValueError):
+        encode_gif_gray(px.astype(np.int32))
+    # corrupt LZW payload: flipping bits inside the stream must never
+    # return silently with wrong geometry — either a loud ValueError
+    # or (rarely) a same-length decode; never an unhandled crash
+    body = bytearray(data)
+    for off in range(13 + 768 + 12, min(len(body) - 3, 13 + 768 + 40)):
+        body[off] ^= 0xFF
+        try:
+            out = decode_gif_gray(bytes(body))
+            assert out.shape == (8, 8)
+        except ValueError:
+            pass
+        body[off] ^= 0xFF
+
+
+# --- DEFLATE / zlib inflate ---------------------------------------------
+
+
+def test_inflate_roundtrip_every_zlib_level():
+    """stdlib zlib is the encoder fleet: every level (0 = stored
+    blocks, 1 = mostly fixed-Huffman, 6/9 = dynamic-Huffman) must
+    decode byte-exactly, including payloads past the 65535-byte
+    stored-block cap."""
+    import os
+    import random
+    import zlib
+
+    from downloader_spark.media import zlib_decode
+
+    random.seed(3)
+    payloads = [
+        b"",
+        b"x",
+        b"abc" * 4000,                                # overlapping copies
+        bytes(random.randrange(256) for _ in range(9000)),
+        (b"the quick brown fox jumps " * 600),
+        os.urandom(70001),                            # > one stored block
+    ]
+    for lvl in range(10):
+        for p in payloads:
+            assert zlib_decode(zlib.compress(p, lvl)) == p
+
+
+def test_inflate_raw_deflate_and_overlapping_backref():
+    import zlib
+
+    from downloader_spark.media import inflate
+
+    p = b"a" * 100000  # distance-1 overlapping copy, the LZ77 edge
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    assert inflate(co.compress(p) + co.flush()) == p
+
+
+def test_adler32_matches_stdlib():
+    import os
+    import zlib
+
+    from downloader_spark.media import _adler32
+
+    for n in (0, 1, 5551, 5552, 5553, 20000):
+        buf = os.urandom(n)
+        assert _adler32(buf) == zlib.adler32(buf), n
+
+
+def test_inflate_malformed_streams_raise_value_error():
+    import zlib
+
+    import pytest
+
+    from downloader_spark.media import zlib_decode
+
+    good = zlib.compress(b"hello world " * 40, 6)
+    for bad in (
+        b"",
+        good[:1],
+        good[:-1],                         # truncated trailer
+        b"\x79" + good[1:],                # CM = 9, not deflate
+        b"\x7f" + good[1:],                # CM = 15, not deflate
+        good[:-4] + b"\x00\x00\x00\x00",   # adler mismatch
+        good[:2] + b"\x07" + good[3:],     # BTYPE=3 reserved
+    ):
+        with pytest.raises(ValueError):
+            zlib_decode(bad)
+
+
+# --- gzip multi-member container -----------------------------------------
+
+
+def test_crc32_matches_stdlib():
+    import os
+    import zlib
+
+    from downloader_spark.media import crc32
+
+    for n in (0, 1, 255, 5000):
+        buf = os.urandom(n)
+        assert crc32(buf) == zlib.crc32(buf), n
+    # incremental form
+    a, b = b"hello ", b"world"
+    assert crc32(b, crc32(a)) == zlib.crc32(a + b)
+
+
+def test_gzip_members_roundtrip_and_cross_reads():
+    """Concatenated members from stdlib gzip AND the hand-built
+    FNAME writer both parse; stdlib gzip reads the hand-built member
+    back (cross-implementation check)."""
+    import gzip
+    import os
+
+    from downloader_spark.media import encode_gzip_member, gzip_members_decode
+
+    p1 = b"first member " * 30
+    p2 = os.urandom(500)
+    p3 = b""
+    blob = (
+        encode_gzip_member(p1, 9, name=b"one.txt")
+        + gzip.compress(p2, 0, mtime=0)
+        + gzip.compress(p3, 6, mtime=0)
+    )
+    assert gzip_members_decode(blob) == [p1, p2, p3]
+    assert gzip.decompress(encode_gzip_member(p1, 6, name=b"x")) == p1
+
+
+def test_gzip_fhcrc_and_flag_walk():
+    """FHCRC (which stdlib never emits) verifies; a wrong CRC-16,
+    CRC-32 or ISIZE each fails loudly."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from downloader_spark.media import crc32, gzip_members_decode
+
+    payload = b"hcrc payload"
+    head = b"\x1f\x8b\x08\x02" + b"\x00\x00\x00\x00\x00\xff"
+    head += struct.pack("<H", crc32(head) & 0xFFFF)
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(payload) + co.flush()
+    tail = struct.pack("<II", crc32(payload), len(payload))
+    assert gzip_members_decode(head + body + tail) == [payload]
+    bad_h = head[:-2] + struct.pack("<H", (crc32(head[:-2]) ^ 1) & 0xFFFF)
+    with pytest.raises(ValueError):
+        gzip_members_decode(bad_h + body + tail)
+    bad_crc = struct.pack("<II", crc32(payload) ^ 1, len(payload))
+    with pytest.raises(ValueError):
+        gzip_members_decode(head + body + bad_crc)
+    bad_sz = struct.pack("<II", crc32(payload), len(payload) + 1)
+    with pytest.raises(ValueError):
+        gzip_members_decode(head + body + bad_sz)
+
+
+def test_gzip_malformed_containers_raise_value_error():
+    import gzip
+
+    import pytest
+
+    from downloader_spark.media import gzip_members_decode
+
+    good = gzip.compress(b"payload " * 20, 6, mtime=0)
+    for bad in (
+        b"",
+        b"\x1f\x8c" + good[2:],        # bad magic
+        good[:2] + b"\x07" + good[3:],  # CM not deflate
+        good[:3] + b"\xe0" + good[4:],  # reserved FLG bits
+        good[:-1],                      # truncated trailer
+        good + good[:5],                # trailing garbage member
+    ):
+        with pytest.raises(ValueError):
+            gzip_members_decode(bad)

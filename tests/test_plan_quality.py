@@ -1811,3 +1811,37 @@ def test_multimodal_pframe_is_map_only_arrow(spark):
     assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange") == 1  # the explicit repartition only
+
+
+def test_gif_inflate_gzip_keys_are_map_only_arrow(spark):
+    """The round-13b codec keys share the PFV posture: one Arrow map
+    stage over the repartitioned key column; payload bytes never
+    cross an exchange."""
+    for key in (
+        "multimodal_gif_stats",
+        "multimodal_inflate_stats",
+        "multimodal_gzip_members",
+    ):
+        plan = plan_of(spark, key)
+        assert "MapInPandas" in plan, key
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, key
+        assert plan.count("Exchange") == 1, key  # the input repartition only
+
+
+def test_theta_intersect_sketch_rank_pushdown_and_broadcasts(spark):
+    plan = plan_of(spark, "agg_theta_intersect")
+    # the k-smallest prefix gets the same per-partition pre-truncation
+    # as agg_kmv_distinct, and both the sketch-sketch join and the
+    # reference-cohort semi-join broadcast their tiny sides
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exp_histogram_single_value_shuffle(spark):
+    plan = plan_of(spark, "agg_exp_histogram")
+    # raw values reduce once to (type, bucket) with a map-side partial
+    # aggregate; every window runs over the tiny bucket table
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" in plan
