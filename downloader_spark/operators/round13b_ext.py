@@ -895,3 +895,251 @@ def filter_zorder_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", F.col("x").cast("bigint"), F.col("y").cast("bigint"))
     )
+
+
+# ------------------------------------------------------------------
+# dq_skew_profile — join-key skew diagnostics
+# ------------------------------------------------------------------
+
+
+@query(
+    "dq_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ), dist AS (
+      SELECT event_type, cnt, count(*) AS n_keys_at
+      FROM counts GROUP BY event_type, cnt
+    ), walk AS (
+      SELECT event_type, cnt,
+             sum(n_keys_at) OVER (PARTITION BY event_type ORDER BY cnt)
+               AS cum,
+             sum(n_keys_at) OVER (PARTITION BY event_type) AS nk
+      FROM dist
+    ), pct AS (
+      SELECT event_type,
+             min(cnt) FILTER (cum >= (nk * 50 + 99) // 100) AS p50_count,
+             min(cnt) FILTER (cum >= (nk * 99 + 99) // 100) AS p99_count
+      FROM walk GROUP BY event_type
+    ), tot AS (
+      SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_count
+      FROM counts GROUP BY event_type
+    ), top1 AS (
+      SELECT event_type, user_id AS top1_key
+      FROM counts
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY cnt DESC, user_id) = 1
+    )
+    SELECT t.event_type, t.n_rows, t.n_keys, t.max_count,
+           CAST(k.top1_key AS BIGINT) AS top1_key,
+           CAST(p.p50_count AS BIGINT) AS p50_count,
+           CAST(p.p99_count AS BIGINT) AS p99_count,
+           CAST(t.max_count * 1000 * t.n_keys // t.n_rows AS BIGINT)
+             AS skew_ratio_milli,
+           CAST(greatest(1, (t.max_count * t.n_keys + t.n_rows - 1)
+                            // t.n_rows) AS BIGINT) AS salt_factor
+    FROM tot t
+    JOIN pct p ON t.event_type = p.event_type
+    JOIN top1 k ON t.event_type = k.event_type
+    """,
+    tags=("dq", "skew", "diagnostics", "join"),
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW profile — the diagnostic a 100 TB pipeline runs
+    BEFORE committing to a shuffle join on (event_type, user_id):
+    per-key counts reduce once (map-side combined), then everything
+    else — heavy-hitter top-1 (tie-broken by smallest key),
+    exact-integer p50/p99 of the per-key count distribution (smallest
+    count with cumulative keys >= ceil(q*n), the same deterministic
+    walk as agg_exp_histogram), skew ratio max/mean in milli, and the
+    ceil(max/mean) SALT FACTOR a salted join (join_salted) would use
+    — runs over the tiny (type, count) distribution table.  All
+    integer math, no float percentile interpolation to diverge
+    cross-engine.
+
+    Differential: the oracle rebuilds the walk with FILTER aggregates
+    and arg_min over a negated tuple; Spark uses conditional mins and
+    a struct-max — independent constructions of the same definition."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dist = counts.groupBy("event_type", "cnt").agg(
+        F.count(F.lit(1)).alias("n_keys_at")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    walk = dist.select(
+        "event_type",
+        "cnt",
+        F.sum("n_keys_at").over(wcum).alias("cum"),
+        F.sum("n_keys_at").over(wall).alias("nk"),
+    )
+    pct = walk.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(nk * 50 + 99) DIV 100"), F.col("cnt"))
+        ).alias("p50_count"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(nk * 99 + 99) DIV 100"), F.col("cnt"))
+        ).alias("p99_count"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_count"),
+        # struct-max over (cnt, -user_id): largest count, smallest key
+        F.max(F.struct(F.col("cnt"), (-F.col("user_id")).alias("nk"))).alias(
+            "m"
+        ),
+    )
+    return (
+        tot.join(pct, "event_type")
+        .selectExpr(
+            "event_type",
+            "CAST(n_rows AS BIGINT) AS n_rows",
+            "CAST(n_keys AS BIGINT) AS n_keys",
+            "CAST(max_count AS BIGINT) AS max_count",
+            "CAST(-m.nk AS BIGINT) AS top1_key",
+            "CAST(p50_count AS BIGINT) AS p50_count",
+            "CAST(p99_count AS BIGINT) AS p99_count",
+            "CAST(max_count * 1000 * n_keys DIV n_rows AS BIGINT)"
+            " AS skew_ratio_milli",
+            "CAST(greatest(1, (max_count * n_keys + n_rows - 1)"
+            " DIV n_rows) AS BIGINT) AS salt_factor",
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# agg_theta_union — theta-sketch set union (completes the algebra)
+# ------------------------------------------------------------------
+
+
+@query(
+    "agg_theta_union",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             {_duck_h60("concat('tht:', CAST(user_id AS VARCHAR))")} AS h
+      FROM events
+    ), sk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    ), sketch AS (
+      SELECT event_type, h FROM sk WHERE rn <= {THETA_K}
+    ), merged AS (
+      -- union-then-truncate: the k smallest of (A's k-min ∪ B's k-min)
+      -- are the k smallest of A ∪ B — the KMV merge law
+      SELECT a.event_type, u.h,
+             row_number() OVER (PARTITION BY a.event_type ORDER BY u.h)
+               AS rn
+      FROM (SELECT DISTINCT event_type FROM sketch) a
+      JOIN LATERAL (
+        SELECT DISTINCT h FROM sketch s
+        WHERE s.event_type = a.event_type
+           OR s.event_type = '{_THETA_REF}'
+      ) u ON true
+    ), kth AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_in_union,
+             max(h) AS h_k
+      FROM merged WHERE rn <= {THETA_K}
+      GROUP BY event_type
+    ), exact AS (
+      SELECT a.event_type,
+             CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact_union
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN events u
+        ON u.event_type = a.event_type OR u.event_type = '{_THETA_REF}'
+      GROUP BY a.event_type
+    )
+    SELECT e.event_type, e.n_exact_union, k.n_in_union,
+           CAST(CASE WHEN k.n_in_union < {THETA_K} THEN k.n_in_union
+                ELSE ({THETA_K} - 1) * 576460752303423488 // k.h_k * 2
+                END AS BIGINT) AS union_estimate
+    FROM exact e JOIN kth k ON e.event_type = k.event_type
+    """,
+    tags=("aggregate", "sketch", "union", "mergeable"),
+)
+def agg_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set UNION — the other half of the sketch algebra
+    (agg_theta_intersect is the intersection): per event_type, merge
+    its k-min sketch with the '{_THETA_REF}' cohort's by
+    union-then-truncate (the k smallest of two k-min sets ARE the k
+    smallest of the union — the law that makes daily sketches
+    mergeable into monthly ones without rescanning), then estimate
+    |A ∪ B| with the same (k−1)·2⁵⁹ DIV h_k · 2 integer estimator as
+    agg_kmv_distinct, exact when the merged sketch isn't full.
+    Carried-alongside n_exact_union exposes the estimation error.
+
+    Plan: sketches are ≤ k rows per group, so the merge is a
+    broadcast of the reference sketch onto each group's sketch, one
+    rank prefix over ≤ 2k rows per group, never a users×users pass.
+
+    Differential: the oracle merges via LATERAL-distinct, Spark via
+    union-distinct + WindowGroupLimit-eligible rank — independent
+    constructions of the same merge law."""
+    ev = load_table(spark, sf_dir, "events")
+    h = _spark_h60("concat('tht:', CAST(user_id AS STRING))")
+    hashed = ev.select("event_type", F.expr(h).alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= THETA_K)
+        .select("event_type", "h")
+    )
+    ref = sketch.filter(F.col("event_type") == _THETA_REF).select(
+        F.col("h").alias("rh")
+    )
+    types = sketch.select("event_type").distinct()
+    merged = (
+        sketch.select("event_type", "h")
+        .union(
+            types.join(F.broadcast(ref)).select(
+                "event_type", F.col("rh").alias("h")
+            )
+        )
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= THETA_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_union"),
+            F.max("h").alias("h_k"),
+        )
+    )
+    ref_users = (
+        ev.filter(F.col("event_type") == _THETA_REF)
+        .select("user_id")
+        .distinct()
+    )
+    per_type_users = ev.select("event_type", "user_id").distinct()
+    exact = (
+        per_type_users.union(
+            per_type_users.select("event_type").distinct().join(
+                F.broadcast(ref_users)
+            )
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact_union"))
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_exact_union",
+        "n_in_union",
+        F.expr(
+            f"CAST(CASE WHEN n_in_union < {THETA_K} THEN n_in_union"
+            f" ELSE ({THETA_K} - 1) * 576460752303423488 DIV h_k * 2"
+            " END AS BIGINT)"
+        ).alias("union_estimate"),
+    )

@@ -399,3 +399,78 @@ def streaming_kmv(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- exponential-histogram sketch as state (round 13b) -----------------
+
+EXPH_OUTPUT_SCHEMA = (
+    "event_type string, n_events long, n_buckets long,"
+    " p50_lb_qc long, p90_lb_qc long, p99_lb_qc long"
+)
+EXPH_STATE_SCHEMA = "buckets array<long>, counts array<long>"
+
+
+def _exph_bucket(value: float) -> int:
+    """The agg_exp_histogram bucket mapping in Python: quarter-octave
+    log2 over value-in-cents, octave via int.bit_length (the same
+    exact integer math as length(bin(v)) - 1)."""
+    vc = max(1, int(value * 100 // 1))
+    k = vc.bit_length() - 1
+    sub = vc * 4 // (1 << k) - 4
+    return 4 * k + sub
+
+
+def _exph_lb_qc(bucket: int) -> int:
+    k, sub = divmod(bucket, 4)
+    return (1 << k) * (4 + sub)
+
+
+def _exph_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        buckets, counts = state.get
+        hist = dict(zip(buckets, counts))
+    else:
+        hist = {}
+    for pdf in pdfs:
+        for v in pdf["value"]:
+            b = _exph_bucket(float(v))
+            hist[b] = hist.get(b, 0) + 1
+    items = sorted(hist.items())
+    state.update(([b for b, _ in items], [c for _, c in items]))
+    total = sum(hist.values())
+    out = {"event_type": [key[0]], "n_events": [total], "n_buckets": [len(items)]}
+    cum = 0
+    targets = {p: (total * p + 99) // 100 for p in (50, 90, 99)}
+    found: dict[int, int] = {}
+    for b, c in items:
+        cum += c
+        for p, t in targets.items():
+            if p not in found and cum >= t:
+                found[p] = _exph_lb_qc(b)
+    for p in (50, 90, 99):
+        out[f"p{p}_lb_qc"] = [found[p]]
+    yield pd.DataFrame(out)
+
+
+def streaming_exp_histogram(events: DataFrame) -> DataFrame:
+    """Per-event-type EXPONENTIAL HISTOGRAM maintained as PER-KEY
+    STATE (``applyInPandasWithState``) — the stateful-operator form
+    of agg_exp_histogram, the way streaming_kmv is the stateful form
+    of agg_kmv_distinct: the (bucket, count) arrays ARE the
+    state-store row, trivially mergeable (bucket-wise sum) across
+    batches and restarts, and every emitted row re-derives
+    p50/p90/p99 from the cumulative bucket walk with the identical
+    integer ceil((n*p)/100) targets — so after a backlog drain the
+    final row per key equals the batch key's answer bit-for-bit.
+    This is how percentile dashboards stay incremental at 100 TB:
+    the raw values are never retained, only ~120 bucket counts per
+    key."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _exph_update,
+        outputStructType=EXPH_OUTPUT_SCHEMA,
+        stateStructType=EXPH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1845,3 +1845,37 @@ def test_exp_histogram_single_value_shuffle(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     assert "Scan parquet" in plan
+
+
+def test_scalar_varint_zero_exchange_codegen(spark):
+    plan = plan_of(spark, "scalar_varint")
+    # encode+decode are pure projections: no exchange, no Python
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_filter_zorder_range_scan_side_prefilter(spark):
+    plan = plan_of(spark, "filter_zorder_range")
+    # the covering z-interval and the exact residual both evaluate
+    # scan-side: one stage, no exchange, no join
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # the interval literals are baked in as constants
+    assert "Filter" in plan
+
+
+def test_dq_skew_profile_single_key_reduction(spark):
+    plan = plan_of(spark, "dq_skew_profile")
+    # per-key counts reduce once with a map-side partial; the windows
+    # and percentile walk run over the (type, count) distribution
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_union_broadcast_merge(spark):
+    plan = plan_of(spark, "agg_theta_union")
+    # the reference sketch is broadcast onto each group's sketch; no
+    # users-x-users pass anywhere
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1290,3 +1290,84 @@ def test_stateful_kmv_both_branches_vs_python_model(spark, tmp_path):
         "t1": (16, t1_hashes[-1], t1_est),
     }
     assert 20 <= t1_est  # sanity: estimator lands in a plausible band
+
+
+def test_stateful_exp_histogram_matches_batch(spark, events_dir):
+    """applyInPandasWithState exponential histogram: drain the
+    micro-batched backlog with (bucket, count) arrays held as PER-KEY
+    STATE; the final emitted row per event_type must agree
+    bit-for-bit with agg_exp_histogram's one-shot answer over all
+    events (same integer bucket mapping, same ceil((n*p)/100)
+    percentile targets)."""
+    import downloader_spark.operators.round13b_ext as r13b
+    from downloader_spark.streaming.stateful import streaming_exp_histogram
+
+    stream = stream_from_parquet_dir(spark, events_dir, max_files_per_trigger=1)
+    run_to_memory(streaming_exp_histogram(stream), "exph_out", output_mode="update")
+    final = {}
+    for r in spark.table("exph_out").collect():
+        cur = final.get(r.event_type)
+        if cur is None or r.n_events > cur[0]:
+            final[r.event_type] = (
+                r.n_events,
+                r.n_buckets,
+                r.p50_lb_qc,
+                r.p90_lb_qc,
+                r.p99_lb_qc,
+            )
+
+    all_events = spark.read.parquet(events_dir)
+    orig = r13b.load_table
+    r13b.load_table = lambda s, d, n: all_events
+    try:
+        expect = {
+            r.event_type: (
+                r.n_events,
+                r.n_buckets,
+                r.p50_lb_qc,
+                r.p90_lb_qc,
+                r.p99_lb_qc,
+            )
+            for r in r13b.agg_exp_histogram(spark, "ignored").collect()
+        }
+    finally:
+        r13b.load_table = orig
+    assert final == expect
+    assert len(final) > 0
+
+
+def test_stateful_exp_histogram_bucket_model(spark, tmp_path):
+    """The Python bucket mapping against hand-computed buckets, and
+    state mergeability across micro-batches: the 64-cent octave's
+    quarter-buckets break at 96/112/128 cents, so 1.00 and 1.10 share
+    [96,112) while 1.12 starts [112,128); 2.56 opens the 256-cent
+    octave (lb 1024 quarter-cents)."""
+    from downloader_spark.streaming.stateful import (
+        _exph_bucket,
+        _exph_lb_qc,
+        streaming_exp_histogram,
+    )
+
+    assert _exph_bucket(1.00) == _exph_bucket(1.10)
+    assert _exph_bucket(1.12) == _exph_bucket(1.00) + 1
+    assert _exph_lb_qc(_exph_bucket(1.00)) == 384  # 96 cents in qc
+    assert _exph_lb_qc(_exph_bucket(2.56)) == 1024
+    rows = [("t0", 1.00)] * 50 + [("t0", 1.30)] * 40 + [("t0", 90.0)] * 10
+    small = spark.createDataFrame(rows, "event_type string, value double")
+    d = str(tmp_path / "exph_events")
+    small.repartition(4).write.parquet(d)
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    run_to_memory(streaming_exp_histogram(stream), "exph_small", output_mode="update")
+    final = max(
+        spark.table("exph_small").collect(), key=lambda r: r.n_events
+    )
+    # p50 over 100 values: target ceil(50) = 50 -> the [96,112)-cent
+    # bucket; p90: 90 -> the 130-cent bucket; p99: 99 -> 9000 cents
+    assert final.n_events == 100 and final.n_buckets == 3
+    assert final.p50_lb_qc == 384
+    assert final.p90_lb_qc == _exph_lb_qc(_exph_bucket(1.30))
+    assert final.p99_lb_qc == _exph_lb_qc(_exph_bucket(90.0))
