@@ -826,8 +826,11 @@ def scalar_varint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the consumer of scalar_zorder's layout: a (customer, order-day) box
 # query answered as covering-z-interval prefilter + exact residual.
-_ZR_XA, _ZR_XB = 100, 600
-_ZR_YA, _ZR_YB = 200, 900
+# Bounds chosen to intersect the fixture's actual day range (order
+# days land in ~939..3343 mod 4096), selecting ~8% of rows — a real
+# pruning workload, not a vacuous empty box.
+_ZR_XA, _ZR_XB = 100, 2000
+_ZR_YA, _ZR_YB = 1000, 2200
 
 
 def _morton_const(x: int, y: int) -> int:
