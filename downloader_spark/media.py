@@ -2064,3 +2064,111 @@ def encode_gzip_member(
     body = co.compress(payload) + co.flush()
     trailer = struct.pack("<II", crc32(payload), len(payload) % (1 << 32))
     return head + body + trailer
+
+
+# --- ZIP (APPNOTE.TXT): central-directory container walk ---------------
+#
+# The other container datasets actually ship in.  Reading a zip
+# correctly means trusting the CENTRAL DIRECTORY (found via the EOCD
+# record at the tail), not streaming local headers — self-extracting
+# archives and appended data make local-header walks wrong.  Entries
+# are stored (method 0) or DEFLATE (method 8, the from-scratch
+# inflater above); CRC-32 and both sizes are verified per entry.
+
+_ZIP_LOCAL_SIG = b"PK\x03\x04"
+_ZIP_CENTRAL_SIG = b"PK\x01\x02"
+_ZIP_EOCD_SIG = b"PK\x05\x06"
+
+
+def encode_zip(entries: list[tuple[str, bytes, int]]) -> bytes:
+    """Build a zip from (name, payload, method) triples — method 0
+    (stored) or 8 (deflate).  Minimal but spec-shaped: local headers,
+    central directory, EOCD."""
+    out = bytearray()
+    central = bytearray()
+    for name, payload, method in entries:
+        if method == 0:
+            body = payload
+        elif method == 8:
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = co.compress(payload) + co.flush()
+        else:
+            raise ValueError(f"unsupported zip method {method}")
+        nm = name.encode()
+        crc = crc32(payload)
+        offset = len(out)
+        head = struct.pack(
+            "<IHHHHHIIIHH",
+            0x04034B50, 20, 0, method, 0, 0,
+            crc, len(body), len(payload), len(nm), 0,
+        )
+        out += head + nm + body
+        central += struct.pack(
+            "<IHHHHHHIIIHHHHHII",
+            0x02014B50, 20, 20, 0, method, 0, 0,
+            crc, len(body), len(payload), len(nm), 0, 0, 0, 0, 0,
+            offset,
+        ) + nm
+    cd_off = len(out)
+    out += central
+    out += struct.pack(
+        "<IHHHHIIH",
+        0x06054B50, 0, 0, len(entries), len(entries),
+        len(central), cd_off, 0,
+    )
+    return bytes(out)
+
+
+def zip_entries_decode(data: bytes) -> list[tuple[str, bytes, int]]:
+    """Walk a zip via its central directory: locate the EOCD record
+    from the tail, read the directory, then decode each entry from
+    its local header — stored or deflate — verifying CRC-32 (from
+    scratch) and both sizes.  Returns (name, payload, method)."""
+    # EOCD: scan backward (the record has a variable-length comment)
+    scan_from = max(0, len(data) - 65536 - 22)
+    eocd = data.rfind(_ZIP_EOCD_SIG, scan_from)
+    if eocd < 0:
+        raise ValueError("zip EOCD record not found")
+    if eocd + 22 > len(data):
+        raise ValueError("truncated zip EOCD")
+    (_, _, _, n_here, n_total, cd_size, cd_off, _) = struct.unpack_from(
+        "<IHHHHIIH", data, eocd
+    )
+    if n_here != n_total:
+        raise ValueError("multi-disk zip not supported")
+    pos = cd_off
+    out: list[tuple[str, bytes, int]] = []
+    for _ in range(n_total):
+        if data[pos : pos + 4] != _ZIP_CENTRAL_SIG:
+            raise ValueError("bad central-directory signature")
+        (
+            _, _, _, _, method, _, _, crc, csize, usize,
+            nlen, xlen, clen, _, _, _, offset,
+        ) = struct.unpack_from("<IHHHHHHIIIHHHHHII", data, pos)
+        name = data[pos + 46 : pos + 46 + nlen].decode()
+        pos += 46 + nlen + xlen + clen
+        # local header: re-read lengths (they may differ in extra)
+        if data[offset : offset + 4] != _ZIP_LOCAL_SIG:
+            raise ValueError(f"bad local-header signature for {name!r}")
+        (_, _, _, lmethod, _, _, _, _, _, lnlen, lxlen) = struct.unpack_from(
+            "<IHHHHHIIIHH", data, offset
+        )
+        if lmethod != method:
+            raise ValueError(f"method mismatch for {name!r}")
+        body_off = offset + 30 + lnlen + lxlen
+        if method == 0:
+            if body_off + usize > len(data):
+                raise ValueError("truncated stored zip entry")
+            payload = data[body_off : body_off + usize]
+        elif method == 8:
+            payload, end = inflate_at(data, body_off)
+            if end - body_off != csize:
+                raise ValueError(f"compressed-size mismatch for {name!r}")
+        else:
+            raise ValueError(f"unsupported zip method {method}")
+        if len(payload) != usize:
+            raise ValueError(f"uncompressed-size mismatch for {name!r}")
+        if crc32(payload) != crc:
+            raise ValueError(f"CRC-32 mismatch for {name!r}")
+        out.append((name, payload, method))
+    return out

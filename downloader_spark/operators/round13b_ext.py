@@ -1146,3 +1146,102 @@ def agg_theta_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("union_estimate"),
     )
+
+
+# ------------------------------------------------------------------
+# multimodal_zip_entries — ZIP central-directory container walk
+# ------------------------------------------------------------------
+
+# entry j of doc d: length 80 + (d + 17*j) % 40, byte i =
+# 40 + ((d*3 + j*13 + 5*i) % 80); methods alternate deflate/stored.
+_ZIP_N = 3
+_ZIP_L = "(80 + (doc_id + 17 * j) % 40)"
+_ZIP_B = "(40 + ((doc_id * 3 + j * 13 + 5 * i) % 80))"
+
+
+@query(
+    "multimodal_zip_entries",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id, j, i, {_ZIP_B} AS b
+      FROM documents,
+           unnest(generate_series(0, {_ZIP_N - 1})) AS m(j),
+           unnest(generate_series(0, 119)) AS u(i)
+      WHERE i < {_ZIP_L}
+    )
+    SELECT doc_id,
+           CAST({_ZIP_N} AS BIGINT) AS n_entries,
+           CAST({(_ZIP_N + 1) // 2} AS BIGINT) AS n_deflated,
+           CAST(count(*) AS BIGINT) AS total_bytes,
+           CAST(sum(b) AS BIGINT) AS byte_sum
+    FROM bytes
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "zip", "container", "deflate", "mapInPandas"),
+)
+def multimodal_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP container walk the way readers must actually do it — via
+    the CENTRAL DIRECTORY found from the tail EOCD record, never by
+    streaming local headers (appended data and self-extracting stubs
+    make local walks wrong): each doc's archive holds {_ZIP_N}
+    entries with alternating DEFLATE/stored methods, written by
+    media.encode_zip and decoded by media.zip_entries_decode — EOCD
+    scan, directory parse, local-header cross-check, the from-scratch
+    inflater for method-8 bodies, from-scratch CRC-32 and both-size
+    verification per entry.  Stats come from the DECODED payloads.
+
+    Differential: the oracle regenerates every entry's plaintext
+    closed-form from the byte generator and never sees an archive.
+
+    Shape: map-only Arrow stage (codec posture); at 100 TB this is
+    the dataset-distribution ingest path — a binaryFile scan of .zip
+    objects whose entry payloads never cross an exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import encode_zip, zip_entries_decode
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                entries = []
+                for j in range(_ZIP_N):
+                    ln = 80 + (d + 17 * j) % 40
+                    i = np.arange(ln)
+                    p = (40 + ((d * 3 + j * 13 + 5 * i) % 80)).astype(
+                        np.uint8
+                    ).tobytes()
+                    entries.append((f"e{j}.bin", p, 8 if j % 2 == 0 else 0))
+                back = zip_entries_decode(encode_zip(entries))
+                assert back == entries  # entry-exact roundtrip
+                arr = np.frombuffer(b"".join(p for _, p, _ in back), np.uint8)
+                out.append(
+                    (
+                        d,
+                        len(back),
+                        sum(1 for _, _, m in back if m == 8),
+                        int(arr.size),
+                        int(arr.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_entries",
+                    "n_deflated",
+                    "total_bytes",
+                    "byte_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_entries long, n_deflated long,"
+        " total_bytes long, byte_sum long",
+    )

@@ -1136,3 +1136,71 @@ def test_gzip_malformed_containers_raise_value_error():
     ):
         with pytest.raises(ValueError):
             gzip_members_decode(bad)
+
+
+# --- ZIP central-directory walk -------------------------------------------
+
+
+def test_zip_roundtrip_and_cross_reads():
+    """Our walker reads our archives AND stdlib zipfile's; stdlib
+    zipfile reads ours (cross-implementation agreement both ways)."""
+    import io
+    import zipfile
+
+    from downloader_spark.media import encode_zip, zip_entries_decode
+
+    entries = [
+        ("a.txt", b"hello " * 50, 8),
+        ("b.bin", bytes(range(256)), 0),
+        ("empty", b"", 8),
+    ]
+    blob = encode_zip(entries)
+    assert zip_entries_decode(blob) == entries
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert [(i.filename, zf.read(i.filename)) for i in zf.infolist()] == [
+        (n, p) for n, p, _ in entries
+    ]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("x.txt", b"quick brown fox " * 100)
+    got = zip_entries_decode(buf.getvalue())
+    assert [(n, p) for n, p, _ in got] == [
+        ("x.txt", b"quick brown fox " * 100)
+    ]
+
+
+def test_zip_walks_central_directory_not_local_headers():
+    """Offsets are absolute, so PREPENDED junk (the self-extractor
+    stub shape) breaks the central-directory walk loudly instead of
+    silently trusting whatever local header happens to align; a
+    flipped payload bit is caught by the CRC."""
+    import pytest
+
+    from downloader_spark.media import encode_zip, zip_entries_decode
+
+    blob = encode_zip([("f", b"payload" * 10, 8)])
+    with pytest.raises(ValueError):
+        zip_entries_decode(b"\x00" * 40 + blob)
+    # flipping a payload bit -> CRC (or the inflater) catches it
+    body = bytearray(blob)
+    body[35] ^= 0x01
+    with pytest.raises(ValueError):
+        zip_entries_decode(bytes(body))
+
+
+def test_zip_malformed_containers_raise_value_error():
+    import pytest
+
+    from downloader_spark.media import encode_zip, zip_entries_decode
+
+    blob = encode_zip([("f", b"data" * 20, 8), ("g", b"stored", 0)])
+    for bad in (
+        b"",
+        b"PK\x05\x06" + b"\x00" * 10,   # truncated EOCD
+        blob[:-3],                       # truncated EOCD tail
+        blob[4:],                        # local sig no longer at offset
+    ):
+        with pytest.raises(ValueError):
+            zip_entries_decode(bad)
+    with pytest.raises(ValueError):
+        encode_zip([("f", b"x", 99)])
