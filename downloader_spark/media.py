@@ -2172,3 +2172,81 @@ def zip_entries_decode(data: bytes) -> list[tuple[str, bytes, int]]:
             raise ValueError(f"CRC-32 mismatch for {name!r}")
         out.append((name, payload, method))
     return out
+
+
+# --- tar (POSIX ustar): header-checksummed archive walk ----------------
+#
+# The third container of the data-lake trio (gzip members, zip, tar):
+# 512-byte header blocks with OCTAL size fields and a spaces-seeded
+# header checksum, payload padded to block size, two zero blocks at
+# the end.  tar.gz is gzip_members_decode ∘ tar_members_decode.
+
+_TAR_BLOCK = 512
+
+
+def _tar_octal(value: int, width: int) -> bytes:
+    return f"{value:0{width - 1}o}".encode() + b"\x00"
+
+
+def encode_tar(entries: list[tuple[str, bytes]]) -> bytes:
+    """Build a POSIX ustar archive from (name, payload) pairs."""
+    out = bytearray()
+    for name, payload in entries:
+        nm = name.encode()
+        if len(nm) > 100:
+            raise ValueError("tar name longer than 100 bytes")
+        head = bytearray(_TAR_BLOCK)
+        head[0 : len(nm)] = nm
+        head[100:108] = _tar_octal(0o644, 8)      # mode
+        head[108:116] = _tar_octal(0, 8)          # uid
+        head[116:124] = _tar_octal(0, 8)          # gid
+        head[124:136] = _tar_octal(len(payload), 12)
+        head[136:148] = _tar_octal(0, 12)         # mtime
+        head[148:156] = b" " * 8                  # chksum seed
+        head[156] = ord("0")                      # regular file
+        head[257:263] = b"ustar\x00"
+        head[263:265] = b"00"
+        chksum = sum(head)
+        head[148:156] = f"{chksum:06o}".encode() + b"\x00 "
+        out += head + payload
+        pad = -len(payload) % _TAR_BLOCK
+        out += b"\x00" * pad
+    out += b"\x00" * (2 * _TAR_BLOCK)
+    return bytes(out)
+
+
+def tar_members_decode(data: bytes) -> list[tuple[str, bytes]]:
+    """Walk a ustar archive: verify each header's checksum (computed
+    with the checksum field as spaces), read the octal size, collect
+    regular-file payloads.  Raises ValueError on any malformed
+    header; directories and other typeflags are skipped."""
+    if len(data) % _TAR_BLOCK:
+        raise ValueError("tar length is not a multiple of 512")
+    pos = 0
+    out: list[tuple[str, bytes]] = []
+    while pos + _TAR_BLOCK <= len(data):
+        head = data[pos : pos + _TAR_BLOCK]
+        if head == b"\x00" * _TAR_BLOCK:  # end-of-archive zero block
+            return out
+        want = head[148:156].rstrip(b"\x00 ")
+        try:
+            want_sum = int(want, 8)
+        except ValueError as exc:
+            raise ValueError("bad tar checksum field") from exc
+        got_sum = sum(head[:148]) + 8 * 0x20 + sum(head[156:])
+        if got_sum != want_sum:
+            raise ValueError("tar header checksum mismatch")
+        name = head[:100].split(b"\x00", 1)[0].decode()
+        size_field = head[124:136].rstrip(b"\x00 ")
+        try:
+            size = int(size_field, 8) if size_field else 0
+        except ValueError as exc:
+            raise ValueError("bad tar size field") from exc
+        typeflag = head[156:157]
+        pos += _TAR_BLOCK
+        if pos + size > len(data):
+            raise ValueError(f"truncated tar payload for {name!r}")
+        if typeflag in (b"0", b"\x00"):
+            out.append((name, data[pos : pos + size]))
+        pos += size + (-size % _TAR_BLOCK)
+    raise ValueError("tar stream ended without a zero block")

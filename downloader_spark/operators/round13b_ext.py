@@ -730,6 +730,10 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError("graph_scc: outer peel did not finish in 8 rounds")
 
+    if not parts:  # empty corpus: no nodes, no components
+        return nodes.select(
+            F.col("node"), F.col("node").alias("scc_id")
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
@@ -1244,4 +1248,115 @@ def multimodal_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, n_entries long, n_deflated long,"
         " total_bytes long, byte_sum long",
+    )
+
+
+# ------------------------------------------------------------------
+# multimodal_tar_members — tar.gz chain (gzip ∘ ustar ∘ payload)
+# ------------------------------------------------------------------
+
+# file j of doc d: length 90 + (d + 23 * j) % 60, byte i =
+# 35 + ((d * 7 + j * 19 + 11 * i) % 85); 3 files per archive,
+# gzip level d % 10 around the whole tar.
+_TAR_N = 3
+_TAR_L = "(90 + (doc_id + 23 * j) % 60)"
+_TAR_B = "(35 + ((doc_id * 7 + j * 19 + 11 * i) % 85))"
+
+
+@query(
+    "multimodal_tar_members",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id, j, i, {_TAR_B} AS b
+      FROM documents,
+           unnest(generate_series(0, {_TAR_N - 1})) AS m(j),
+           unnest(generate_series(0, 149)) AS u(i)
+      WHERE i < {_TAR_L}
+    )
+    SELECT doc_id,
+           CAST({_TAR_N} AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS total_bytes,
+           CAST(sum(b) AS BIGINT) AS byte_sum,
+           CAST(sum(CASE WHEN j = 0 THEN b ELSE 0 END) AS BIGINT)
+             AS first_file_sum
+    FROM bytes
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "tar", "gzip", "container", "mapInPandas"),
+)
+def multimodal_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAR.GZ through the full chain — the most common dataset
+    tarball read, composed entirely from this repo's from-scratch
+    pieces: each doc's blob is a POSIX ustar archive ({_TAR_N}
+    checksummed 512-byte headers, octal sizes, zero-block
+    terminator; media.encode_tar) wrapped in an RFC 1952 gzip member
+    at level doc_id % 10, decoded by gzip_members_decode (from-
+    scratch inflate + CRC-32) THEN tar_members_decode (header
+    checksum verified with the spaces-seeded sum, octal size parse,
+    block-padding walk).  Stats come from the extracted file
+    payloads, so a wrong byte anywhere in either layer surfaces.
+
+    Differential: the oracle regenerates every file's plaintext
+    closed-form from the byte generator; it never sees an archive.
+    Cross-implementation agreement with stdlib tarfile (both
+    directions) is pinned in tests/test_media_codecs.py.
+
+    Shape: map-only Arrow stage (codec posture); at 100 TB this is a
+    binaryFile scan of .tar.gz objects — archive bytes never cross
+    an exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import (
+        encode_gzip_member,
+        encode_tar,
+        gzip_members_decode,
+        tar_members_decode,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                entries = []
+                for j in range(_TAR_N):
+                    ln = 90 + (d + 23 * j) % 60
+                    i = np.arange(ln)
+                    p = (35 + ((d * 7 + j * 19 + 11 * i) % 85)).astype(
+                        np.uint8
+                    ).tobytes()
+                    entries.append((f"f{j}.dat", p))
+                tgz = encode_gzip_member(encode_tar(entries), d % 10)
+                back = tar_members_decode(gzip_members_decode(tgz)[0])
+                assert back == entries  # chain-exact roundtrip
+                arr = np.frombuffer(b"".join(p for _, p in back), np.uint8)
+                first = np.frombuffer(back[0][1], np.uint8)
+                out.append(
+                    (
+                        d,
+                        len(back),
+                        int(arr.size),
+                        int(arr.astype(np.int64).sum()),
+                        int(first.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_files",
+                    "total_bytes",
+                    "byte_sum",
+                    "first_file_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_files long, total_bytes long,"
+        " byte_sum long, first_file_sum long",
     )

@@ -1204,3 +1204,70 @@ def test_zip_malformed_containers_raise_value_error():
             zip_entries_decode(bad)
     with pytest.raises(ValueError):
         encode_zip([("f", b"x", 99)])
+
+
+# --- tar (ustar) ---------------------------------------------------------
+
+
+def test_tar_roundtrip_and_cross_reads():
+    """Our walker and stdlib tarfile read each other's archives,
+    including empty files and block-padding boundaries."""
+    import io
+    import tarfile
+
+    from downloader_spark.media import encode_tar, tar_members_decode
+
+    entries = [
+        ("a.txt", b"hello tar " * 30),
+        ("dir/b.bin", bytes(range(200))),
+        ("empty", b""),
+        ("block", b"x" * 512),  # exact block multiple: zero padding
+    ]
+    blob = encode_tar(entries)
+    assert tar_members_decode(blob) == entries
+    tf = tarfile.open(fileobj=io.BytesIO(blob))
+    assert [
+        (m.name, tf.extractfile(m).read()) for m in tf.getmembers()
+    ] == entries
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        for n, p in entries:
+            info = tarfile.TarInfo(n)
+            info.size = len(p)
+            t.addfile(info, io.BytesIO(p))
+    assert tar_members_decode(buf.getvalue()) == entries
+
+
+def test_tar_gz_chain():
+    """tar.gz = gzip_members_decode ∘ tar_members_decode, all
+    from-scratch decode layers."""
+    from downloader_spark.media import (
+        encode_gzip_member,
+        encode_tar,
+        gzip_members_decode,
+        tar_members_decode,
+    )
+
+    entries = [("f0", b"alpha" * 40), ("f1", b"beta" * 77)]
+    tgz = encode_gzip_member(encode_tar(entries), 9)
+    assert tar_members_decode(gzip_members_decode(tgz)[0]) == entries
+
+
+def test_tar_malformed_archives_raise_value_error():
+    import pytest
+
+    from downloader_spark.media import encode_tar, tar_members_decode
+
+    blob = encode_tar([("f", b"data" * 50)])
+    corrupt = bytearray(blob)
+    corrupt[10] ^= 0xFF  # name byte flips -> checksum mismatch
+    for bad in (
+        blob[:511],                 # not a block multiple
+        blob[: len(blob) - 1024],   # zero terminator removed
+        bytes(corrupt),
+        blob[:512],                 # header without payload/terminator
+    ):
+        with pytest.raises(ValueError):
+            tar_members_decode(bad)
+    with pytest.raises(ValueError):
+        encode_tar([("x" * 101, b"")])  # name too long

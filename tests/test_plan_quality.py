@@ -1822,6 +1822,7 @@ def test_gif_inflate_gzip_keys_are_map_only_arrow(spark):
         "multimodal_inflate_stats",
         "multimodal_gzip_members",
         "multimodal_zip_entries",
+        "multimodal_tar_members",
     ):
         plan = plan_of(spark, key)
         assert "MapInPandas" in plan, key
