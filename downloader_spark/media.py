@@ -2250,3 +2250,61 @@ def tar_members_decode(data: bytes) -> list[tuple[str, bytes]]:
             out.append((name, data[pos : pos + size]))
         pos += size + (-size % _TAR_BLOCK)
     raise ValueError("tar stream ended without a zero block")
+
+
+# --- WARC (ISO 28500): gzip-per-record web-archive parse ---------------
+#
+# The format crawl corpora actually arrive in: a .warc.gz is a
+# CONCATENATION of gzip members, one WARC record each (that framing
+# is what makes the archive seekable).  A record is a version line,
+# named header fields, a blank line, Content-Length payload bytes,
+# and a CRLF CRLF trailer.  The gzip layer is gzip_members_decode
+# (from-scratch inflate + CRC-32); this layer parses the records.
+
+_WARC_VERSION = b"WARC/1.0"
+
+
+def encode_warc_record(headers: dict[str, str], payload: bytes) -> bytes:
+    """Serialize one WARC record (Content-Length is derived)."""
+    lines = [_WARC_VERSION]
+    for k, v in headers.items():
+        if k.lower() == "content-length":
+            raise ValueError("Content-Length is derived, not passed")
+        lines.append(f"{k}: {v}".encode())
+    lines.append(f"Content-Length: {len(payload)}".encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def parse_warc_records(data: bytes) -> list[tuple[dict[str, str], bytes]]:
+    """Parse concatenated WARC records (one buffer, e.g. the joined
+    output of gzip_members_decode over a .warc.gz): returns
+    (headers, payload) per record, Content-Length-driven."""
+    out: list[tuple[dict[str, str], bytes]] = []
+    pos = 0
+    while pos < len(data):
+        end = data.find(b"\r\n\r\n", pos)
+        if end < 0:
+            raise ValueError("WARC header block not terminated")
+        block = data[pos:end].split(b"\r\n")
+        if block[0] != _WARC_VERSION:
+            raise ValueError(f"bad WARC version line {block[0]!r}")
+        headers: dict[str, str] = {}
+        for line in block[1:]:
+            k, sep, v = line.partition(b": ")
+            if not sep:
+                raise ValueError(f"malformed WARC header line {line!r}")
+            headers[k.decode()] = v.decode()
+        if "Content-Length" not in headers:
+            raise ValueError("WARC record missing Content-Length")
+        n = int(headers["Content-Length"])
+        body_start = end + 4
+        if body_start + n + 4 > len(data):
+            raise ValueError("truncated WARC payload")
+        payload = data[body_start : body_start + n]
+        if data[body_start + n : body_start + n + 4] != b"\r\n\r\n":
+            raise ValueError("WARC record trailer missing")
+        out.append((headers, payload))
+        pos = body_start + n + 4
+    if not out:
+        raise ValueError("empty WARC stream")
+    return out

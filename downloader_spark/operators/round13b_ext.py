@@ -1360,3 +1360,187 @@ def multimodal_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_files long, total_bytes long,"
         " byte_sum long, first_file_sum long",
     )
+
+
+# ------------------------------------------------------------------
+# multimodal_warc_records — .warc.gz web-archive ingest chain
+# ------------------------------------------------------------------
+
+# response payload of doc d: length 120 + d % 80, byte i =
+# 32 + ((d * 11 + 13 * i) % 90); preceded by a fixed-shape warcinfo
+# record whose payload is "crawler: spark-graft\r\n" (22 bytes).
+_WARC_L = "(120 + doc_id % 80)"
+_WARC_B = "(32 + ((doc_id * 11 + 13 * i) % 90))"
+
+
+@query(
+    "multimodal_warc_records",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id, i, {_WARC_B} AS b
+      FROM documents,
+           unnest(generate_series(0, 199)) AS u(i)
+      WHERE i < {_WARC_L}
+    )
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_records,
+           CAST(count(*) AS BIGINT) AS response_bytes,
+           CAST(sum(b) AS BIGINT) AS response_sum,
+           CAST(22 AS BIGINT) AS warcinfo_bytes
+    FROM bytes
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "warc", "gzip", "crawl", "mapInPandas"),
+)
+def multimodal_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC — the format crawl corpora actually arrive in — through
+    the full .warc.gz chain built from this repo's own layers: each
+    doc's archive is TWO records (warcinfo + response), each gzipped
+    as its OWN member (the per-record framing that makes real WARCs
+    seekable), decoded by gzip_members_decode (from-scratch inflate,
+    CRC-32 per member) and then parse_warc_records (version line,
+    named header fields, Content-Length-driven payload read, CRLF
+    CRLF trailer check).  Stats come from the parsed record payloads
+    and the record count — a wrong Content-Length, a missed trailer,
+    or a corrupt member all fail loudly before stats.
+
+    Differential: the oracle regenerates the response payload
+    closed-form from the byte generator; it never sees a record.
+
+    Shape: map-only Arrow stage (codec posture); this IS the 100 TB
+    CommonCrawl ingest path — a binaryFile scan of .warc.gz objects
+    whose record payloads never cross an exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import (
+        encode_gzip_member,
+        encode_warc_record,
+        gzip_members_decode,
+        parse_warc_records,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ln = 120 + d % 80
+                i = np.arange(ln)
+                payload = (32 + ((d * 11 + 13 * i) % 90)).astype(
+                    np.uint8
+                ).tobytes()
+                info = encode_warc_record(
+                    {"WARC-Type": "warcinfo",
+                     "WARC-Record-ID": f"<urn:uuid:{d}-0>"},
+                    b"crawler: spark-graft\r\n",
+                )
+                resp = encode_warc_record(
+                    {"WARC-Type": "response",
+                     "WARC-Record-ID": f"<urn:uuid:{d}-1>",
+                     "WARC-Target-URI": f"http://example.test/{d}"},
+                    payload,
+                )
+                wgz = encode_gzip_member(info, 6) + encode_gzip_member(
+                    resp, d % 10
+                )
+                records = parse_warc_records(
+                    b"".join(gzip_members_decode(wgz))
+                )
+                assert len(records) == 2
+                by_type = {h["WARC-Type"]: p for h, p in records}
+                rp = np.frombuffer(by_type["response"], np.uint8)
+                assert by_type["response"] == payload
+                out.append(
+                    (
+                        d,
+                        len(records),
+                        int(rp.size),
+                        int(rp.astype(np.int64).sum()),
+                        len(by_type["warcinfo"]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_records",
+                    "response_bytes",
+                    "response_sum",
+                    "warcinfo_bytes",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, n_records long, response_bytes long,"
+        " response_sum long, warcinfo_bytes long",
+    )
+
+
+# ------------------------------------------------------------------
+# text_html_strip — HTML -> text extraction (the crawl first step)
+# ------------------------------------------------------------------
+
+
+@query(
+    "text_html_strip",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS extracted_md5,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+    tags=("llm", "text", "html", "extraction", "codegen"),
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> TEXT extraction, the first transform of every crawl
+    pipeline, proven by INVERSION: each doc's text is wrapped into a
+    realistic page INSIDE the plan (head with a script block to be
+    dropped wholesale, words split into <p> elements separated by
+    &nbsp; entities), then a GENERIC extractor — (1) remove
+    script/style blocks with a dotall non-greedy regex, (2) unescape
+    entities, (3) strip all tags, (4) collapse whitespace and trim —
+    must recover the original text BYTE-EXACTLY, witnessed by md5.
+    The extractor never sees how the page was built; any laziness
+    (greedy script regex eating the body, tags replaced by spaces
+    without collapsing, entities left behind) flips the hash.
+
+    All five stages are JVM regexp_replace/md5 expressions inside one
+    whole-stage-codegen'd projection — zero exchanges, no Python.
+
+    Differential: the oracle hashes the ORIGINAL text straight off
+    the table; it never constructs or strips HTML."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        # page synthesis: script boilerplate + <p>-per-word body
+        "concat('<html><head><title></title>',"
+        " '<script type=\"text/javascript\">var x = \"<p>not text</p>\";',"
+        " '</script></head>', char(10),"
+        " '<body><p>', replace(text, ' ', '</p>&nbsp;<p>'),"
+        " '</p></body></html>') AS html",
+    ).selectExpr(
+        "doc_id",
+        # stage 1: drop script/style subtrees wholesale (dotall, lazy)
+        "regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</\\\\1>', '')"
+        " AS s1",
+    ).selectExpr(
+        "doc_id",
+        # stage 2: entities -> characters; stage 3: strip tags
+        "regexp_replace(regexp_replace(s1, '&nbsp;', ' '), '<[^>]+>', '')"
+        " AS s3",
+    ).selectExpr(
+        "doc_id",
+        # stage 4: collapse whitespace runs, trim the shell's leakage
+        "trim(regexp_replace(s3, '\\\\s+', ' ')) AS extracted",
+    ).selectExpr(
+        "doc_id",
+        "md5(extracted) AS extracted_md5",
+        "CAST(length(extracted) AS BIGINT) AS n_chars",
+        "CAST(size(split(extracted, ' ')) AS BIGINT) AS n_words",
+    )

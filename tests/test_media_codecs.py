@@ -1271,3 +1271,55 @@ def test_tar_malformed_archives_raise_value_error():
             tar_members_decode(bad)
     with pytest.raises(ValueError):
         encode_tar([("x" * 101, b"")])  # name too long
+
+
+# --- WARC (ISO 28500) ------------------------------------------------------
+
+
+def test_warc_roundtrip_through_gzip_framing():
+    """Per-record gzip members (the real .warc.gz framing) decode
+    through both from-scratch layers; headers and payloads survive."""
+    from downloader_spark.media import (
+        encode_gzip_member,
+        encode_warc_record,
+        gzip_members_decode,
+        parse_warc_records,
+    )
+
+    r1 = encode_warc_record(
+        {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:1>"},
+        b"software: test\r\n",
+    )
+    body = b"HTTP/1.1 200 OK\r\n\r\nhello body " * 5
+    r2 = encode_warc_record(
+        {"WARC-Type": "response", "WARC-Target-URI": "http://x/"}, body
+    )
+    wgz = encode_gzip_member(r1, 6) + encode_gzip_member(r2, 9)
+    records = parse_warc_records(b"".join(gzip_members_decode(wgz)))
+    assert [h["WARC-Type"] for h, _ in records] == ["warcinfo", "response"]
+    assert records[1][1] == body
+    # payloads containing CRLF CRLF must not confuse the walk:
+    # Content-Length drives the read, not delimiter scanning
+    tricky = b"a\r\n\r\nb\r\n\r\nc"
+    r3 = encode_warc_record({"WARC-Type": "resource"}, tricky)
+    assert parse_warc_records(r3)[0][1] == tricky
+
+
+def test_warc_malformed_records_raise_value_error():
+    import pytest
+
+    from downloader_spark.media import encode_warc_record, parse_warc_records
+
+    good = encode_warc_record({"WARC-Type": "resource"}, b"payload")
+    for bad in (
+        b"",
+        b"WARC/2.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n",  # wrong version
+        good[:-2],                        # trailer clipped
+        good[:20],                        # header block unterminated
+        good.replace(b"Content-Length: 7", b"Content-Hmm: 7"),
+        good.replace(b"\r\n\r\npayload", b"\r\n\r\npayloadXX", 1),
+    ):
+        with pytest.raises(ValueError):
+            parse_warc_records(bad)
+    with pytest.raises(ValueError):
+        encode_warc_record({"Content-Length": "5"}, b"x")

@@ -1823,6 +1823,7 @@ def test_gif_inflate_gzip_keys_are_map_only_arrow(spark):
         "multimodal_gzip_members",
         "multimodal_zip_entries",
         "multimodal_tar_members",
+        "multimodal_warc_records",
     ):
         plan = plan_of(spark, key)
         assert "MapInPandas" in plan, key
@@ -1881,3 +1882,9 @@ def test_theta_union_broadcast_merge(spark):
     # users-x-users pass anywhere
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_text_html_strip_zero_exchange_codegen(spark):
+    plan = plan_of(spark, "text_html_strip")
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
