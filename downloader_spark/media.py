@@ -2308,3 +2308,69 @@ def parse_warc_records(data: bytes) -> list[tuple[dict[str, str], bytes]]:
     if not out:
         raise ValueError("empty WARC stream")
     return out
+
+
+# --- HTTP/1.1 chunked transfer-encoding (RFC 9112 §7.1) -----------------
+#
+# The body framing inside archived HTTP responses: hex chunk sizes
+# (with optional ";ext" extensions), CRLF-framed chunk data, a zero
+# chunk, optional trailer fields, final CRLF.
+
+
+def encode_http_chunked(
+    payload: bytes, sizes: list[int], ext: bool = False
+) -> bytes:
+    """Frame ``payload`` as chunked transfer coding, cutting chunks
+    to ``sizes`` round-robin; optionally attach a chunk extension."""
+    out = bytearray()
+    pos = 0
+    i = 0
+    while pos < len(payload):
+        n = min(sizes[i % len(sizes)], len(payload) - pos)
+        i += 1
+        head = f"{n:x}"
+        if ext:
+            head += ";seq=" + str(i)
+        out += head.encode() + b"\r\n"
+        out += payload[pos : pos + n] + b"\r\n"
+        pos += n
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def decode_http_chunked(data: bytes) -> bytes:
+    """Decode chunked transfer coding: hex sizes (extensions after
+    ';' ignored per spec), CRLF framing verified, trailer section
+    after the zero chunk skipped."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunk-size line not terminated")
+        size_field = data[pos:eol].split(b";", 1)[0].strip()
+        try:
+            n = int(size_field, 16)
+        except ValueError as exc:
+            raise ValueError(f"bad chunk size {size_field!r}") from exc
+        pos = eol + 2
+        if n == 0:
+            break
+        if pos + n + 2 > len(data):
+            raise ValueError("truncated chunk data")
+        out += data[pos : pos + n]
+        if data[pos + n : pos + n + 2] != b"\r\n":
+            raise ValueError("chunk data not CRLF-terminated")
+        pos += n + 2
+    # trailer section: zero or more header lines, then a blank line
+    while True:
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("trailer section not terminated")
+        if eol == pos:  # blank line: end of message
+            pos += 2
+            break
+        pos = eol + 2
+    if pos != len(data):
+        raise ValueError("trailing bytes after chunked message")
+    return bytes(out)

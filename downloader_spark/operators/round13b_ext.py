@@ -1544,3 +1544,91 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(length(extracted) AS BIGINT) AS n_chars",
         "CAST(size(split(extracted, ' ')) AS BIGINT) AS n_words",
     )
+
+
+# ------------------------------------------------------------------
+# multimodal_http_chunked — RFC 9112 chunked transfer decode
+# ------------------------------------------------------------------
+
+# body of doc d: length 150 + d % 70, byte i = 33 + ((d * 13 + 7 * i)
+# % 88); chunk sizes rotate over a d-dependent triple, extensions on
+# for odd docs, a trailer field on docs % 3 == 0.
+_HC_L = "(150 + doc_id % 70)"
+_HC_B = "(33 + ((doc_id * 13 + 7 * i) % 88))"
+
+
+@query(
+    "multimodal_http_chunked",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id, i, {_HC_B} AS b
+      FROM documents,
+           unnest(generate_series(0, 219)) AS u(i)
+      WHERE i < {_HC_L}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(b) AS BIGINT) AS byte_sum,
+           CAST(max(CASE WHEN i = 0 THEN b END) AS BIGINT) AS first_byte
+    FROM bytes
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "http", "chunked", "crawl", "mapInPandas"),
+)
+def multimodal_http_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP/1.1 CHUNKED transfer decoding (RFC 9112 §7.1) — the body
+    framing inside archived crawl responses, decoded from scratch:
+    hex chunk-size lines (";ext" extensions ignored per spec, planted
+    on odd docs), CRLF framing verified per chunk, zero chunk, and a
+    trailer section (planted on every third doc) skipped correctly.
+    Chunk sizes rotate over a doc-dependent triple so chunk
+    boundaries land everywhere in the byte stream; stats come from
+    the DEFRAMED body.
+
+    Differential: the oracle regenerates the body closed-form from
+    the byte generator; it never sees a framed message.
+
+    Shape: map-only Arrow stage (codec posture); at 100 TB this runs
+    downstream of the WARC record walk on the same binaryFile scan —
+    body bytes never cross an exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from downloader_spark.media import decode_http_chunked, encode_http_chunked
+
+    n = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(n)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ln = 150 + d % 70
+                i = np.arange(ln)
+                body = (33 + ((d * 13 + 7 * i) % 88)).astype(
+                    np.uint8
+                ).tobytes()
+                sizes = [7 + d % 5, 19, 33 + d % 11]
+                msg = encode_http_chunked(body, sizes, ext=bool(d % 2))
+                if d % 3 == 0:  # trailer fields after the zero chunk
+                    msg = msg[:-2] + f"X-Len: {ln}\r\n\r\n".encode()
+                back = decode_http_chunked(msg)
+                assert back == body  # frame-exact roundtrip
+                arr = np.frombuffer(back, np.uint8)
+                out.append(
+                    (
+                        d,
+                        int(arr.size),
+                        int(arr.astype(np.int64).sum()),
+                        int(arr[0]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_bytes", "byte_sum", "first_byte"],
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, n_bytes long, byte_sum long, first_byte long"
+    )

@@ -1323,3 +1323,35 @@ def test_warc_malformed_records_raise_value_error():
             parse_warc_records(bad)
     with pytest.raises(ValueError):
         encode_warc_record({"Content-Length": "5"}, b"x")
+
+
+# --- HTTP chunked transfer coding ------------------------------------------
+
+
+def test_http_chunked_roundtrip_variants():
+    from downloader_spark.media import decode_http_chunked, encode_http_chunked
+
+    p = bytes(range(256)) * 3
+    for sizes, ext in ([[7, 19, 33], False], [[1], True], [[1000], False]):
+        assert decode_http_chunked(encode_http_chunked(p, sizes, ext)) == p
+    assert decode_http_chunked(encode_http_chunked(b"", [5])) == b""
+    # trailer fields after the zero chunk are skipped per spec
+    blob = encode_http_chunked(b"abc", [2])[:-2] + b"X-Check: 1\r\n\r\n"
+    assert decode_http_chunked(blob) == b"abc"
+
+
+def test_http_chunked_malformed_raise_value_error():
+    import pytest
+
+    from downloader_spark.media import decode_http_chunked
+
+    for bad in (
+        b"",
+        b"zz\r\nab\r\n0\r\n\r\n",       # non-hex size
+        b"3\r\nab\r\n0\r\n\r\n",        # chunk shorter than size
+        b"3\r\nabc\r\n0\r\n",           # trailer section unterminated
+        b"3\r\nabcXX0\r\n\r\n",         # chunk not CRLF-terminated
+        b"3\r\nabc\r\n0\r\n\r\nextra",  # bytes after the message
+    ):
+        with pytest.raises(ValueError):
+            decode_http_chunked(bad)

@@ -1824,6 +1824,7 @@ def test_gif_inflate_gzip_keys_are_map_only_arrow(spark):
         "multimodal_zip_entries",
         "multimodal_tar_members",
         "multimodal_warc_records",
+        "multimodal_http_chunked",
     ):
         plan = plan_of(spark, key)
         assert "MapInPandas" in plan, key
