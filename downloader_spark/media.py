@@ -2374,3 +2374,172 @@ def decode_http_chunked(data: bytes) -> bytes:
     if pos != len(data):
         raise ValueError("trailing bytes after chunked message")
     return bytes(out)
+
+
+# --- Parquet footer (Thrift compact protocol), from scratch ------------
+#
+# The lake's own format: a parquet file ends [FileMetaData thrift]
+# [u32 LE length]["PAR1"].  FileMetaData is Thrift COMPACT protocol
+# (public spec): varint/zigzag ints, nibble-packed field headers with
+# delta field ids, size-prefixed binaries, nested structs/lists.
+# This reader implements enough of the protocol generically (typed
+# skip for every kind) to pull num_rows, the schema element list and
+# the row-group count out of REAL files written by arbitrary writers
+# — the differential partner is SELECT count(*) over the same file.
+
+_TC_STOP = 0
+_TC_TRUE = 1
+_TC_FALSE = 2
+_TC_BYTE = 3
+_TC_I16 = 4
+_TC_I32 = 5
+_TC_I64 = 6
+_TC_DOUBLE = 7
+_TC_BINARY = 8
+_TC_LIST = 9
+_TC_SET = 10
+_TC_MAP = 11
+_TC_STRUCT = 12
+
+
+class _ThriftCompact:
+    """Minimal generic Thrift compact-protocol reader."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def byte(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated thrift stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def varint(self) -> int:
+        out = 0
+        shift = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+            if shift > 70:
+                raise ValueError("varint too long")
+
+    def zigzag(self) -> int:
+        v = self.varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def binary(self) -> bytes:
+        n = self.varint()
+        if self.pos + n > len(self.data):
+            raise ValueError("truncated thrift binary")
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def skip(self, ftype: int) -> None:
+        if ftype in (_TC_TRUE, _TC_FALSE):
+            return
+        if ftype == _TC_BYTE:
+            self.byte()
+        elif ftype in (_TC_I16, _TC_I32, _TC_I64):
+            self.zigzag()
+        elif ftype == _TC_DOUBLE:
+            self.pos += 8
+        elif ftype == _TC_BINARY:
+            self.binary()
+        elif ftype in (_TC_LIST, _TC_SET):
+            size, etype = self.list_header()
+            for _ in range(size):
+                self.skip(etype)
+        elif ftype == _TC_MAP:
+            size = self.varint()
+            if size:
+                kv = self.byte()
+                for _ in range(size):
+                    self.skip(kv >> 4)
+                    self.skip(kv & 0x0F)
+        elif ftype == _TC_STRUCT:
+            for _fid, ft in self.fields():
+                self.skip(ft)
+        else:
+            raise ValueError(f"unknown thrift compact type {ftype}")
+
+    def list_header(self) -> tuple[int, int]:
+        b = self.byte()
+        size = b >> 4
+        if size == 15:
+            size = self.varint()
+        return size, b & 0x0F
+
+    def fields(self):
+        """Iterate (field_id, type) of one struct until STOP; the
+        caller must consume or skip each field's value."""
+        fid = 0
+        while True:
+            b = self.byte()
+            if b == _TC_STOP:
+                return
+            delta = b >> 4
+            ftype = b & 0x0F
+            if delta:
+                fid += delta
+            else:
+                fid = self.zigzag()
+            yield fid, ftype
+
+
+def parse_parquet_footer(data: bytes) -> dict:
+    """Parse a parquet file's FileMetaData with the from-scratch
+    Thrift compact reader: returns num_rows, n_schema_elements (the
+    root counts as one), n_leaf_columns, n_row_groups, created_by."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (PAR1 magic missing)")
+    meta_len = struct.unpack_from("<I", data, len(data) - 8)[0]
+    start = len(data) - 8 - meta_len
+    if start < 4:
+        raise ValueError("parquet footer length out of range")
+    tc = _ThriftCompact(data, start)
+    num_rows = None
+    n_schema = 0
+    n_leaves = 0
+    n_row_groups = 0
+    created_by = None
+    for fid, ftype in tc.fields():
+        if fid == 2 and ftype == _TC_LIST:  # schema: list<SchemaElement>
+            size, etype = tc.list_header()
+            n_schema = size
+            for _ in range(size):
+                # SchemaElement: field 5 = num_children (i32); leaves
+                # have none
+                has_children = False
+                for sfid, sftype in tc.fields():
+                    if sfid == 5 and sftype in (_TC_I16, _TC_I32, _TC_I64):
+                        has_children = tc.zigzag() > 0
+                    else:
+                        tc.skip(sftype)
+                if not has_children:
+                    n_leaves += 1
+        elif fid == 3 and ftype == _TC_I64:
+            num_rows = tc.zigzag()
+        elif fid == 4 and ftype == _TC_LIST:  # row_groups
+            size, etype = tc.list_header()
+            n_row_groups = size
+            for _ in range(size):
+                tc.skip(etype)
+        elif fid == 6 and ftype == _TC_BINARY:
+            created_by = tc.binary().decode("utf-8", "replace")
+        else:
+            tc.skip(ftype)
+    if num_rows is None:
+        raise ValueError("FileMetaData.num_rows missing")
+    return {
+        "num_rows": num_rows,
+        "n_schema_elements": n_schema,
+        "n_leaf_columns": n_leaves,
+        "n_row_groups": n_row_groups,
+        "created_by": created_by,
+    }

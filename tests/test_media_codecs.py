@@ -1355,3 +1355,67 @@ def test_http_chunked_malformed_raise_value_error():
     ):
         with pytest.raises(ValueError):
             decode_http_chunked(bad)
+
+
+# --- parquet footer (thrift compact) ----------------------------------------
+
+
+def test_parquet_footer_matches_pyarrow_on_fixtures():
+    import pyarrow.parquet as pq
+
+    from downloader_spark.media import parse_parquet_footer
+
+    for t in ("region", "documents", "events", "lineitem"):
+        path = f"/root/testdata/sf0.001/{t}.parquet"
+        meta = parse_parquet_footer(open(path, "rb").read())
+        ref = pq.ParquetFile(path).metadata
+        assert meta["num_rows"] == ref.num_rows, t
+        assert meta["n_leaf_columns"] == ref.num_columns, t
+        assert meta["n_row_groups"] == ref.num_row_groups, t
+        assert meta["created_by"] == ref.created_by, t
+
+
+def test_parquet_footer_nested_schema_and_multi_row_group():
+    """Leaf counting must descend nested groups (struct columns) and
+    the row-group list walk must skip every RowGroup struct fully."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from downloader_spark.media import parse_parquet_footer
+
+    tbl = pa.table(
+        {
+            "a": list(range(10000)),
+            "s": [{"x": i, "y": str(i)} for i in range(10000)],
+        }
+    )
+    with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as f:
+        pq.write_table(tbl, f.name, row_group_size=1000, compression="snappy")
+    try:
+        meta = parse_parquet_footer(open(f.name, "rb").read())
+        ref = pq.ParquetFile(f.name).metadata
+        assert meta["num_rows"] == 10000
+        assert meta["n_row_groups"] == ref.num_row_groups == 10
+        assert meta["n_leaf_columns"] == ref.num_columns == 3  # a, s.x, s.y
+    finally:
+        os.unlink(f.name)
+
+
+def test_parquet_footer_malformed_raise_value_error():
+    import pytest
+
+    from downloader_spark.media import parse_parquet_footer
+
+    good = open("/root/testdata/sf0.001/region.parquet", "rb").read()
+    for bad in (
+        b"",
+        b"PAR1\x00\x00PAR1",                  # shorter than a footer
+        b"PAR1" + b"\x00" * 20,               # no trailing magic
+        good[:-8] + b"\xff\xff\xff\x7f" + b"PAR1",  # absurd footer len
+        good[:-8] + b"\x00\x00\x00\x00" + b"PAR1",  # zero-length footer
+    ):
+        with pytest.raises(ValueError):
+            parse_parquet_footer(bad)

@@ -1889,3 +1889,11 @@ def test_text_html_strip_zero_exchange_codegen(spark):
     plan = plan_of(spark, "text_html_strip")
     assert "Exchange" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+
+def test_parquet_footer_binaryfile_map_only(spark):
+    plan = plan_of(spark, "multimodal_parquet_footer")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert plan.count("Exchange") == 1  # the explicit repartition only
