@@ -45,6 +45,11 @@ DOC_KEYS = (
     "multimodal_gif_stats",
     "multimodal_inflate_stats",
     "multimodal_gzip_members",
+    "multimodal_zip_entries",
+    "multimodal_tar_members",
+    "multimodal_warc_records",
+    "multimodal_http_chunked",
+    "text_html_strip",
     "scalar_varint",
     "graph_scc",
 )
