@@ -33,7 +33,15 @@ def force(df) -> int:
 # wall time.  Exemptions (none today) would be listed here with a
 # reason; an exemption without a PERF.md entry is a bug.
 OUTLIER_FACTOR = 10.0
-OUTLIER_EXEMPT: frozenset[str] = frozenset()
+# Keys whose wall time is ITERATION-bound, not volume-bound, on
+# local mode: the factor-of-median rule mismeasures them because
+# their cost is distributed-job scheduling latency x a data-INdependent
+# iteration count.  graph_scc runs ~9 convergence-checked joins; its
+# wall is ~equal at sf0.001, sf0.1 and a 10x clone (PERF.md round-13b
+# stress table: ratio 1.2), which is the scaling evidence — on a real
+# cluster the same iteration count amortizes over arbitrarily large
+# edge sets.
+OUTLIER_EXEMPT: frozenset[str] = frozenset({"graph_scc"})
 
 
 def find_outliers(timings: dict[str, float]) -> dict[str, float]:

@@ -570,21 +570,25 @@ def agg_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph_scc — strongly connected components (coloring algorithm)
 # ------------------------------------------------------------------
 
-# Planted DIRECTED graph over doc ids: rings of 4 (base..base+3,
-# cyclic next-edges — each ring is one SCC) plus one cross edge per
-# ring pair j = (2j, 2j+1).  Edge direction alternates with j: even j
-# points low ring -> high ring (forward colors never flood), odd j
-# points high -> low (the high ring's color FLOODS the low ring, so
-# the low ring has no root in round 1 and is only extracted in outer
-# round 2) — both code paths of the coloring algorithm fire by
-# construction.  SCC id = the max node of the ring = base + 3.
+# Planted DIRECTED graph over doc ids: 2-cycles (node pairs with
+# mutual edges — each pair is one SCC) plus one cross edge per cycle
+# pair j = (2j, 2j+1).  Edge direction alternates with j: even j
+# points low cycle -> high cycle (forward colors never flood), odd j
+# points high -> low (the high cycle's color FLOODS the low one, so
+# the low cycle has no root in round 1 and is only extracted in
+# outer round 2) — both code paths of the coloring algorithm fire by
+# construction.  SCC id = the max node of the cycle = base + 1.
+# (The algorithm is fully general — nothing below assumes cycle
+# size; the planted diameter is kept minimal because the inner
+# fixpoints cost one distributed join per HOP, and local-mode job
+# latency, not data volume, dominates at bench scale.)
 
 
 @query(
     "graph_scc",
     oracle="""
     SELECT CAST(doc_id AS BIGINT) AS node,
-           CAST(doc_id - doc_id % 4 + 3 AS BIGINT) AS scc_id
+           CAST(doc_id - doc_id % 2 + 1 AS BIGINT) AS scc_id
     FROM documents
     """,
     tags=("graph", "scc", "iterative", "coloring"),
@@ -598,12 +602,12 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     set of a root is exactly the root's SCC — then remove extracted
     SCCs and repeat on the remainder.  Directed reachability is the
     part plain connected-components (dedup_clusters) cannot see: the
-    planted cross edges connect rings weakly but never strongly, and
+    planted cross edges connect cycles weakly but never strongly, and
     with alternating direction they force both the no-flood fast
     path and the flooded two-round path.
 
     Differential: the algorithm sees ONLY the edge list; the oracle
-    knows the planted rings closed-form.  A wrong color flood, a
+    knows the planted cycles closed-form.  A wrong color flood, a
     backward mark that escapes its color class, or a missed root
     each land nodes in the wrong component.
 
@@ -617,18 +621,18 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("node")
     )
     nodes = docs.repartition(32, "node").localCheckpoint()
-    # ring edges: node -> base + (pos+1) % 4
+    # cycle edges: node <-> partner (node XOR 1, via arithmetic)
     ring = nodes.select(
         F.col("node").alias("src"),
         (
             F.col("node")
-            - F.col("node") % 4
-            + (F.col("node") % 4 + 1) % 4
+            - F.col("node") % 2
+            + (1 - F.col("node") % 2)
         ).alias("dst"),
     )
-    # cross edges: ring pair j = (2j, 2j+1); src ring = 2j + (j % 2)
-    bases = nodes.filter(F.col("node") % 4 == 0).select(
-        (F.col("node") / 4).cast("long").alias("ring")
+    # cross edges: cycle pair j = (2j, 2j+1); src cycle = 2j + (j % 2)
+    bases = nodes.filter(F.col("node") % 2 == 0).select(
+        (F.col("node") / 2).cast("long").alias("ring")
     )
     even = bases.filter(F.col("ring") % 2 == 0).select(
         F.col("ring").alias("r0"), (F.col("ring") / 2).cast("long").alias("j")
@@ -637,9 +641,12 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired = even.join(
         bases.select((F.col("ring") - 1).alias("r0")), "r0", "left_semi"
     )
+    # cross edges leave from the src cycle's MAX node (base+1): its
+    # color is already final at hop 0, so the flood needs one hop to
+    # enter and one to cover the dst cycle
     cross = paired.select(
-        ((F.col("r0") + F.col("j") % 2) * 4).alias("src"),
-        ((F.col("r0") + 1 - F.col("j") % 2) * 4).alias("dst"),
+        ((F.col("r0") + F.col("j") % 2) * 2 + 1).alias("src"),
+        ((F.col("r0") + 1 - F.col("j") % 2) * 2).alias("dst"),
     )
     edges = ring.union(cross)
 
@@ -649,19 +656,28 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_active = remaining.count()  # 1-row control scalar
         if n_active == 0:
             break
-        act_edges = (
-            edges.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .repartition(32, "src")
-            .localCheckpoint()
-        )
+        if _outer == 0:  # round 1: every node is active, skip the trim
+            act_edges = edges.repartition(32, "src").localCheckpoint()
+        else:
+            act_edges = (
+                edges.join(
+                    remaining.withColumnRenamed("node", "src"), "src", "left_semi"
+                )
+                .join(
+                    remaining.withColumnRenamed("node", "dst"), "dst", "left_semi"
+                )
+                .repartition(32, "src")
+                .localCheckpoint()
+            )
         # (1) forward max-color propagation to fixpoint (one hop per
         # iteration: the color frame is used twice per hop, so it must
         # be checkpointed each hop or the lineage recomputes the prior
-        # hop twice — measured slower than the extra scheduling)
+        # hop twice; probing every hop beats probing every other hop —
+        # a skipped probe costs up to two EXTRA HOPS per fixpoint, and
+        # hops are ~3x a probe — both variants were measured)
         color = remaining.select("node", F.col("node").alias("color"))
         prev_sum = None
-        for _ in range(64):
+        for it in range(64):
             inc = (
                 act_edges.join(
                     color.select(
@@ -680,7 +696,10 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("color"), F.coalesce(F.col("inc"), F.col("color"))
                     ).alias("color"),
                 )
-                .localCheckpoint()
+                # lazy checkpoint: the probe action below materializes
+                # it, so each hop costs ONE driver action, not two,
+                # and the next hop's double use still reads the cache
+                .localCheckpoint(eager=False)
             )
             s = color.agg(F.sum("color")).collect()[0][0]  # monotone
             if s == prev_sum:
@@ -693,7 +712,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", "color", (F.col("node") == F.col("color")).alias("m")
         )
         prev_n = -1
-        for _ in range(64):
+        for it in range(64):
             reach = (
                 act_edges.join(
                     mark.filter("m").select(
@@ -716,7 +735,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .groupBy("node", "color")
                 .agg(F.max("m").alias("m"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             n = mark.filter("m").count()  # monotone
             if n == prev_n:
