@@ -4,10 +4,11 @@ direction:
 
 - documents/codec keys (gif, inflate, gzip members, varint) and
   graph_scc: clone documents 10x by doc_id shift.  The shift is
-  divisible by 4, so the SCC key's planted rings stay disjoint and
-  well-formed (ring ids shift by KEY_SHIFT/4, which is even, so the
-  ring-pair parity is preserved too) — 10x rings, same diameter, so
-  the iteration count must stay FLAT while volume grows.
+  divisible by 4, so the SCC key's planted 2-cycles stay disjoint
+  and well-formed (cycle ids shift by KEY_SHIFT/2, which is even, so
+  the cycle-pair parity is preserved too) — 10x components, same
+  diameter, so the iteration count must stay FLAT while volume
+  grows.
 - events keys (theta intersect/union, exp histogram, skew profile):
   clone events 10x by event_id shift with user_id/value unchanged —
   per-key row counts grow 10x while the distinct-user sketches stay

@@ -84,3 +84,81 @@ def test_theta_intersect_estimator_branch_fires_at_sf001(spark):
             saw_estimator = True
         assert 0 <= r["theta_estimate"] <= 4 * r["n_exact_both"] + 64
     assert saw_estimator
+
+
+def test_graph_scc_matches_tarjan_model(spark):
+    """Third construction for graph_scc: rebuild the planted edge
+    list in pure Python, run TARJAN's algorithm (a completely
+    different SCC method — one-pass DFS with a lowlink stack), and
+    the distributed coloring result must induce the identical
+    partition with the same max-node component ids."""
+    import pandas as pd
+
+    from downloader_spark.plans.registry import registry
+
+    n = len(pd.read_parquet(f"{SF}/documents.parquet"))
+    # planted edges: 2-cycles + alternating cross edges (mirror of
+    # the key's own construction — the MODEL below is what differs)
+    edges = {}
+    for v in range(n):
+        edges.setdefault(v, []).append(v - v % 2 + (1 - v % 2))
+    n_cycles = n // 2
+    for r0 in range(0, n_cycles - 1, 2):
+        j = r0 // 2
+        src_c, dst_c = (r0 + 1, r0) if j % 2 else (r0, r0 + 1)
+        edges.setdefault(src_c * 2 + 1, []).append(dst_c * 2)
+
+    # iterative Tarjan (no recursion limit issues)
+    index = {}
+    low = {}
+    onstack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            advanced = False
+            for i in range(pi, len(edges.get(v, []))):
+                w = edges[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                cid = max(members)
+                for w in members:
+                    comp[w] = cid
+
+    for v in range(n):
+        if v not in index:
+            strongconnect(v)
+
+    got = {
+        r["node"]: r["scc_id"]
+        for r in registry()["graph_scc"].fn(spark, SF).collect()
+    }
+    assert got == comp
