@@ -1419,3 +1419,90 @@ def test_parquet_footer_malformed_raise_value_error():
     ):
         with pytest.raises(ValueError):
             parse_parquet_footer(bad)
+
+
+def test_gif_lzw_decoder_handles_midstream_clear_codes():
+    """Our encoder never emits a mid-stream CLEAR, but real GIF
+    writers do — hand-pack a stream that codes 'abab', CLEARs, then
+    codes 'ab' again, and the decoder must reset its table/width."""
+    from downloader_spark.media import _lzw_decode_gif
+
+    acc = 0
+    nacc = 0
+    out = bytearray()
+
+    def emit(code, width):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    clear, eoi = 256, 257
+    emit(clear, 9)
+    emit(97, 9)   # a            (defines nothing yet)
+    emit(98, 9)   # b            (table[258] = 'ab')
+    emit(258, 9)  # 'ab'         (table[259] = 'ba')
+    emit(clear, 9)  # mid-stream reset
+    emit(97, 9)
+    emit(98, 9)
+    emit(eoi, 9)
+    if nacc:
+        out.append(acc & 0xFF)
+    assert _lzw_decode_gif(bytes(out), 8, 6) == b"ababab"
+
+
+def test_inflate_roundtrip_property():
+    """Hypothesis sweep: arbitrary byte payloads through every zlib
+    strategy-relevant level decode byte-exactly."""
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from downloader_spark.media import zlib_decode
+
+    @given(st.binary(max_size=4096), st.sampled_from([0, 1, 6, 9]))
+    @settings(max_examples=60, deadline=None)
+    def check(payload, level):
+        assert zlib_decode(zlib.compress(payload, level)) == payload
+
+    check()
+
+
+def test_gif_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from downloader_spark.media import decode_gif_gray, encode_gif_gray
+
+    @given(
+        st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1)
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(h, w, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(decode_gif_gray(encode_gif_gray(px)), px)
+
+    check()
+
+
+def test_crc32_property_against_stdlib():
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from downloader_spark.media import _adler32, crc32
+
+    @given(st.binary(max_size=20000))
+    @settings(max_examples=50, deadline=None)
+    def check(buf):
+        assert crc32(buf) == zlib.crc32(buf)
+        assert _adler32(buf) == zlib.adler32(buf)
+
+    check()
