@@ -1717,15 +1717,14 @@ def multimodal_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("path", "content")
         .repartition(len(paths))
     )
-    by_path = {p: t for t, p in paths}
 
     def run(batches):
         for pdf in batches:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                name = by_path.get(
-                    path.removeprefix("file:"), path.rsplit("/", 1)[-1]
-                )
+                # map by basename: robust to the URI shape binaryFile
+                # reports (file:/..., file:///..., hdfs://...)
+                name = path.rsplit("/", 1)[-1].removesuffix(".parquet")
                 meta = parse_parquet_footer(bytes(content))
                 out.append(
                     (name, meta["num_rows"], meta["n_leaf_columns"])
