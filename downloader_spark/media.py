@@ -2440,8 +2440,13 @@ class _ThriftCompact:
         self.pos += n
         return out
 
-    def skip(self, ftype: int) -> None:
+    def skip(self, ftype: int, in_collection: bool = False) -> None:
         if ftype in (_TC_TRUE, _TC_FALSE):
+            # as a STRUCT FIELD the bool value lives in the type
+            # nibble (zero-width); as a list/set/map ELEMENT the
+            # compact protocol writes one byte per bool
+            if in_collection:
+                self.byte()
             return
         if ftype == _TC_BYTE:
             self.byte()
@@ -2454,14 +2459,14 @@ class _ThriftCompact:
         elif ftype in (_TC_LIST, _TC_SET):
             size, etype = self.list_header()
             for _ in range(size):
-                self.skip(etype)
+                self.skip(etype, in_collection=True)
         elif ftype == _TC_MAP:
             size = self.varint()
             if size:
                 kv = self.byte()
                 for _ in range(size):
-                    self.skip(kv >> 4)
-                    self.skip(kv & 0x0F)
+                    self.skip(kv >> 4, in_collection=True)
+                    self.skip(kv & 0x0F, in_collection=True)
         elif ftype == _TC_STRUCT:
             for _fid, ft in self.fields():
                 self.skip(ft)

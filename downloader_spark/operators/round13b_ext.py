@@ -587,9 +587,13 @@ def agg_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_scc",
     oracle="""
-    SELECT CAST(doc_id AS BIGINT) AS node,
-           CAST(doc_id - doc_id % 2 + 1 AS BIGINT) AS scc_id
-    FROM documents
+    SELECT CAST(d.doc_id AS BIGINT) AS node,
+           CAST(CASE WHEN p.doc_id IS NULL THEN d.doc_id
+                     ELSE d.doc_id - d.doc_id % 2 + 1 END AS BIGINT)
+             AS scc_id
+    FROM documents d
+    LEFT JOIN documents p
+      ON p.doc_id = d.doc_id - d.doc_id % 2 + (1 - d.doc_id % 2)
     """,
     tags=("graph", "scc", "iterative", "coloring"),
 )
@@ -621,7 +625,10 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("node")
     )
     nodes = docs.repartition(32, "node").localCheckpoint()
-    # cycle edges: node <-> partner (node XOR 1, via arithmetic)
+    # cycle edges: node <-> partner (node XOR 1, via arithmetic);
+    # left_semi drops edges whose partner is absent (odd doc count /
+    # non-contiguous ids), leaving those nodes singleton SCCs — the
+    # oracle's LEFT JOIN expresses exactly that case
     ring = nodes.select(
         F.col("node").alias("src"),
         (
@@ -629,7 +636,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("node") % 2
             + (1 - F.col("node") % 2)
         ).alias("dst"),
-    )
+    ).join(nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
     # cross edges: cycle pair j = (2j, 2j+1); src cycle = 2j + (j % 2)
     bases = nodes.filter(F.col("node") % 2 == 0).select(
         (F.col("node") / 2).cast("long").alias("ring")
@@ -647,7 +654,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross = paired.select(
         ((F.col("r0") + F.col("j") % 2) * 2 + 1).alias("src"),
         ((F.col("r0") + 1 - F.col("j") % 2) * 2).alias("dst"),
-    )
+    ).join(nodes.withColumnRenamed("node", "src"), "src", "left_semi")
     edges = ring.union(cross)
 
     remaining = nodes
@@ -1527,9 +1534,21 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     must recover the original text BYTE-EXACTLY, witnessed by md5.
     The extractor never sees how the page was built; any laziness
     (greedy script regex eating the body, tags replaced by spaces
-    without collapsing, entities left behind) flips the hash.
+    without collapsing, entities left behind or unescaped in the
+    wrong order) flips the hash.
 
-    All five stages are JVM regexp_replace/md5 expressions inside one
+    The synthesis HTML-ESCAPES the text (& -> &amp; first, then
+    < -> &lt;, > -> &gt;) exactly as a real page must, so documents
+    containing markup metacharacters stay byte-exact; the extractor
+    therefore strips tags BEFORE unescaping entities (the only
+    correct generic order — unescape-first would turn a document's
+    literal &lt;p&gt; into a tag and delete it) and unescapes &amp;
+    LAST.  Remaining fixture precondition: intra-document whitespace
+    is single spaces (the \\s+ collapse normalizes runs/newlines, so
+    a doc containing a tab would hash differently — true of any
+    whitespace-normalizing extractor).
+
+    All stages are JVM regexp_replace/md5 expressions inside one
     whole-stage-codegen'd projection — zero exchanges, no Python.
 
     Differential: the oracle hashes the ORIGINAL text straight off
@@ -1537,11 +1556,16 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.selectExpr(
         "doc_id",
+        # HTML-escape the payload: & first (else it double-escapes)
+        "replace(replace(replace(text, '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;') AS esc",
+    ).selectExpr(
+        "doc_id",
         # page synthesis: script boilerplate + <p>-per-word body
         "concat('<html><head><title></title>',"
         " '<script type=\"text/javascript\">var x = \"<p>not text</p>\";',"
         " '</script></head>', char(10),"
-        " '<body><p>', replace(text, ' ', '</p>&nbsp;<p>'),"
+        " '<body><p>', replace(esc, ' ', '</p>&nbsp;<p>'),"
         " '</p></body></html>') AS html",
     ).selectExpr(
         "doc_id",
@@ -1550,9 +1574,14 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS s1",
     ).selectExpr(
         "doc_id",
-        # stage 2: entities -> characters; stage 3: strip tags
-        "regexp_replace(regexp_replace(s1, '&nbsp;', ' '), '<[^>]+>', '')"
-        " AS s3",
+        # stage 2: strip tags FIRST (before entities, so a document's
+        # escaped markup never becomes a tag)
+        "regexp_replace(s1, '<[^>]+>', '') AS s2",
+    ).selectExpr(
+        "doc_id",
+        # stage 3: entities -> characters, &amp; strictly last
+        "replace(replace(replace(replace(s2, '&nbsp;', ' '),"
+        " '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS s3",
     ).selectExpr(
         "doc_id",
         # stage 4: collapse whitespace runs, trim the shell's leakage

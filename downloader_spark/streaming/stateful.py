@@ -437,9 +437,13 @@ def _exph_update(
         for v in pdf["value"]:
             b = _exph_bucket(float(v))
             hist[b] = hist.get(b, 0) + 1
+    total = sum(hist.values())
+    if total == 0:
+        # zero rows and no prior state: nothing to emit, and writing
+        # empty arrays would clobber the (absent) state for no reason
+        return
     items = sorted(hist.items())
     state.update(([b for b, _ in items], [c for _, c in items]))
-    total = sum(hist.values())
     out = {"event_type": [key[0]], "n_events": [total], "n_buckets": [len(items)]}
     cum = 0
     targets = {p: (total * p + 99) // 100 for p in (50, 90, 99)}

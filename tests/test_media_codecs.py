@@ -1421,6 +1421,41 @@ def test_parquet_footer_malformed_raise_value_error():
             parse_parquet_footer(bad)
 
 
+def test_thrift_skip_consumes_bool_list_elements():
+    """Compact-protocol bool STRUCT FIELDS are zero-width (value in
+    the type nibble) but bool LIST ELEMENTS are one byte each; a
+    skip that treats them as zero-width desynchronizes everything
+    after the list."""
+    from downloader_spark.media import _ThriftCompact
+
+    # struct { 1: list<bool> [true,false,true]; 2: i32 42; }
+    data = bytes(
+        [0x19, 0x31, 0x01, 0x02, 0x01, 0x15, 0x54, 0x00]
+    )
+    tc = _ThriftCompact(data)
+    seen = {}
+    for fid, ftype in tc.fields():
+        if fid == 2:
+            seen[fid] = tc.zigzag()
+        else:
+            tc.skip(ftype)
+    assert seen == {2: 42}
+    assert tc.pos == len(data)
+
+    # same stream nested one struct deeper: the generic struct skip
+    # must also stay in sync across the bool list
+    nested = bytes([0x1C]) + data + bytes([0x15, 0x54, 0x00])
+    tc = _ThriftCompact(nested)
+    seen = {}
+    for fid, ftype in tc.fields():
+        if fid == 2:
+            seen[fid] = tc.zigzag()
+        else:
+            tc.skip(ftype)
+    assert seen == {2: 42}
+    assert tc.pos == len(nested)
+
+
 def test_gif_lzw_decoder_handles_midstream_clear_codes():
     """Our encoder never emits a mid-stream CLEAR, but real GIF
     writers do — hand-pack a stream that codes 'abab', CLEARs, then

@@ -1,9 +1,10 @@
 """Tests for the multimodal binary pipeline and the partitioned sink.
 
 Covers: binaryFile scan schema, JVM-side metadata projection, the
-stubbed Arrow-batched decode (determinism + batch plumbing), the
-frame-sampling expansion, the date-partitioned Parquet round-trip,
-and partition pruning on the written layout.
+REAL magic-byte-dispatched Arrow decode (per-format features checked
+against test-side numpy over the original pixels), the frame-sampling
+expansion, the date-partitioned Parquet round-trip, and partition
+pruning on the written layout.
 """
 
 from __future__ import annotations
@@ -13,7 +14,7 @@ from pyspark.sql import functions as F
 
 from downloader_spark.io import load_table
 from downloader_spark.multimodal import (
-    N_FAKE_FEATURES,
+    N_FEATURES,
     decode_image_features,
     sample_frames,
     scan_binary,
@@ -45,15 +46,78 @@ def test_media_metadata_projection(binary_df):
     assert len(rows["region.parquet"].content_md5) == 32
 
 
-def test_decode_stub_is_deterministic_and_batched(binary_df):
-    out1 = {r.file: r for r in decode_image_features(binary_df).collect()}
-    out2 = {r.file: r for r in decode_image_features(binary_df).collect()}
-    assert set(out1) == set(out2)
-    for name, r in out1.items():
-        assert r.n_features == N_FAKE_FEATURES
-        assert len(r.features) == N_FAKE_FEATURES
-        assert all(0.0 <= v < 1.0 for v in r.features)
-        assert out2[name].features == r.features  # deterministic stub
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    """A mixed-format corpus: real payloads from the from-scratch
+    encoders plus one junk file no decoder claims."""
+    import numpy as np
+
+    from downloader_spark import media
+
+    d = tmp_path_factory.mktemp("media_corpus")
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    frames = rng.randint(0, 256, (4, 16, 16), dtype=np.uint8)
+    rate, samples = 8000, (
+        (np.sin(np.arange(400) / 8.0) * 12000).astype(np.int16)
+    )
+    (d / "img.png").write_bytes(media.encode_png(rgb))
+    (d / "img.bmp").write_bytes(media.encode_bmp(rgb))
+    (d / "img.gif").write_bytes(media.encode_gif_gray(gray))
+    (d / "img.jpg").write_bytes(media.encode_jpeg_color(rgb, quality=90))
+    (d / "tone.wav").write_bytes(media.encode_wav(samples, rate))
+    (d / "clip.pfv").write_bytes(media.encode_pframe(frames, block=4))
+    (d / "junk.bin").write_bytes(b"\x00\x01definitely not media\xff" * 40)
+    return str(d), rgb, gray, frames, (rate, samples)
+
+
+def test_decode_image_features_real_dispatch(spark, media_dir):
+    """Magic-byte dispatch decodes every image container for real:
+    geometry and mean-luma features must equal test-side numpy over
+    the ORIGINAL pixels (PNG/BMP/GIF are lossless); junk and
+    non-image media are loud 'unsupported' rows, never fake data."""
+    import numpy as np
+
+    d, rgb, gray, _frames, _audio = media_dir
+    out = {
+        r.file: r
+        for r in decode_image_features(scan_binary(spark, d)).collect()
+    }
+    assert out["img.png"].format == "png"
+    assert out["img.bmp"].format == "bmp"
+    assert out["img.gif"].format == "gif"
+    assert out["img.jpg"].format == "jpeg"
+    px = rgb.astype(np.int64)
+    luma = (
+        px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+    ).astype(np.float64) / 1000.0
+    for f in ("img.png", "img.bmp"):
+        r = out[f]
+        assert r.n_features == N_FEATURES == len(r.features)
+        w, h, ch, mean = r.features[:4]
+        assert (w, h, ch) == (32.0, 24.0, 3.0)
+        assert abs(mean - float(luma.mean())) < 1e-9
+        assert r.features[5] == float(luma.min())
+        assert r.features[6] == float(luma.max())
+    g = out["img.gif"]
+    assert g.features[:4] == [
+        16.0, 16.0, 1.0, float(gray.astype(np.float64).mean())
+    ]
+    j = out["img.jpg"]  # lossy: geometry is exact, stats are decoded
+    assert j.features[:3] == [32.0, 24.0, 3.0]
+    assert 0.0 <= j.features[3] <= 255.0
+    # loud rows for everything that is not an image
+    for f in ("junk.bin", "tone.wav", "clip.pfv"):
+        r = out[f]
+        assert r.format == "unsupported"
+        assert r.n_features == 0 and r.features == []
+    # deterministic
+    out2 = {
+        r.file: r.features
+        for r in decode_image_features(scan_binary(spark, d)).collect()
+    }
+    assert out2 == {f: r.features for f, r in out.items()}
 
 
 def test_sample_frames_expands_one_to_many(binary_df):
@@ -147,28 +211,80 @@ def test_binary_corpus_dedup_pipeline(spark, tmp_path):
     assert rows == {"a.bin", "b.bin"}  # c.bin deduped against a.bin
 
 
-def test_extract_features_per_modality_distinct_and_deterministic(binary_df):
+def test_extract_features_per_modality_real_decoders(spark, media_dir):
+    import numpy as np
+
     from downloader_spark.multimodal import extract_features
 
-    img = {r.file: r.features for r in extract_features(binary_df, "image").collect()}
-    aud = {r.file: r.features for r in extract_features(binary_df, "audio").collect()}
-    img2 = {r.file: r.features for r in extract_features(binary_df, "image").collect()}
-    assert img == img2  # deterministic
-    assert set(img) == set(aud)
-    # modality folds into the derivation: different features per modality
-    assert all(img[f] != aud[f] for f in img)
+    d, _rgb, _gray, frames, (rate, samples) = media_dir
+    bdf = scan_binary(spark, d)
+    aud = {r.file: r for r in extract_features(bdf, "audio").collect()}
+    vid = {r.file: r for r in extract_features(bdf, "video").collect()}
+
+    w = aud["tone.wav"]
+    assert w.format == "wav"
+    s64 = samples.astype(np.float64)
+    assert w.features[0] == float(len(samples))
+    assert w.features[1] == float(rate)
+    assert abs(w.features[2] - s64.mean()) < 1e-9
+    assert w.features[4] == float(s64.min())
+    assert w.features[5] == float(s64.max())
+    # images/video are not audio: loud rows
+    assert aud["img.png"].format == "unsupported"
+    assert aud["clip.pfv"].format == "unsupported"
+
+    v = vid["clip.pfv"]
+    assert v.format == "pfv"
+    f64 = frames.astype(np.float64)
+    assert v.features[:3] == [4.0, 16.0, 16.0]
+    assert abs(v.features[3] - f64.mean()) < 1e-9
+    assert abs(v.features[7] - np.abs(np.diff(f64, axis=0)).mean()) < 1e-9
+    assert vid["tone.wav"].format == "unsupported"
+
     with pytest.raises(ValueError):
-        extract_features(binary_df, "hologram")
+        extract_features(bdf, "hologram")
 
 
-def test_resize_images_stub_shapes(binary_df):
+def test_resize_images_real_roundtrip(spark, media_dir):
+    import numpy as np
+
+    from downloader_spark import media
     from downloader_spark.multimodal import resize_images
 
-    out = {r.file: r for r in resize_images(binary_df, 224, 224).collect()}
-    assert len(out) == 10
-    for r in out.values():
-        assert (r.width, r.height) == (224, 224)
-        assert isinstance(bytes(r.resized), bytes) and len(bytes(r.resized)) == 32
-    # geometry changes the output payload
-    out2 = {r.file: r for r in resize_images(binary_df, 64, 64).collect()}
-    assert all(bytes(out[f].resized) != bytes(out2[f].resized) for f in out)
+    d, rgb, gray, _frames, _audio = media_dir
+    out = {r.file: r for r in resize_images(scan_binary(spark, d), 8, 6).collect()}
+    # lossless containers: the resized BMP must decode to exactly the
+    # nearest-neighbor resample of the original pixels
+    want = media.resize_nearest(rgb, 8, 6)
+    for f in ("img.png", "img.bmp"):
+        got = media.decode_bmp(bytes(out[f].resized))
+        assert np.array_equal(got, want), f
+    got_gray = media.decode_bmp(bytes(out["img.gif"].resized))
+    assert np.array_equal(
+        got_gray,
+        np.repeat(media.resize_nearest(
+            np.repeat(gray[:, :, None], 3, axis=2), 8, 6
+        )[:, :, :1], 3, axis=2),
+    )
+    # unsupported payloads carry a NULL payload, loudly tagged
+    assert out["junk.bin"].format == "unsupported"
+    assert out["junk.bin"].resized is None
+
+
+def test_sample_frames_real_video_decode(spark, media_dir):
+    import hashlib
+
+    d, _rgb, _gray, frames, _audio = media_dir
+    rows = [
+        r for r in sample_frames(scan_binary(spark, d)).collect()
+        if r.file == "clip.pfv"
+    ]
+    assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [
+        0, 1, 2, 3
+    ]
+    by_idx = {r.frame_idx: r for r in rows}
+    for i in range(4):
+        assert by_idx[i].format == "pfv"
+        assert by_idx[i].frame_digest == hashlib.md5(
+            frames[i].tobytes()
+        ).hexdigest()

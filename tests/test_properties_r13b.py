@@ -26,7 +26,10 @@ def _model(sf_dir: str) -> dict[str, tuple[int, int, int]]:
     sketches: dict[str, tuple[list[int], int]] = {}
     for t, grp in ev.groupby("event_type"):
         hashes = sorted({_h60(f"tht:{u}") for u in grp["user_id"]})
-        theta = full if len(hashes) <= THETA_K else hashes[THETA_K - 1]
+        # strict <: at exactly k distinct hashes the plan/oracle set
+        # theta = h_k (their fullness test is max(rn) < k), so the
+        # model must agree on that boundary
+        theta = full if len(hashes) < THETA_K else hashes[THETA_K - 1]
         sketches[t] = (hashes[:THETA_K], theta)
     ref_h, ref_theta = sketches[_THETA_REF]
     ref_users = set(ev[ev["event_type"] == _THETA_REF]["user_id"])
