@@ -91,6 +91,15 @@ _REPLANNED: dict[str, int] = {
     # round-13 rewrite of the partition-local resolver (first-mismatch
     # sweep + 0x110000 separator replacing the n x L gram matrix)
     "dedup_suffix_spans": 13,
+    # round-14 data-driven LPM ladders (+ planted off-ladder /20 and
+    # /44 generators — output values changed) and the hardened
+    # text_html_strip / graph_scc plans (values unchanged, plans not)
+    "join_ip_prefix": 14,
+    "join_ip_prefix6": 14,
+    "agg_as_traffic": 14,
+    "parse_pfx2as6": 14,
+    "text_html_strip": 14,
+    "graph_scc": 14,
 }
 
 

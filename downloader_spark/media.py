@@ -2548,3 +2548,555 @@ def parse_parquet_footer(data: bytes) -> dict:
         "n_row_groups": n_row_groups,
         "created_by": created_by,
     }
+
+
+# --- parquet DATA pages: snappy + RLE/bit-packed + PLAIN, from scratch ---
+#
+# The footer reader above proves the lake's CLAIMED metadata; this layer
+# proves the BYTES: page headers (Thrift compact), from-scratch snappy
+# block decompression (the public format description: varint preamble,
+# 2-bit-tagged literal/copy elements), the RLE / bit-packed hybrid that
+# carries definition levels and dictionary indices, and PLAIN value
+# decoding for every flat physical type.  Differential posture: decoded
+# column values must equal what pyarrow/DuckDB read from the SAME file.
+
+_PQ_TYPE_BOOLEAN = 0
+_PQ_TYPE_INT32 = 1
+_PQ_TYPE_INT64 = 2
+_PQ_TYPE_INT96 = 3
+_PQ_TYPE_FLOAT = 4
+_PQ_TYPE_DOUBLE = 5
+_PQ_TYPE_BYTE_ARRAY = 6
+_PQ_TYPE_FIXED = 7
+
+_PQ_ENC_PLAIN = 0
+_PQ_ENC_PLAIN_DICT = 2
+_PQ_ENC_RLE = 3
+_PQ_ENC_RLE_DICT = 8
+
+_PQ_CODEC_NONE = 0
+_PQ_CODEC_SNAPPY = 1
+_PQ_CODEC_GZIP = 2
+
+_PQ_PAGE_DATA = 0
+_PQ_PAGE_DICT = 2
+_PQ_PAGE_DATA_V2 = 3
+
+
+def snappy_decode(data: bytes) -> bytes:
+    """From-scratch snappy BLOCK-format decompression (the framing
+    parquet uses is the raw block, no stream wrapper): a varint
+    uncompressed-length preamble, then 2-bit-tagged elements —
+    literals (6-bit or 1..4-extra-byte lengths) and back-references
+    with 1/2/4-byte offsets whose byte-at-a-time semantics permit
+    overlapping copies (run replication)."""
+    n = 0
+    shift = 0
+    pos = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated snappy preamble")
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy preamble varint too long")
+    out = bytearray()
+    while pos < len(data):
+        t = data[pos]
+        pos += 1
+        kind = t & 3
+        if kind == 0:  # literal
+            ln = t >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(data[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            if pos + ln > len(data):
+                raise ValueError("truncated snappy literal")
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset, 3-bit length
+            ln = ((t >> 2) & 7) + 4
+            off = ((t >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (t >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            ln = (t >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy copy offset out of range")
+        while ln > 0:  # overlap-safe: replicate at most `off` per step
+            take = min(ln, off)
+            out += out[len(out) - off : len(out) - off + take]
+            ln -= take
+    if len(out) != n:
+        raise ValueError(f"snappy length mismatch: got {len(out)}, claimed {n}")
+    return bytes(out)
+
+
+def _pq_decompress(raw: bytes, codec: int, uncompressed_size: int) -> bytes:
+    if codec == _PQ_CODEC_NONE:
+        buf = raw
+    elif codec == _PQ_CODEC_SNAPPY:
+        buf = snappy_decode(raw)
+    elif codec == _PQ_CODEC_GZIP:
+        buf = b"".join(gzip_members_decode(raw))
+    else:
+        raise ValueError(f"unsupported parquet codec {codec}")
+    if len(buf) != uncompressed_size:
+        raise ValueError(
+            f"page size mismatch: got {len(buf)}, header says {uncompressed_size}"
+        )
+    return buf
+
+
+def _unpack_bits_le(buf: bytes, width: int, n: int) -> np.ndarray:
+    """Unpack n back-to-back little-endian `width`-bit integers."""
+    if width == 0:
+        return np.zeros(n, np.int64)
+    bits = np.unpackbits(
+        np.frombuffer(buf, np.uint8, count=(n * width + 7) // 8),
+        bitorder="little",
+    )
+    bits = bits[: n * width].reshape(n, width).astype(np.int64)
+    return bits @ (np.int64(1) << np.arange(width, dtype=np.int64))
+
+
+def _rle_hybrid(data: bytes, pos: int, width: int, n_values: int):
+    """Decode exactly n_values from the parquet RLE / bit-packed
+    hybrid at `pos`: varint headers, LSB bit = bit-packed (groups of
+    8) vs RLE (fixed value in ceil(width/8) LE bytes).  Returns
+    (values int64 array, new pos)."""
+    out = np.empty(n_values, np.int64)
+    i = 0
+    vb = (width + 7) // 8
+    while i < n_values:
+        hdr = 0
+        shift = 0
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated RLE hybrid header")
+            b = data[pos]
+            pos += 1
+            hdr |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 35:
+                raise ValueError("RLE hybrid varint too long")
+        if hdr & 1:  # bit-packed run: (hdr>>1) groups of 8 values
+            n = (hdr >> 1) * 8
+            nbytes = n * width // 8
+            if pos + nbytes > len(data):
+                raise ValueError("truncated bit-packed run")
+            vals = _unpack_bits_le(data[pos : pos + nbytes], width, n)
+            pos += nbytes
+            take = min(n, n_values - i)
+            out[i : i + take] = vals[:take]
+            i += take
+        else:  # RLE run
+            run = hdr >> 1
+            if run == 0:
+                raise ValueError("zero-length RLE run")
+            val = int.from_bytes(data[pos : pos + vb], "little")
+            pos += vb
+            take = min(run, n_values - i)
+            out[i : i + take] = val
+            i += take
+    return out, pos
+
+
+def _plain_values(buf: bytes, pos: int, ptype: int, n: int, type_length: int):
+    """PLAIN decoding for n values of a flat physical type starting at
+    pos; returns (list of python values, new pos)."""
+    if ptype == _PQ_TYPE_INT32:
+        end = pos + 4 * n
+        return np.frombuffer(buf, "<i4", n, pos).tolist(), end
+    if ptype == _PQ_TYPE_INT64:
+        end = pos + 8 * n
+        return np.frombuffer(buf, "<i8", n, pos).tolist(), end
+    if ptype == _PQ_TYPE_FLOAT:
+        end = pos + 4 * n
+        return np.frombuffer(buf, "<f4", n, pos).tolist(), end
+    if ptype == _PQ_TYPE_DOUBLE:
+        end = pos + 8 * n
+        return np.frombuffer(buf, "<f8", n, pos).tolist(), end
+    if ptype == _PQ_TYPE_BOOLEAN:
+        nbytes = (n + 7) // 8
+        bits = np.unpackbits(
+            np.frombuffer(buf, np.uint8, nbytes, pos), bitorder="little"
+        )[:n]
+        return [bool(b) for b in bits], pos + nbytes
+    if ptype == _PQ_TYPE_BYTE_ARRAY:
+        out = []
+        for _ in range(n):
+            ln = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+            if pos + ln > len(buf):
+                raise ValueError("truncated PLAIN byte array")
+            out.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        return out, pos
+    if ptype == _PQ_TYPE_FIXED:
+        out = []
+        for _ in range(n):
+            out.append(bytes(buf[pos : pos + type_length]))
+            pos += type_length
+        return out, pos
+    raise ValueError(f"unsupported PLAIN physical type {ptype}")
+
+
+def _pq_schema_leaves(tc: "_ThriftCompact", n_elements: int) -> list[dict]:
+    """Walk the flattened-preorder SchemaElement list: returns leaves
+    in schema order with dotted path, physical type, type_length,
+    max definition level, and max repetition level."""
+    leaves: list[dict] = []
+    # stack of [remaining_children, name, max_def, max_rep]
+    stack: list[list] = []
+    for idx in range(n_elements):
+        ptype = None
+        type_length = 0
+        repetition = 0  # REQUIRED when absent (the root omits it)
+        name = ""
+        num_children = 0
+        for sfid, sftype in tc.fields():
+            if sfid == 1 and sftype in (_TC_I16, _TC_I32, _TC_I64):
+                ptype = tc.zigzag()
+            elif sfid == 2 and sftype in (_TC_I16, _TC_I32, _TC_I64):
+                type_length = tc.zigzag()
+            elif sfid == 3 and sftype in (_TC_I16, _TC_I32, _TC_I64):
+                repetition = tc.zigzag()
+            elif sfid == 4 and sftype == _TC_BINARY:
+                name = tc.binary().decode("utf-8", "replace")
+            elif sfid == 5 and sftype in (_TC_I16, _TC_I32, _TC_I64):
+                num_children = tc.zigzag()
+            else:
+                tc.skip(sftype)
+        if idx == 0:  # root group
+            stack.append([num_children, "", 0, 0])
+            continue
+        parent = stack[-1]
+        max_def = parent[2] + (1 if repetition == 1 else 0)
+        max_rep = parent[3] + (1 if repetition == 2 else 0)
+        path = f"{parent[1]}.{name}" if parent[1] else name
+        parent[0] -= 1
+        if num_children:
+            stack.append([num_children, path, max_def, max_rep])
+        else:
+            leaves.append(
+                {
+                    "path": path,
+                    "type": ptype,
+                    "type_length": type_length,
+                    "max_def": max_def,
+                    "max_rep": max_rep,
+                }
+            )
+            while stack and stack[-1][0] == 0:
+                stack.pop()
+    return leaves
+
+
+def parse_parquet_metadata(data: bytes) -> dict:
+    """Full structural FileMetaData parse: num_rows, schema leaves
+    (with def/rep depths), and per-row-group column chunks keyed by
+    dotted path with (codec, num_values, data/dict page offsets,
+    total_compressed_size)."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        raise ValueError("not a parquet file (PAR1 magic missing)")
+    meta_len = struct.unpack_from("<I", data, len(data) - 8)[0]
+    start = len(data) - 8 - meta_len
+    if start < 4:
+        raise ValueError("parquet footer length out of range")
+    tc = _ThriftCompact(data, start)
+    num_rows = None
+    leaves: list[dict] = []
+    row_groups: list[dict] = []
+    for fid, ftype in tc.fields():
+        if fid == 2 and ftype == _TC_LIST:  # schema
+            size, _etype = tc.list_header()
+            leaves = _pq_schema_leaves(tc, size)
+        elif fid == 3 and ftype == _TC_I64:
+            num_rows = tc.zigzag()
+        elif fid == 4 and ftype == _TC_LIST:  # row_groups
+            size, _etype = tc.list_header()
+            for _ in range(size):
+                chunks: dict[str, dict] = {}
+                rg_rows = None
+                for rfid, rftype in tc.fields():
+                    if rfid == 1 and rftype == _TC_LIST:  # columns
+                        csize, _ce = tc.list_header()
+                        for _c in range(csize):
+                            cm = _pq_column_chunk(tc)
+                            if cm is not None:
+                                chunks[cm.pop("path")] = cm
+                    elif rfid == 3 and rftype in (_TC_I16, _TC_I32, _TC_I64):
+                        rg_rows = tc.zigzag()
+                    else:
+                        tc.skip(rftype)
+                row_groups.append({"num_rows": rg_rows, "chunks": chunks})
+        else:
+            tc.skip(ftype)
+    if num_rows is None:
+        raise ValueError("FileMetaData.num_rows missing")
+    return {"num_rows": num_rows, "leaves": leaves, "row_groups": row_groups}
+
+
+def _pq_column_chunk(tc: "_ThriftCompact") -> dict | None:
+    """One ColumnChunk struct: returns its ColumnMetaData essentials."""
+    meta = None
+    for fid, ftype in tc.fields():
+        if fid == 3 and ftype == _TC_STRUCT:  # meta_data
+            m = {
+                "type": None,
+                "codec": _PQ_CODEC_NONE,
+                "num_values": 0,
+                "data_page_offset": None,
+                "dictionary_page_offset": None,
+                "total_compressed_size": None,
+            }
+            path: list[str] = []
+            for mfid, mftype in tc.fields():
+                if mfid == 1 and mftype in (_TC_I16, _TC_I32, _TC_I64):
+                    m["type"] = tc.zigzag()
+                elif mfid == 3 and mftype == _TC_LIST:
+                    psize, _pe = tc.list_header()
+                    for _ in range(psize):
+                        path.append(tc.binary().decode("utf-8", "replace"))
+                elif mfid == 4 and mftype in (_TC_I16, _TC_I32, _TC_I64):
+                    m["codec"] = tc.zigzag()
+                elif mfid == 5 and mftype in (_TC_I16, _TC_I32, _TC_I64):
+                    m["num_values"] = tc.zigzag()
+                elif mfid == 7 and mftype in (_TC_I16, _TC_I32, _TC_I64):
+                    m["total_compressed_size"] = tc.zigzag()
+                elif mfid == 9 and mftype in (_TC_I16, _TC_I32, _TC_I64):
+                    m["data_page_offset"] = tc.zigzag()
+                elif mfid == 11 and mftype in (_TC_I16, _TC_I32, _TC_I64):
+                    m["dictionary_page_offset"] = tc.zigzag()
+                else:
+                    tc.skip(mftype)
+            m["path"] = ".".join(path)
+            meta = m
+        else:
+            tc.skip(ftype)
+    return meta
+
+
+def _pq_page_header(tc: "_ThriftCompact") -> dict:
+    h = {
+        "type": None,
+        "uncompressed_page_size": None,
+        "compressed_page_size": None,
+        "data": None,
+        "dict": None,
+        "data_v2": None,
+    }
+    for fid, ftype in tc.fields():
+        if fid == 1 and ftype in (_TC_I16, _TC_I32, _TC_I64):
+            h["type"] = tc.zigzag()
+        elif fid == 2 and ftype in (_TC_I16, _TC_I32, _TC_I64):
+            h["uncompressed_page_size"] = tc.zigzag()
+        elif fid == 3 and ftype in (_TC_I16, _TC_I32, _TC_I64):
+            h["compressed_page_size"] = tc.zigzag()
+        elif fid == 5 and ftype == _TC_STRUCT:  # DataPageHeader
+            d = {"num_values": None, "encoding": None, "def_enc": None}
+            for dfid, dftype in tc.fields():
+                if dfid == 1 and dftype in (_TC_I16, _TC_I32, _TC_I64):
+                    d["num_values"] = tc.zigzag()
+                elif dfid == 2 and dftype in (_TC_I16, _TC_I32, _TC_I64):
+                    d["encoding"] = tc.zigzag()
+                elif dfid == 3 and dftype in (_TC_I16, _TC_I32, _TC_I64):
+                    d["def_enc"] = tc.zigzag()
+                else:
+                    tc.skip(dftype)
+            h["data"] = d
+        elif fid == 7 and ftype == _TC_STRUCT:  # DictionaryPageHeader
+            d = {"num_values": None, "encoding": None}
+            for dfid, dftype in tc.fields():
+                if dfid == 1 and dftype in (_TC_I16, _TC_I32, _TC_I64):
+                    d["num_values"] = tc.zigzag()
+                elif dfid == 2 and dftype in (_TC_I16, _TC_I32, _TC_I64):
+                    d["encoding"] = tc.zigzag()
+                else:
+                    tc.skip(dftype)
+            h["dict"] = d
+        elif fid == 8 and ftype == _TC_STRUCT:  # DataPageHeaderV2
+            d = {
+                "num_values": None,
+                "num_nulls": None,
+                "encoding": None,
+                "def_len": 0,
+                "rep_len": 0,
+                "is_compressed": True,
+            }
+            for dfid, dftype in tc.fields():
+                if dfid == 1 and dftype in (_TC_I16, _TC_I32, _TC_I64):
+                    d["num_values"] = tc.zigzag()
+                elif dfid == 2 and dftype in (_TC_I16, _TC_I32, _TC_I64):
+                    d["num_nulls"] = tc.zigzag()
+                elif dfid == 4 and dftype in (_TC_I16, _TC_I32, _TC_I64):
+                    d["encoding"] = tc.zigzag()
+                elif dfid == 5 and dftype in (_TC_I16, _TC_I32, _TC_I64):
+                    d["def_len"] = tc.zigzag()
+                elif dfid == 6 and dftype in (_TC_I16, _TC_I32, _TC_I64):
+                    d["rep_len"] = tc.zigzag()
+                elif dfid == 7 and dftype in (_TC_TRUE, _TC_FALSE):
+                    d["is_compressed"] = dftype == _TC_TRUE
+                else:
+                    tc.skip(dftype)
+            h["data_v2"] = d
+        else:
+            tc.skip(ftype)
+    if h["type"] is None or h["compressed_page_size"] is None:
+        raise ValueError("malformed parquet page header")
+    return h
+
+
+def _decode_indices(buf: bytes, n: int) -> np.ndarray:
+    """Dictionary-index stream: one width byte, then the RLE hybrid."""
+    if not buf:
+        raise ValueError("empty dictionary-index stream")
+    width = buf[0]
+    vals, _pos = _rle_hybrid(buf, 1, width, n)
+    return vals
+
+
+def read_parquet_column(data: bytes, column: str) -> list:
+    """Decode every value of one flat column across all row groups and
+    pages, straight off the file bytes: page-header Thrift walk,
+    snappy/gzip/uncompressed pages, dictionary + PLAIN value decode,
+    definition-level RLE for nulls.  Returns python values in file
+    order (None for nulls).  Nested/repeated columns raise."""
+    meta = parse_parquet_metadata(data)
+    leaf = next((l for l in meta["leaves"] if l["path"] == column), None)
+    if leaf is None:
+        raise ValueError(f"no such column {column!r}")
+    if leaf["max_rep"]:
+        raise ValueError(f"column {column!r} is repeated (lists unsupported)")
+    max_def = leaf["max_def"]
+    def_width = max(1, (max_def).bit_length()) if max_def else 0
+    ptype, tlen = leaf["type"], leaf["type_length"]
+    out: list = []
+    for rg in meta["row_groups"]:
+        ck = rg["chunks"].get(column)
+        if ck is None:
+            raise ValueError(f"row group missing chunk for {column!r}")
+        offsets = [
+            o
+            for o in (ck["dictionary_page_offset"], ck["data_page_offset"])
+            if o is not None
+        ]
+        pos = min(offsets)
+        dictionary: list | None = None
+        remaining = ck["num_values"]
+        while remaining > 0:
+            tc = _ThriftCompact(data, pos)
+            h = _pq_page_header(tc)
+            body_start = tc.pos
+            raw = data[body_start : body_start + h["compressed_page_size"]]
+            pos = body_start + h["compressed_page_size"]
+            if h["type"] == _PQ_PAGE_DICT:
+                buf = _pq_decompress(
+                    raw, ck["codec"], h["uncompressed_page_size"]
+                )
+                dictionary, _p = _plain_values(
+                    buf, 0, ptype, h["dict"]["num_values"], tlen
+                )
+                continue
+            if h["type"] == _PQ_PAGE_DATA:
+                d = h["data"]
+                buf = _pq_decompress(
+                    raw, ck["codec"], h["uncompressed_page_size"]
+                )
+                n = d["num_values"]
+                p = 0
+                defs = None
+                if max_def:
+                    dl = int.from_bytes(buf[p : p + 4], "little")
+                    p += 4
+                    defs, _dp = _rle_hybrid(buf, p, def_width, n)
+                    p += dl
+                out.extend(
+                    _page_values(
+                        buf, p, d["encoding"], ptype, tlen, n, defs,
+                        max_def, dictionary,
+                    )
+                )
+                remaining -= n
+                continue
+            if h["type"] == _PQ_PAGE_DATA_V2:
+                d = h["data_v2"]
+                n = d["num_values"]
+                lev_len = d["rep_len"] + d["def_len"]
+                levels = raw[:lev_len]  # V2 levels are never compressed
+                defs = None
+                if max_def:
+                    defs, _dp = _rle_hybrid(
+                        levels, d["rep_len"], def_width, n
+                    )
+                vals_raw = raw[lev_len:]
+                if d["is_compressed"]:
+                    buf = _pq_decompress(
+                        vals_raw,
+                        ck["codec"],
+                        h["uncompressed_page_size"] - lev_len,
+                    )
+                else:
+                    buf = vals_raw
+                out.extend(
+                    _page_values(
+                        buf, 0, d["encoding"], ptype, tlen, n, defs,
+                        max_def, dictionary,
+                    )
+                )
+                remaining -= n
+                continue
+            raise ValueError(f"unsupported parquet page type {h['type']}")
+    return out
+
+
+def _page_values(
+    buf: bytes,
+    p: int,
+    encoding: int,
+    ptype: int,
+    tlen: int,
+    n: int,
+    defs,
+    max_def: int,
+    dictionary,
+) -> list:
+    n_present = (
+        n if defs is None else int((defs == max_def).sum())
+    )
+    if encoding in (_PQ_ENC_PLAIN_DICT, _PQ_ENC_RLE_DICT):
+        if dictionary is None:
+            raise ValueError("dictionary-encoded page before dictionary page")
+        idx = _decode_indices(buf[p:], n_present)
+        present = [dictionary[i] for i in idx.tolist()]
+    elif encoding == _PQ_ENC_PLAIN:
+        present, _pp = _plain_values(buf, p, ptype, n_present, tlen)
+    elif encoding == _PQ_ENC_RLE and ptype == _PQ_TYPE_BOOLEAN:
+        # RLE as a VALUE encoding (booleans): 4-byte LE byte-length
+        # prefix, then the width-1 hybrid
+        vals, _vp = _rle_hybrid(buf, p + 4, 1, n_present)
+        present = [bool(v) for v in vals]
+    else:
+        raise ValueError(f"unsupported parquet data encoding {encoding}")
+    if defs is None:
+        return present
+    out: list = []
+    it = iter(present)
+    for dlev in defs.tolist():
+        out.append(next(it) if dlev == max_def else None)
+    return out

@@ -11,12 +11,15 @@ prefix/IP inputs derived deterministically from the TPC-H-shaped
 testdata (md5-based, so the DuckDB oracle rebuilds byte-identical
 inputs — the same verifiable-surface pattern as text_pii_mask).
 
-Scale design — LPM WITHOUT a range join: with a fixed ladder of
-prefix lengths (/8, /16, /24 here; any fixed set works), each IP has
-exactly one candidate network per length, so LPM collapses to ONE
-equi-join: explode each IP into its (start, len) candidates and join
-the (deduplicated) prefix table on that pair, then keep the
-longest-match row per IP with a struct-max aggregate.  The join key
+Scale design — LPM WITHOUT a range join: for any set of prefix
+lengths, each IP has exactly one candidate network per length, so LPM
+collapses to ONE equi-join: explode each IP into its (start, len)
+candidates — the ladder taken from the DISTINCT plens actually
+present in the prefix dim, since real pfx2as announcements carry
+arbitrary lengths (/8../24-ish v4, /16../64 v6, planted off-octet
+/20 and off-nibble /44 levels here prove the matcher is data-driven)
+— and join the (deduplicated) prefix table on that pair, then keep
+the longest-match row per IP with a struct-max aggregate.  The join key
 is uniform (md5-derived starts), the prefix table is the small side
 (real pfx2as is ~1M rows ≈ tens of MB → broadcast; here it is
 explicitly broadcast and plan-gated), and nothing is ever compared by
@@ -77,6 +80,13 @@ _DUCK_PREFIXES = f"""
              16 AS plen, min(20000 + s_suppkey) AS asn
       FROM supplier GROUP BY 1, 2
     ),
+    p20 AS (
+      SELECT {_duck_oct("a20", "p_partkey", _A_MOD)} * 16777216
+             + {_duck_oct("b20", "p_partkey", _B_MOD)} * 65536
+             + {_duck_oct("c20", "p_partkey", 2)} * 4096 AS start,
+             20 AS plen, min(50000 + p_partkey) AS asn
+      FROM part WHERE p_partkey % 23 = 0 GROUP BY 1, 2
+    ),
     p24 AS (
       SELECT {_duck_oct("a24", "c_custkey", _A_MOD)} * 16777216
              + {_duck_oct("b24", "c_custkey", _B_MOD)} * 65536
@@ -85,18 +95,26 @@ _DUCK_PREFIXES = f"""
       FROM customer GROUP BY 1, 2
     ),
     prefixes AS (
-      SELECT * FROM p8 UNION ALL SELECT * FROM p16 UNION ALL SELECT * FROM p24
+      SELECT * FROM p8 UNION ALL SELECT * FROM p16
+      UNION ALL SELECT * FROM p20 UNION ALL SELECT * FROM p24
     )
 """
 
 
 def _spark_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(start, plen, asn) at the three ladder lengths, deduplicated per
-    network with the minimum ASN (two generators hitting one slot must
-    resolve identically in both engines)."""
+    """(start, plen, asn) at the ladder lengths /8 /16 /20 /24,
+    deduplicated per network with the minimum ASN (two generators
+    hitting one slot must resolve identically in both engines).  The
+    /20 level is deliberately OFF the classful-octet ladder — real
+    pfx2as announcements carry arbitrary lengths, and a matcher with
+    a hard-coded octet ladder silently misses it.  The off-ladder
+    generators are SPARSIFIED (every-23rd part / every-17th customer)
+    so each ladder depth, shallow and deep, still occurs as some
+    IP's final longest match."""
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
     customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
     p8 = nation.groupBy(
         (F.expr(f"n_nationkey % {_A_MOD}") * 16777216).alias("start"),
         F.lit(8).alias("plen"),
@@ -108,6 +126,14 @@ def _spark_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("start"),
         F.lit(16).alias("plen"),
     ).agg(F.min(F.expr("20000 + s_suppkey")).alias("asn"))
+    p20 = part.filter(F.expr("p_partkey % 23 = 0")).groupBy(
+        F.expr(
+            f"{_spark_oct('a20', 'p_partkey', _A_MOD)} * 16777216"
+            f" + {_spark_oct('b20', 'p_partkey', _B_MOD)} * 65536"
+            f" + {_spark_oct('c20', 'p_partkey', 2)} * 4096"
+        ).alias("start"),
+        F.lit(20).alias("plen"),
+    ).agg(F.min(F.expr("50000 + p_partkey")).alias("asn"))
     p24 = customer.groupBy(
         F.expr(
             f"{_spark_oct('a24', 'c_custkey', _A_MOD)} * 16777216"
@@ -116,7 +142,7 @@ def _spark_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("start"),
         F.lit(24).alias("plen"),
     ).agg(F.min(F.expr("300000 + c_custkey")).alias("asn"))
-    return p8.unionByName(p16).unionByName(p24)
+    return p8.unionByName(p16).unionByName(p20).unionByName(p24)
 
 
 @query(
@@ -128,11 +154,9 @@ def _spark_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     cands AS (
-      SELECT o_orderkey, ip, ip - ip % 16777216 AS start, 8 AS plen FROM ips
-      UNION ALL
-      SELECT o_orderkey, ip, ip - ip % 65536, 16 FROM ips
-      UNION ALL
-      SELECT o_orderkey, ip, ip - ip % 256, 24 FROM ips
+      SELECT o_orderkey, ip,
+             ip - ip % (CAST(1 AS BIGINT) << (32 - plen)) AS start, plen
+      FROM ips CROSS JOIN (SELECT DISTINCT plen FROM prefixes) lp
     ),
     hits AS (
       SELECT c.o_orderkey, c.ip, c.plen, p.asn
@@ -154,38 +178,35 @@ def join_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     /16 from supplier, /24 from customer, ASN = min per network) and
     annotated with its most-specific match.
 
-    Fixed-ladder LPM as ONE broadcast equi-join: the IP side explodes
-    to exactly 3 (start, len) candidates (pure arithmetic — no range
-    predicate anywhere), the deduplicated prefix table broadcasts
-    (real pfx2as tables are tens of MB), and the longest match wins
-    via a single struct-max aggregate (map-side combinable).  Per-IP
-    work is O(ladder), independent of prefix-table size or skew —
-    an interval join would instead pair every IP with every covering
-    prefix range probe, melting down on popular /8s at 100 TB."""
+    DATA-DRIVEN-ladder LPM as ONE broadcast equi-join: the candidate
+    ladder is the DISTINCT prefix lengths actually present in the
+    (broadcast) prefix dim — real pfx2as files announce arbitrary
+    lengths (the planted /20 here would be silently missed by a
+    hard-coded /8-/16-/24 octet ladder).  The distinct-plen set
+    rides along as a one-row collect_set anchor (the same tiny-frame
+    crossJoin pattern the scalar-anchor operators use), each IP
+    explodes to exactly |distinct plens| (start, len) candidates by
+    pure mask arithmetic (no range predicate anywhere), the
+    deduplicated prefix table broadcasts (real pfx2as tables are
+    tens of MB), and the longest match wins via a single struct-max
+    aggregate (map-side combinable).  Per-IP work is O(|plens|) ≤ 33,
+    independent of prefix-table size or skew — an interval join would
+    instead pair every IP with every covering prefix range probe,
+    melting down on popular /8s at 100 TB."""
     ips = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.expr(_ip_expr(_spark_oct, "o_orderkey")).alias("ip")
     )
-    cands = ips.select(
-        "o_orderkey",
-        "ip",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.expr("ip - ip % 16777216").alias("start"),
-                    F.lit(8).alias("plen"),
-                ),
-                F.struct(
-                    F.expr("ip - ip % 65536").alias("start"),
-                    F.lit(16).alias("plen"),
-                ),
-                F.struct(
-                    F.expr("ip - ip % 256").alias("start"),
-                    F.lit(24).alias("plen"),
-                ),
-            )
-        ).alias("cand"),
-    ).select("o_orderkey", "ip", "cand.start", "cand.plen")
-    hits = cands.join(F.broadcast(_spark_prefixes(spark, sf_dir)), ["start", "plen"])
+    prefixes = _spark_prefixes(spark, sf_dir)
+    ladder = prefixes.agg(F.sort_array(F.collect_set("plen")).alias("plens"))
+    cands = (
+        ips.crossJoin(F.broadcast(ladder))
+        .select("o_orderkey", "ip", F.explode("plens").alias("plen"))
+        .withColumn(
+            "start",
+            F.expr("ip - ip % shiftleft(CAST(1 AS BIGINT), 32 - plen)"),
+        )
+    )
+    hits = cands.join(F.broadcast(prefixes), ["start", "plen"])
     best = hits.groupBy("o_orderkey", "ip").agg(
         F.max(F.struct(F.col("plen"), F.col("asn"))).alias("m")
     )
@@ -312,6 +333,13 @@ _DUCK_PREFIXES6 = f"""
              48 AS plen, min(400000 + c_custkey) AS asn
       FROM customer GROUP BY 1, 2
     ),
+    q44 AS (
+      SELECT {_duck_oct("a6", "c_custkey", _G1_MOD)} * {_P48}
+             + {_duck_oct("b6", "c_custkey", _G2_MOD)} * {_P32}
+             + {_duck_oct("e6", "c_custkey", 2)} * 1048576 AS start_hi,
+             44 AS plen, min(500000 + c_custkey) AS asn
+      FROM customer WHERE c_custkey % 17 = 0 GROUP BY 1, 2
+    ),
     q64 AS (
       SELECT {_duck_oct("a6", "p_partkey", _G1_MOD)} * {_P48}
              + {_duck_oct("b6", "p_partkey", _G2_MOD)} * {_P32}
@@ -322,14 +350,18 @@ _DUCK_PREFIXES6 = f"""
     ),
     prefixes6 AS (
       SELECT * FROM q16 UNION ALL SELECT * FROM q32
+      UNION ALL SELECT * FROM q44
       UNION ALL SELECT * FROM q48 UNION ALL SELECT * FROM q64
     )
 """
 
 
 def _spark_prefixes6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(start_hi, plen, asn) at the four nibble-ladder lengths,
-    deduplicated per network with the minimum ASN."""
+    """(start_hi, plen, asn) at the registry boundaries /16 /32 /48
+    /64 PLUS a deliberately off-boundary /44 (bit 20 lives inside the
+    third group) — real v6 announcements are not confined to nibble
+    boundaries, and the matcher must take its ladder from the data.
+    Deduplicated per network with the minimum ASN."""
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
     customer = load_table(spark, sf_dir, "customer")
@@ -353,6 +385,14 @@ def _spark_prefixes6(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("start_hi"),
         F.lit(48).alias("plen"),
     ).agg(F.min(F.expr("400000 + c_custkey")).alias("asn"))
+    q44 = customer.filter(F.expr("c_custkey % 17 = 0")).groupBy(
+        F.expr(
+            f"{_spark_oct('a6', 'c_custkey', _G1_MOD)} * {_P48}"
+            f" + {_spark_oct('b6', 'c_custkey', _G2_MOD)} * {_P32}"
+            f" + {_spark_oct('e6', 'c_custkey', 2)} * 1048576"
+        ).alias("start_hi"),
+        F.lit(44).alias("plen"),
+    ).agg(F.min(F.expr("500000 + c_custkey")).alias("asn"))
     q64 = part.groupBy(
         F.expr(
             f"{_spark_oct('a6', 'p_partkey', _G1_MOD)} * {_P48}"
@@ -362,7 +402,10 @@ def _spark_prefixes6(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("start_hi"),
         F.lit(64).alias("plen"),
     ).agg(F.min(F.expr("900000 + p_partkey")).alias("asn"))
-    return q16.unionByName(q32).unionByName(q48).unionByName(q64)
+    return (
+        q16.unionByName(q32).unionByName(q44)
+        .unionByName(q48).unionByName(q64)
+    )
 
 
 @query(
@@ -377,13 +420,9 @@ def _spark_prefixes6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cands AS (
       SELECT o_orderkey, ip_hi, ip_lo,
-             ip_hi - ip_hi % {_P48} AS start_hi, 16 AS plen FROM ips
-      UNION ALL
-      SELECT o_orderkey, ip_hi, ip_lo, ip_hi - ip_hi % {_P32}, 32 FROM ips
-      UNION ALL
-      SELECT o_orderkey, ip_hi, ip_lo, ip_hi - ip_hi % {_P16}, 48 FROM ips
-      UNION ALL
-      SELECT o_orderkey, ip_hi, ip_lo, ip_hi, 64 FROM ips
+             ip_hi - ip_hi % (CAST(1 AS BIGINT) << (64 - plen)) AS start_hi,
+             plen
+      FROM ips CROSS JOIN (SELECT DISTINCT plen FROM prefixes6) lp
     ),
     hits AS (
       SELECT c.o_orderkey, c.ip_hi, c.ip_lo, c.plen, p.asn
@@ -404,48 +443,39 @@ def join_ip_prefix6(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/download/downloader.go:87-93: the
     `RouteViewIPv6/current/routeview.pfx2as.gz` latest-pointer).
 
-    Same fixed-ladder recipe as ``join_ip_prefix``, lifted to 128
-    bits: the address is a (hi, lo) BIGINT pair, the ladder is the
-    registry delegation boundaries /16 /32 /48 /64 (all inside hi, so
-    lo never participates in matching), each IP explodes to exactly 4
-    (start_hi, plen) candidates by pure modulo masking, the
-    deduplicated 4-level prefix dim broadcasts, and one struct-max
+    Same data-driven-ladder recipe as ``join_ip_prefix``, lifted to
+    128 bits: the address is a (hi, lo) BIGINT pair, the candidate
+    ladder is the DISTINCT plens present in the (broadcast) prefix
+    dim — here /16 /32 /48 /64 registry boundaries PLUS the planted
+    off-boundary /44 a fixed nibble ladder would silently miss (all
+    inside hi, so lo never participates in matching).  Each IP
+    explodes to exactly |distinct plens| (start_hi, plen) candidates
+    by pure mask arithmetic against the one-row collect_set anchor,
+    the deduplicated prefix dim broadcasts, and one struct-max
     aggregate keeps the deepest match.  No range predicate, no
-    128-bit arithmetic, no skew sensitivity: per-IP work is O(4)
-    regardless of how many announcements cover a popular /16."""
+    128-bit arithmetic, no skew sensitivity: per-IP work is
+    O(|plens|) ≤ 129 regardless of how many announcements cover a
+    popular /16."""
     ips = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr(_hi_expr(_spark_oct, "o_orderkey")).alias("ip_hi"),
         F.expr(_lo_expr(_spark_oct, "o_orderkey")).alias("ip_lo"),
     )
-    cands = ips.select(
-        "o_orderkey",
-        "ip_hi",
-        "ip_lo",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.expr(f"ip_hi - ip_hi % {_P48}").alias("start_hi"),
-                    F.lit(16).alias("plen"),
-                ),
-                F.struct(
-                    F.expr(f"ip_hi - ip_hi % {_P32}").alias("start_hi"),
-                    F.lit(32).alias("plen"),
-                ),
-                F.struct(
-                    F.expr(f"ip_hi - ip_hi % {_P16}").alias("start_hi"),
-                    F.lit(48).alias("plen"),
-                ),
-                F.struct(
-                    F.col("ip_hi").alias("start_hi"),
-                    F.lit(64).alias("plen"),
-                ),
-            )
-        ).alias("cand"),
-    ).select("o_orderkey", "ip_hi", "ip_lo", "cand.start_hi", "cand.plen")
-    hits = cands.join(
-        F.broadcast(_spark_prefixes6(spark, sf_dir)), ["start_hi", "plen"]
+    prefixes6 = _spark_prefixes6(spark, sf_dir)
+    ladder = prefixes6.agg(
+        F.sort_array(F.collect_set("plen")).alias("plens")
     )
+    cands = (
+        ips.crossJoin(F.broadcast(ladder))
+        .select("o_orderkey", "ip_hi", "ip_lo", F.explode("plens").alias("plen"))
+        .withColumn(
+            "start_hi",
+            F.expr(
+                "ip_hi - ip_hi % shiftleft(CAST(1 AS BIGINT), 64 - plen)"
+            ),
+        )
+    )
+    hits = cands.join(F.broadcast(prefixes6), ["start_hi", "plen"])
     best = hits.groupBy("o_orderkey", "ip_hi", "ip_lo").agg(
         F.max(F.struct(F.col("plen"), F.col("asn"))).alias("m")
     )
@@ -602,9 +632,9 @@ def parse_pfx2as6(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     cands AS (
-      SELECT o_orderkey, ip - ip % 16777216 AS start, 8 AS plen FROM ips
-      UNION ALL SELECT o_orderkey, ip - ip % 65536, 16 FROM ips
-      UNION ALL SELECT o_orderkey, ip - ip % 256, 24 FROM ips
+      SELECT o_orderkey,
+             ip - ip % (CAST(1 AS BIGINT) << (32 - plen)) AS start, plen
+      FROM ips CROSS JOIN (SELECT DISTINCT plen FROM prefixes) lp
     ),
     best4 AS (
       SELECT c.o_orderkey, max_by(p.asn, c.plen) AS asn
@@ -617,11 +647,10 @@ def parse_pfx2as6(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     cands6 AS (
-      SELECT o_orderkey, ip_hi - ip_hi % {_P48} AS start_hi, 16 AS plen
-      FROM ips6
-      UNION ALL SELECT o_orderkey, ip_hi - ip_hi % {_P32}, 32 FROM ips6
-      UNION ALL SELECT o_orderkey, ip_hi - ip_hi % {_P16}, 48 FROM ips6
-      UNION ALL SELECT o_orderkey, ip_hi, 64 FROM ips6
+      SELECT o_orderkey,
+             ip_hi - ip_hi % (CAST(1 AS BIGINT) << (64 - plen)) AS start_hi,
+             plen
+      FROM ips6 CROSS JOIN (SELECT DISTINCT plen FROM prefixes6) lp
     ),
     best6 AS (
       SELECT c.o_orderkey, max_by(p.asn, c.plen) AS asn

@@ -1541,3 +1541,220 @@ def test_crc32_property_against_stdlib():
         assert _adler32(buf) == zlib.adler32(buf)
 
     check()
+
+
+# --- parquet data pages (snappy + RLE hybrid + PLAIN) ------------------------
+
+
+def _pq_write(tbl, **kw):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    f = tempfile.NamedTemporaryFile(suffix=".parquet", delete=False)
+    f.close()
+    pq.write_table(tbl, f.name, **kw)
+    data = open(f.name, "rb").read()
+    os.unlink(f.name)
+    return data
+
+
+def _col_table():
+    import pyarrow as pa
+
+    n = 3000
+    return pa.table(
+        {
+            "i32": pa.array(
+                [None if k % 11 == 0 else (k * 7) % 997 for k in range(n)],
+                pa.int32(),
+            ),
+            "i64": pa.array(
+                [None if k % 13 == 0 else k * k for k in range(n)],
+                pa.int64(),
+            ),
+            "f64": pa.array(
+                [None if k % 17 == 0 else k / 3.0 for k in range(n)],
+                pa.float64(),
+            ),
+            "s": pa.array(
+                [
+                    None if k % 7 == 0 else f"value-{k % 50}-{'x' * (k % 9)}"
+                    for k in range(n)
+                ],
+                pa.string(),
+            ),
+            "b": pa.array(
+                [None if k % 19 == 0 else bool(k % 3) for k in range(n)],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
+def _assert_reads_back(data, tbl):
+    import math
+
+    from downloader_spark.media import read_parquet_column
+
+    for name in tbl.column_names:
+        got = read_parquet_column(data, name)
+        want = tbl.column(name).to_pylist()
+        if any(isinstance(w, str) for w in want):
+            got = [None if g is None else g.decode() for g in got]
+        if name == "f64":
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert (g is None) == (w is None)
+                if g is not None:
+                    assert g == w or (math.isnan(g) and math.isnan(w))
+        else:
+            assert got == want, name
+
+
+def test_parquet_pages_roundtrip_every_writer_config():
+    """Our page reader vs pyarrow's writer across the codec, encoding,
+    page-version, and row-group axes — nulls in every column."""
+    tbl = _col_table()
+    for kw in (
+        dict(compression="snappy"),
+        dict(compression="none"),
+        dict(compression="gzip"),
+        dict(compression="snappy", use_dictionary=False),  # PLAIN pages
+        dict(compression="snappy", data_page_version="2.0"),
+        dict(compression="none", data_page_version="2.0"),
+        dict(
+            compression="gzip",
+            use_dictionary=False,
+            data_page_version="2.0",
+        ),
+        dict(compression="snappy", row_group_size=700),  # 5 row groups
+        dict(compression="snappy", data_page_size=1024),  # many pages
+    ):
+        _assert_reads_back(_pq_write(tbl, **kw), tbl)
+
+
+def test_parquet_pages_required_columns_no_def_levels():
+    """A REQUIRED (non-nullable) schema writes no definition levels;
+    the reader must not try to consume any."""
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "k": pa.array(list(range(100)), pa.int64()),
+            "v": pa.array([f"r{k}" for k in range(100)], pa.string()),
+        },
+        schema=pa.schema(
+            [pa.field("k", pa.int64(), nullable=False),
+             pa.field("v", pa.string(), nullable=False)]
+        ),
+    )
+    _assert_reads_back(_pq_write(tbl, compression="snappy"), tbl)
+
+
+def test_parquet_pages_nested_struct_and_repeated_rejected():
+    import pyarrow as pa
+    import pytest
+
+    from downloader_spark.media import read_parquet_column
+
+    tbl = pa.table(
+        {
+            "st": pa.array(
+                [{"x": k, "y": str(k)} for k in range(50)],
+            ),
+            "ls": pa.array([[1, 2, k] for k in range(50)]),
+        }
+    )
+    data = _pq_write(tbl, compression="snappy")
+    # struct leaves decode fine (def level 1 deep, flat physically)
+    assert read_parquet_column(data, "st.x") == list(range(50))
+    assert [v.decode() for v in read_parquet_column(data, "st.y")] == [
+        str(k) for k in range(50)
+    ]
+    # repeated (list) leaves are loudly unsupported
+    with pytest.raises(ValueError, match="repeated"):
+        read_parquet_column(data, "ls.list.element")
+    with pytest.raises(ValueError, match="no such column"):
+        read_parquet_column(data, "missing")
+
+
+def test_snappy_decode_handcrafted_vectors():
+    """Hand-packed snappy blocks: literals, each copy width, and the
+    overlapping back-reference (run replication) the format allows."""
+    from downloader_spark.media import snappy_decode
+
+    # literal only: len=5 -> tag (4<<2)|0
+    assert snappy_decode(bytes([5, 4 << 2]) + b"hello") == b"hello"
+    # 1-byte-offset copy: "abcabcab" = literal "abc" + copy(off=3,len=5)
+    blk = bytes([8, 2 << 2]) + b"abc" + bytes([((5 - 4) << 2) | 1 | (0 << 5), 3])
+    assert snappy_decode(blk) == b"abcabcab"
+    # overlapping copy: "aaaaaaaa" = literal "a" + copy(off=1,len=7)
+    blk = bytes([8, 0 << 2]) + b"a" + bytes([((7 - 4) << 2) | 1, 1])
+    assert snappy_decode(blk) == b"a" * 8
+    # 2-byte-offset copy
+    blk = bytes([8, 2 << 2]) + b"xyz" + bytes([((5 - 1) << 2) | 2, 3, 0])
+    assert snappy_decode(blk) == b"xyzxyzxy"
+    # 60-marker literal length (1 extra byte)
+    payload = bytes(range(100))
+    blk = bytes([100, (60 << 2) | 0, 99]) + payload
+    assert snappy_decode(blk) == payload
+
+
+def test_snappy_decode_rejects_malformed():
+    import pytest
+
+    from downloader_spark.media import snappy_decode
+
+    for bad in (
+        b"",                                   # no preamble
+        bytes([5, 4 << 2]) + b"hi",            # truncated literal
+        bytes([5, 0 << 2]) + b"a" + bytes([1, 9]),  # offset beyond output
+        bytes([9, 4 << 2]) + b"hello",         # length mismatch
+    ):
+        with pytest.raises(ValueError):
+            snappy_decode(bad)
+
+
+def test_snappy_decode_matches_pyarrow_compressor():
+    """Differential against pyarrow's real snappy compressor on
+    structured and random payloads."""
+    import numpy as np
+    import pyarrow as pa
+
+    from downloader_spark.media import snappy_decode
+
+    rng = np.random.RandomState(3)
+    payloads = [
+        b"",
+        b"a" * 10000,
+        bytes(rng.randint(0, 256, 5000, dtype=np.uint8)),
+        (b"abcdef" * 1000)[:4321],
+        open("/root/testdata/sf0.001/region.parquet", "rb").read(),
+    ]
+    for p in payloads:
+        comp = pa.compress(p, codec="snappy", asbytes=True)
+        assert snappy_decode(comp) == p
+
+
+def test_parquet_pages_match_duckdb_on_fixture_tables():
+    """End-to-end: decoded doc_id/lang values equal DuckDB's scan."""
+    import duckdb
+
+    from downloader_spark.media import read_parquet_column
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    data = open(path, "rb").read()
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT doc_id, lang, text FROM read_parquet('{path}')"
+    ).fetchall()
+    got = list(
+        zip(
+            read_parquet_column(data, "doc_id"),
+            (v.decode() for v in read_parquet_column(data, "lang")),
+            (v.decode() for v in read_parquet_column(data, "text")),
+        )
+    )
+    assert got == want

@@ -389,7 +389,7 @@ def test_join_ip_prefix_matches_bruteforce_model(spark):
     def oct_(tag, key, mod):
         return h60(f"{tag}:{key}") % mod
 
-    n_nation, n_supp, n_cust, n_orders = 9, 30, 120, 300
+    n_nation, n_supp, n_cust, n_part, n_orders = 9, 30, 120, 700, 300
     tables = {
         "nation": spark.createDataFrame(
             [(k,) for k in range(n_nation)], "n_nationkey long"
@@ -399,6 +399,9 @@ def test_join_ip_prefix_matches_bruteforce_model(spark):
         ),
         "customer": spark.createDataFrame(
             [(k,) for k in range(1, n_cust + 1)], "c_custkey long"
+        ),
+        "part": spark.createDataFrame(
+            [(k,) for k in range(1, n_part + 1)], "p_partkey long"
         ),
         "orders": spark.createDataFrame(
             [(k,) for k in range(1, n_orders + 1)], "o_orderkey long"
@@ -431,6 +434,16 @@ def test_join_ip_prefix_matches_bruteforce_model(spark):
         )
         key = (start, 24)
         prefixes[key] = min(prefixes.get(key, 1 << 62), 300000 + k)
+    for k in range(1, n_part + 1):  # off-octet /20 level, sparsified
+        if k % 23:
+            continue
+        start = (
+            oct_("a20", k, net._A_MOD) * 16777216
+            + oct_("b20", k, net._B_MOD) * 65536
+            + oct_("c20", k, 2) * 4096
+        )
+        key = (start, 20)
+        prefixes[key] = min(prefixes.get(key, 1 << 62), 50000 + k)
 
     want = {}
     for k in range(1, n_orders + 1):
@@ -450,7 +463,8 @@ def test_join_ip_prefix_matches_bruteforce_model(spark):
             want[k] = (ip, best[0], best[1])
     assert got == want
     assert len(want) == n_orders  # every IP hits at least its /8
-    assert {v[1] for v in want.values()} == {8, 16, 24}  # all depths hit
+    # all depths hit, including the off-octet /20 a fixed ladder misses
+    assert {v[1] for v in want.values()} == {8, 16, 20, 24}
 
 
 # ---------------------------------------------------------------- round 6

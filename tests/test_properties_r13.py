@@ -92,6 +92,16 @@ def test_join_ip_prefix6_matches_bruteforce_model(spark):
         )
         key = (start, 48)
         prefixes[key] = min(prefixes.get(key, 1 << 62), 400000 + k)
+    for k in range(1, n_cust + 1):  # off-nibble /44 level, sparsified
+        if k % 17:
+            continue
+        start = (
+            oct_("a6", k, net._G1_MOD) * net._P48
+            + oct_("b6", k, net._G2_MOD) * net._P32
+            + oct_("e6", k, 2) * 1048576
+        )
+        key = (start, 44)
+        prefixes[key] = min(prefixes.get(key, 1 << 62), 500000 + k)
     for k in range(1, n_part + 1):
         key = (_pfx_hi(k), 64)
         prefixes[key] = min(prefixes.get(key, 1 << 62), 900000 + k)
@@ -112,7 +122,8 @@ def test_join_ip_prefix6_matches_bruteforce_model(spark):
     assert got == want
     assert len(want) == n_orders  # nations cover all 8 /16 slots
     depths = {v[2] for v in want.values()}
-    assert {16, 32, 48} <= depths  # every broad ladder level is hit
+    # every broad ladder level is hit, including the off-nibble /44
+    assert {16, 32, 44, 48} <= depths
 
 
 def test_scalar_ip6_colon_hex_matches_ipaddress_module(spark):
