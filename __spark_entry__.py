@@ -100,6 +100,10 @@ _REPLANNED: dict[str, int] = {
     "parse_pfx2as6": 14,
     "text_html_strip": 14,
     "graph_scc": 14,
+    # round-14 explicit broadcast hint on the NSW scorer's probe side
+    # (values unchanged; join strategy now pinned, not estimated)
+    "embed_ann_graph": 14,
+    "embed_ann_graph_recall": 14,
 }
 
 

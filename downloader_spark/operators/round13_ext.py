@@ -158,8 +158,74 @@ _NSW_K = 5      # final top-k (= IVF_TOP_K, for the recall comparison)
 # differential is meant to compare at.
 
 
-def _nsw_duck_parts() -> tuple[str, str]:
-    """(shared CTE chain, scored-union CTE name) for the oracle."""
+def _nsw_duck_search(prefix: str = "", entry_sql: str | None = None) -> str:
+    """The greedy-search CTE chain (entry, per-hop cand/s/f/vis, and
+    the scored union) with all CTE names carrying ``prefix`` so two
+    searches (e.g. the flat entry and round 14's HNSW-descended
+    entry) can share one base chain.  ``entry_sql`` overrides the
+    default md5-seeded entry SELECT."""
+    from downloader_spark.operators.llm_dedup import _duck_h60
+    from downloader_spark.operators.llm_similarity import _DUCK_DOT
+
+    def dot(a, b):
+        return _DUCK_DOT.format(a=a, b=b)
+
+    def h(tag, key):
+        return _duck_h60(f"concat('{tag}:', CAST({key} AS VARCHAR))")
+
+    score = (
+        "SELECT t.query_id, t.node, "
+        f"{dot('q.q_emb', 'c.embedding')} / (q.q_nrm * c.nrm) AS cos "
+        "FROM {src} t JOIN c ON c.vec_id = t.node "
+        "JOIN q ON q.query_id = t.query_id"
+    )
+    if entry_sql is None:
+        entry_sql = f"""
+      SELECT t.query_id, r.rep AS node
+      FROM (SELECT q.query_id,
+                   {h("nswe", "q.query_id")} % ncnt.nb AS tbkt
+            FROM q, ncnt) t
+      JOIN reps r ON r.bkt = t.tbkt
+    """
+    hops = []
+    visited = f"{prefix}entry"
+    frontier = f"{prefix}entry"
+    scored = [f"{prefix}s0"]
+    for i in range(1, _NSW_HOPS + 1):
+        hops.append(
+            f"""{prefix}cand{i} AS (
+      SELECT DISTINCT f.query_id, ed.dst AS node
+      FROM {frontier} f JOIN edges ed ON ed.src = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM {visited} v
+                        WHERE v.query_id = f.query_id AND v.node = ed.dst)
+    ),
+    {prefix}s{i} AS ({score.format(src=f"{prefix}cand{i}")}),
+    {prefix}f{i} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, node) AS rnk
+        FROM {prefix}s{i}
+      ) WHERE rnk <= {_NSW_W}
+    ),
+    {prefix}vis{i} AS (
+      SELECT query_id, node FROM {visited}
+      UNION SELECT query_id, node FROM {prefix}cand{i}
+    )"""
+        )
+        visited = f"{prefix}vis{i}"
+        frontier = f"{prefix}f{i}"
+        scored.append(f"{prefix}s{i}")
+    scored_union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in scored)
+    return f"""{prefix}entry AS ({entry_sql}),
+    {prefix}s0 AS ({score.format(src=f"{prefix}entry")}),
+    {",".join(hops)},
+    {prefix}scored AS ({scored_union})"""
+
+
+def _nsw_duck_base() -> str:
+    """The shared construction CTE chain: q, c, ncnt, bkts, reps,
+    near, longe, edges."""
     from downloader_spark.operators.llm_dedup import _duck_h60
     from downloader_spark.operators.llm_similarity import _DUCK_DOT, N_QUERIES
 
@@ -169,46 +235,6 @@ def _nsw_duck_parts() -> tuple[str, str]:
     def h(tag, key):
         return _duck_h60(f"concat('{tag}:', CAST({key} AS VARCHAR))")
 
-    # cosine via PRE-COMPUTED per-vector norms (dot / (nrm_a * nrm_b)):
-    # one dot per pair instead of three — the construction join is the
-    # hot path.  The Spark side uses the identical formula so the
-    # doubles (and therefore every ranking) stay bit-identical.
-    score = (
-        "SELECT t.query_id, t.node, "
-        f"{dot('q.q_emb', 'c.embedding')} / (q.q_nrm * c.nrm) AS cos "
-        "FROM {src} t JOIN c ON c.vec_id = t.node "
-        "JOIN q ON q.query_id = t.query_id"
-    )
-    hops = []
-    visited = "entry"
-    frontier = "entry"
-    scored = ["s0"]
-    for i in range(1, _NSW_HOPS + 1):
-        hops.append(
-            f"""cand{i} AS (
-      SELECT DISTINCT f.query_id, ed.dst AS node
-      FROM {frontier} f JOIN edges ed ON ed.src = f.node
-      WHERE NOT EXISTS (SELECT 1 FROM {visited} v
-                        WHERE v.query_id = f.query_id AND v.node = ed.dst)
-    ),
-    s{i} AS ({score.format(src=f"cand{i}")}),
-    f{i} AS (
-      SELECT query_id, node FROM (
-        SELECT query_id, node,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY cos DESC, node) AS rnk
-        FROM s{i}
-      ) WHERE rnk <= {_NSW_W}
-    ),
-    vis{i} AS (
-      SELECT query_id, node FROM {visited}
-      UNION SELECT query_id, node FROM cand{i}
-    )"""
-        )
-        visited = f"vis{i}"
-        frontier = f"f{i}"
-        scored.append(f"s{i}")
-    scored_union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in scored)
     ctes = f"""q AS (
       SELECT vec_id AS query_id, embedding AS q_emb,
              sqrt({dot("embedding", "embedding")}) AS q_nrm, label
@@ -254,24 +280,22 @@ def _nsw_duck_parts() -> tuple[str, str]:
       SELECT DISTINCT src, dst FROM (
         SELECT * FROM near UNION ALL SELECT * FROM longe
       )
-    ),
-    entry AS (
-      SELECT t.query_id, r.rep AS node
-      FROM (SELECT q.query_id,
-                   {h("nswe", "q.query_id")} % ncnt.nb AS tbkt
-            FROM q, ncnt) t
-      JOIN reps r ON r.bkt = t.tbkt
-    ),
-    s0 AS ({score.format(src="entry")}),
-    {",".join(hops)},
-    scored AS ({scored_union})"""
-    return ctes, "scored"
+    )"""
+    return ctes
 
 
-def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every (query_id, node, cos) the greedy graph search scores —
-    entry point plus all unseen frontier expansions over the unrolled
-    hops.  The Spark construction mirrors the oracle CTE-for-CTE."""
+def _nsw_duck_parts() -> tuple[str, str]:
+    """(shared CTE chain, scored-union CTE name) for the oracle —
+    the base construction plus the default flat search."""
+    return f"{_nsw_duck_base()},\n    {_nsw_duck_search()}", "scored"
+
+
+def _nsw_build(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared NSW graph construction: query/corpus frames with
+    precomputed norms, the bucketed kNN + long-range edge table, and
+    the scorer closure — reused by the flat search (embed_ann_graph),
+    the recall differential, and round 14's hierarchical HNSW entry
+    layer.  The Spark construction mirrors the oracle CTE-for-CTE."""
     from pyspark.sql import Window
 
     from downloader_spark.operators.llm_dedup import _spark_h60
@@ -405,8 +429,12 @@ def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = near.unionByName(longe).distinct().localCheckpoint()
 
     def score(nodes: DataFrame) -> DataFrame:
+        # the probe frame is <= W*(M+1) rows/query: broadcast IT so the
+        # checkpointed corpus is never shuffled (without the hint the
+        # un-estimated probe lineage falls back to a sort-merge join
+        # that exchanges |corpus| rows once per hop)
         return (
-            nodes.join(
+            F.broadcast(nodes).join(
                 c.select(F.col("vec_id").alias("node"), "embedding", "nrm"),
                 "node",
             )
@@ -417,20 +445,47 @@ def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "node", "cos")
         )
 
+    return {
+        "q": q,
+        "c": c,
+        "ncnt": ncnt,
+        "reps": reps,
+        "edges": edges,
+        "score": score,
+        "pair_cos": _pair_cos,
+        "h": h,
+    }
+
+
+def _nsw_default_entry(parts: dict) -> DataFrame:
+    """The flat search's md5-seeded entry: a hash-selected bucket's
+    representative per query."""
+    h = parts["h"]
     entry = (
-        q.select("query_id")
-        .crossJoin(F.broadcast(ncnt))
+        parts["q"].select("query_id")
+        .crossJoin(F.broadcast(parts["ncnt"]))
         .select(
             "query_id",
             F.expr(f"pmod({h('nswe', 'query_id')}, nb)").alias("tbkt"),
         )
-        .join(F.broadcast(reps), F.col("tbkt") == F.col("bkt"))
+        .join(F.broadcast(parts["reps"]), F.col("tbkt") == F.col("bkt"))
         .select("query_id", F.col("rep").alias("node"))
         # checkpointed: each later reference would otherwise re-scan
         # the corpus (the norm-nonzero HOF filter) and rebuild the
         # reps/ncnt broadcasts — measured slower than the extra job
         .localCheckpoint()
     )
+    return entry
+
+
+def _nsw_search(parts: dict, entry: DataFrame) -> DataFrame:
+    """The unrolled greedy beam search from a given (query_id, node)
+    entry frame (caller checkpoints it): every scored node across
+    entry + hops."""
+    from pyspark.sql import Window
+
+    score = parts["score"]
+    edges = parts["edges"]
     visited = entry
     frontier = entry
     scored_parts = [score(entry)]
@@ -467,6 +522,13 @@ def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in scored_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (query_id, node, cos) the flat greedy graph search
+    scores — entry point plus all unseen frontier expansions."""
+    parts = _nsw_build(spark, sf_dir)
+    return _nsw_search(parts, _nsw_default_entry(parts))
 
 
 def _nsw_graph_oracle() -> str:

@@ -495,3 +495,424 @@ def pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         " '4_quality', quality,"
         " '5_unique', uniq) AS (stage, n_docs)"
     ).selectExpr("stage", "CAST(n_docs AS BIGINT) AS n_docs")
+
+
+# ------------------------------------------------------------------
+# embed_ann_hnsw — hierarchical entry layer over the NSW graph
+# ------------------------------------------------------------------
+# Round 13's embed_ann_graph is a single-layer NSW: entry points are
+# md5-seeded bucket representatives.  HNSW's contribution is the
+# HIERARCHY: a sparse upper layer (every ~8th node, hash-selected) is
+# itself a small-world graph; search greedily descends it first, so
+# the base-layer beam starts NEAR the query instead of at a random
+# representative.  Everything stays hash-deterministic and relational
+# so the DuckDB oracle replays the whole descent bit-for-bit.
+
+_HNSW_L1_MOD = 8   # layer-1 membership: h % 8 == 0 (~n/8 nodes)
+_HNSW_M1 = 2       # layer-1 near out-degree within bucket
+_HNSW_H1 = 2       # greedy descent hops on layer 1 (beam width 1)
+_HNSW_NB1 = 2      # layer-1 bucket floor
+_HNSW_BSZ1 = 62    # layer-1 target bucket size
+
+
+def _hnsw_oracle() -> str:
+    from downloader_spark.operators.llm_dedup import _duck_h60
+    from downloader_spark.operators.llm_similarity import _DUCK_DOT
+    from downloader_spark.operators.round7_ext import _ann_topk_cte
+    from downloader_spark.operators.round13_ext import (
+        _NSW_K,
+        _nsw_duck_base,
+        _nsw_duck_search,
+    )
+
+    def dot(a, b):
+        return _DUCK_DOT.format(a=a, b=b)
+
+    def h(tag, key):
+        return _duck_h60(f"concat('{tag}:', CAST({key} AS VARCHAR))")
+
+    score = (
+        "SELECT t.query_id, t.node, "
+        f"{dot('q.q_emb', 'c.embedding')} / (q.q_nrm * c.nrm) AS cos "
+        "FROM {src} t JOIN c ON c.vec_id = t.node "
+        "JOIN q ON q.query_id = t.query_id"
+    )
+
+    def top1(src):
+        return f"""
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, node) AS rnk
+        FROM {src}
+      ) WHERE rnk <= 1"""
+
+    descent = [
+        f"""l1 AS (
+      SELECT vec_id, embedding, nrm FROM c
+      WHERE {h("hns1", "vec_id")} % {_HNSW_L1_MOD} = 0
+    ),
+    n1 AS (SELECT count(*) AS n1,
+                  greatest({_HNSW_NB1}, count(*) // {_HNSW_BSZ1}) AS nb1
+           FROM l1),
+    l1b AS (
+      SELECT vec_id, embedding, nrm,
+             {h("hnsb1", "vec_id")} % nb1 AS bkt
+      FROM l1, n1
+    ),
+    l1reps AS (SELECT bkt, min(vec_id) AS rep FROM l1b GROUP BY bkt),
+    l1near AS (
+      SELECT src, dst FROM (
+        SELECT u.vec_id AS src, v.vec_id AS dst,
+               row_number() OVER (
+                 PARTITION BY u.vec_id
+                 ORDER BY {dot("u.embedding", "v.embedding")}
+                          / (u.nrm * v.nrm) DESC, v.vec_id
+               ) AS rnk
+        FROM l1b u JOIN l1b v
+          ON u.bkt = v.bkt AND u.vec_id <> v.vec_id
+      ) WHERE rnk <= {_HNSW_M1}
+    ),
+    l1long AS (
+      SELECT t.src, r.rep AS dst
+      FROM (SELECT l1.vec_id AS src,
+                   {h("hnsl1", "l1.vec_id")} % n1.nb1 AS tbkt
+            FROM l1, n1) t
+      JOIN l1reps r ON r.bkt = t.tbkt
+      WHERE r.rep <> t.src
+    ),
+    l1edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT * FROM l1near UNION ALL SELECT * FROM l1long
+      )
+    ),
+    ge AS (
+      SELECT coalesce((SELECT min(vec_id) FROM l1),
+                      (SELECT min(vec_id) FROM c)) AS node
+    ),
+    dentry AS (SELECT q.query_id, ge.node FROM q, ge),
+    d0 AS ({score.format(src="dentry")})"""
+    ]
+    visited = "dentry"
+    frontier = "dentry"
+    all_prev = "d0"
+    for i in range(1, _HNSW_H1 + 1):
+        descent.append(
+            f"""dcand{i} AS (
+      SELECT DISTINCT f.query_id, ed.dst AS node
+      FROM {frontier} f JOIN l1edges ed ON ed.src = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM {visited} v
+                        WHERE v.query_id = f.query_id AND v.node = ed.dst)
+    ),
+    ds{i} AS ({score.format(src=f"dcand{i}")}),
+    dall{i} AS (
+      SELECT * FROM {all_prev} UNION ALL SELECT * FROM ds{i}
+    ),
+    df{i} AS ({top1(f"dall{i}")}),
+    dvis{i} AS (
+      SELECT query_id, node FROM {visited}
+      UNION SELECT query_id, node FROM dcand{i}
+    )"""
+        )
+        visited = f"dvis{i}"
+        frontier = f"df{i}"
+        all_prev = f"dall{i}"
+    descent_sql = ",\n    ".join(descent)
+    hsearch = _nsw_duck_search(
+        prefix="h",
+        entry_sql=f"SELECT query_id, node FROM df{_HNSW_H1}",
+    )
+    sql = f"""
+    WITH {_nsw_duck_base()},
+    {_nsw_duck_search()},
+    {descent_sql},
+    {hsearch},
+    {_ann_topk_cte("CROSS JOIN c", _NSW_K, "exact_k")},
+    hall AS (
+      SELECT DISTINCT query_id, node, cos FROM (
+        SELECT * FROM {all_prev} UNION ALL SELECT * FROM hscored
+      )
+    ),
+    hk AS (
+      SELECT query_id, node AS vec_id FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, node) AS rnk
+        FROM hall
+      ) WHERE rnk <= {_NSW_K}
+    ),
+    gk AS (
+      SELECT query_id, node AS vec_id FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, node) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_NSW_K}
+    ),
+    hcount AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS hnsw_scored
+      FROM hall GROUP BY query_id
+    ),
+    fcount AS (
+      SELECT query_id, CAST(count(DISTINCT node) AS BIGINT) AS flat_scored
+      FROM scored GROUP BY query_id
+    ),
+    hhits AS (
+      SELECT e.query_id,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(count(k.vec_id) AS BIGINT) AS hnsw_hits
+      FROM exact_k e
+      LEFT JOIN hk k ON k.query_id = e.query_id AND k.vec_id = e.vec_id
+      GROUP BY e.query_id
+    ),
+    fhits AS (
+      SELECT e.query_id, CAST(count(k.vec_id) AS BIGINT) AS flat_hits
+      FROM exact_k e
+      LEFT JOIN gk k ON k.query_id = e.query_id AND k.vec_id = e.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT hh.query_id, hh.n_exact,
+           hc.hnsw_scored, fc.flat_scored,
+           hh.hnsw_hits, fh.flat_hits,
+           CAST(hh.hnsw_hits * 1000000 // hh.n_exact AS BIGINT)
+             AS hnsw_recall_ppm,
+           CAST(fh.flat_hits * 1000000 // hh.n_exact AS BIGINT)
+             AS flat_recall_ppm
+    FROM hhits hh
+    JOIN fhits fh ON fh.query_id = hh.query_id
+    JOIN hcount hc ON hc.query_id = hh.query_id
+    JOIN fcount fc ON fc.query_id = hh.query_id
+    """
+    # Two full search chains + a descent share one construction: left
+    # to DuckDB's default inlining, the multi-referenced CTEs expand
+    # exponentially through the per-hop visited chains (>6 min at
+    # sf0.01).  Materializing the shared frames — exactly what the
+    # Spark side's localCheckpoints do — brings the oracle to <1 s.
+    for name in (
+        "\n    c AS (",
+        "edges AS (",
+        "l1edges AS (",
+        "scored AS (",   # also rewrites hscored (substring match)
+        f"df{_HNSW_H1} AS (",
+        f"dall{_HNSW_H1} AS (",
+        "hall AS (",
+    ):
+        repl = name.replace(" AS (", " AS MATERIALIZED (")
+        sql = sql.replace(name, repl)
+    return sql
+
+
+@query(
+    "embed_ann_hnsw",
+    oracle=_hnsw_oracle(),
+    tags=("llm", "similarity", "graph-ann", "hnsw", "evaluation"),
+)
+def embed_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW: the hierarchical entry layer over round 13's NSW graph,
+    measured against the flat search at the same base-layer budget.
+    Layer 1 is every ~8th corpus vector (md5-selected), wired into
+    its own bucketed kNN + long-range small-world graph; search
+    starts at the GLOBAL layer-1 entry (min vec_id), greedily
+    descends {H1} hops with beam width 1 (next position = best
+    cosine seen so far), and the descended node seeds the SAME
+    base-layer beam search the flat index runs from a hash-seeded
+    representative.  Per query the row reports both families' probe
+    counts (distinct nodes scored, descent included) and recall@k
+    against brute-force truth — the hierarchy buys a nearer start,
+    visible as recall-per-probe.
+
+    Every random draw in real HNSW (level assignment, entry point)
+    is replaced by an md5 hash, so the oracle replays construction,
+    descent, and search CTE-for-CTE; the brute-force truth CTE is
+    the same one embed_ann_recall trusts.
+
+    Scale: layer 1 is |corpus|/8 rows bucketed exactly like the base
+    layer (linear construction, no all-pairs); descent probes are
+    O(H1 * (M1+1)) per query; base search unchanged at
+    O(HOPS*W*(M+1)) — all independent of corpus size."""
+    from pyspark.sql import Window
+
+    from downloader_spark.operators.llm_similarity import (
+        _scored,
+        N_QUERIES,
+        topk_per_query,
+    )
+    from downloader_spark.operators.round13_ext import (
+        _NSW_K,
+        _nsw_build,
+        _nsw_default_entry,
+        _nsw_search,
+    )
+
+    parts = _nsw_build(spark, sf_dir)
+    q, c, h, score = parts["q"], parts["c"], parts["h"], parts["score"]
+    pair_cos = parts["pair_cos"]
+
+    # --- layer-1 construction (same recipe, its own hash tags) ---
+    l1 = c.filter(
+        F.expr(f"pmod({h('hns1', 'vec_id')}, {_HNSW_L1_MOD}) = 0")
+    )
+    n1 = l1.agg(
+        F.count("*").alias("n1"),
+        F.expr(
+            f"greatest({_HNSW_NB1}, count(*) DIV {_HNSW_BSZ1})"
+        ).alias("nb1"),
+    )
+    l1b = l1.crossJoin(F.broadcast(n1)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.expr(f"pmod({h('hnsb1', 'vec_id')}, nb1)").alias("bkt"),
+    )
+    l1reps = l1b.groupBy("bkt").agg(F.min("vec_id").alias("rep"))
+    u = l1b.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_nrm"),
+        "bkt",
+    )
+    v = l1b.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("d_emb"),
+        F.col("nrm").alias("d_nrm"),
+        "bkt",
+    )
+    near1 = (
+        u.join(v, "bkt")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("pcos", pair_cos("s_emb", "d_emb", "s_nrm", "d_nrm"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(
+                    F.col("pcos").desc(), F.col("dst")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _HNSW_M1)
+        .select("src", "dst")
+    )
+    long1 = (
+        l1.select(F.col("vec_id").alias("src"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "src", F.expr(f"pmod({h('hnsl1', 'src')}, nb1)").alias("tbkt")
+        )
+        .join(F.broadcast(l1reps), F.col("tbkt") == F.col("bkt"))
+        .filter(F.col("rep") != F.col("src"))
+        .select("src", F.col("rep").alias("dst"))
+    )
+    l1edges = near1.unionByName(long1).distinct().localCheckpoint()
+
+    # --- greedy descent: global entry, beam width 1, H1 hops ---
+    ge = (
+        l1.agg(F.min("vec_id").alias("l1min"))
+        .crossJoin(c.agg(F.min("vec_id").alias("cmin")))
+        .select(F.coalesce("l1min", "cmin").alias("node"))
+    )
+    dentry = (
+        q.select("query_id").crossJoin(F.broadcast(ge)).localCheckpoint()
+    )
+    visited = dentry
+    frontier = dentry
+    all_sc = score(dentry)
+    for _i in range(_HNSW_H1):
+        # cand is <= (M1+1) rows/query; checkpointing IT (not the
+        # growing unions) keeps every later lineage short
+        cand = (
+            frontier.join(l1edges, frontier.node == l1edges.src)
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["query_id", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        all_sc = all_sc.unionByName(score(cand)).localCheckpoint()
+        visited = visited.unionByName(cand)
+        frontier = (
+            all_sc.withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("cos").desc(), F.col("node")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= 1)
+            .select("query_id", "node")
+        )
+    seed = frontier.localCheckpoint()
+
+    # --- base-layer beam search from the descended seed ---
+    hscored = _nsw_search(parts, seed)
+    hall = all_sc.unionByName(hscored).distinct().localCheckpoint()
+    flat = _nsw_search(parts, _nsw_default_entry(parts)).localCheckpoint()
+
+    def topk(df):
+        return (
+            df.withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("cos").desc(), F.col("node")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= _NSW_K)
+            .select("query_id", F.col("node").alias("vec_id"))
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_k = topk_per_query(
+        _scored(
+            emb.filter(F.col("vec_id") < N_QUERIES),
+            emb.filter(F.col("vec_id") >= N_QUERIES),
+        ),
+        k=_NSW_K,
+    ).select("query_id", "vec_id")
+
+    hk = topk(hall).withColumnsRenamed({"query_id": "hq", "vec_id": "hv"})
+    gk = topk(flat).withColumnsRenamed({"query_id": "gq", "vec_id": "gv"})
+    hcount = hall.groupBy("query_id").agg(
+        F.countDistinct("node").alias("hnsw_scored")
+    )
+    fcount = flat.groupBy("query_id").agg(
+        F.countDistinct("node").alias("flat_scored")
+    )
+    hhits = (
+        exact_k.join(
+            hk,
+            (exact_k.query_id == hk.hq) & (exact_k.vec_id == hk.hv),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hv").alias("hnsw_hits"),
+        )
+    )
+    fhits = (
+        exact_k.join(
+            gk,
+            (exact_k.query_id == gk.gq) & (exact_k.vec_id == gk.gv),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("gv").alias("flat_hits"))
+    )
+    return (
+        hhits.join(fhits, "query_id")
+        .join(hcount, "query_id")
+        .join(fcount, "query_id")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint"),
+            F.col("hnsw_scored").cast("bigint"),
+            F.col("flat_scored").cast("bigint"),
+            F.col("hnsw_hits").cast("bigint"),
+            F.col("flat_hits").cast("bigint"),
+            F.expr("CAST(hnsw_hits * 1000000 DIV n_exact AS BIGINT)")
+            .alias("hnsw_recall_ppm"),
+            F.expr("CAST(flat_hits * 1000000 DIV n_exact AS BIGINT)")
+            .alias("flat_recall_ppm"),
+        )
+    )
