@@ -2572,6 +2572,9 @@ _PQ_TYPE_FIXED = 7
 _PQ_ENC_PLAIN = 0
 _PQ_ENC_PLAIN_DICT = 2
 _PQ_ENC_RLE = 3
+_PQ_ENC_DELTA_BINARY = 5
+_PQ_ENC_DELTA_LENGTH_BA = 6
+_PQ_ENC_DELTA_BA = 7
 _PQ_ENC_RLE_DICT = 8
 
 _PQ_CODEC_NONE = 0
@@ -2754,6 +2757,92 @@ def _plain_values(buf: bytes, pos: int, ptype: int, n: int, type_length: int):
             pos += type_length
         return out, pos
     raise ValueError(f"unsupported PLAIN physical type {ptype}")
+
+
+def _pq_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated parquet varint")
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("parquet varint too long")
+
+
+def _pq_zigzag(buf: bytes, pos: int) -> tuple[int, int]:
+    v, pos = _pq_varint(buf, pos)
+    return (v >> 1) ^ -(v & 1), pos
+
+
+def _delta_binary_packed(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED: block header (block size, miniblocks per
+    block, total count, zigzag first value), then per block a zigzag
+    min-delta, one bit-width byte per miniblock, and full bit-packed
+    miniblocks (the last block pads; miniblocks wholly past the end
+    are not written)."""
+    block_size, pos = _pq_varint(buf, pos)
+    nmini, pos = _pq_varint(buf, pos)
+    total, pos = _pq_varint(buf, pos)
+    if total == 0:
+        return [], pos
+    first, pos = _pq_zigzag(buf, pos)
+    if nmini == 0 or block_size % nmini:
+        raise ValueError("malformed delta-binary-packed header")
+    vpm = block_size // nmini
+    out = [first]
+    while len(out) < total:
+        min_delta, pos = _pq_zigzag(buf, pos)
+        widths = buf[pos : pos + nmini]
+        pos += nmini
+        for w in widths:
+            if len(out) >= total:
+                break
+            nbytes = vpm * w // 8
+            deltas = _unpack_bits_le(buf[pos : pos + nbytes], w, vpm)
+            pos += nbytes
+            need = min(vpm, total - len(out))
+            prev = out[-1]
+            for d in deltas[:need].tolist():
+                prev = prev + min_delta + d
+                out.append(prev)
+    return out, pos
+
+
+def _delta_length_byte_array(buf: bytes, pos: int) -> tuple[list[bytes], int]:
+    """DELTA_LENGTH_BYTE_ARRAY: lengths as DELTA_BINARY_PACKED, then
+    the concatenated value bytes."""
+    lengths, pos = _delta_binary_packed(buf, pos)
+    out = []
+    for ln in lengths:
+        if ln < 0 or pos + ln > len(buf):
+            raise ValueError("truncated delta-length byte array")
+        out.append(bytes(buf[pos : pos + ln]))
+        pos += ln
+    return out, pos
+
+
+def _delta_byte_array(buf: bytes, pos: int) -> tuple[list[bytes], int]:
+    """DELTA_BYTE_ARRAY (incremental/front-coded): per-value shared
+    prefix lengths as DELTA_BINARY_PACKED, suffixes as
+    DELTA_LENGTH_BYTE_ARRAY; value_i = value_{i-1}[:prefix_i] + suffix_i."""
+    prefixes, pos = _delta_binary_packed(buf, pos)
+    suffixes, pos = _delta_length_byte_array(buf, pos)
+    if len(prefixes) != len(suffixes):
+        raise ValueError("delta byte array prefix/suffix count mismatch")
+    out: list[bytes] = []
+    prev = b""
+    for pl, suf in zip(prefixes, suffixes):
+        if pl > len(prev):
+            raise ValueError("delta byte array prefix longer than previous")
+        prev = prev[:pl] + suf
+        out.append(prev)
+    return out, pos
 
 
 def _pq_schema_leaves(tc: "_ThriftCompact", n_elements: int) -> list[dict]:
@@ -3091,6 +3180,24 @@ def _page_values(
         # prefix, then the width-1 hybrid
         vals, _vp = _rle_hybrid(buf, p + 4, 1, n_present)
         present = [bool(v) for v in vals]
+    elif encoding == _PQ_ENC_DELTA_BINARY and ptype in (
+        _PQ_TYPE_INT32,
+        _PQ_TYPE_INT64,
+    ):
+        present, _vp = _delta_binary_packed(buf, p)
+        if len(present) != n_present:
+            raise ValueError("delta-binary value count mismatch")
+    elif encoding == _PQ_ENC_DELTA_LENGTH_BA and ptype == _PQ_TYPE_BYTE_ARRAY:
+        present, _vp = _delta_length_byte_array(buf, p)
+        if len(present) != n_present:
+            raise ValueError("delta-length value count mismatch")
+    elif encoding == _PQ_ENC_DELTA_BA and ptype in (
+        _PQ_TYPE_BYTE_ARRAY,
+        _PQ_TYPE_FIXED,
+    ):
+        present, _vp = _delta_byte_array(buf, p)
+        if len(present) != n_present:
+            raise ValueError("delta byte-array value count mismatch")
     else:
         raise ValueError(f"unsupported parquet data encoding {encoding}")
     if defs is None:
