@@ -41,7 +41,13 @@ OUTLIER_FACTOR = 10.0
 # stress table: ratio 1.2), which is the scaling evidence — on a real
 # cluster the same iteration count amortizes over arbitrarily large
 # edge sets.
-OUTLIER_EXEMPT: frozenset[str] = frozenset({"graph_scc"})
+# embed_ann_hnsw composes THREE full evaluations (brute-force truth,
+# the flat NSW search, and the hierarchical search with its own
+# layer-1 construction + descent) — ~25 sequential tiny jobs whose
+# wall is the local-mode scheduling floor x a data-INdependent job
+# count: 10x corpus clone ratio 2.1 (PERF.md round-14 stress table),
+# i.e. probe-bounded exactly as graph ANN promises.
+OUTLIER_EXEMPT: frozenset[str] = frozenset({"graph_scc", "embed_ann_hnsw"})
 
 
 def find_outliers(timings: dict[str, float]) -> dict[str, float]:

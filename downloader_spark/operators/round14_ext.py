@@ -100,9 +100,11 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this layer IS the scan: engines that cannot decode
     pages cannot prune, vectorize, or verify a lake.  Shape: one
-    binaryFile row per table into a map-only Arrow stage
-    (repartitioned so each file decodes in parallel); the exchange
-    carries only file bytes, the output is 12 tiny rows."""
+    binaryFile row per data file (a "table" may be one file or a
+    directory of part files — both layouts resolve to the owning
+    table) into a map-only Arrow stage emitting PER-FILE PARTIALS,
+    merged by one map-side-combinable sum — the per-file-partial →
+    merge shape a 100 TB audit actually runs."""
     import os
 
     from downloader_spark.media import read_parquet_column
@@ -112,18 +114,29 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t, c, k in _PQ_PAGE_COLS:
         cols_by_table.setdefault(t, []).append((c, k))
     paths = [os.path.join(sf_dir, f"{t}.parquet") for t in tables]
+    n = spark.sparkContext.defaultParallelism
     files = (
         spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
         .load(paths)
         .select("path", "content")
-        .repartition(len(paths))
+        .repartition(n)
     )
+
+    def table_of(path: str) -> str:
+        # /x/documents.parquet OR /x/documents.parquet/part-0007.parquet
+        segs = path.rstrip("/").split("/")
+        name = segs[-1].removesuffix(".parquet")
+        if name in cols_by_table:
+            return name
+        return segs[-2].removesuffix(".parquet")
 
     def run(batches):
         for pdf in batches:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                name = path.rsplit("/", 1)[-1].removesuffix(".parquet")
+                name = table_of(path)
                 data = bytes(content)
                 for col, kind in cols_by_table[name]:
                     values = read_parquet_column(data, col)
@@ -142,10 +155,15 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["tbl", "col", "n_rows", "null_count", "value_hash_sum"],
             )
 
-    return files.mapInPandas(
+    partials = files.mapInPandas(
         run,
         "tbl string, col string, n_rows long, null_count long,"
         " value_hash_sum long",
+    )
+    return partials.groupBy("tbl", "col").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("null_count").alias("null_count"),
+        F.sum("value_hash_sum").alias("value_hash_sum"),
     )
 
 
