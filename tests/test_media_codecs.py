@@ -1824,3 +1824,115 @@ def test_delta_binary_packed_handcrafted():
     buf = vi(8) + vi(2) + vi(5) + zz(10) + zz(-1) + bytes([0, 0])
     vals, _pos = _delta_binary_packed(buf, 0)
     assert vals == [10, 9, 8, 7, 6]
+
+
+# --- snappy ENCODER + parquet WRITER (the encode twins) ----------------------
+
+
+def test_snappy_encode_roundtrips_and_pyarrow_decodes_it():
+    import numpy as np
+    import pyarrow as pa
+
+    from downloader_spark.media import snappy_decode, snappy_encode
+
+    rng = np.random.RandomState(5)
+    cases = [
+        b"",
+        b"a",
+        b"abc",
+        b"a" * 100000,                      # max-overlap run
+        b"hello world! " * 5000,            # long 2-byte-offset matches
+        bytes(rng.randint(0, 256, 65536, dtype=np.uint8)),   # incompressible
+        bytes(rng.randint(0, 4, 200000, dtype=np.uint8)),    # low-entropy
+        open("/root/testdata/sf0.001/lineitem.parquet", "rb").read(),
+        bytes(range(256)) * 3,               # short periodic
+    ]
+    for c in cases:
+        enc = snappy_encode(c)
+        assert snappy_decode(enc) == c
+        assert (
+            pa.decompress(
+                enc, decompressed_size=len(c), codec="snappy", asbytes=True
+            )
+            == c
+        )
+
+
+def test_snappy_encode_hypothesis_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    from downloader_spark.media import snappy_decode, snappy_encode
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=4096))
+    def check(payload):
+        assert snappy_decode(snappy_encode(payload)) == payload
+
+    check()
+
+
+def test_parquet_writer_read_back_by_pyarrow_duckdb_and_our_reader():
+    import io
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from downloader_spark.media import encode_parquet, read_parquet_column
+
+    n = 2000
+    cols = {
+        "k": [None if i % 7 == 0 else i * 3 - 500 for i in range(n)],
+        "name": [
+            None if i % 5 == 0 else f"row-{i}-é{'x' * (i % 11)}"
+            for i in range(n)
+        ],
+        "score": [None if i % 9 == 0 else i / 16.0 - 3.0 for i in range(n)],
+        "flag": [None if i % 13 == 0 else bool(i % 2) for i in range(n)],
+        "allnull": [None] * n,
+        "empty": ["" if i % 2 else "e" for i in range(n)],
+    }
+    for comp in ("snappy", "none"):
+        data = encode_parquet(cols, compression=comp)
+        # our own reader round-trips
+        assert read_parquet_column(data, "k") == cols["k"]
+        assert [
+            v if v is None else v.decode()
+            for v in read_parquet_column(data, "name")
+        ] == cols["name"]
+        assert read_parquet_column(data, "flag") == cols["flag"]
+        assert read_parquet_column(data, "allnull") == cols["allnull"]
+        # pyarrow reads the whole file
+        t = pq.read_table(io.BytesIO(data))
+        assert t.num_rows == n
+        assert t.column("k").to_pylist() == cols["k"]
+        assert t.column("name").to_pylist() == cols["name"]
+        assert t.column("score").to_pylist() == cols["score"]
+        assert t.column("empty").to_pylist() == cols["empty"]
+        # duckdb scans + aggregates it
+        f = tempfile.NamedTemporaryFile(suffix=".parquet", delete=False)
+        f.write(data)
+        f.close()
+        try:
+            got = duckdb.sql(
+                f"SELECT count(*), count(k), sum(k)"
+                f" FROM read_parquet('{f.name}')"
+            ).fetchone()
+            want_k = [v for v in cols["k"] if v is not None]
+            assert got == (n, len(want_k), sum(want_k))
+        finally:
+            os.unlink(f.name)
+
+
+def test_parquet_writer_rejects_bad_input():
+    import pytest
+
+    from downloader_spark.media import encode_parquet
+
+    with pytest.raises(ValueError):
+        encode_parquet({})
+    with pytest.raises(ValueError):
+        encode_parquet({"a": [1, 2], "b": [1]})
+    with pytest.raises(ValueError):
+        encode_parquet({"a": [object()]})
