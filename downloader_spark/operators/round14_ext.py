@@ -293,7 +293,12 @@ def text_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one Arrow map stage over (doc_id, text); no shuffle.
     Differential: the oracle builds the page STRING in SQL and never
-    sees bytes, a BOM, or a decoder."""
+    sees bytes, a BOM, or a decoder.
+
+    Fixture precondition (same family as text_html_strip's): document
+    text must be latin-1-ENCODABLE for the planted cases 2/4 to
+    exist — true of the ASCII driver fixtures; a corpus with wider
+    scripts would plant those cases only on encodable docs."""
     import hashlib as _hl
 
     n = spark.sparkContext.defaultParallelism
