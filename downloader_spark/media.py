@@ -115,7 +115,18 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode a mono PCM16 WAV payload into (sample_rate, int16 array)."""
+    """Decode a mono PCM16 WAV payload into (sample_rate, int16 array).
+    Corrupt/unsupported RIFF payloads raise ValueError (the stdlib
+    module's wave.Error / EOFError are translated so every media
+    decoder shares one loud-failure contract)."""
+    try:
+        return _decode_wav_inner(data)
+    except (wave.Error, EOFError, struct.error, RuntimeError) as e:
+        # wave raises bare RuntimeError for unseekable truncated chunks
+        raise ValueError(f"bad WAV payload: {e}") from None
+
+
+def _decode_wav_inner(data: bytes) -> tuple[int, np.ndarray]:
     with wave.open(io.BytesIO(data), "rb") as wv:
         if wv.getsampwidth() != 2 or wv.getnchannels() != 1:
             raise ValueError(
@@ -2625,6 +2636,8 @@ def snappy_decode(data: bytes) -> bytes:
             pos += ln
             continue
         if kind == 1:  # copy, 1-byte offset, 3-bit length
+            if pos >= len(data):
+                raise ValueError("truncated snappy copy tag")
             ln = ((t >> 2) & 7) + 4
             off = ((t >> 5) << 8) | data[pos]
             pos += 1
@@ -2711,6 +2724,8 @@ def _rle_hybrid(data: bytes, pos: int, width: int, n_values: int):
             run = hdr >> 1
             if run == 0:
                 raise ValueError("zero-length RLE run")
+            if pos + vb > len(data):
+                raise ValueError("truncated RLE run value")
             val = int.from_bytes(data[pos : pos + vb], "little")
             pos += vb
             take = min(run, n_values - i)
@@ -2751,6 +2766,8 @@ def _plain_values(buf: bytes, pos: int, ptype: int, n: int, type_length: int):
             pos += ln
         return out, pos
     if ptype == _PQ_TYPE_FIXED:
+        if pos + n * type_length > len(buf):
+            raise ValueError("truncated PLAIN fixed-len byte array")
         out = []
         for _ in range(n):
             out.append(bytes(buf[pos : pos + type_length]))
@@ -2795,6 +2812,7 @@ def _delta_binary_packed(buf: bytes, pos: int) -> tuple[list[int], int]:
     if nmini == 0 or block_size % nmini:
         raise ValueError("malformed delta-binary-packed header")
     vpm = block_size // nmini
+    u64 = (1 << 64) - 1
     out = [first]
     while len(out) < total:
         min_delta, pos = _pq_zigzag(buf, pos)
@@ -2809,7 +2827,11 @@ def _delta_binary_packed(buf: bytes, pos: int) -> tuple[list[int], int]:
             need = min(vpm, total - len(out))
             prev = out[-1]
             for d in deltas[:need].tolist():
-                prev = prev + min_delta + d
+                # int64 arithmetic wraps mod 2^64 (width-64 miniblocks
+                # carry deltas that overflow); reduce and sign-extend
+                # so values stay valid int64s bit-for-bit with readers
+                v = (prev + min_delta + d) & u64
+                prev = v - (1 << 64) if v >= (1 << 63) else v
                 out.append(prev)
     return out, pos
 
@@ -3063,10 +3085,21 @@ def _decode_indices(buf: bytes, n: int) -> np.ndarray:
 def read_parquet_column(data: bytes, column: str) -> list:
     """Decode every value of one flat column across all row groups and
     pages, straight off the file bytes: page-header Thrift walk,
-    snappy/gzip/uncompressed pages, dictionary + PLAIN value decode,
-    definition-level RLE for nulls.  Returns python values in file
-    order (None for nulls).  Nested/repeated columns raise."""
+    snappy/gzip/uncompressed pages, dictionary + PLAIN/DELTA value
+    decode, definition-level RLE for nulls.  Returns python values in
+    file order (None for nulls).  Nested/repeated columns raise."""
+    return _read_column(data, parse_parquet_metadata(data), column)
+
+
+def read_parquet_columns(data: bytes, columns: list[str]) -> dict[str, list]:
+    """Decode several columns with ONE footer/schema/row-group parse
+    (the footer walk is the allocation-heavy pure-Python step; per-
+    column re-parsing doubles it for every extra column)."""
     meta = parse_parquet_metadata(data)
+    return {c: _read_column(data, meta, c) for c in columns}
+
+
+def _read_column(data: bytes, meta: dict, column: str) -> list:
     leaf = next((l for l in meta["leaves"] if l["path"] == column), None)
     if leaf is None:
         raise ValueError(f"no such column {column!r}")

@@ -49,9 +49,14 @@ _PQ_PAGE_COLS = (
 
 
 def _h40_py(payload: bytes) -> int:
-    """40-bit md5 prefix — small enough that a per-file sum stays far
-    inside BIGINT even at sf1 row counts (6M * 2^40 < 2^63)."""
+    """40-bit md5 prefix; per-file partial sums are reduced mod 2^40
+    so the check survives ANY row count (a raw sum overflows BIGINT
+    past ~9M rows/column — sf10 lineitem would wrap on the Spark side
+    while DuckDB's HUGEINT->BIGINT cast aborts)."""
     return int(hashlib.md5(payload).hexdigest()[:10], 16)
+
+
+_H40_MOD = 1 << 40
 
 
 def _h40_duck(expr: str) -> str:
@@ -67,7 +72,8 @@ def _pages_oracle() -> str:
     SELECT '{tbl}' AS tbl, '{col}' AS col,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(*) - count({col}) AS BIGINT) AS null_count,
-           CAST(sum({_h40_duck(val)}) AS BIGINT) AS value_hash_sum
+           CAST(sum({_h40_duck(val)}) % {_H40_MOD} AS BIGINT)
+             AS value_hash_sum
     FROM {tbl}"""
         )
     return " UNION ALL ".join(parts)
@@ -90,9 +96,9 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     via PLAIN decode of the dictionary (or of plain-fallback pages).
 
     The differential is the strongest available: per column, the SUM
-    of a 40-bit md5 over every decoded value (ints rendered as
-    decimal strings, strings hashed as their utf-8 bytes) must equal
-    DuckDB's same sum over its OWN scan of the same file — one wrong
+    of a 40-bit md5 over every decoded value, reduced mod 2^40 (ints
+    rendered as decimal strings, strings hashed as their utf-8 bytes)
+    must equal DuckDB's same sum over its OWN scan of the same file — one wrong
     snappy copy offset, one mis-decoded RLE run, one off-by-one in a
     byte-array length and the sums diverge.  Covers INT32/INT64/
     BYTE_ARRAY, dictionary and PLAIN pages, 5-row to largest-fact
@@ -107,7 +113,7 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge shape a 100 TB audit actually runs."""
     import os
 
-    from downloader_spark.media import read_parquet_column
+    from downloader_spark.media import read_parquet_columns
 
     tables = sorted({t for t, _c, _k in _PQ_PAGE_COLS})
     cols_by_table: dict[str, list[tuple[str, str]]] = {}
@@ -138,8 +144,11 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 name = table_of(path)
                 data = bytes(content)
+                by_col = read_parquet_columns(
+                    data, [c for c, _k in cols_by_table[name]]
+                )
                 for col, kind in cols_by_table[name]:
-                    values = read_parquet_column(data, col)
+                    values = by_col[col]
                     hsum = 0
                     nulls = 0
                     for v in values:
@@ -149,7 +158,9 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                             hsum += _h40_py(str(v).encode())
                         else:
                             hsum += _h40_py(v)
-                    out.append((name, col, len(values), nulls, hsum))
+                    out.append(
+                        (name, col, len(values), nulls, hsum % _H40_MOD)
+                    )
             yield pd.DataFrame(
                 out,
                 columns=["tbl", "col", "n_rows", "null_count", "value_hash_sum"],
@@ -160,10 +171,14 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbl string, col string, n_rows long, null_count long,"
         " value_hash_sum long",
     )
+    # partials are < 2^40, so the merge sum stays inside BIGINT up to
+    # ~8M part files per table; the final pmod matches the oracle's
     return partials.groupBy("tbl", "col").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("null_count").alias("null_count"),
-        F.sum("value_hash_sum").alias("value_hash_sum"),
+        F.expr(
+            f"CAST(pmod(sum(value_hash_sum), {_H40_MOD}) AS BIGINT)"
+        ).alias("value_hash_sum"),
     )
 
 
@@ -221,8 +236,15 @@ def sniff_charset(raw: bytes) -> tuple[str, str, str]:
     head = raw[:1024].decode("latin-1")
     m = _re.search(r'<meta\s+charset="([^"]+)"', head, _re.I)
     if m:
+        import codecs as _codecs
+
         cs = m.group(1).lower()
-        return cs, "meta", raw.decode(cs)
+        try:  # pages lie: an unknown name falls through to heuristics
+            _codecs.lookup(cs)
+        except LookupError:
+            pass
+        else:
+            return cs, "meta", raw.decode(cs)
     try:
         return "utf-8", "heuristic", raw.decode("utf-8")
     except UnicodeDecodeError:

@@ -1936,3 +1936,62 @@ def test_parquet_writer_rejects_bad_input():
         encode_parquet({"a": [1, 2], "b": [1]})
     with pytest.raises(ValueError):
         encode_parquet({"a": [object()]})
+
+
+def test_delta_binary_packed_int64_boundary_values():
+    """Width-64 miniblocks carry deltas that wrap mod 2^64; the
+    accumulator must reduce back into signed int64 (regression: the
+    raw Python sum returned values outside int64 entirely)."""
+    import pyarrow as pa
+
+    from downloader_spark.media import read_parquet_column
+
+    vals = [-(2**62), 2**62, -(2**60), 2**61, 0, -1, 2**62 - 1, -(2**63)]
+    tbl = pa.table({"x": pa.array(vals, pa.int64())})
+    data = _pq_write(
+        tbl,
+        use_dictionary=False,
+        compression="none",
+        column_encoding={"x": "DELTA_BINARY_PACKED"},
+    )
+    assert read_parquet_column(data, "x") == vals
+
+
+def test_decode_wav_raises_value_error_on_corrupt_riff():
+    """Every media decoder shares the ValueError contract; the stdlib
+    wave module's wave.Error / EOFError / RuntimeError must not leak
+    (they would kill a whole Spark task instead of producing the loud
+    'error:wav' row)."""
+    import pytest
+
+    from downloader_spark.media import decode_wav
+
+    for bad in (
+        b"RIFF\x24\x00\x00\x00WAVEjunkchunk!!!",
+        b"RIFF\x04\x00\x00\x00WAVE",
+        b"RIFFxxxx",
+        b"RIFF\xff\xff\x00\x00WAVEfmt \x00\x00\x00\x00",
+    ):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_rle_hybrid_truncated_run_value_raises():
+    """A page whose RLE stream is cut mid-run must raise, not decode
+    the missing value bytes as zero."""
+    import pytest
+
+    from downloader_spark.media import _rle_hybrid
+
+    # header says: RLE run of 8 values, but the value byte is missing
+    with pytest.raises(ValueError, match="truncated RLE run"):
+        _rle_hybrid(bytes([8 << 1]), 0, 8, 8)
+
+
+def test_sniff_charset_unknown_meta_name_falls_back():
+    from downloader_spark.operators.round14_ext import sniff_charset
+
+    page = '<html><head><meta charset="x-bogus"></head><body>hi</body></html>'
+    cs, method, text = sniff_charset(page.encode("utf-8"))
+    assert (cs, method) == ("utf-8", "heuristic")
+    assert text == page
