@@ -2587,6 +2587,7 @@ _PQ_ENC_DELTA_BINARY = 5
 _PQ_ENC_DELTA_LENGTH_BA = 6
 _PQ_ENC_DELTA_BA = 7
 _PQ_ENC_RLE_DICT = 8
+_PQ_ENC_BYTE_STREAM_SPLIT = 9
 
 _PQ_CODEC_NONE = 0
 _PQ_CODEC_SNAPPY = 1
@@ -3231,6 +3232,28 @@ def _page_values(
         present, _vp = _delta_byte_array(buf, p)
         if len(present) != n_present:
             raise ValueError("delta byte-array value count mismatch")
+    elif encoding == _PQ_ENC_BYTE_STREAM_SPLIT:
+        # k byte-streams of n bytes each; value i's byte j lives at
+        # stream j offset i — transpose back, then decode as PLAIN
+        width = {
+            _PQ_TYPE_FLOAT: 4,
+            _PQ_TYPE_DOUBLE: 8,
+            _PQ_TYPE_INT32: 4,
+            _PQ_TYPE_INT64: 8,
+            _PQ_TYPE_FIXED: tlen,
+        }.get(ptype)
+        if not width:
+            raise ValueError(
+                f"byte-stream-split unsupported for type {ptype}"
+            )
+        nbytes = n_present * width
+        if p + nbytes > len(buf):
+            raise ValueError("truncated byte-stream-split page")
+        planes = np.frombuffer(buf, np.uint8, nbytes, p).reshape(
+            width, n_present
+        )
+        joined = planes.T.copy().tobytes()
+        present, _pp = _plain_values(joined, 0, ptype, n_present, tlen)
     else:
         raise ValueError(f"unsupported parquet data encoding {encoding}")
     if defs is None:

@@ -1995,3 +1995,44 @@ def test_sniff_charset_unknown_meta_name_falls_back():
     cs, method, text = sniff_charset(page.encode("utf-8"))
     assert (cs, method) == ("utf-8", "heuristic")
     assert text == page
+
+
+def test_parquet_pages_byte_stream_split_matches_pyarrow():
+    """BYTE_STREAM_SPLIT (the float-oriented v2 encoding: k planar
+    byte streams transposed back per value) for float32/float64/int64
+    under both codecs, with nulls."""
+    import pyarrow as pa
+
+    n = 3000
+    tbl = pa.table(
+        {
+            "f": pa.array(
+                [None if k % 7 == 0 else k / 3.0 - 100 for k in range(n)],
+                pa.float64(),
+            ),
+            "f4": pa.array(
+                [None if k % 5 == 0 else float(k) * 0.25 for k in range(n)],
+                pa.float32(),
+            ),
+            "i": pa.array(
+                [None if k % 9 == 0 else k * 11 - 333 for k in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+    enc = {c: "BYTE_STREAM_SPLIT" for c in tbl.column_names}
+    from downloader_spark.media import read_parquet_column
+
+    for comp in ("none", "snappy"):
+        data = _pq_write(
+            tbl, use_dictionary=False, compression=comp, column_encoding=enc
+        )
+        for name in tbl.column_names:
+            got = read_parquet_column(data, name)
+            want = tbl.column(name).to_pylist()
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert (g is None) == (w is None)
+                if g is not None:
+                    # float32 round-trips through float64 repr
+                    assert g == w or abs(g - w) < 1e-6
