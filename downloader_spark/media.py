@@ -2592,6 +2592,7 @@ _PQ_ENC_BYTE_STREAM_SPLIT = 9
 _PQ_CODEC_NONE = 0
 _PQ_CODEC_SNAPPY = 1
 _PQ_CODEC_GZIP = 2
+_PQ_CODEC_LZ4_RAW = 7
 
 _PQ_PAGE_DATA = 0
 _PQ_PAGE_DICT = 2
@@ -2661,6 +2662,59 @@ def snappy_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def lz4_raw_decode(data: bytes) -> bytes:
+    """From-scratch LZ4 BLOCK-format decompression (the raw block
+    parquet's LZ4_RAW codec stores — no frame header): per sequence a
+    token byte (4-bit literal length | 4-bit match length, 15 = 255-
+    extension bytes follow), the literals, a 2-byte little-endian
+    match offset, and a match of length 4 + token_low (+extensions);
+    matches may overlap (run replication).  The final sequence is
+    literals-only."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        token = data[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("truncated lz4 literal length")
+                b = data[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        if pos + lit > n:
+            raise ValueError("truncated lz4 literals")
+        out += data[pos : pos + lit]
+        pos += lit
+        if pos >= n:  # last sequence: literals only, no match
+            break
+        if pos + 2 > n:
+            raise ValueError("truncated lz4 match offset")
+        off = data[pos] | (data[pos + 1] << 8)
+        pos += 2
+        if off == 0 or off > len(out):
+            raise ValueError("lz4 match offset out of range")
+        mlen = (token & 0x0F) + 4
+        if (token & 0x0F) == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError("truncated lz4 match length")
+                b = data[pos]
+                pos += 1
+                mlen += b
+                if b != 255:
+                    break
+        while mlen > 0:  # overlap-safe replication
+            take = min(mlen, off)
+            out += out[len(out) - off : len(out) - off + take]
+            mlen -= take
+    return bytes(out)
+
+
 def _pq_decompress(raw: bytes, codec: int, uncompressed_size: int) -> bytes:
     if codec == _PQ_CODEC_NONE:
         buf = raw
@@ -2668,6 +2722,8 @@ def _pq_decompress(raw: bytes, codec: int, uncompressed_size: int) -> bytes:
         buf = snappy_decode(raw)
     elif codec == _PQ_CODEC_GZIP:
         buf = b"".join(gzip_members_decode(raw))
+    elif codec == _PQ_CODEC_LZ4_RAW:
+        buf = lz4_raw_decode(raw)
     else:
         raise ValueError(f"unsupported parquet codec {codec}")
     if len(buf) != uncompressed_size:

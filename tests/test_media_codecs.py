@@ -2036,3 +2036,49 @@ def test_parquet_pages_byte_stream_split_matches_pyarrow():
                 if g is not None:
                     # float32 round-trips through float64 repr
                     assert g == w or abs(g - w) < 1e-6
+
+
+def test_parquet_pages_lz4_raw_codec_and_block_decoder():
+    """LZ4_RAW pages (pyarrow compression='lz4') through the
+    from-scratch LZ4 block decoder, plus raw-block differentials
+    against pyarrow's compressor and malformed-input errors."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from downloader_spark.media import lz4_raw_decode, read_parquet_column
+
+    n = 4000
+    tbl = pa.table(
+        {
+            "i": pa.array(
+                [None if k % 7 == 0 else k * 3 for k in range(n)], pa.int64()
+            ),
+            "s": pa.array(
+                [None if k % 5 == 0 else f"row-{k % 100}" for k in range(n)]
+            ),
+        }
+    )
+    data = _pq_write(tbl, compression="lz4")
+    _assert_reads_back(data, tbl)
+
+    rng = np.random.RandomState(2)
+    for payload in (
+        b"",
+        b"abc",
+        b"hello world " * 3000,
+        b"a" * 100000,
+        bytes(rng.randint(0, 9, 50000, dtype=np.uint8)),
+        bytes(rng.randint(0, 256, 20000, dtype=np.uint8)),
+    ):
+        comp = pa.compress(payload, codec="lz4_raw", asbytes=True)
+        assert lz4_raw_decode(comp) == payload
+
+    for bad in (
+        bytes([0xF0]),              # literal-length extension missing
+        bytes([0x50]) + b"ab",      # truncated literals
+        bytes([0x12]) + b"x",       # missing match offset
+        bytes([0x12]) + b"x" + bytes([9, 0]),  # offset beyond output
+    ):
+        with pytest.raises(ValueError):
+            lz4_raw_decode(bad)
