@@ -2074,10 +2074,13 @@ def test_parquet_pages_lz4_raw_codec_and_block_decoder():
         comp = pa.compress(payload, codec="lz4_raw", asbytes=True)
         assert lz4_raw_decode(comp) == payload
 
+    # a stream ending right after literals is the VALID final
+    # sequence (no match follows) — spec, not leniency
+    assert lz4_raw_decode(bytes([0x12]) + b"x") == b"x"
     for bad in (
         bytes([0xF0]),              # literal-length extension missing
         bytes([0x50]) + b"ab",      # truncated literals
-        bytes([0x12]) + b"x",       # missing match offset
+        bytes([0x12]) + b"x" + bytes([9]),     # half a match offset
         bytes([0x12]) + b"x" + bytes([9, 0]),  # offset beyond output
     ):
         with pytest.raises(ValueError):
