@@ -3667,26 +3667,67 @@ class _ZstdBits:
     """ZSTD backward bitstream: find the 1-marker in the last byte,
     then read bit groups moving toward the first byte.  Reads past the
     start return zero bits (the reference decoder's padding behavior);
-    `remaining` may go negative to signal exhaustion."""
+    `remaining` may go negative to signal exhaustion.
+
+    Bits are consumed from the highest bit index downward, so the
+    reader keeps a small accumulator holding the bits between the
+    consumption point and the lowest byte loaded so far, prepending
+    one byte at a time — O(1) amortized per read (a whole-stream
+    big-int shift would be O(stream) per read, quadratic on 128 KiB
+    blocks)."""
 
     def __init__(self, data: bytes) -> None:
         if not data or data[-1] == 0:
             raise ValueError("corrupt zstd bitstream")
-        self.value = int.from_bytes(data, "little")
+        self.data = data
         marker = data[-1].bit_length() - 1  # position of the 1 marker
         self.remaining = 8 * (len(data) - 1) + marker
+        self.acc = data[-1] & ((1 << marker) - 1)  # bits below the marker
+        self.acc_bits = marker
+        self.low_byte = len(data) - 1  # next byte to prepend (moving down)
 
     def read(self, nbits: int) -> int:
         if nbits == 0:
             return 0
+        while self.acc_bits < nbits:
+            self.low_byte -= 1
+            b = self.data[self.low_byte] if self.low_byte >= 0 else 0
+            self.acc = (self.acc << 8) | b
+            self.acc_bits += 8
         self.remaining -= nbits
-        if self.remaining >= 0:
-            return (self.value >> self.remaining) & ((1 << nbits) - 1)
-        # zero-padded overrun
-        shortfall = -self.remaining
-        if shortfall >= nbits:
-            return 0
-        return (self.value & ((1 << (nbits - shortfall)) - 1)) << shortfall
+        self.acc_bits -= nbits
+        v = self.acc >> self.acc_bits
+        self.acc &= (1 << self.acc_bits) - 1
+        if self.remaining < 0:
+            # zero-padded overrun: mask off the bits below the start
+            shortfall = -self.remaining
+            if shortfall >= nbits:
+                return 0
+            v &= -1 << shortfall  # low `shortfall` bits are padding zeros
+        return v
+
+    def peek(self, nbits: int) -> int:
+        """Top nbits without consuming (zero-padded past the start)."""
+        while self.acc_bits < nbits:
+            self.low_byte -= 1
+            b = self.data[self.low_byte] if self.low_byte >= 0 else 0
+            self.acc = (self.acc << 8) | b
+            self.acc_bits += 8
+        v = self.acc >> (self.acc_bits - nbits)
+        pad = nbits - self.remaining
+        if pad > 0:
+            v &= -1 << pad if pad < nbits else 0
+        return v
+
+    def skip(self, nbits: int) -> None:
+        while self.acc_bits < nbits:
+            self.low_byte -= 1
+            b = self.data[self.low_byte] if self.low_byte >= 0 else 0
+            self.acc = (self.acc << 8) | b
+            self.acc_bits += 8
+        self.acc_bits -= nbits
+        self.acc &= (1 << self.acc_bits) - 1
+        self.remaining -= nbits
 
 
 def _zstd_fse_ncount(data: bytes, pos: int, max_symbol: int, max_acc: int):
@@ -3874,18 +3915,12 @@ def _zstd_huf_table(data: bytes, pos: int):
 def _zstd_huf_stream(table, max_bits: int, data: bytes, n_out: int) -> bytes:
     br = _ZstdBits(data)
     out = bytearray()
-    mask = (1 << max_bits) - 1
     while len(out) < n_out:
-        # peek max_bits (zero-padded at the end)
-        rem = br.remaining
-        if rem >= max_bits:
-            idx = (br.value >> (rem - max_bits)) & mask
-        elif rem > 0:
-            idx = (br.value & ((1 << rem) - 1)) << (max_bits - rem)
-        else:
+        if br.remaining <= 0:
             raise ValueError("huffman stream exhausted early")
+        idx = br.peek(max_bits)
         sym, nbits = table[idx]
-        br.remaining -= nbits
+        br.skip(nbits)
         out.append(sym)
     return bytes(out)
 
