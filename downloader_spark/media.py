@@ -3753,10 +3753,12 @@ def _zstd_fse_ncount(data: bytes, pos: int, max_symbol: int, max_acc: int):
         try:
             v = take(nbits)
         except ValueError:
-            # near the end: zero-pad
+            # near the end: the stream is forward little-endian, so
+            # missing trailing bytes are zero HIGH bits — the short
+            # read already sits in the low bits
             bitpos = save
             avail = max(0, len(data) * 8 - bitpos)
-            v = take(avail) << (nbits - avail) if avail else 0
+            v = take(avail) if avail else 0
             bitpos = save
             return v
         bitpos = save
