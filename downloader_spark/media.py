@@ -4210,6 +4210,42 @@ def _zstd_block(block, out, reps, huf_cache, prev_ll, prev_of, prev_ml):
     return huf_cache, prev_ll, prev_of, prev_ml
 
 
+def zstd_encode_store(data: bytes, block_size: int = 1 << 17) -> bytes:
+    """Valid ZSTD framing without entropy coding: raw blocks (RLE
+    blocks for single-byte runs), single-segment header with exact
+    frame content size — the store mode every decoder must accept,
+    cross-checked against pyarrow's decompressor in tests.  The
+    DECODER above is the from-scratch contribution; this writer
+    exists so archives can round-trip through our own framing."""
+    out = bytearray()
+    out += _ZSTD_MAGIC.to_bytes(4, "little")
+    n = len(data)
+    # frame header: single-segment, FCS size by magnitude
+    if n < 256:
+        out.append(0x20)  # fcs_flag=0 + single_segment: 1-byte FCS
+        out.append(n)
+    elif n < 65536 + 256:
+        out.append(0x60)  # fcs_flag=1: 2-byte FCS, value+256
+        out += (n - 256).to_bytes(2, "little")
+    else:
+        out.append(0xA0)  # fcs_flag=2: 4-byte FCS
+        out += n.to_bytes(4, "little")
+    pos = 0
+    while True:
+        chunk = data[pos : pos + block_size]
+        pos += len(chunk)
+        last = 1 if pos >= n else 0
+        if chunk and chunk.count(chunk[0]) == len(chunk):
+            out += ((len(chunk) << 3) | (1 << 1) | last).to_bytes(3, "little")
+            out.append(chunk[0])
+        else:
+            out += ((len(chunk) << 3) | (0 << 1) | last).to_bytes(3, "little")
+            out += chunk
+        if last:
+            break
+    return bytes(out)
+
+
 def zstd_decode(data: bytes) -> bytes:
     """Decode a (possibly multi-frame) zstd payload."""
     out = bytearray()

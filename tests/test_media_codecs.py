@@ -2205,3 +2205,29 @@ def test_zstd_skippable_frame_is_skipped():
     skip = struct.pack("<II", 0x184D2A50, 7) + b"x" * 7
     comp = pa.compress(payload, codec="zstd", asbytes=True)
     assert zstd_decode(skip + comp) == payload
+
+
+def test_zstd_store_encoder_accepted_by_pyarrow_and_our_decoder():
+    import numpy as np
+    import pyarrow as pa
+
+    from downloader_spark.media import zstd_decode, zstd_encode_store
+
+    rng = np.random.RandomState(3)
+    for payload in (
+        b"",
+        b"x",
+        b"a" * 100,
+        b"a" * 300000,                   # RLE blocks across block splits
+        bytes(rng.randint(0, 256, 200000, dtype=np.uint8)),  # raw blocks
+        b"abc" * 100,
+    ):
+        enc = zstd_encode_store(payload)
+        assert zstd_decode(enc) == payload
+        assert (
+            pa.decompress(
+                enc, decompressed_size=len(payload), codec="zstd",
+                asbytes=True,
+            )
+            == payload
+        )
