@@ -4254,3 +4254,130 @@ def zstd_decode(data: bytes) -> bytes:
         chunk, pos = zstd_frame_decode(data, pos)
         out += chunk
     return bytes(out)
+
+
+# --- DEFLATE encoder (RFC 1951), from scratch ---------------------------
+#
+# The encode twin of `inflate`: stored blocks and fixed-Huffman blocks
+# with greedy hash-chain LZ77 matching (lengths 3..258, distances to
+# 32 KiB).  Output is valid DEFLATE any inflater accepts — verified
+# against stdlib zlib both directions in tests.  The hot ingest paths
+# keep zlib's C compressor; this exists so the gzip/zlib family is
+# from-scratch in BOTH directions like the other codec families.
+
+_DEFLATE_LEN_BASE = [3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23,
+                     27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163,
+                     195, 227, 258]
+_DEFLATE_LEN_XBITS = [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+                      3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0]
+_DEFLATE_DIST_BASE = [1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97,
+                      129, 193, 257, 385, 513, 769, 1025, 1537, 2049,
+                      3073, 4097, 6145, 8193, 12289, 16385, 24577]
+_DEFLATE_DIST_XBITS = [0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+                       7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13]
+
+
+class _DeflateBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, value: int, nbits: int) -> None:
+        """LSB-first bit packing (RFC 1951 data-element order)."""
+        self.acc |= value << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def huff(self, code: int, nbits: int) -> None:
+        """Huffman codes go MSB-first: reverse the bits."""
+        rev = 0
+        for _ in range(nbits):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        self.bits(rev, nbits)
+
+    def finish(self) -> bytes:
+        if self.n:
+            self.buf.append(self.acc & 0xFF)
+        return bytes(self.buf)
+
+
+def _fixed_litlen_code(sym: int) -> tuple[int, int]:
+    """RFC 1951 §3.2.6 fixed literal/length code."""
+    if sym <= 143:
+        return 0x30 + sym, 8
+    if sym <= 255:
+        return 0x190 + sym - 144, 9
+    if sym <= 279:
+        return sym - 256, 7
+    return 0xC0 + sym - 280, 8
+
+
+def _code_of(value: int, bases: list[int]) -> int:
+    lo, hi = 0, len(bases) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if bases[mid] <= value:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def deflate_encode(data: bytes, fixed: bool = True) -> bytes:
+    """Compress into ONE DEFLATE block: fixed-Huffman (default) with
+    greedy hash-chain LZ77, or a chain of stored blocks."""
+    if not fixed:
+        out = bytearray()
+        pos = 0
+        while True:
+            chunk = data[pos : pos + 65535]
+            pos += len(chunk)
+            last = 1 if pos >= len(data) else 0
+            out.append(last)  # BTYPE=00, bit-aligned per block start
+            out += len(chunk).to_bytes(2, "little")
+            out += (0xFFFF ^ len(chunk)).to_bytes(2, "little")
+            out += chunk
+            if last:
+                return bytes(out)
+    bw = _DeflateBitWriter()
+    bw.bits(1, 1)  # BFINAL
+    bw.bits(1, 2)  # BTYPE=01 fixed
+    n = len(data)
+    table: dict[bytes, int] = {}
+    i = 0
+    while i < n:
+        match_len = 0
+        match_dist = 0
+        if i + 3 <= n:
+            key = data[i : i + 3]
+            cand = table.get(key)
+            table[key] = i
+            if cand is not None and i - cand <= 32768:
+                m = 3
+                limit = min(258, n - i)
+                while m < limit and data[cand + m] == data[i + m]:
+                    m += 1
+                match_len, match_dist = m, i - cand
+        if match_len >= 3:
+            lc = _code_of(match_len, _DEFLATE_LEN_BASE)
+            code, nb = _fixed_litlen_code(257 + lc)
+            bw.huff(code, nb)
+            bw.bits(match_len - _DEFLATE_LEN_BASE[lc], _DEFLATE_LEN_XBITS[lc])
+            dc = _code_of(match_dist, _DEFLATE_DIST_BASE)
+            bw.huff(dc, 5)
+            bw.bits(
+                match_dist - _DEFLATE_DIST_BASE[dc], _DEFLATE_DIST_XBITS[dc]
+            )
+            i += match_len
+        else:
+            code, nb = _fixed_litlen_code(data[i])
+            bw.huff(code, nb)
+            i += 1
+    code, nb = _fixed_litlen_code(256)  # end of block
+    bw.huff(code, nb)
+    return bw.finish()

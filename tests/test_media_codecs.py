@@ -2231,3 +2231,59 @@ def test_zstd_store_encoder_accepted_by_pyarrow_and_our_decoder():
             )
             == payload
         )
+
+
+def test_zstd_huffman_direct_weights_handcrafted():
+    """The direct (4-bit nibble) Huffman weight representation —
+    encoders rarely emit it, so pin it with a hand-built table:
+    symbols 0,1 weight 1 (2-bit codes), implied symbol 2 weight 2
+    (1-bit code), stream '1 00 01' decoding to [2, 0, 1]."""
+    from downloader_spark.media import _zstd_huf_stream, _zstd_huf_table
+
+    desc = bytes([129, 0x11])  # header 127+2 weights; nibbles 1,1
+    table, max_bits, pos = _zstd_huf_table(desc, 0)
+    assert (max_bits, pos) == (2, 2)
+    out = _zstd_huf_stream(table, max_bits, bytes([0x31]), 3)
+    assert out == bytes([2, 0, 1])
+
+
+def test_deflate_encoder_accepted_by_zlib_and_our_inflate():
+    import zlib
+
+    import numpy as np
+
+    from downloader_spark.media import deflate_encode, inflate
+
+    rng = np.random.RandomState(11)
+    cases = [
+        b"",
+        b"a",
+        b"hello hello hello world",
+        b"a" * 100000,
+        bytes(rng.randint(0, 256, 50000, dtype=np.uint8)),
+        bytes(rng.randint(0, 7, 120000, dtype=np.uint8)),
+        open("/root/testdata/sf0.001/orders.parquet", "rb").read(),
+        b"x" * 70000,  # stored mode: multiple 64 KiB blocks
+    ]
+    for c in cases:
+        for fixed in (True, False):
+            enc = deflate_encode(c, fixed=fixed)
+            assert zlib.decompress(enc, -15) == c
+            assert inflate(enc) == c
+
+
+def test_deflate_encoder_hypothesis_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    from downloader_spark.media import deflate_encode, inflate
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=2048), st.booleans())
+    def check(payload, fixed):
+        import zlib
+
+        enc = deflate_encode(payload, fixed=fixed)
+        assert zlib.decompress(enc, -15) == payload
+        assert inflate(enc) == payload
+
+    check()
