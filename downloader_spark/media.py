@@ -1702,11 +1702,14 @@ def encode_gif_gray(pixels: np.ndarray) -> bytes:
 
 
 def decode_gif_gray(data: bytes) -> np.ndarray:
-    """Decode a GIF87a produced by :func:`encode_gif_gray` (or any
-    single-image, non-interlaced GIF87a with a 2^n global table) back
-    to the (h, w) uint8 index plane."""
-    if not data.startswith(_GIF_MAGIC):
-        raise ValueError("not a GIF87a stream")
+    """Decode a GIF87a produced by :func:`encode_gif_gray` — or any
+    single-image, non-interlaced GIF87a/GIF89a with a 2^n global
+    table — back to the (h, w) uint8 index plane.  GIF89a extension
+    blocks (graphic control, comment, application: 0x21 introducer +
+    label + sub-block chain) are skipped, so real-world GIFs (mostly
+    89a) decode instead of erroring."""
+    if not (data.startswith(_GIF_MAGIC) or data.startswith(b"GIF89a")):
+        raise ValueError("not a GIF87a/GIF89a stream")
     if len(data) < 13:
         raise ValueError("truncated GIF screen descriptor")
     _, _, packed, _, _ = struct.unpack_from("<HHBBB", data, 6)
@@ -1722,6 +1725,17 @@ def decode_gif_gray(data: bytes) -> np.ndarray:
         intro = data[pos]
         if intro == 0x2C:
             break
+        if intro == 0x21:  # 89a extension: label byte + sub-block chain
+            pos += 2
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF extension block")
+                n = data[pos]
+                pos += 1
+                if n == 0:
+                    break
+                pos += n
+            continue
         raise ValueError(f"unsupported GIF block 0x{intro:02x}")
     if len(data) < pos + 10:
         raise ValueError("truncated GIF image descriptor")
@@ -2857,12 +2871,17 @@ def _pq_zigzag(buf: bytes, pos: int) -> tuple[int, int]:
     return (v >> 1) ^ -(v & 1), pos
 
 
-def _delta_binary_packed(buf: bytes, pos: int) -> tuple[list[int], int]:
+def _delta_binary_packed(
+    buf: bytes, pos: int, bits: int = 64
+) -> tuple[list[int], int]:
     """DELTA_BINARY_PACKED: block header (block size, miniblocks per
     block, total count, zigzag first value), then per block a zigzag
     min-delta, one bit-width byte per miniblock, and full bit-packed
     miniblocks (the last block pads; miniblocks wholly past the end
-    are not written)."""
+    are not written).  ``bits`` is the physical-type width: INT32
+    columns wrap their running sum mod 2^32, INT64 mod 2^64 — using
+    the wrong modulus silently corrupts valid files whose deltas
+    overflow the narrower type."""
     block_size, pos = _pq_varint(buf, pos)
     nmini, pos = _pq_varint(buf, pos)
     total, pos = _pq_varint(buf, pos)
@@ -2872,7 +2891,9 @@ def _delta_binary_packed(buf: bytes, pos: int) -> tuple[list[int], int]:
     if nmini == 0 or block_size % nmini:
         raise ValueError("malformed delta-binary-packed header")
     vpm = block_size // nmini
-    u64 = (1 << 64) - 1
+    mask = (1 << bits) - 1
+    sign = 1 << (bits - 1)
+    wrap = 1 << bits
     out = [first]
     while len(out) < total:
         min_delta, pos = _pq_zigzag(buf, pos)
@@ -2887,19 +2908,19 @@ def _delta_binary_packed(buf: bytes, pos: int) -> tuple[list[int], int]:
             need = min(vpm, total - len(out))
             prev = out[-1]
             for d in deltas[:need].tolist():
-                # int64 arithmetic wraps mod 2^64 (width-64 miniblocks
-                # carry deltas that overflow); reduce and sign-extend
-                # so values stay valid int64s bit-for-bit with readers
-                v = (prev + min_delta + d) & u64
-                prev = v - (1 << 64) if v >= (1 << 63) else v
+                # type-width arithmetic wraps (wide miniblocks carry
+                # deltas that overflow); reduce and sign-extend so
+                # values stay bit-for-bit with int32/int64 readers
+                v = (prev + min_delta + d) & mask
+                prev = v - wrap if v >= sign else v
                 out.append(prev)
     return out, pos
 
 
 def _delta_length_byte_array(buf: bytes, pos: int) -> tuple[list[bytes], int]:
-    """DELTA_LENGTH_BYTE_ARRAY: lengths as DELTA_BINARY_PACKED, then
-    the concatenated value bytes."""
-    lengths, pos = _delta_binary_packed(buf, pos)
+    """DELTA_LENGTH_BYTE_ARRAY: lengths as DELTA_BINARY_PACKED (the
+    spec types lengths as INT32), then the concatenated value bytes."""
+    lengths, pos = _delta_binary_packed(buf, pos, bits=32)
     out = []
     for ln in lengths:
         if ln < 0 or pos + ln > len(buf):
@@ -2913,7 +2934,7 @@ def _delta_byte_array(buf: bytes, pos: int) -> tuple[list[bytes], int]:
     """DELTA_BYTE_ARRAY (incremental/front-coded): per-value shared
     prefix lengths as DELTA_BINARY_PACKED, suffixes as
     DELTA_LENGTH_BYTE_ARRAY; value_i = value_{i-1}[:prefix_i] + suffix_i."""
-    prefixes, pos = _delta_binary_packed(buf, pos)
+    prefixes, pos = _delta_binary_packed(buf, pos, bits=32)
     suffixes, pos = _delta_length_byte_array(buf, pos)
     if len(prefixes) != len(suffixes):
         raise ValueError("delta byte array prefix/suffix count mismatch")
@@ -2930,9 +2951,14 @@ def _delta_byte_array(buf: bytes, pos: int) -> tuple[list[bytes], int]:
 def _pq_schema_leaves(tc: "_ThriftCompact", n_elements: int) -> list[dict]:
     """Walk the flattened-preorder SchemaElement list: returns leaves
     in schema order with dotted path, physical type, type_length,
-    max definition level, and max repetition level."""
+    max definition level, and max repetition level.  ``rep_def`` is
+    the definition level AT the innermost repeated ancestor (0 for
+    flat columns): def >= rep_def means an element slot exists,
+    def == rep_def - 1 is an empty list, anything lower is a null
+    somewhere above the list — the three cases Dremel reassembly
+    needs."""
     leaves: list[dict] = []
-    # stack of [remaining_children, name, max_def, max_rep]
+    # stack of [remaining_children, name, max_def, max_rep, rep_def]
     stack: list[list] = []
     for idx in range(n_elements):
         ptype = None
@@ -2954,15 +2980,17 @@ def _pq_schema_leaves(tc: "_ThriftCompact", n_elements: int) -> list[dict]:
             else:
                 tc.skip(sftype)
         if idx == 0:  # root group
-            stack.append([num_children, "", 0, 0])
+            stack.append([num_children, "", 0, 0, 0])
             continue
         parent = stack[-1]
-        max_def = parent[2] + (1 if repetition == 1 else 0)
+        # optional AND repeated nodes each deepen the definition level
+        max_def = parent[2] + (1 if repetition in (1, 2) else 0)
         max_rep = parent[3] + (1 if repetition == 2 else 0)
+        rep_def = max_def if repetition == 2 else parent[4]
         path = f"{parent[1]}.{name}" if parent[1] else name
         parent[0] -= 1
         if num_children:
-            stack.append([num_children, path, max_def, max_rep])
+            stack.append([num_children, path, max_def, max_rep, rep_def])
         else:
             leaves.append(
                 {
@@ -2971,6 +2999,7 @@ def _pq_schema_leaves(tc: "_ThriftCompact", n_elements: int) -> list[dict]:
                     "type_length": type_length,
                     "max_def": max_def,
                     "max_rep": max_rep,
+                    "rep_def": rep_def,
                 }
             )
             while stack and stack[-1][0] == 0:
@@ -3080,7 +3109,12 @@ def _pq_page_header(tc: "_ThriftCompact") -> dict:
         elif fid == 3 and ftype in (_TC_I16, _TC_I32, _TC_I64):
             h["compressed_page_size"] = tc.zigzag()
         elif fid == 5 and ftype == _TC_STRUCT:  # DataPageHeader
-            d = {"num_values": None, "encoding": None, "def_enc": None}
+            d = {
+                "num_values": None,
+                "encoding": None,
+                "def_enc": None,
+                "rep_enc": None,
+            }
             for dfid, dftype in tc.fields():
                 if dfid == 1 and dftype in (_TC_I16, _TC_I32, _TC_I64):
                     d["num_values"] = tc.zigzag()
@@ -3088,6 +3122,8 @@ def _pq_page_header(tc: "_ThriftCompact") -> dict:
                     d["encoding"] = tc.zigzag()
                 elif dfid == 3 and dftype in (_TC_I16, _TC_I32, _TC_I64):
                     d["def_enc"] = tc.zigzag()
+                elif dfid == 4 and dftype in (_TC_I16, _TC_I32, _TC_I64):
+                    d["rep_enc"] = tc.zigzag()
                 else:
                     tc.skip(dftype)
             h["data"] = d
@@ -3164,11 +3200,68 @@ def _read_column(data: bytes, meta: dict, column: str) -> list:
     if leaf is None:
         raise ValueError(f"no such column {column!r}")
     if leaf["max_rep"]:
-        raise ValueError(f"column {column!r} is repeated (lists unsupported)")
+        raise ValueError(
+            f"column {column!r} is repeated — use read_parquet_list_column"
+        )
+    slots, _reps, _defs = _read_column_slots(data, meta, leaf)
+    return slots
+
+
+def read_parquet_list_column(data: bytes, column: str) -> list:
+    """Decode a single-level LIST column (max_rep == 1) across all row
+    groups and pages: repetition + definition levels are read from
+    every page and Dremel-reassembled into one python value per ROW —
+    None (null list), [] (empty list), or a list whose elements are
+    values / None (null element).  ``column`` is either the full
+    dotted leaf path or the top-level field name (pyarrow writes the
+    3-level layout ``col.list.element``).  Deeper nesting raises."""
+    meta = parse_parquet_metadata(data)
+    leaf = next(
+        (
+            l
+            for l in meta["leaves"]
+            if l["path"] == column or l["path"].startswith(column + ".")
+        ),
+        None,
+    )
+    if leaf is None:
+        raise ValueError(f"no such column {column!r}")
+    if leaf["max_rep"] != 1:
+        raise ValueError(
+            f"column {column!r} has max_rep {leaf['max_rep']}"
+            " (only flat or single-level list columns)"
+        )
+    slots, reps, defs = _read_column_slots(data, meta, leaf)
+    rep_def, max_def = leaf["rep_def"], leaf["max_def"]
+    rows: list = []
+    for r, dl, v in zip(reps, defs, slots):
+        if r:  # continuation of the current row's list
+            rows[-1].append(v if dl == max_def else None)
+        elif dl >= rep_def:  # new row, first element slot
+            rows.append([v if dl == max_def else None])
+        elif dl == rep_def - 1:  # list node defined but no elements
+            rows.append([])
+        else:  # an ancestor above the list is null
+            rows.append(None)
+    return rows
+
+
+def _read_column_slots(
+    data: bytes, meta: dict, leaf: dict
+) -> tuple[list, list, list]:
+    """Page walk for one leaf: returns (slot values with None where
+    def < max_def, repetition levels, definition levels) in file
+    order.  For flat columns the level lists are empty (not needed)
+    and slots are the column values themselves."""
+    column = leaf["path"]
     max_def = leaf["max_def"]
+    max_rep = leaf["max_rep"]
     def_width = max(1, (max_def).bit_length()) if max_def else 0
+    rep_width = max_rep.bit_length()
     ptype, tlen = leaf["type"], leaf["type_length"]
     out: list = []
+    reps_all: list = []
+    defs_all: list = []
     for rg in meta["row_groups"]:
         ck = rg["chunks"].get(column)
         if ck is None:
@@ -3203,11 +3296,37 @@ def _read_column(data: bytes, meta: dict, column: str) -> list:
                 n = d["num_values"]
                 p = 0
                 defs = None
+                for present, enc_key, what in (
+                    (max_rep, "rep_enc", "repetition"),
+                    (max_def, "def_enc", "definition"),
+                ):
+                    # only levels actually written are checked (writers
+                    # may leave arbitrary encodings for absent levels)
+                    if (
+                        present
+                        and d[enc_key] is not None
+                        and d[enc_key] != _PQ_ENC_RLE
+                    ):
+                        # legacy BIT_PACKED levels have a different
+                        # layout — misreading them silently corrupts
+                        # nulls, so out-of-profile fails loudly
+                        raise ValueError(
+                            f"unsupported {what}-level encoding "
+                            f"{d[enc_key]} (only RLE)"
+                        )
+                if max_rep:
+                    rl = int.from_bytes(buf[p : p + 4], "little")
+                    p += 4
+                    reps, _rp = _rle_hybrid(buf, p, rep_width, n)
+                    p += rl
+                    reps_all.extend(reps.tolist())
                 if max_def:
                     dl = int.from_bytes(buf[p : p + 4], "little")
                     p += 4
                     defs, _dp = _rle_hybrid(buf, p, def_width, n)
                     p += dl
+                    if max_rep:
+                        defs_all.extend(defs.tolist())
                 out.extend(
                     _page_values(
                         buf, p, d["encoding"], ptype, tlen, n, defs,
@@ -3222,10 +3341,17 @@ def _read_column(data: bytes, meta: dict, column: str) -> list:
                 lev_len = d["rep_len"] + d["def_len"]
                 levels = raw[:lev_len]  # V2 levels are never compressed
                 defs = None
+                if max_rep:
+                    # V2 levels carry no 4-byte prefix (lengths are in
+                    # the page header)
+                    reps, _rp = _rle_hybrid(levels, 0, rep_width, n)
+                    reps_all.extend(reps.tolist())
                 if max_def:
                     defs, _dp = _rle_hybrid(
                         levels, d["rep_len"], def_width, n
                     )
+                    if max_rep:
+                        defs_all.extend(defs.tolist())
                 vals_raw = raw[lev_len:]
                 if d["is_compressed"]:
                     buf = _pq_decompress(
@@ -3244,7 +3370,7 @@ def _read_column(data: bytes, meta: dict, column: str) -> list:
                 remaining -= n
                 continue
             raise ValueError(f"unsupported parquet page type {h['type']}")
-    return out
+    return out, reps_all, defs_all
 
 
 def _page_values(
@@ -3277,7 +3403,9 @@ def _page_values(
         _PQ_TYPE_INT32,
         _PQ_TYPE_INT64,
     ):
-        present, _vp = _delta_binary_packed(buf, p)
+        present, _vp = _delta_binary_packed(
+            buf, p, bits=32 if ptype == _PQ_TYPE_INT32 else 64
+        )
         if len(present) != n_present:
             raise ValueError("delta-binary value count mismatch")
     elif encoding == _PQ_ENC_DELTA_LENGTH_BA and ptype == _PQ_TYPE_BYTE_ARRAY:
@@ -4247,12 +4375,18 @@ def zstd_encode_store(data: bytes, block_size: int = 1 << 17) -> bytes:
 
 
 def zstd_decode(data: bytes) -> bytes:
-    """Decode a (possibly multi-frame) zstd payload."""
+    """Decode a (possibly multi-frame) zstd payload.  All parse
+    failures — including bare out-of-bounds reads on truncated input —
+    surface as ValueError, the loud-failure contract `_pq_decompress`
+    and the pipeline stages rely on."""
     out = bytearray()
     pos = 0
-    while pos < len(data):
-        chunk, pos = zstd_frame_decode(data, pos)
-        out += chunk
+    try:
+        while pos < len(data):
+            chunk, pos = zstd_frame_decode(data, pos)
+            out += chunk
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated zstd stream: {e}") from e
     return bytes(out)
 
 

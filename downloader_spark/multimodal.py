@@ -31,6 +31,8 @@ anywhere in decode.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,6 +43,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from downloader_spark import media
+
+# Every way a from-scratch decoder can blow up on a corrupt payload
+# (verified: truncated PNG -> struct.error, bit-flipped JPEG ->
+# KeyError, truncated zstd -> IndexError).  The dispatch sites catch
+# this tuple so ONE corrupt file yields its loud error row instead of
+# failing the whole Spark task.
+DECODE_ERRORS = (ValueError, KeyError, IndexError, struct.error, zlib.error)
 
 N_FEATURES = 8  # fixed-length feature contract for every modality
 
@@ -223,7 +232,7 @@ def decode_image_features(binary_df: DataFrame) -> DataFrame:
                 if fmt in IMAGE_FORMATS:
                     try:
                         feats = _image_features(_decode_image(fmt, data))
-                    except ValueError:
+                    except DECODE_ERRORS:
                         fmt = f"error:{fmt}"
                 else:
                     fmt = "unsupported"
@@ -283,7 +292,7 @@ def extract_features(binary_df: DataFrame, modality: str = "image") -> DataFrame
                             feats = _audio_features(data)
                         else:
                             feats = _video_features(fmt, data)
-                    except ValueError:
+                    except DECODE_ERRORS:
                         fmt = f"error:{fmt}"
                 else:
                     fmt = "unsupported"
@@ -328,7 +337,7 @@ def resize_images(binary_df: DataFrame, width: int, height: int) -> DataFrame:
                         payload = media.encode_bmp(
                             media.resize_nearest(px, width, height)
                         )
-                    except ValueError:
+                    except DECODE_ERRORS:
                         fmt = f"error:{fmt}"
                 else:
                     fmt = "unsupported"
@@ -387,7 +396,7 @@ def sample_frames(binary_df: DataFrame, every_n_bytes: int = 65536) -> DataFrame
                                 hashlib.md5(planes[i].tobytes()).hexdigest(),
                             )
                         continue
-                    except ValueError:
+                    except DECODE_ERRORS:
                         fmt = f"error:{fmt}"
                 n = max(1, len(data) // every_n_bytes)
                 for i in range(n):

@@ -45,3 +45,4 @@ import downloader_spark.operators.round12_ext  # noqa: F401,E402
 import downloader_spark.operators.round13_ext  # noqa: F401,E402
 import downloader_spark.operators.round13b_ext  # noqa: F401,E402
 import downloader_spark.operators.round14_ext  # noqa: F401,E402
+import downloader_spark.operators.round15_ext  # noqa: F401,E402

@@ -959,13 +959,15 @@ def test_gif_malformed_inputs_raise_value_error():
     data = encode_gif_gray(px)
     for bad in (
         b"",
-        b"GIF89a" + data[6:],      # wrong version magic
+        b"GIF88a" + data[6:],      # unknown version magic
         data[:12],                  # truncated descriptor
         data[:-40],                 # truncated sub-blocks
-        data[: 13 + 768] + b"\x21" + data[13 + 768 + 1 :],  # extension block
+        data[: 13 + 768] + b"\x7f" + data[13 + 768 + 1 :],  # unknown block
     ):
         with pytest.raises(ValueError):
             decode_gif_gray(bad)
+    # the 89a version string alone is fine now (extensions are skipped)
+    assert np.array_equal(decode_gif_gray(b"GIF89a" + data[6:]), px)
     with pytest.raises(ValueError):
         encode_gif_gray(px.astype(np.int32))
     # corrupt LZW payload: flipping bits inside the stream must never
@@ -2287,3 +2289,149 @@ def test_deflate_encoder_hypothesis_roundtrip():
         assert inflate(enc) == payload
 
     check()
+
+
+def test_delta_binary_packed_int32_overflow_values():
+    """INT32 DELTA_BINARY_PACKED wraps its running sum mod 2^32
+    (regression: reducing mod 2^64 turned valid int32 boundary hops —
+    INT32_MIN -> INT32_MAX deltas — into out-of-type values like
+    -2147483649 while pyarrow and DuckDB read the file fine)."""
+    import pyarrow as pa
+
+    from downloader_spark.media import read_parquet_column
+
+    vals = [
+        -(2**31), 2**31 - 1, -(2**31), 2**31 - 1, 0, -1,
+        2**31 - 1, -(2**31), 12345, -(2**30), 2**30, 7,
+    ]
+    tbl = pa.table({"x": pa.array(vals, pa.int32())})
+    data = _pq_write(
+        tbl,
+        use_dictionary=False,
+        compression="none",
+        column_encoding={"x": "DELTA_BINARY_PACKED"},
+    )
+    got = read_parquet_column(data, "x")
+    assert got == vals
+    assert all(-(2**31) <= v < 2**31 for v in got)
+
+
+def test_zstd_decode_truncated_raises_value_error():
+    """Truncating a real zstd frame at any prefix surfaces ValueError,
+    never a bare IndexError (the loud-failure contract _pq_decompress
+    and the pipeline stages rely on)."""
+    import pyarrow as pa
+
+    from downloader_spark.media import zstd_decode
+
+    payload = bytes(range(256)) * 64
+    comp = bytes(pa.compress(payload, codec="zstd", asbytes=True))
+    for cut in range(1, 16):
+        with pytest.raises(ValueError):
+            zstd_decode(comp[:cut])
+    for cut in (len(comp) // 3, len(comp) // 2, len(comp) - 1):
+        with pytest.raises(ValueError):
+            zstd_decode(comp[:cut])
+
+
+def test_gif89a_extension_blocks_decode():
+    """Real-world GIFs are mostly GIF89a with graphic-control /
+    comment extensions before the image descriptor; the decoder skips
+    0x21 extension blocks and recovers the identical index plane."""
+    import numpy as np
+
+    from downloader_spark.media import decode_gif_gray, encode_gif_gray
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, (9, 13), dtype=np.uint8)
+    g87 = encode_gif_gray(gray)
+    packed = g87[10]
+    tbl = 3 * (2 << (packed & 7)) if packed & 0x80 else 0
+    split = 13 + tbl  # end of header + global color table
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    comment = bytes([0x21, 0xFE, 5]) + b"hello" + b"\x00"
+    g89 = b"GIF89a" + g87[6:split] + gce + comment + g87[split:]
+    assert np.array_equal(decode_gif_gray(g89), gray)
+    # truncated extension chain still fails loudly
+    with pytest.raises(ValueError):
+        decode_gif_gray(g89[: split + 3])
+
+
+def test_read_parquet_list_column_writer_matrix():
+    """Single-level LIST decode (repetition + definition levels,
+    Dremel reassembly) against pyarrow across codecs, data-page
+    versions, dictionary/plain, delta element encodings and row-group
+    splits — null list / empty list / null element / value must all
+    survive every layout."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from downloader_spark.media import (
+        read_parquet_column,
+        read_parquet_list_column,
+    )
+
+    ints = [[1, 2, 3], None, [], [None, 5], [2**62, -(2**62)], [7], [0], None]
+    strs = [["a", "bb"], [], None, ["ccc", None, ""], ["dd"], None, ["e"], []]
+    floats = [[1.5, -2.25], [0.0], None, [], [3.75], [None], [-0.5], [9.0]]
+    tbl = pa.table(
+        {
+            "xi": pa.array(ints, pa.list_(pa.int64())),
+            "xs": pa.array(strs, pa.list_(pa.string())),
+            "xf": pa.array(floats, pa.list_(pa.float32())),
+            "flat": pa.array(range(8)),
+        }
+    )
+    want_s = [
+        None if r is None else [x if x is None else x.encode() for x in r]
+        for r in strs
+    ]
+    matrix = (
+        dict(),
+        dict(compression="snappy"),
+        dict(compression="gzip", use_dictionary=False),
+        dict(compression="zstd"),
+        dict(data_page_version="2.0"),
+        dict(data_page_version="2.0", use_dictionary=False,
+             compression="zstd"),
+        dict(version="2.6", use_dictionary=False,
+             column_encoding={"xi.list.element": "DELTA_BINARY_PACKED",
+                              "xs.list.element": "DELTA_BYTE_ARRAY",
+                              "xf.list.element": "BYTE_STREAM_SPLIT",
+                              "flat": "PLAIN"}),
+        dict(row_group_size=3),
+        dict(row_group_size=2, data_page_version="2.0"),
+    )
+    for kw in matrix:
+        buf = io.BytesIO()
+        pq.write_table(tbl, buf, **kw)
+        data = buf.getvalue()
+        assert read_parquet_list_column(data, "xi") == ints, kw
+        assert read_parquet_list_column(data, "xs") == want_s, kw
+        got_f = read_parquet_list_column(data, "xf")
+        assert got_f == floats, kw
+        # full dotted leaf path also resolves
+        assert read_parquet_list_column(data, "xi.list.element") == ints, kw
+        # flat reader still refuses repeated columns loudly
+        with pytest.raises(ValueError):
+            read_parquet_column(data, "xi.list.element")
+    # the fixture's own embeddings table (the VERDICT-named target)
+    import pathlib
+
+    emb = pathlib.Path("/root/testdata/sf0.001/embeddings.parquet")
+    if emb.exists():
+        data = emb.read_bytes()
+        got = read_parquet_list_column(data, "embedding")
+        want = pq.read_table(io.BytesIO(data)).column("embedding").to_pylist()
+        assert got == want
+    # depth-2 nesting stays out-of-profile, loudly
+    deep = pa.table(
+        {"z": pa.array([[[1]], [[2, 3]]], pa.list_(pa.list_(pa.int64())))}
+    )
+    buf = io.BytesIO()
+    pq.write_table(deep, buf)
+    with pytest.raises(ValueError):
+        read_parquet_list_column(buf.getvalue(), "z")

@@ -288,3 +288,54 @@ def test_sample_frames_real_video_decode(spark, media_dir):
         assert by_idx[i].frame_digest == hashlib.md5(
             frames[i].tobytes()
         ).hexdigest()
+
+
+def test_corrupt_payloads_yield_loud_error_rows(spark, tmp_path, media_dir):
+    """One corrupt file must NOT fail the whole Spark task: decoders
+    raise struct.error (truncated PNG), KeyError (bit-flipped JPEG
+    Huffman table), IndexError (flip in the entropy stream) — the
+    dispatch sites catch DECODE_ERRORS and emit the docstring-promised
+    loud format='error:<fmt>' row alongside intact neighbors."""
+    import numpy as np
+
+    from downloader_spark import media
+
+    d, rgb, gray, _f, _a = media_dir
+    c = tmp_path / "corrupt"
+    c.mkdir()
+    (c / "trunc.png").write_bytes(media.encode_png(rgb)[:30])  # struct.error
+    jpg = bytearray(media.encode_jpeg_color(rgb, quality=90))
+    j_key = bytearray(jpg)
+    j_key[21] ^= 0xFF  # Huffman-table flip -> KeyError
+    (c / "flipkey.jpg").write_bytes(bytes(j_key))
+    j_idx = bytearray(jpg)
+    j_idx[180] ^= 0xFF  # entropy-stream flip -> IndexError
+    (c / "flipidx.jpg").write_bytes(bytes(j_idx))
+    (c / "trunc.gif").write_bytes(media.encode_gif_gray(gray)[:20])
+    (c / "good.bmp").write_bytes(media.encode_bmp(rgb))
+
+    rows = {
+        r.file: r
+        for r in decode_image_features(scan_binary(spark, str(c))).collect()
+    }
+    good = rows["good.bmp"]
+    assert good.format == "bmp" and good.n_features == N_FEATURES
+    expected = {
+        "trunc.png": "error:png",
+        "flipkey.jpg": "error:jpeg",
+        "trunc.gif": "error:gif",
+    }
+    for f, fmt in expected.items():
+        assert rows[f].format == fmt, (f, rows[f])
+        assert rows[f].n_features == 0 and rows[f].features == []
+    # the entropy flip either decodes to garbage pixels (fine) or is a
+    # loud error row — never a task failure
+    assert rows["flipidx.jpg"].format in ("jpeg", "error:jpeg")
+
+    from downloader_spark.multimodal import extract_features, resize_images
+
+    ext = {r.file: r for r in extract_features(scan_binary(spark, str(c)), "image").collect()}
+    assert ext["trunc.png"].format == "error:png"
+    rz = {r.file: r for r in resize_images(scan_binary(spark, str(c)), 8, 8).collect()}
+    assert rz["trunc.png"].format == "error:png" and rz["trunc.png"].resized is None
+    assert rz["good.bmp"].resized is not None
