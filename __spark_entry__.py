@@ -104,6 +104,12 @@ _REPLANNED: dict[str, int] = {
     # (values unchanged; join strategy now pinned, not estimated)
     "embed_ann_graph": 14,
     "embed_ann_graph_recall": 14,
+    # round-15 per-(file, column) fan-out via broadcast column dim +
+    # digest-slice hash loop (values unchanged, plan and stage split
+    # are new)
+    "multimodal_parquet_pages": 15,
+    # round-15 loud fixture-precondition guard (values unchanged)
+    "text_charset_detect": 15,
 }
 
 

@@ -3653,21 +3653,75 @@ def _pq_plain(values: list, ptype: int) -> bytes:
     return bytes(out)
 
 
-def encode_parquet(columns: dict[str, list], compression: str = "snappy") -> bytes:
+def _pq_pack_indices(indices: list[int], width: int) -> bytes:
+    """Dictionary-index stream: one width byte, then the BIT-PACKED
+    half of the RLE/bit-packed hybrid (header varint = groups-of-8
+    count shifted left with LSB 1, values LSB-first) — the layout
+    :func:`_decode_indices` and every production reader accept.
+    Trailing pad values in the last group are zeros readers ignore."""
+    n = len(indices)
+    groups = (n + 7) // 8
+    header = (groups << 1) | 1
+    hdr = bytearray([width])
+    v = header
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        hdr.append(b | (0x80 if v else 0))
+        if not v:
+            break
+    acc = 0
+    nbits = 0
+    body = bytearray()
+    for idx in list(indices) + [0] * (groups * 8 - n):
+        acc |= idx << nbits
+        nbits += width
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        body.append(acc & 0xFF)
+    return bytes(hdr) + bytes(body)
+
+
+def encode_parquet(
+    columns: dict[str, list],
+    compression: str = "snappy",
+    row_group_size: int | None = None,
+    use_dictionary: bool = False,
+) -> bytes:
     """A from-scratch parquet WRITER — the encode twin of
-    read_parquet_column: one row group, one PLAIN V1 data page per
-    column, OPTIONAL columns with RLE definition levels (None =
-    null), snappy pages via :func:`snappy_encode` (or 'none'), and a
-    FileMetaData footer emitted by the from-scratch Thrift compact
-    writer.  Column types are inferred from the first non-null value
-    (int -> INT64, float -> DOUBLE, str/bytes -> BYTE_ARRAY with the
-    UTF8 converted type, bool -> BOOLEAN).  The files are read back
-    by pyarrow and DuckDB in tests — the strongest cross-check a
-    writer can have."""
+    read_parquet_column: PLAIN or dictionary-encoded V1 data pages,
+    OPTIONAL columns with RLE definition levels (None = null), snappy
+    pages via :func:`snappy_encode`, gzip pages via the from-scratch
+    DEFLATE encoder (:func:`gzip_encode`), multiple row groups when
+    ``row_group_size`` is set, and a FileMetaData footer emitted by
+    the from-scratch Thrift compact writer.
+
+    ``use_dictionary`` writes a PLAIN dictionary page per column
+    chunk followed by a bit-packed index data page (the classic
+    PLAIN_DICTIONARY v1 profile); all-null and boolean chunks fall
+    back to PLAIN.  Column types are inferred from the first non-null
+    value (int -> INT64, float -> DOUBLE, str/bytes -> BYTE_ARRAY
+    with the UTF8 converted type, bool -> BOOLEAN).  The files are
+    read back by pyarrow, DuckDB AND this module's own page reader in
+    tests — encoder/decoder twins both ways."""
     if not columns:
         raise ValueError("need at least one column")
     n_rows = len(next(iter(columns.values())))
-    codec = {"snappy": _PQ_CODEC_SNAPPY, "none": _PQ_CODEC_NONE}[compression]
+    codec = {
+        "snappy": _PQ_CODEC_SNAPPY,
+        "gzip": _PQ_CODEC_GZIP,
+        "none": _PQ_CODEC_NONE,
+    }[compression]
+
+    def compress(body: bytes) -> bytes:
+        if codec == _PQ_CODEC_SNAPPY:
+            return snappy_encode(body)
+        if codec == _PQ_CODEC_GZIP:
+            return gzip_encode(body)
+        return body
 
     def infer(vals: list) -> int:
         for v in vals:
@@ -3684,88 +3738,153 @@ def encode_parquet(columns: dict[str, list], compression: str = "snappy") -> byt
             raise ValueError(f"unsupported python value {type(v)}")
         return _PQ_TYPE_INT64  # all-null column
 
-    out = bytearray(b"PAR1")
-    chunks = []  # (name, ptype, num_values, data_page_offset, comp, uncomp)
-    for name, vals in columns.items():
-        if len(vals) != n_rows:
+    names = list(columns)
+    for name in names:
+        if len(columns[name]) != n_rows:
             raise ValueError("ragged columns")
-        ptype = infer(vals)
-        levels = [0 if v is None else 1 for v in vals]
-        present = [
-            v.encode("utf-8") if isinstance(v, str) else v
-            for v in vals
-            if v is not None
-        ]
-        body = _pq_rle_levels(levels) + _pq_plain(present, ptype)
-        raw = snappy_encode(body) if codec == _PQ_CODEC_SNAPPY else body
-        w = _ThriftCompactWriter()
-        w.begin_struct()
-        w.i32(1, _PQ_PAGE_DATA)
-        w.i32(2, len(body))
-        w.i32(3, len(raw))
-        w.field(5, _TC_STRUCT)  # DataPageHeader
-        w.begin_struct()
-        w.i32(1, n_rows)
-        w.i32(2, _PQ_ENC_PLAIN)
-        w.i32(3, _PQ_ENC_RLE)
-        w.i32(4, _PQ_ENC_RLE)
-        w.end_struct()
-        w.end_struct()
-        offset = len(out)
-        out.extend(w.buf)
-        out.extend(raw)
-        comp = len(out) - offset
-        chunks.append((name, ptype, n_rows, offset, comp, len(w.buf) + len(body)))
+    ptypes = {name: infer(columns[name]) for name in names}
+    rg_size = row_group_size or max(n_rows, 1)
+    starts = list(range(0, n_rows, rg_size)) or [0]
+
+    out = bytearray(b"PAR1")
+    # per row group: list of per-column chunk dicts for the footer
+    row_groups: list[list[dict]] = []
+    for lo in starts:
+        rows = slice(lo, min(lo + rg_size, n_rows))
+        rg_rows = len(range(*rows.indices(n_rows)))
+        chunks: list[dict] = []
+        for name in names:
+            vals = columns[name][rows]
+            ptype = ptypes[name]
+            levels = [0 if v is None else 1 for v in vals]
+            present = [
+                v.encode("utf-8") if isinstance(v, str) else v
+                for v in vals
+                if v is not None
+            ]
+            dict_off = None
+            uncomp_total = 0
+            offset = len(out)
+            if use_dictionary and present and ptype != _PQ_TYPE_BOOLEAN:
+                # dictionary page (PLAIN values, first-seen order),
+                # then one bit-packed index data page
+                order: dict = {}
+                indices = [
+                    order.setdefault(v, len(order)) for v in present
+                ]
+                dict_body = _pq_plain(list(order), ptype)
+                dict_raw = compress(dict_body)
+                w = _ThriftCompactWriter()
+                w.begin_struct()
+                w.i32(1, _PQ_PAGE_DICT)
+                w.i32(2, len(dict_body))
+                w.i32(3, len(dict_raw))
+                w.field(7, _TC_STRUCT)  # DictionaryPageHeader
+                w.begin_struct()
+                w.i32(1, len(order))
+                w.i32(2, _PQ_ENC_PLAIN_DICT)
+                w.end_struct()
+                w.end_struct()
+                dict_off = len(out)
+                out.extend(w.buf)
+                out.extend(dict_raw)
+                uncomp_total += len(w.buf) + len(dict_body)
+                width = max(1, (len(order) - 1).bit_length())
+                body = _pq_rle_levels(levels) + _pq_pack_indices(
+                    indices, width
+                )
+                data_enc = _PQ_ENC_PLAIN_DICT
+            else:
+                body = _pq_rle_levels(levels) + _pq_plain(present, ptype)
+                data_enc = _PQ_ENC_PLAIN
+            raw = compress(body)
+            w = _ThriftCompactWriter()
+            w.begin_struct()
+            w.i32(1, _PQ_PAGE_DATA)
+            w.i32(2, len(body))
+            w.i32(3, len(raw))
+            w.field(5, _TC_STRUCT)  # DataPageHeader
+            w.begin_struct()
+            w.i32(1, rg_rows)
+            w.i32(2, data_enc)
+            w.i32(3, _PQ_ENC_RLE)
+            w.i32(4, _PQ_ENC_RLE)
+            w.end_struct()
+            w.end_struct()
+            data_off = len(out)
+            out.extend(w.buf)
+            out.extend(raw)
+            uncomp_total += len(w.buf) + len(body)
+            chunks.append(
+                {
+                    "name": name,
+                    "ptype": ptype,
+                    "nv": rg_rows,
+                    "offset": offset,
+                    "dict_off": dict_off,
+                    "data_off": data_off,
+                    "comp": len(out) - offset,
+                    "uncomp": uncomp_total,
+                    "enc": data_enc,
+                }
+            )
+        row_groups.append(chunks)
 
     # footer: FileMetaData
     w = _ThriftCompactWriter()
     w.begin_struct()
     w.i32(1, 1)  # version
     w.field(2, _TC_LIST)  # schema
-    w.list_header(1 + len(chunks), _TC_STRUCT)
+    w.list_header(1 + len(names), _TC_STRUCT)
     w.begin_struct()  # root
     w.string(4, "schema")
-    w.i32(5, len(chunks))
+    w.i32(5, len(names))
     w.end_struct()
-    for name, ptype, _nv, _off, _c, _u in chunks:
+    for name in names:
         w.begin_struct()
-        w.i32(1, ptype)
+        w.i32(1, ptypes[name])
         w.i32(3, 1)  # OPTIONAL
         w.string(4, name)
-        if ptype == _PQ_TYPE_BYTE_ARRAY:
+        if ptypes[name] == _PQ_TYPE_BYTE_ARRAY:
             w.i32(6, _PQ_CONVERTED_UTF8)
         w.end_struct()
     w.i64(3, n_rows)
     w.field(4, _TC_LIST)  # row_groups
-    w.list_header(1, _TC_STRUCT)
-    w.begin_struct()
-    w.field(1, _TC_LIST)  # columns
-    w.list_header(len(chunks), _TC_STRUCT)
-    total_bytes = 0
-    for name, ptype, nv, off, comp, uncomp in chunks:
-        total_bytes += uncomp
-        w.begin_struct()  # ColumnChunk
-        w.i64(2, off)  # file_offset
-        w.field(3, _TC_STRUCT)  # meta_data
+    w.list_header(len(row_groups), _TC_STRUCT)
+    for chunks in row_groups:
         w.begin_struct()
-        w.i32(1, ptype)
-        w.field(2, _TC_LIST)  # encodings
-        w.list_header(2, _TC_I32)
-        w.zigzag(_PQ_ENC_PLAIN)
-        w.zigzag(_PQ_ENC_RLE)
-        w.field(3, _TC_LIST)  # path_in_schema
-        w.list_header(1, _TC_BINARY)
-        w.binary(name.encode("utf-8"))
-        w.i32(4, codec)
-        w.i64(5, nv)
-        w.i64(6, uncomp)
-        w.i64(7, comp)
-        w.i64(9, off)  # data_page_offset
+        w.field(1, _TC_LIST)  # columns
+        w.list_header(len(chunks), _TC_STRUCT)
+        total_bytes = 0
+        for ck in chunks:
+            total_bytes += ck["uncomp"]
+            w.begin_struct()  # ColumnChunk
+            w.i64(2, ck["offset"])  # file_offset
+            w.field(3, _TC_STRUCT)  # meta_data
+            w.begin_struct()
+            w.i32(1, ck["ptype"])
+            w.field(2, _TC_LIST)  # encodings
+            encs = [ck["enc"], _PQ_ENC_RLE]
+            if ck["enc"] != _PQ_ENC_PLAIN:
+                encs.append(_PQ_ENC_PLAIN)  # the dictionary page itself
+            w.list_header(len(encs), _TC_I32)
+            for e in encs:
+                w.zigzag(e)
+            w.field(3, _TC_LIST)  # path_in_schema
+            w.list_header(1, _TC_BINARY)
+            w.binary(ck["name"].encode("utf-8"))
+            w.i32(4, codec)
+            w.i64(5, ck["nv"])
+            w.i64(6, ck["uncomp"])
+            w.i64(7, ck["comp"])
+            w.i64(9, ck["data_off"])  # data_page_offset
+            if ck["dict_off"] is not None:
+                w.i64(11, ck["dict_off"])  # dictionary_page_offset
+            w.end_struct()
+            w.end_struct()
+        w.i64(2, total_bytes)
+        w.i64(3, chunks[0]["nv"] if chunks else 0)
         w.end_struct()
-        w.end_struct()
-    w.i64(2, total_bytes)
-    w.i64(3, n_rows)
-    w.end_struct()
     w.string(6, "downloader-spark from-scratch writer")
     w.end_struct()
     out.extend(w.buf)
@@ -4515,3 +4634,17 @@ def deflate_encode(data: bytes, fixed: bool = True) -> bytes:
     code, nb = _fixed_litlen_code(256)  # end of block
     bw.huff(code, nb)
     return bw.finish()
+
+
+def gzip_encode(data: bytes, fixed: bool = True) -> bytes:
+    """A gzip (RFC 1952) member from scratch: the 10-byte header
+    (deflate method, no flags, zero mtime, unknown OS), the
+    from-scratch DEFLATE body (:func:`deflate_encode`), then the
+    from-scratch CRC-32 (:func:`crc32`) and ISIZE trailer.  The
+    encode twin of :func:`gzip_members_decode`; accepted by stdlib
+    gzip/zlib, pyarrow, and DuckDB (used for GZIP parquet pages)."""
+    out = bytearray(b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff")
+    out += deflate_encode(data, fixed=fixed)
+    out += crc32(data).to_bytes(4, "little")
+    out += (len(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

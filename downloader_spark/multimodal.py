@@ -12,13 +12,17 @@ payloads (opaque byte streams, /root/reference/download/common.go:106
 The decode step is REAL: every stage sniffs the payload's magic bytes
 and dispatches to the from-scratch pure-stdlib/numpy codecs in
 ``downloader_spark.media`` — BMP, PNG (zlib, all five filters),
-GIF87a (variable-width LZW), the baseline-sequential T.81 JPEG family
-(grayscale / 4:4:4 / 4:2:0), mono PCM16 WAV, C444 YUV4MPEG2 video and
-the PFV inter-frame codec.  A payload no decoder claims produces a
+GIF87a/89a (variable-width LZW, extension blocks skipped), the
+baseline-sequential T.81 JPEG family (grayscale / 4:4:4 / 4:2:0),
+mono PCM16 WAV, C444 YUV4MPEG2 video, the PFV inter-frame codec, and
+the H.264 container layer (Annex-B NAL walk, emulation prevention,
+Exp-Golomb SPS/PPS/slice headers, I_PCM macroblocks —
+``downloader_spark.h264``).  A payload no decoder claims produces a
 LOUD ``format='unsupported'`` row (n_features = 0, empty feature
-array) — never fake data.  The remaining honest stub in this repo is
-full-standard H.264 (entropy-coded transform residuals + motion
-search); its inter-frame PREDICTION structure is real via PFV.
+array) — never fake data.  H.264's predicted/CAVLC macroblock path
+is explicitly DESCOPED (no external truth exists in this container
+to validate entropy tables against) and raises loudly; inter-frame
+PREDICTION structure is real via PFV.
 
 Scale notes: binaryFile scans parallelize per file;
 ``spark.sql.files.maxPartitionBytes`` governs packing of small files
@@ -92,7 +96,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 IMAGE_FORMATS = ("png", "bmp", "gif", "jpeg")
 AUDIO_FORMATS = ("wav",)
-VIDEO_FORMATS = ("y4m", "pfv")
+VIDEO_FORMATS = ("y4m", "pfv", "h264")
 
 
 def sniff_format(data: bytes) -> str:
@@ -113,6 +117,10 @@ def sniff_format(data: bytes) -> str:
         return "y4m"
     if data.startswith(b"PFV1"):
         return "pfv"
+    if data.startswith(b"\x00\x00\x00\x01") or data.startswith(
+        b"\x00\x00\x01"
+    ):
+        return "h264"  # Annex-B start code
     return "unsupported"
 
 
@@ -183,6 +191,11 @@ def _video_features(fmt: str, data: bytes) -> list[float]:
     if fmt == "y4m":
         _fps, frames = media.decode_y4m(data)
         luma = frames[:, :, :, 0].astype(np.float64)
+    elif fmt == "h264":
+        from downloader_spark.h264 import decode_h264_ipcm
+
+        y, _cb, _cr = decode_h264_ipcm(data)
+        luma = y.astype(np.float64)
     else:  # pfv
         frames, _stats = media.decode_pframe(data)
         luma = frames.astype(np.float64)
@@ -388,6 +401,12 @@ def sample_frames(binary_df: DataFrame, every_n_bytes: int = 65536) -> DataFrame
                         if fmt == "y4m":
                             _fps, frames = media.decode_y4m(data)
                             planes = frames[:, :, :, 0]
+                        elif fmt == "h264":
+                            from downloader_spark.h264 import (
+                                decode_h264_ipcm,
+                            )
+
+                            planes, _cb, _cr = decode_h264_ipcm(data)
                         else:
                             planes, _stats = media.decode_pframe(data)
                         for i in range(planes.shape[0]):

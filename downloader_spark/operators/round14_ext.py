@@ -108,17 +108,16 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages cannot prune, vectorize, or verify a lake.  Shape: one
     binaryFile row per data file (a "table" may be one file or a
     directory of part files — both layouts resolve to the owning
-    table) into a map-only Arrow stage emitting PER-FILE PARTIALS,
-    merged by one map-side-combinable sum — the per-file-partial →
-    merge shape a 100 TB audit actually runs."""
+    table), fanned out to one Arrow row per (file, COLUMN) via a
+    broadcast join against the tiny column dim — so a fat fact file's
+    columns hash in parallel tasks instead of serially in one — then
+    PER-(FILE, COLUMN) PARTIALS merged by one map-side-combinable
+    sum, the partial → merge shape a 100 TB audit actually runs."""
     import os
 
-    from downloader_spark.media import read_parquet_columns
+    from downloader_spark.media import read_parquet_column
 
     tables = sorted({t for t, _c, _k in _PQ_PAGE_COLS})
-    cols_by_table: dict[str, list[tuple[str, str]]] = {}
-    for t, c, k in _PQ_PAGE_COLS:
-        cols_by_table.setdefault(t, []).append((c, k))
     paths = [os.path.join(sf_dir, f"{t}.parquet") for t in tables]
     n = spark.sparkContext.defaultParallelism
     files = (
@@ -127,46 +126,58 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .load(paths)
         .select("path", "content")
-        .repartition(n)
     )
-
-    def table_of(path: str) -> str:
-        # /x/documents.parquet OR /x/documents.parquet/part-0007.parquet
-        segs = path.rstrip("/").split("/")
-        name = segs[-1].removesuffix(".parquet")
-        if name in cols_by_table:
-            return name
-        return segs[-2].removesuffix(".parquet")
+    # owning table, JVM-side: /x/documents.parquet (one file) OR
+    # /x/documents.parquet/part-0007.parquet (directory of parts)
+    base = F.regexp_replace(
+        F.regexp_extract("path", r"([^/]+)/?$", 1), r"\.parquet$", ""
+    )
+    parent = F.regexp_replace(
+        F.regexp_extract("path", r"([^/]+)/[^/]+/?$", 1),
+        r"\.parquet$", "",
+    )
+    col_dim = spark.createDataFrame(
+        list(_PQ_PAGE_COLS), "tbl string, col string, kind string"
+    )
+    work = files.withColumn(
+        "tbl", F.when(base.isin(tables), base).otherwise(parent)
+    ).join(F.broadcast(col_dim), "tbl").repartition(n)
 
     def run(batches):
+        from hashlib import md5
+
+        fb = int.from_bytes
         for pdf in batches:
             out = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                name = table_of(path)
-                data = bytes(content)
-                by_col = read_parquet_columns(
-                    data, [c for c, _k in cols_by_table[name]]
-                )
-                for col, kind in cols_by_table[name]:
-                    values = by_col[col]
-                    hsum = 0
-                    nulls = 0
-                    for v in values:
-                        if v is None:
-                            nulls += 1
-                        elif kind == "int":
-                            hsum += _h40_py(str(v).encode())
-                        else:
-                            hsum += _h40_py(v)
-                    out.append(
-                        (name, col, len(values), nulls, hsum % _H40_MOD)
+            for tbl, col, kind, content in zip(
+                pdf["tbl"], pdf["col"], pdf["kind"], pdf["content"]
+            ):
+                values = read_parquet_column(bytes(content), col)
+                nulls = values.count(None)
+                # 40-bit md5 prefix == big-endian first 5 digest
+                # bytes; C-level int formatting and bound locals keep
+                # the per-value cost at the md5 call itself
+                if kind == "int":
+                    hsum = sum(
+                        fb(md5(b"%d" % v).digest()[:5], "big")
+                        for v in values
+                        if v is not None
                     )
+                else:
+                    hsum = sum(
+                        fb(md5(v).digest()[:5], "big")
+                        for v in values
+                        if v is not None
+                    )
+                out.append(
+                    (tbl, col, len(values), nulls, hsum % _H40_MOD)
+                )
             yield pd.DataFrame(
                 out,
                 columns=["tbl", "col", "n_rows", "null_count", "value_hash_sum"],
             )
 
-    partials = files.mapInPandas(
+    partials = work.select("tbl", "col", "kind", "content").mapInPandas(
         run,
         "tbl string, col string, n_rows long, null_count long,"
         " value_hash_sum long",
@@ -336,10 +347,29 @@ def text_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 d = int(doc_id)
                 case = _charset_case(d)
+                if case in (2, 4):
+                    # the planted latin-1 cases only exist for
+                    # latin-1-encodable text; fail with the
+                    # precondition's NAME, not a bare UnicodeError
+                    # from deep inside the synthesis
+                    try:
+                        str(text).encode("latin-1")
+                    except UnicodeEncodeError as exc:
+                        raise ValueError(
+                            "text_charset_detect fixture precondition"
+                            f" violated: doc {d} text is not"
+                            " latin-1-encodable (cases 2/4 plant"
+                            " latin-1 pages; re-plant on encodable"
+                            " docs for wider-script corpora)"
+                        ) from exc
                 page = _synth_page_text(case, str(text))
                 raw = _encode_page(case, page)
                 cs, method, decoded = sniff_charset(raw)
-                assert decoded == page  # transcode must be lossless
+                if decoded != page:  # transcode must be lossless
+                    raise ValueError(
+                        f"charset transcode mismatch for doc {d}"
+                        f" (case {case}, sniffed {cs}/{method})"
+                    )
                 out.append(
                     (
                         d,

@@ -124,6 +124,19 @@ KEYS = (
     "multimodal_adpcm_roundtrip",
     "multimodal_mulaw_roundtrip",
     "multimodal_alaw_roundtrip",
+    # round-15 (verdict item 6): the settled top-15 cohort members not
+    # yet covered above — the ANN family (vector count x10), SCC and
+    # the AS-traffic/LPM pair (edge/event spaces grow with the key
+    # shift), the cluster-stats rollup (Heaps-law docs), and the
+    # page-decode audit (every generated table's files)
+    "embed_ann_hnsw",
+    "embed_ann_graph_recall",
+    "embed_ann_graph",
+    "graph_scc",
+    "agg_as_traffic",
+    "dedup_cluster_stats",
+    "multimodal_parquet_pages",
+    "join_ip_prefix6",
 )
 
 SRC = "/root/testdata/sf0.1"

@@ -2435,3 +2435,71 @@ def test_read_parquet_list_column_writer_matrix():
     pq.write_table(deep, buf)
     with pytest.raises(ValueError):
         read_parquet_list_column(buf.getvalue(), "z")
+
+
+def test_parquet_writer_v2_dictionary_gzip_multi_row_group():
+    """Writer v2 features — dictionary pages (PLAIN_DICTIONARY v1
+    profile with bit-packed index pages), gzip page bodies through the
+    from-scratch DEFLATE encoder, and multi-row-group layout — must be
+    read back exactly by pyarrow, DuckDB AND this module's own page
+    reader (encoder/decoder twins both ways)."""
+    import io
+    import itertools
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from downloader_spark.media import encode_parquet, read_parquet_column
+
+    n = 500
+    cols = {
+        "k": [None if i % 7 == 0 else i * 3 - 500 for i in range(n)],
+        "name": [
+            None if i % 5 == 0 else f"cat-{i % 17}" for i in range(n)
+        ],
+        "score": [None if i % 9 == 0 else (i % 23) / 4.0 for i in range(n)],
+        "flag": [None if i % 13 == 0 else bool(i % 2) for i in range(n)],
+        "allnull": [None] * n,
+    }
+    for comp, rg, dic in itertools.product(
+        ("snappy", "gzip", "none"), (None, 64, 33), (False, True)
+    ):
+        data = encode_parquet(
+            cols, compression=comp, row_group_size=rg, use_dictionary=dic
+        )
+        # our own reader
+        assert read_parquet_column(data, "k") == cols["k"], (comp, rg, dic)
+        assert [
+            v if v is None else v.decode()
+            for v in read_parquet_column(data, "name")
+        ] == cols["name"], (comp, rg, dic)
+        assert read_parquet_column(data, "flag") == cols["flag"]
+        assert read_parquet_column(data, "allnull") == cols["allnull"]
+        # pyarrow
+        t = pq.read_table(io.BytesIO(data))
+        assert t.num_rows == n
+        want_rgs = 1 if rg is None else -(-n // rg)
+        assert pq.ParquetFile(io.BytesIO(data)).num_row_groups == want_rgs
+        for c in cols:
+            assert t.column(c).to_pylist() == cols[c], (c, comp, rg, dic)
+        # duckdb
+        f = tempfile.NamedTemporaryFile(suffix=".parquet", delete=False)
+        f.write(data)
+        f.close()
+        try:
+            got = duckdb.sql(
+                "SELECT count(*), count(k), sum(k), count(DISTINCT name)"
+                f" FROM read_parquet('{f.name}')"
+            ).fetchone()
+            want_k = [v for v in cols["k"] if v is not None]
+            want_names = {v for v in cols["name"] if v is not None}
+            assert got == (n, len(want_k), sum(want_k), len(want_names))
+        finally:
+            os.unlink(f.name)
+    # dictionary files are materially smaller on repetitive data
+    rep = {"s": [f"val-{i % 4}" for i in range(4000)]}
+    plain = encode_parquet(rep, compression="none")
+    dicted = encode_parquet(rep, compression="none", use_dictionary=True)
+    assert len(dicted) < len(plain) / 4
