@@ -110,6 +110,12 @@ _REPLANNED: dict[str, int] = {
     "multimodal_parquet_pages": 15,
     # round-15 loud fixture-precondition guard (values unchanged)
     "text_charset_detect": 15,
+    # round-15 scale-derived LSH width (max(SIGN_BITS, derive) —
+    # values unchanged at fixture scales, plan gains the count job)
+    "dedup_embed": 15,
+    "dedup_incremental": 15,
+    "dedup_clusters": 15,
+    "dedup_cluster_stats": 15,
 }
 
 

@@ -36,6 +36,7 @@ from downloader_spark.operators.llm_dedup import (
     _DUCK_DOT,
     _DUCK_SIGN_BUCKET,
     embed_pairs,
+    scaled_sign_bits,
 )
 from downloader_spark.plans.registry import query
 
@@ -237,9 +238,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     above).  Oracle side: a recursive-CTE transitive closure.  The two
     algorithms share nothing but the edge list, so a matching hash
     certifies the fixpoint, not just the plumbing."""
-    pairs = embed_pairs(
-        load_table(spark, sf_dir, "embeddings"), sign_bits=SIGN_BITS
-    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embed_pairs(emb, sign_bits=scaled_sign_bits(emb)).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
     return connected_components(pairs).select(
         F.col("node").alias("vec_id"), "cluster_id"
     )
@@ -294,9 +296,10 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     its output — the point is that the ITERATIVE operator's result
     composes downstream like any DataFrame, lineage truncation and
     all."""
-    pairs = embed_pairs(
-        load_table(spark, sf_dir, "embeddings"), sign_bits=SIGN_BITS
-    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embed_pairs(emb, sign_bits=scaled_sign_bits(emb)).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
     return (
         connected_components(pairs)
         .groupBy(F.col("cluster_id"))

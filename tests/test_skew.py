@@ -100,3 +100,27 @@ def test_derive_sign_bits_scales_with_corpus():
         b = derive_sign_bits(n)
         assert b >= prev
         prev = b
+
+
+def test_scaled_sign_bits_oracle_compatible_then_scales(spark):
+    """The checked LSH keys' round-15 width rule: the fixed SIGN_BITS
+    exact-check width at every fixture scale (so static oracles stay
+    bit-exact), derive_sign_bits beyond — and since hyperplanes are
+    prefix-stable, the wider bucket is a strict refinement of the
+    checked one."""
+    from downloader_spark.operators.llm_dedup import (
+        SIGN_BITS,
+        hyperplane_signs,
+        scaled_sign_bits,
+    )
+
+    def fake(n):
+        return spark.range(n).selectExpr(
+            "id AS vec_id", "array(CAST(id AS double)) AS embedding"
+        )
+
+    for n in (0, 1, 500, 5000, 16_384):
+        assert scaled_sign_bits(fake(n)) == SIGN_BITS, n
+    assert scaled_sign_bits(fake(50_000)) == 10
+    assert scaled_sign_bits(fake(500_000)) == 13
+    assert hyperplane_signs(10, 64)[:8] == hyperplane_signs(8, 64)
