@@ -3701,11 +3701,16 @@ def encode_parquet(
 
     ``use_dictionary`` writes a PLAIN dictionary page per column
     chunk followed by a bit-packed index data page (the classic
-    PLAIN_DICTIONARY v1 profile); all-null and boolean chunks fall
-    back to PLAIN.  Column types are inferred from the first non-null
-    value (int -> INT64, float -> DOUBLE, str/bytes -> BYTE_ARRAY
-    with the UTF8 converted type, bool -> BOOLEAN).  The files are
-    read back by pyarrow, DuckDB AND this module's own page reader in
+    PLAIN_DICTIONARY v1 profile); all-null, boolean and LIST chunks
+    fall back to PLAIN.  Column types are inferred from the first
+    non-null value (int -> INT64, float -> DOUBLE, str/bytes ->
+    BYTE_ARRAY with the UTF8 converted type, bool -> BOOLEAN).  A
+    column whose values are python lists (None / [] / [elem-or-None,
+    ...]) is written as the standard 3-level LIST layout —
+    optional group (LIST) > repeated group "list" > optional
+    "element" — with repetition + definition levels per slot, the
+    encode twin of read_parquet_list_column.  The files are read
+    back by pyarrow, DuckDB AND this module's own page reader in
     tests — encoder/decoder twins both ways."""
     if not columns:
         raise ValueError("need at least one column")
@@ -3742,7 +3747,26 @@ def encode_parquet(
     for name in names:
         if len(columns[name]) != n_rows:
             raise ValueError("ragged columns")
-    ptypes = {name: infer(columns[name]) for name in names}
+    is_list = {
+        name: any(
+            isinstance(v, list) for v in columns[name] if v is not None
+        )
+        for name in names
+    }
+    def _flat_elems(name: str) -> list:
+        out = []
+        for row in columns[name]:
+            if row is None:
+                continue
+            if not isinstance(row, list):
+                raise ValueError(f"column {name!r} mixes lists and scalars")
+            out.extend(row)
+        return out
+
+    ptypes = {
+        name: infer(_flat_elems(name) if is_list[name] else columns[name])
+        for name in names
+    }
     rg_size = row_group_size or max(n_rows, 1)
     starts = list(range(0, n_rows, rg_size)) or [0]
 
@@ -3756,16 +3780,57 @@ def encode_parquet(
         for name in names:
             vals = columns[name][rows]
             ptype = ptypes[name]
-            levels = [0 if v is None else 1 for v in vals]
-            present = [
-                v.encode("utf-8") if isinstance(v, str) else v
-                for v in vals
-                if v is not None
-            ]
+            if is_list[name]:
+                # Dremel slots: rep 0 starts a row, rep 1 continues
+                # its list; def 0 = null list, 1 = empty list,
+                # 2 = null element, 3 = value (col optional > list
+                # repeated > element optional)
+                reps: list[int] = []
+                defs: list[int] = []
+                present = []
+                for row in vals:
+                    if row is not None and not isinstance(row, list):
+                        raise ValueError(
+                            f"column {name!r} mixes lists and scalars"
+                        )
+                    if row is None:
+                        reps.append(0)
+                        defs.append(0)
+                    elif not row:
+                        reps.append(0)
+                        defs.append(1)
+                    else:
+                        for j, e in enumerate(row):
+                            reps.append(1 if j else 0)
+                            if e is None:
+                                defs.append(2)
+                            else:
+                                defs.append(3)
+                                present.append(
+                                    e.encode("utf-8")
+                                    if isinstance(e, str)
+                                    else e
+                                )
+                n_slots = len(defs)
+                level_bytes = _pq_rle_levels(reps) + _pq_rle_levels(defs)
+            else:
+                levels = [0 if v is None else 1 for v in vals]
+                present = [
+                    v.encode("utf-8") if isinstance(v, str) else v
+                    for v in vals
+                    if v is not None
+                ]
+                n_slots = rg_rows
+                level_bytes = _pq_rle_levels(levels)
             dict_off = None
             uncomp_total = 0
             offset = len(out)
-            if use_dictionary and present and ptype != _PQ_TYPE_BOOLEAN:
+            if (
+                use_dictionary
+                and present
+                and ptype != _PQ_TYPE_BOOLEAN
+                and not is_list[name]
+            ):
                 # dictionary page (PLAIN values, first-seen order),
                 # then one bit-packed index data page
                 order: dict = {}
@@ -3790,12 +3855,10 @@ def encode_parquet(
                 out.extend(dict_raw)
                 uncomp_total += len(w.buf) + len(dict_body)
                 width = max(1, (len(order) - 1).bit_length())
-                body = _pq_rle_levels(levels) + _pq_pack_indices(
-                    indices, width
-                )
+                body = level_bytes + _pq_pack_indices(indices, width)
                 data_enc = _PQ_ENC_PLAIN_DICT
             else:
-                body = _pq_rle_levels(levels) + _pq_plain(present, ptype)
+                body = level_bytes + _pq_plain(present, ptype)
                 data_enc = _PQ_ENC_PLAIN
             raw = compress(body)
             w = _ThriftCompactWriter()
@@ -3805,7 +3868,7 @@ def encode_parquet(
             w.i32(3, len(raw))
             w.field(5, _TC_STRUCT)  # DataPageHeader
             w.begin_struct()
-            w.i32(1, rg_rows)
+            w.i32(1, n_slots)  # num_values counts SLOTS incl. nulls
             w.i32(2, data_enc)
             w.i32(3, _PQ_ENC_RLE)
             w.i32(4, _PQ_ENC_RLE)
@@ -3819,7 +3882,8 @@ def encode_parquet(
                 {
                     "name": name,
                     "ptype": ptype,
-                    "nv": rg_rows,
+                    "rg_rows": rg_rows,
+                    "nv": n_slots,
                     "offset": offset,
                     "dict_off": dict_off,
                     "data_off": data_off,
@@ -3835,12 +3899,35 @@ def encode_parquet(
     w.begin_struct()
     w.i32(1, 1)  # version
     w.field(2, _TC_LIST)  # schema
-    w.list_header(1 + len(names), _TC_STRUCT)
+    n_elements = 1 + sum(3 if is_list[n] else 1 for n in names)
+    w.list_header(n_elements, _TC_STRUCT)
     w.begin_struct()  # root
     w.string(4, "schema")
     w.i32(5, len(names))
     w.end_struct()
     for name in names:
+        if is_list[name]:
+            # standard 3-level LIST: optional group (converted LIST)
+            # > repeated group "list" > optional leaf "element"
+            w.begin_struct()
+            w.i32(3, 1)  # OPTIONAL
+            w.string(4, name)
+            w.i32(5, 1)  # num_children
+            w.i32(6, 3)  # ConvertedType LIST
+            w.end_struct()
+            w.begin_struct()
+            w.i32(3, 2)  # REPEATED
+            w.string(4, "list")
+            w.i32(5, 1)
+            w.end_struct()
+            w.begin_struct()
+            w.i32(1, ptypes[name])
+            w.i32(3, 1)  # OPTIONAL
+            w.string(4, "element")
+            if ptypes[name] == _PQ_TYPE_BYTE_ARRAY:
+                w.i32(6, _PQ_CONVERTED_UTF8)
+            w.end_struct()
+            continue
         w.begin_struct()
         w.i32(1, ptypes[name])
         w.i32(3, 1)  # OPTIONAL
@@ -3871,8 +3958,14 @@ def encode_parquet(
             for e in encs:
                 w.zigzag(e)
             w.field(3, _TC_LIST)  # path_in_schema
-            w.list_header(1, _TC_BINARY)
-            w.binary(ck["name"].encode("utf-8"))
+            if is_list[ck["name"]]:
+                w.list_header(3, _TC_BINARY)
+                w.binary(ck["name"].encode("utf-8"))
+                w.binary(b"list")
+                w.binary(b"element")
+            else:
+                w.list_header(1, _TC_BINARY)
+                w.binary(ck["name"].encode("utf-8"))
             w.i32(4, codec)
             w.i64(5, ck["nv"])
             w.i64(6, ck["uncomp"])
@@ -3883,7 +3976,7 @@ def encode_parquet(
             w.end_struct()
             w.end_struct()
         w.i64(2, total_bytes)
-        w.i64(3, chunks[0]["nv"] if chunks else 0)
+        w.i64(3, chunks[0]["rg_rows"] if chunks else 0)  # ROWS, not slots
         w.end_struct()
     w.string(6, "downloader-spark from-scratch writer")
     w.end_struct()

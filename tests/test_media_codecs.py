@@ -2503,3 +2503,71 @@ def test_parquet_writer_v2_dictionary_gzip_multi_row_group():
     plain = encode_parquet(rep, compression="none")
     dicted = encode_parquet(rep, compression="none", use_dictionary=True)
     assert len(dicted) < len(plain) / 4
+
+
+def test_parquet_writer_list_columns_three_readers():
+    """LIST columns in the from-scratch WRITER (3-level layout,
+    repetition + definition levels per slot) — pyarrow, DuckDB AND
+    our own list reader must recover null list / empty list / null
+    element / value exactly across codecs and row-group splits;
+    encoder/decoder twins both ways."""
+    import io
+    import itertools
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from downloader_spark.media import (
+        encode_parquet,
+        read_parquet_column,
+        read_parquet_list_column,
+    )
+
+    ints = [[1, 2, 3], None, [], [None, 5], [2**62, -(2**62)], [7], None, []]
+    strs = [["a", "bb"], [], None, ["ccc", None, ""], ["dd"], None, ["é"], ["x"]]
+    flts = [[1.5], None, [], [0.25, -3.5], [None], [9.0], [], [2.0]]
+    cols = {"xi": ints, "xs": strs, "xf": flts, "flat": list(range(8))}
+    want_sb = [
+        None if r is None else [x if x is None else x.encode() for x in r]
+        for r in strs
+    ]
+    for comp, rg in itertools.product(("snappy", "gzip", "none"), (None, 3)):
+        data = encode_parquet(cols, compression=comp, row_group_size=rg)
+        t = pq.read_table(io.BytesIO(data))
+        assert t.column("xi").to_pylist() == ints, (comp, rg)
+        assert t.column("xs").to_pylist() == strs, (comp, rg)
+        assert t.column("xf").to_pylist() == flts, (comp, rg)
+        f = tempfile.NamedTemporaryFile(suffix=".parquet", delete=False)
+        f.write(data)
+        f.close()
+        try:
+            rows = duckdb.sql(
+                f"SELECT xi, xs FROM read_parquet('{f.name}')"
+            ).fetchall()
+            assert [
+                None if r[0] is None else list(r[0]) for r in rows
+            ] == ints, (comp, rg)
+            assert [
+                None if r[1] is None else list(r[1]) for r in rows
+            ] == strs, (comp, rg)
+        finally:
+            os.unlink(f.name)
+        assert read_parquet_list_column(data, "xi") == ints, (comp, rg)
+        assert read_parquet_list_column(data, "xs") == want_sb, (comp, rg)
+        assert read_parquet_list_column(data, "xf") == flts, (comp, rg)
+        assert read_parquet_column(data, "flat") == list(range(8))
+    # all-null and all-empty list columns survive
+    edge = encode_parquet(
+        {"a": [None, None], "b": [[], []], "c": [[1], [2]]},
+        compression="gzip",
+    )
+    t = pq.read_table(io.BytesIO(edge))
+    assert t.column("a").to_pylist() == [None, None]
+    assert t.column("b").to_pylist() == [[], []]
+    assert read_parquet_list_column(edge, "b") == [[], []]
+    assert read_parquet_list_column(edge, "c") == [[1], [2]]
+    # mixing scalars and lists in one column is refused loudly
+    with pytest.raises(ValueError):
+        encode_parquet({"m": [1, [2]]})
