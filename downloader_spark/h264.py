@@ -233,6 +233,10 @@ def encode_h264_ipcm(
         w.ue(0)  # pic_parameter_set_id
         w.u(0, 4)  # frame_num (log2_max_frame_num = 4; IDR resets)
         w.ue(f % 2)  # idr_pic_id (consecutive IDRs must differ)
+        # dec_ref_pic_marking() — mandatory when nal_ref_idc != 0
+        # (spec 7.3.3 / 7.3.3.3; IDR form):
+        w.u(0, 1)  # no_output_of_prior_pics_flag
+        w.u(0, 1)  # long_term_reference_flag
         w.se(0)  # slice_qp_delta
         w.ue(1)  # disable_deblocking_filter_idc: off
         for my in range(mb_h):
@@ -380,6 +384,12 @@ def decode_h264_ipcm(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             r.ue()  # idr_pic_id
         if sps["poc_type"] == 0:
             raise ValueError("pic_order_cnt_type 0 unsupported")
+        if (nal[0] >> 5) & 3:  # nal_ref_idc != 0 -> dec_ref_pic_marking()
+            if nal_type == _NAL_IDR:
+                r.u(1)  # no_output_of_prior_pics_flag
+                r.u(1)  # long_term_reference_flag
+            elif r.u(1):  # adaptive_ref_pic_marking_mode_flag
+                raise ValueError("MMCO ref-pic marking unsupported")
         r.se()  # slice_qp_delta
         if pps["deblock_ctrl"]:
             if r.ue() != 1:

@@ -2948,16 +2948,22 @@ def _delta_byte_array(buf: bytes, pos: int) -> tuple[list[bytes], int]:
     return out, pos
 
 
-def _pq_schema_leaves(tc: "_ThriftCompact", n_elements: int) -> list[dict]:
-    """Walk the flattened-preorder SchemaElement list: returns leaves
-    in schema order with dotted path, physical type, type_length,
-    max definition level, and max repetition level.  ``rep_def`` is
-    the definition level AT the innermost repeated ancestor (0 for
+def _pq_schema_leaves(
+    tc: "_ThriftCompact", n_elements: int
+) -> tuple[list[dict], dict[str, dict]]:
+    """Walk the flattened-preorder SchemaElement list: returns
+    (leaves, groups) — leaves in schema order with dotted path,
+    physical type, type_length, max definition level, and max
+    repetition level, and every GROUP node keyed by dotted path with
+    its own max_def/max_rep/rep_def (struct and list reassembly need
+    the group's definition level, which no leaf records).  ``rep_def``
+    is the definition level AT the innermost repeated ancestor (0 for
     flat columns): def >= rep_def means an element slot exists,
     def == rep_def - 1 is an empty list, anything lower is a null
     somewhere above the list — the three cases Dremel reassembly
     needs."""
     leaves: list[dict] = []
+    groups: dict[str, dict] = {}
     # stack of [remaining_children, name, max_def, max_rep, rep_def]
     stack: list[list] = []
     for idx in range(n_elements):
@@ -2990,6 +2996,12 @@ def _pq_schema_leaves(tc: "_ThriftCompact", n_elements: int) -> list[dict]:
         path = f"{parent[1]}.{name}" if parent[1] else name
         parent[0] -= 1
         if num_children:
+            groups[path] = {
+                "max_def": max_def,
+                "max_rep": max_rep,
+                "rep_def": rep_def,
+                "repetition": repetition,
+            }
             stack.append([num_children, path, max_def, max_rep, rep_def])
         else:
             leaves.append(
@@ -3004,7 +3016,7 @@ def _pq_schema_leaves(tc: "_ThriftCompact", n_elements: int) -> list[dict]:
             )
             while stack and stack[-1][0] == 0:
                 stack.pop()
-    return leaves
+    return leaves, groups
 
 
 def parse_parquet_metadata(data: bytes) -> dict:
@@ -3021,11 +3033,12 @@ def parse_parquet_metadata(data: bytes) -> dict:
     tc = _ThriftCompact(data, start)
     num_rows = None
     leaves: list[dict] = []
+    groups: dict[str, dict] = {}
     row_groups: list[dict] = []
     for fid, ftype in tc.fields():
         if fid == 2 and ftype == _TC_LIST:  # schema
             size, _etype = tc.list_header()
-            leaves = _pq_schema_leaves(tc, size)
+            leaves, groups = _pq_schema_leaves(tc, size)
         elif fid == 3 and ftype == _TC_I64:
             num_rows = tc.zigzag()
         elif fid == 4 and ftype == _TC_LIST:  # row_groups
@@ -3049,7 +3062,12 @@ def parse_parquet_metadata(data: bytes) -> dict:
             tc.skip(ftype)
     if num_rows is None:
         raise ValueError("FileMetaData.num_rows missing")
-    return {"num_rows": num_rows, "leaves": leaves, "row_groups": row_groups}
+    return {
+        "num_rows": num_rows,
+        "leaves": leaves,
+        "groups": groups,
+        "row_groups": row_groups,
+    }
 
 
 def _pq_column_chunk(tc: "_ThriftCompact") -> dict | None:
@@ -3207,6 +3225,89 @@ def _read_column(data: bytes, meta: dict, column: str) -> list:
     return slots
 
 
+def _pq_assemble_tree(
+    path: str, meta: dict, slot_map: dict, def_map: dict
+) -> list:
+    """Reassemble the def-level-only subtree rooted at group ``path``
+    into one python value per slot: a dict of field values, None where
+    the group node itself is undefined (its own or an ancestor's
+    null).  Field values come from ``slot_map`` (already None-masked
+    at def < leaf max_def); nested non-repeated groups recurse.
+    Repeated descendants are the caller's job to reject."""
+    groups = meta["groups"]
+    gdef = groups[path]["max_def"]
+    prefix = path + "."
+    children: list[tuple[str, str, bool]] = []  # (name, path, is_group)
+    seen: set[str] = set()
+    first_leaf = None
+    for l in meta["leaves"]:
+        if not l["path"].startswith(prefix):
+            continue
+        if first_leaf is None:
+            first_leaf = l["path"]
+        name = l["path"][len(prefix):].split(".", 1)[0]
+        if name in seen:
+            continue
+        seen.add(name)
+        cp = prefix + name
+        children.append((name, cp, cp in groups))
+    if first_leaf is None:
+        raise ValueError(f"group {path!r} has no leaf columns")
+    defs0 = def_map[first_leaf]
+    n = len(slot_map[first_leaf])
+    cols = {
+        name: (
+            _pq_assemble_tree(cp, meta, slot_map, def_map)
+            if isg
+            else slot_map[cp]
+        )
+        for name, cp, isg in children
+    }
+    names = [name for name, _cp, _isg in children]
+    out: list = []
+    for i in range(n):
+        d0 = defs0[i] if defs0 else gdef
+        out.append(
+            None if d0 < gdef else {name: cols[name][i] for name in names}
+        )
+    return out
+
+
+def read_parquet_struct_column(data: bytes, column: str) -> list:
+    """Decode a non-repeated GROUP (struct) column across all row
+    groups and pages: every leaf under the group is page-walked once,
+    then definition levels distinguish null struct (or null ancestor)
+    from null field, yielding one python value per row — None or a
+    dict of field values (nested structs recurse into nested dicts).
+    Lists inside the struct raise loudly (repeated descendants need
+    the slot-level path in read_parquet_list_column)."""
+    meta = parse_parquet_metadata(data)
+    g = meta["groups"].get(column)
+    if g is None:
+        if any(l["path"] == column for l in meta["leaves"]):
+            raise ValueError(
+                f"column {column!r} is a leaf — use read_parquet_column"
+            )
+        raise ValueError(f"no such column {column!r}")
+    if g["max_rep"] or g["repetition"] == 2:
+        raise ValueError(
+            f"column {column!r} is repeated — use read_parquet_list_column"
+        )
+    leaves = [l for l in meta["leaves"] if l["path"].startswith(column + ".")]
+    slot_map: dict[str, list] = {}
+    def_map: dict[str, list] = {}
+    for leaf in leaves:
+        if leaf["max_rep"]:
+            raise ValueError(
+                f"leaf {leaf['path']!r} is repeated — lists inside"
+                " structs are unsupported (out of profile, loud)"
+            )
+        slots, _reps, defs = _read_column_slots(data, meta, leaf)
+        slot_map[leaf["path"]] = slots
+        def_map[leaf["path"]] = defs
+    return _pq_assemble_tree(column, meta, slot_map, def_map)
+
+
 def read_parquet_list_column(data: bytes, column: str) -> list:
     """Decode a single-level LIST column (max_rep == 1) across all row
     groups and pages: repetition + definition levels are read from
@@ -3214,31 +3315,92 @@ def read_parquet_list_column(data: bytes, column: str) -> list:
     None (null list), [] (empty list), or a list whose elements are
     values / None (null element).  ``column`` is either the full
     dotted leaf path or the top-level field name (pyarrow writes the
-    3-level layout ``col.list.element``).  Deeper nesting raises."""
+    3-level layout ``col.list.element``).  A list<struct> column —
+    the element is a non-repeated group — reassembles every leaf
+    under the element group into per-element dicts (nested structs
+    recurse); every leaf's repetition stream is cross-checked so a
+    malformed file fails loudly instead of zipping misaligned slots.
+    Deeper nesting (max_rep >= 2) raises."""
     meta = parse_parquet_metadata(data)
-    leaf = next(
-        (
-            l
-            for l in meta["leaves"]
-            if l["path"] == column or l["path"].startswith(column + ".")
-        ),
-        None,
-    )
-    if leaf is None:
+    leaves = [
+        l
+        for l in meta["leaves"]
+        if l["path"] == column or l["path"].startswith(column + ".")
+    ]
+    if not leaves:
         raise ValueError(f"no such column {column!r}")
-    if leaf["max_rep"] != 1:
-        raise ValueError(
-            f"column {column!r} has max_rep {leaf['max_rep']}"
-            " (only flat or single-level list columns)"
+    for leaf in leaves:
+        if leaf["max_rep"] != 1:
+            raise ValueError(
+                f"column {leaf['path']!r} has max_rep {leaf['max_rep']}"
+                " (only flat or single-level list columns)"
+            )
+    rep_def = leaves[0]["rep_def"]
+    if any(l["rep_def"] != rep_def for l in leaves):
+        raise ValueError(f"column {column!r}: leaves disagree on rep_def")
+    slot_map: dict[str, list] = {}
+    def_map: dict[str, list] = {}
+    reps0: list | None = None
+    for leaf in leaves:
+        slots, reps, defs = _read_column_slots(data, meta, leaf)
+        if reps0 is None:
+            reps0 = reps
+        elif reps != reps0:
+            raise ValueError(
+                f"column {column!r}: leaf repetition streams disagree"
+            )
+        slot_map[leaf["path"]] = slots
+        def_map[leaf["path"]] = defs
+    # scalar element: the single leaf is the repeated node itself
+    # (2-level layout) or the direct child of the repeated group
+    # (3-level ``col.list.element``); anything else is a struct
+    # element reassembled from ALL its leaves — the FIRST-leaf-only
+    # shortcut silently returned one field's values for list<struct>.
+    scalar = False
+    if len(leaves) == 1:
+        leaf = leaves[0]
+        if leaf["path"] == column:
+            scalar = True  # the leaf itself is repeated
+        else:
+            parent = leaf["path"].rsplit(".", 1)[0]
+            pg = meta["groups"].get(parent)
+            scalar = pg is not None and pg["repetition"] == 2
+    if scalar:
+        elems = slot_map[leaves[0]["path"]]
+        defs0 = def_map[leaves[0]["path"]]
+    else:
+        # element group: the child group of the repeated node that
+        # contains every leaf
+        rep_node = next(
+            (
+                p
+                for p, g in meta["groups"].items()
+                if (p == column or p.startswith(column + "."))
+                and g["repetition"] == 2
+            ),
+            None,
         )
-    slots, reps, defs = _read_column_slots(data, meta, leaf)
-    rep_def, max_def = leaf["rep_def"], leaf["max_def"]
+        if rep_node is None:
+            raise ValueError(
+                f"column {column!r}: no repeated node in schema"
+            )
+        rest = leaves[0]["path"][len(rep_node) + 1 :]
+        elem_group = rep_node + "." + rest.split(".", 1)[0]
+        if elem_group not in meta["groups"] or not all(
+            l["path"].startswith(elem_group + ".") for l in leaves
+        ):
+            raise ValueError(
+                f"column {column!r}: unrecognized nested layout"
+            )
+        elems = _pq_assemble_tree(elem_group, meta, slot_map, def_map)
+        defs0 = def_map[leaves[0]["path"]]
     rows: list = []
-    for r, dl, v in zip(reps, defs, slots):
+    for t, (r, dl) in enumerate(zip(reps0, defs0)):
+        v = elems[t]
         if r:  # continuation of the current row's list
-            rows[-1].append(v if dl == max_def else None)
+            rows[-1].append(v)
         elif dl >= rep_def:  # new row, first element slot
-            rows.append([v if dl == max_def else None])
+            rows.append([v])
         elif dl == rep_def - 1:  # list node defined but no elements
             rows.append([])
         else:  # an ancestor above the list is null
@@ -3325,8 +3487,7 @@ def _read_column_slots(
                     p += 4
                     defs, _dp = _rle_hybrid(buf, p, def_width, n)
                     p += dl
-                    if max_rep:
-                        defs_all.extend(defs.tolist())
+                    defs_all.extend(defs.tolist())
                 out.extend(
                     _page_values(
                         buf, p, d["encoding"], ptype, tlen, n, defs,
@@ -3350,8 +3511,7 @@ def _read_column_slots(
                     defs, _dp = _rle_hybrid(
                         levels, d["rep_len"], def_width, n
                     )
-                    if max_rep:
-                        defs_all.extend(defs.tolist())
+                    defs_all.extend(defs.tolist())
                 vals_raw = raw[lev_len:]
                 if d["is_compressed"]:
                     buf = _pq_decompress(

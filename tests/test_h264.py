@@ -118,6 +118,8 @@ def test_out_of_profile_streams_raise_loudly():
     w.ue(0)   # pps id
     w.u(0, 4)  # frame_num
     w.ue(0)   # idr_pic_id
+    w.u(0, 1)  # no_output_of_prior_pics_flag (dec_ref_pic_marking)
+    w.u(0, 1)  # long_term_reference_flag
     w.se(0)   # slice_qp_delta
     w.ue(1)   # disable deblocking
     w.ue(0)   # mb_type I_4x4  <-- out of profile
@@ -150,6 +152,63 @@ def test_out_of_profile_streams_raise_loudly():
         r.u(0, 1)
         parse_pps(r.trailing())
     del cab
+
+
+def test_dec_ref_pic_marking_bits_present_and_read():
+    """Spec 7.3.3/7.3.3.3: IDR slices with nal_ref_idc != 0 carry a
+    2-bit dec_ref_pic_marking() between idr_pic_id and slice_qp_delta.
+    A conformant external stream may set either flag — both must parse
+    to the same pixels; omitting them (the pre-fix encoder) is the
+    self-twinned desync this test pins against."""
+    luma = np.arange(256, dtype=np.int64).reshape(1, 16, 16) % 256
+    luma = luma.astype(np.uint8)
+
+    def slice_rbsp(no_output: int, long_term: int) -> bytes:
+        w = _BitWriter()
+        w.ue(0)   # first_mb_in_slice
+        w.ue(7)   # slice_type I
+        w.ue(0)   # pps id
+        w.u(0, 4)  # frame_num
+        w.ue(0)   # idr_pic_id
+        w.u(no_output, 1)
+        w.u(long_term, 1)
+        w.se(0)   # slice_qp_delta
+        w.ue(1)   # disable deblocking
+        w.ue(25)  # mb_type I_PCM
+        w.align_zero()
+        w.bytes_aligned(luma[0].tobytes())
+        w.bytes_aligned(bytes([128]) * 64)
+        w.bytes_aligned(bytes([128]) * 64)
+        return w.trailing()
+
+    for flags in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        stream = (
+            _nal(7, 3, _sps_rbsp(1, 1))
+            + _nal(8, 3, _pps_rbsp())
+            + _nal(5, 3, slice_rbsp(*flags))
+        )
+        y, b, r = decode_h264_ipcm(stream)
+        assert np.array_equal(y, luma), flags
+        assert (b == 128).all() and (r == 128).all()
+    # the encoder emits exactly this layout (roundtrips the same bytes)
+    enc = encode_h264_ipcm(luma)
+    assert np.array_equal(decode_h264_ipcm(enc)[0], luma)
+    # non-IDR reference slice with MMCO (adaptive marking) is descoped
+    w = _BitWriter()
+    w.ue(0)   # first_mb_in_slice
+    w.ue(7)   # slice_type I
+    w.ue(0)   # pps id
+    w.u(0, 4)  # frame_num
+    w.u(1, 1)  # adaptive_ref_pic_marking_mode_flag = 1 -> MMCO
+    w.se(0)
+    w.ue(1)
+    bad = (
+        _nal(7, 3, _sps_rbsp(1, 1))
+        + _nal(8, 3, _pps_rbsp())
+        + _nal(1, 3, w.trailing())
+    )
+    with pytest.raises(ValueError, match="MMCO"):
+        decode_h264_ipcm(bad)
 
 
 def test_multimodal_dispatch_claims_h264():

@@ -2437,6 +2437,119 @@ def test_read_parquet_list_column_writer_matrix():
         read_parquet_list_column(buf.getvalue(), "z")
 
 
+def test_read_parquet_struct_and_list_of_struct_writer_matrix():
+    """Struct (def-level-only group) and list<struct> reassembly
+    against pyarrow across codecs, page versions, dictionary/plain
+    and row-group splits: null struct vs null field vs value, nested
+    struct recursion, and per-element dicts inside lists.  The
+    pre-fix first-leaf shortcut silently returned ONE field's values
+    for list<struct> — the exact ADVICE repro is pinned here."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from downloader_spark.media import (
+        read_parquet_list_column,
+        read_parquet_struct_column,
+    )
+
+    structs = [
+        {"a": 1, "b": "x", "inner": {"p": 10, "q": 11}},
+        None,
+        {"a": None, "b": "y", "inner": None},
+        {"a": 4, "b": None, "inner": {"p": None, "q": 14}},
+        {"a": 5, "b": "z", "inner": {"p": 15, "q": None}},
+        None,
+    ]
+    styp = pa.struct(
+        [
+            ("a", pa.int64()),
+            ("b", pa.string()),
+            ("inner", pa.struct([("p", pa.int64()), ("q", pa.int64())])),
+        ]
+    )
+    lrows = [
+        [{"a": 1, "b": 2}],
+        [{"a": 3, "b": 4}, {"a": 5, "b": None}],
+        None,
+        [],
+        [None, {"a": 7, "b": 8}],
+        [{"a": None, "b": None}],
+    ]
+    ltyp = pa.list_(pa.struct([("a", pa.int64()), ("b", pa.int64())]))
+    tbl = pa.table(
+        {
+            "s": pa.array(structs, styp),
+            "ls": pa.array(lrows, ltyp),
+            "flat": pa.array(range(6)),
+        }
+    )
+    want_s = [
+        None
+        if r is None
+        else {
+            "a": r["a"],
+            "b": r["b"].encode() if r["b"] is not None else None,
+            "inner": r["inner"],
+        }
+        for r in structs
+    ]
+    matrix = (
+        dict(),
+        dict(compression="gzip", use_dictionary=False),
+        dict(compression="zstd", data_page_version="2.0"),
+        dict(row_group_size=2),
+        dict(row_group_size=3, data_page_version="2.0",
+             use_dictionary=False),
+    )
+    for kw in matrix:
+        buf = io.BytesIO()
+        pq.write_table(tbl, buf, **kw)
+        data = buf.getvalue()
+        assert read_parquet_struct_column(data, "s") == want_s, kw
+        assert read_parquet_list_column(data, "ls") == lrows, kw
+    # the ADVICE repro: single-field list<struct> returns dicts, not
+    # the bare field values the first-leaf shortcut leaked
+    one = pa.table(
+        {
+            "x": pa.array(
+                [[{"a": 1}], [{"a": 3}, {"a": 5}]],
+                pa.list_(pa.struct([("a", pa.int64())])),
+            )
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(one, buf)
+    assert read_parquet_list_column(buf.getvalue(), "x") == [
+        [{"a": 1}],
+        [{"a": 3}, {"a": 5}],
+    ]
+    # loud descopes: struct via the flat/list readers, lists inside
+    # structs, and leaf columns via the struct reader
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    data = buf.getvalue()
+    with pytest.raises(ValueError, match="repeated"):
+        read_parquet_struct_column(data, "ls")
+    with pytest.raises(ValueError, match="leaf"):
+        read_parquet_struct_column(data, "flat")
+    with pytest.raises(ValueError, match="no such column"):
+        read_parquet_struct_column(data, "nope")
+    wl = pa.table(
+        {
+            "s": pa.array(
+                [{"l": [1, 2]}],
+                pa.struct([("l", pa.list_(pa.int64()))]),
+            )
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(wl, buf)
+    with pytest.raises(ValueError, match="unsupported"):
+        read_parquet_struct_column(buf.getvalue(), "s")
+
+
 def test_parquet_writer_v2_dictionary_gzip_multi_row_group():
     """Writer v2 features — dictionary pages (PLAIN_DICTIONARY v1
     profile with bit-packed index pages), gzip page bodies through the
