@@ -3082,6 +3082,7 @@ def _pq_column_chunk(tc: "_ThriftCompact") -> dict | None:
                 "data_page_offset": None,
                 "dictionary_page_offset": None,
                 "total_compressed_size": None,
+                "stats": None,
             }
             path: list[str] = []
             for mfid, mftype in tc.fields():
@@ -3101,6 +3102,20 @@ def _pq_column_chunk(tc: "_ThriftCompact") -> dict | None:
                     m["data_page_offset"] = tc.zigzag()
                 elif mfid == 11 and mftype in (_TC_I16, _TC_I32, _TC_I64):
                     m["dictionary_page_offset"] = tc.zigzag()
+                elif mfid == 12 and mftype == _TC_STRUCT:  # Statistics
+                    st: dict = {}
+                    for sfid2, sftype2 in tc.fields():
+                        if sfid2 == 3 and sftype2 in (
+                            _TC_I16, _TC_I32, _TC_I64,
+                        ):
+                            st["null_count"] = tc.zigzag()
+                        elif sfid2 == 5 and sftype2 == _TC_BINARY:
+                            st["max"] = tc.binary()
+                        elif sfid2 == 6 and sftype2 == _TC_BINARY:
+                            st["min"] = tc.binary()
+                        else:
+                            tc.skip(sftype2)
+                    m["stats"] = st
                 else:
                     tc.skip(mftype)
             m["path"] = ".".join(path)
@@ -3408,13 +3423,60 @@ def read_parquet_list_column(data: bytes, column: str) -> list:
     return rows
 
 
+def read_parquet_column_pruned(
+    data: bytes, column: str, lo, hi
+) -> dict:
+    """Decode one flat column restricted to row groups whose footer
+    min/max statistics can intersect [lo, hi] (both inclusive; same
+    python type as the column — int, float, or bytes).  A row group
+    is skipped when its chunk statistics prove max < lo or min > hi;
+    groups without statistics are always scanned (prune must never
+    change results).  Returns {"values": [...], "rg_total": M,
+    "rg_scanned": N} — the caller still applies the exact predicate
+    to the returned values.  Pruned groups' page bytes are NEVER
+    read or decompressed (tests corrupt them and the pruned read
+    still succeeds): at 100 TB this footer-stats skip is the scan
+    path itself — the physical half of the filter_zorder_range
+    story."""
+    meta = parse_parquet_metadata(data)
+    leaf = next((l for l in meta["leaves"] if l["path"] == column), None)
+    if leaf is None:
+        raise ValueError(f"no such column {column!r}")
+    if leaf["max_rep"]:
+        raise ValueError(
+            f"column {column!r} is repeated — stats pruning is for"
+            " flat columns"
+        )
+    scanned: list[dict] = []
+    for rg in meta["row_groups"]:
+        ck = rg["chunks"].get(column)
+        if ck is None:
+            raise ValueError(f"row group missing chunk for {column!r}")
+        st = ck["stats"]
+        if st and "min" in st and "max" in st:
+            mn = decode_parquet_stat(st["min"], ck["type"])
+            mx = decode_parquet_stat(st["max"], ck["type"])
+            if mx < lo or mn > hi:
+                continue
+        scanned.append(rg)
+    slots, _reps, _defs = _read_column_slots(
+        data, meta, leaf, row_groups=scanned
+    )
+    return {
+        "values": slots,
+        "rg_total": len(meta["row_groups"]),
+        "rg_scanned": len(scanned),
+    }
+
+
 def _read_column_slots(
-    data: bytes, meta: dict, leaf: dict
+    data: bytes, meta: dict, leaf: dict, row_groups: list | None = None
 ) -> tuple[list, list, list]:
     """Page walk for one leaf: returns (slot values with None where
     def < max_def, repetition levels, definition levels) in file
     order.  For flat columns the level lists are empty (not needed)
-    and slots are the column values themselves."""
+    and slots are the column values themselves.  ``row_groups``
+    restricts the walk to a subset (statistics pruning)."""
     column = leaf["path"]
     max_def = leaf["max_def"]
     max_rep = leaf["max_rep"]
@@ -3424,7 +3486,7 @@ def _read_column_slots(
     out: list = []
     reps_all: list = []
     defs_all: list = []
-    for rg in meta["row_groups"]:
+    for rg in meta["row_groups"] if row_groups is None else row_groups:
         ck = rg["chunks"].get(column)
         if ck is None:
             raise ValueError(f"row group missing chunk for {column!r}")
@@ -3845,11 +3907,44 @@ def _pq_pack_indices(indices: list[int], width: int) -> bytes:
     return bytes(hdr) + bytes(body)
 
 
+def _pq_stat_bytes(v, ptype: int) -> bytes:
+    """min_value/max_value encoding (parquet.thrift Statistics): the
+    value's PLAIN little-endian bytes; BYTE_ARRAY stats are the raw
+    bytes (unsigned lexicographic — python bytes ordering)."""
+    if ptype == _PQ_TYPE_INT64:
+        return struct.pack("<q", v)
+    if ptype == _PQ_TYPE_DOUBLE:
+        return struct.pack("<d", float(v))
+    if ptype == _PQ_TYPE_BYTE_ARRAY:
+        return v
+    if ptype == _PQ_TYPE_BOOLEAN:
+        return b"\x01" if v else b"\x00"
+    raise ValueError(f"no statistics encoding for type {ptype}")
+
+
+def decode_parquet_stat(raw: bytes, ptype: int):
+    """Decode a min_value/max_value byte payload back to python."""
+    if ptype == _PQ_TYPE_INT64:
+        return struct.unpack("<q", raw)[0]
+    if ptype == _PQ_TYPE_INT32:
+        return struct.unpack("<i", raw)[0]
+    if ptype == _PQ_TYPE_DOUBLE:
+        return struct.unpack("<d", raw)[0]
+    if ptype == _PQ_TYPE_FLOAT:
+        return struct.unpack("<f", raw)[0]
+    if ptype in (_PQ_TYPE_BYTE_ARRAY, _PQ_TYPE_FIXED):
+        return raw
+    if ptype == _PQ_TYPE_BOOLEAN:
+        return raw != b"\x00"
+    raise ValueError(f"no statistics decoding for type {ptype}")
+
+
 def encode_parquet(
     columns: dict[str, list],
     compression: str = "snappy",
     row_group_size: int | None = None,
     use_dictionary: bool = False,
+    write_statistics: bool = True,
 ) -> bytes:
     """A from-scratch parquet WRITER — the encode twin of
     read_parquet_column: PLAIN or dictionary-encoded V1 data pages,
@@ -3869,9 +3964,18 @@ def encode_parquet(
     ...]) is written as the standard 3-level LIST layout —
     optional group (LIST) > repeated group "list" > optional
     "element" — with repetition + definition levels per slot, the
-    encode twin of read_parquet_list_column.  The files are read
-    back by pyarrow, DuckDB AND this module's own page reader in
-    tests — encoder/decoder twins both ways."""
+    encode twin of read_parquet_list_column.  A column whose values
+    are python dicts (None / {field: value-or-None}) is written as an
+    OPTIONAL group of OPTIONAL scalar fields (def 0 = null struct,
+    1 = null field, 2 = value), the encode twin of
+    read_parquet_struct_column; every non-null row must carry the
+    same field set.  ``write_statistics`` emits per-chunk min_value /
+    max_value / null_count (parquet.thrift Statistics) for scalar and
+    struct-field chunks — the row-group prune input of
+    :func:`read_parquet_column_pruned` — skipped for any chunk whose
+    values contain NaN (unorderable).  The files are read back by
+    pyarrow, DuckDB AND this module's own page reader in tests —
+    encoder/decoder twins both ways."""
     if not columns:
         raise ValueError("need at least one column")
     n_rows = len(next(iter(columns.values())))
@@ -3913,6 +4017,36 @@ def encode_parquet(
         )
         for name in names
     }
+    is_struct = {
+        name: any(
+            isinstance(v, dict) for v in columns[name] if v is not None
+        )
+        for name in names
+    }
+    struct_fields: dict[str, list[str]] = {}
+    for name in names:
+        if not is_struct[name]:
+            continue
+        if is_list[name]:
+            raise ValueError(f"column {name!r} mixes lists and dicts")
+        fields: list[str] | None = None
+        for v in columns[name]:
+            if v is None:
+                continue
+            if not isinstance(v, dict):
+                raise ValueError(
+                    f"column {name!r} mixes dicts and scalars"
+                )
+            if fields is None:
+                fields = list(v)
+            elif list(v) != fields:
+                raise ValueError(
+                    f"column {name!r}: inconsistent struct fields"
+                )
+        if not fields:
+            raise ValueError(f"struct column {name!r} has no fields")
+        struct_fields[name] = fields
+
     def _flat_elems(name: str) -> list:
         out = []
         for row in columns[name]:
@@ -3923,10 +4057,21 @@ def encode_parquet(
             out.extend(row)
         return out
 
-    ptypes = {
-        name: infer(_flat_elems(name) if is_list[name] else columns[name])
-        for name in names
-    }
+    ptypes: dict = {}
+    for name in names:
+        if is_struct[name]:
+            for f in struct_fields[name]:
+                ptypes[(name, f)] = infer(
+                    [
+                        row[f]
+                        for row in columns[name]
+                        if row is not None
+                    ]
+                )
+        else:
+            ptypes[name] = infer(
+                _flat_elems(name) if is_list[name] else columns[name]
+            )
     rg_size = row_group_size or max(n_rows, 1)
     starts = list(range(0, n_rows, rg_size)) or [0]
 
@@ -3936,9 +4081,39 @@ def encode_parquet(
     for lo in starts:
         rows = slice(lo, min(lo + rg_size, n_rows))
         rg_rows = len(range(*rows.indices(n_rows)))
-        chunks: list[dict] = []
+        # physical chunk tasks: (path_parts, ptype, level_bytes,
+        # present values, n_slots, dictionary allowed)
+        tasks: list[tuple] = []
         for name in names:
             vals = columns[name][rows]
+            if is_struct[name]:
+                for f in struct_fields[name]:
+                    # def 0 = null struct, 1 = null field, 2 = value
+                    levels = [
+                        0
+                        if r is None
+                        else (2 if r[f] is not None else 1)
+                        for r in vals
+                    ]
+                    present = [
+                        r[f].encode("utf-8")
+                        if isinstance(r[f], str)
+                        else r[f]
+                        for r in vals
+                        if r is not None and r[f] is not None
+                    ]
+                    tasks.append(
+                        (
+                            [name, f],
+                            ptypes[(name, f)],
+                            _pq_rle_levels(levels),
+                            present,
+                            rg_rows,
+                            True,
+                            2,
+                        )
+                    )
+                continue
             ptype = ptypes[name]
             if is_list[name]:
                 # Dremel slots: rep 0 starts a row, rep 1 continues
@@ -3973,6 +4148,17 @@ def encode_parquet(
                                 )
                 n_slots = len(defs)
                 level_bytes = _pq_rle_levels(reps) + _pq_rle_levels(defs)
+                tasks.append(
+                    (
+                        [name, "list", "element"],
+                        ptype,
+                        level_bytes,
+                        present,
+                        n_slots,
+                        False,
+                        3,
+                    )
+                )
             else:
                 levels = [0 if v is None else 1 for v in vals]
                 present = [
@@ -3980,8 +4166,33 @@ def encode_parquet(
                     for v in vals
                     if v is not None
                 ]
-                n_slots = rg_rows
-                level_bytes = _pq_rle_levels(levels)
+                tasks.append(
+                    (
+                        [name],
+                        ptype,
+                        _pq_rle_levels(levels),
+                        present,
+                        rg_rows,
+                        True,
+                        1,
+                    )
+                )
+        chunks: list[dict] = []
+        for path_parts, ptype, level_bytes, present, n_slots, allow_dict, max_def in tasks:
+            stats = None
+            if write_statistics and present:
+                try:
+                    has_nan = ptype == _PQ_TYPE_DOUBLE and any(
+                        v != v for v in present
+                    )
+                    if not has_nan:
+                        stats = {
+                            "min": _pq_stat_bytes(min(present), ptype),
+                            "max": _pq_stat_bytes(max(present), ptype),
+                            "null_count": n_slots - len(present),
+                        }
+                except ValueError:
+                    stats = None
             dict_off = None
             uncomp_total = 0
             offset = len(out)
@@ -3989,7 +4200,7 @@ def encode_parquet(
                 use_dictionary
                 and present
                 and ptype != _PQ_TYPE_BOOLEAN
-                and not is_list[name]
+                and allow_dict
             ):
                 # dictionary page (PLAIN values, first-seen order),
                 # then one bit-packed index data page
@@ -4040,7 +4251,7 @@ def encode_parquet(
             uncomp_total += len(w.buf) + len(body)
             chunks.append(
                 {
-                    "name": name,
+                    "path": path_parts,
                     "ptype": ptype,
                     "rg_rows": rg_rows,
                     "nv": n_slots,
@@ -4050,6 +4261,7 @@ def encode_parquet(
                     "comp": len(out) - offset,
                     "uncomp": uncomp_total,
                     "enc": data_enc,
+                    "stats": stats,
                 }
             )
         row_groups.append(chunks)
@@ -4059,13 +4271,34 @@ def encode_parquet(
     w.begin_struct()
     w.i32(1, 1)  # version
     w.field(2, _TC_LIST)  # schema
-    n_elements = 1 + sum(3 if is_list[n] else 1 for n in names)
+    n_elements = 1 + sum(
+        3
+        if is_list[n]
+        else (1 + len(struct_fields[n]) if is_struct[n] else 1)
+        for n in names
+    )
     w.list_header(n_elements, _TC_STRUCT)
     w.begin_struct()  # root
     w.string(4, "schema")
     w.i32(5, len(names))
     w.end_struct()
     for name in names:
+        if is_struct[name]:
+            # OPTIONAL group of OPTIONAL scalar fields
+            w.begin_struct()
+            w.i32(3, 1)  # OPTIONAL
+            w.string(4, name)
+            w.i32(5, len(struct_fields[name]))  # num_children
+            w.end_struct()
+            for f in struct_fields[name]:
+                w.begin_struct()
+                w.i32(1, ptypes[(name, f)])
+                w.i32(3, 1)  # OPTIONAL
+                w.string(4, f)
+                if ptypes[(name, f)] == _PQ_TYPE_BYTE_ARRAY:
+                    w.i32(6, _PQ_CONVERTED_UTF8)
+                w.end_struct()
+            continue
         if is_list[name]:
             # standard 3-level LIST: optional group (converted LIST)
             # > repeated group "list" > optional leaf "element"
@@ -4118,14 +4351,9 @@ def encode_parquet(
             for e in encs:
                 w.zigzag(e)
             w.field(3, _TC_LIST)  # path_in_schema
-            if is_list[ck["name"]]:
-                w.list_header(3, _TC_BINARY)
-                w.binary(ck["name"].encode("utf-8"))
-                w.binary(b"list")
-                w.binary(b"element")
-            else:
-                w.list_header(1, _TC_BINARY)
-                w.binary(ck["name"].encode("utf-8"))
+            w.list_header(len(ck["path"]), _TC_BINARY)
+            for part in ck["path"]:
+                w.binary(part.encode("utf-8"))
             w.i32(4, codec)
             w.i64(5, ck["nv"])
             w.i64(6, ck["uncomp"])
@@ -4133,12 +4361,34 @@ def encode_parquet(
             w.i64(9, ck["data_off"])  # data_page_offset
             if ck["dict_off"] is not None:
                 w.i64(11, ck["dict_off"])  # dictionary_page_offset
+            if ck["stats"] is not None:
+                w.field(12, _TC_STRUCT)  # Statistics
+                w.begin_struct()
+                w.i64(3, ck["stats"]["null_count"])
+                w.field(5, _TC_BINARY)  # max_value
+                w.binary(ck["stats"]["max"])
+                w.field(6, _TC_BINARY)  # min_value
+                w.binary(ck["stats"]["min"])
+                w.end_struct()
             w.end_struct()
             w.end_struct()
         w.i64(2, total_bytes)
         w.i64(3, chunks[0]["rg_rows"] if chunks else 0)  # ROWS, not slots
         w.end_struct()
     w.string(6, "downloader-spark from-scratch writer")
+    # column_orders: TypeDefinedOrder per leaf — without this, readers
+    # must ignore min_value/max_value (no defined sort order)
+    n_leaves = sum(
+        len(struct_fields[n]) if is_struct[n] else 1 for n in names
+    )
+    w.field(7, _TC_LIST)
+    w.list_header(n_leaves, _TC_STRUCT)
+    for _ in range(n_leaves):
+        w.begin_struct()  # ColumnOrder union
+        w.field(1, _TC_STRUCT)  # TYPE_ORDER
+        w.begin_struct()  # TypeDefinedOrder (empty)
+        w.end_struct()
+        w.end_struct()
     w.end_struct()
     out.extend(w.buf)
     out.extend(len(w.buf).to_bytes(4, "little"))
