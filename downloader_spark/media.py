@@ -3447,6 +3447,20 @@ def read_parquet_column_pruned(
             f"column {column!r} is repeated — stats pruning is for"
             " flat columns"
         )
+    scanned = _pq_prune_row_groups(meta, column, lo, hi)
+    slots, _reps, _defs = _read_column_slots(
+        data, meta, leaf, row_groups=scanned
+    )
+    return {
+        "values": slots,
+        "rg_total": len(meta["row_groups"]),
+        "rg_scanned": len(scanned),
+    }
+
+
+def _pq_prune_row_groups(meta: dict, column: str, lo, hi) -> list[dict]:
+    """Row groups whose ``column`` chunk statistics can intersect
+    [lo, hi]; groups without statistics always survive."""
     scanned: list[dict] = []
     for rg in meta["row_groups"]:
         ck = rg["chunks"].get(column)
@@ -3459,11 +3473,35 @@ def read_parquet_column_pruned(
             if mx < lo or mn > hi:
                 continue
         scanned.append(rg)
-    slots, _reps, _defs = _read_column_slots(
-        data, meta, leaf, row_groups=scanned
-    )
+    return scanned
+
+
+def read_parquet_rowgroups_pruned(
+    data: bytes, filter_column: str, lo, hi, columns: list[str]
+) -> dict:
+    """The real pruned-scan shape: row groups are selected by ONE
+    filter column's min/max statistics, then EVERY requested column
+    is decoded from just the surviving groups (row alignment across
+    columns is preserved because pruning is group-granular).  Pruned
+    groups' page bytes — for all columns — are never touched.
+    Returns {"columns": {name: values}, "rg_total": M,
+    "rg_scanned": N}; the caller applies the exact predicate to the
+    returned rows."""
+    meta = parse_parquet_metadata(data)
+    scanned = _pq_prune_row_groups(meta, filter_column, lo, hi)
+    out: dict[str, list] = {}
+    for c in columns:
+        leaf = next((l for l in meta["leaves"] if l["path"] == c), None)
+        if leaf is None:
+            raise ValueError(f"no such column {c!r}")
+        if leaf["max_rep"]:
+            raise ValueError(f"column {c!r} is repeated")
+        slots, _reps, _defs = _read_column_slots(
+            data, meta, leaf, row_groups=scanned
+        )
+        out[c] = slots
     return {
-        "values": slots,
+        "columns": out,
         "rg_total": len(meta["row_groups"]),
         "rg_scanned": len(scanned),
     }

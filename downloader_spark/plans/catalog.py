@@ -46,3 +46,4 @@ import downloader_spark.operators.round13_ext  # noqa: F401,E402
 import downloader_spark.operators.round13b_ext  # noqa: F401,E402
 import downloader_spark.operators.round14_ext  # noqa: F401,E402
 import downloader_spark.operators.round15_ext  # noqa: F401,E402
+import downloader_spark.operators.round16_ext  # noqa: F401,E402

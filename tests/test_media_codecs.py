@@ -2550,6 +2550,85 @@ def test_read_parquet_struct_and_list_of_struct_writer_matrix():
         read_parquet_struct_column(buf.getvalue(), "s")
 
 
+def test_parquet_statistics_and_rowgroup_pruning():
+    """Writer statistics (min_value/max_value/null_count +
+    TypeDefinedOrder column_orders) and the pruned read path: pruned
+    row groups' page bytes are physically never touched — corrupting
+    every byte of them leaves the pruned read exact while a full read
+    explodes — and external readers (pyarrow) trust the stats."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from downloader_spark.media import (
+        decode_parquet_stat,
+        encode_parquet,
+        parse_parquet_metadata,
+        read_parquet_column,
+        read_parquet_column_pruned,
+        read_parquet_rowgroups_pruned,
+    )
+
+    cols = {
+        "k": list(range(100)),
+        "v": [(i * 13) % 71 for i in range(100)],
+        "s": [f"x{i:03d}" if i % 9 else None for i in range(100)],
+    }
+    for kw in (
+        dict(),
+        dict(compression="gzip", use_dictionary=True),
+        dict(compression="none"),
+    ):
+        data = encode_parquet(cols, row_group_size=10, **kw)
+        meta = parse_parquet_metadata(data)
+        st = meta["row_groups"][4]["chunks"]["k"]["stats"]
+        assert decode_parquet_stat(st["min"], 2) == 40
+        assert decode_parquet_stat(st["max"], 2) == 49
+        sts = meta["row_groups"][0]["chunks"]["s"]["stats"]
+        assert sts["null_count"] == 2 and sts["min"] == b"x001"
+        # pyarrow trusts them (column_orders present)
+        pf = pq.ParquetFile(io.BytesIO(data))
+        pst = pf.metadata.row_group(4).column(0).statistics
+        assert pst.has_min_max and (pst.min, pst.max) == (40, 49)
+        # pruned single-column read
+        res = read_parquet_column_pruned(data, "k", 42, 77)
+        assert (res["rg_total"], res["rg_scanned"]) == (10, 4)
+        assert res["values"] == list(range(40, 80))
+        # multi-column group-granular read keeps rows aligned
+        res2 = read_parquet_rowgroups_pruned(data, "k", 42, 77, ["k", "v"])
+        assert res2["columns"]["k"] == list(range(40, 80))
+        assert res2["columns"]["v"] == [(i * 13) % 71 for i in range(40, 80)]
+        # corrupt every pruned group's bytes: pruned read unchanged,
+        # full read dies
+        buf = bytearray(data)
+        for gi, rg in enumerate(meta["row_groups"]):
+            if 4 <= gi <= 7:
+                continue
+            for ck in rg["chunks"].values():
+                start = min(
+                    o
+                    for o in (
+                        ck["dictionary_page_offset"],
+                        ck["data_page_offset"],
+                    )
+                    if o is not None
+                )
+                for x in range(start, start + ck["total_compressed_size"]):
+                    buf[x] ^= 0xFF
+        res3 = read_parquet_rowgroups_pruned(
+            bytes(buf), "k", 42, 77, ["k", "v"]
+        )
+        assert res3["columns"] == res2["columns"]
+        with pytest.raises(Exception):
+            read_parquet_column(bytes(buf), "k")
+    # groups without stats are always scanned (prune never changes
+    # results)
+    nostats = encode_parquet(cols, row_group_size=10, write_statistics=False)
+    resn = read_parquet_column_pruned(nostats, "k", 42, 77)
+    assert resn["rg_scanned"] == 10
+    assert resn["values"] == cols["k"]
+
+
 def test_parquet_writer_v2_dictionary_gzip_multi_row_group():
     """Writer v2 features — dictionary pages (PLAIN_DICTIONARY v1
     profile with bit-packed index pages), gzip page bodies through the

@@ -118,3 +118,106 @@ def test_part_bytes_deterministic_and_self_readable():
         cols = read_parquet_columns(data, ["k", "val"])
         assert cols["k"] == list(range(lo, hi))
         assert cols["val"] == [_tbl_value(i, off) for i in range(lo, hi)]
+
+
+# --- round 16: full Delta commit vocabulary + parquet checkpoint ----
+
+
+def test_r15_fixture_green_under_full_vocabulary_parser():
+    """The VERDICT's explicit compat gate: extending parse_log to the
+    real protocol vocabulary must keep the round-15 fixture (plain
+    add/remove/commitInfo commits) byte-identical in behavior."""
+    log = parse_log(_TBL_LOG_FILES)
+    assert snapshot_history(log)[3] == [
+        "part-0.parquet", "part-2.parquet", "part-3.parquet",
+        "part-4.parquet",
+    ]
+
+
+def test_full_vocabulary_and_protocol_gate():
+    from downloader_spark.tablelog import snapshot_state
+
+    from downloader_spark.operators.round16_ext import _CP_LOG_FILES
+
+    log = parse_log(_CP_LOG_FILES)
+    st = snapshot_state(log, 6)
+    assert sorted(st["files"]) == [
+        "p2.parquet", "p4.parquet", "p5.parquet", "p6.parquet",
+        "p7.parquet",
+    ]
+    assert st["protocol"] == {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    assert st["metaData"]["id"] == "tbl-cp-16"
+    assert st["txn"] == {"loader": 4}
+    # the reader honors the protocol gate instead of guessing
+    with pytest.raises(ValueError, match="minReaderVersion"):
+        parse_log({0: '{"protocol": {"minReaderVersion": 3}}'})
+    with pytest.raises(ValueError, match="minReaderVersion"):
+        parse_log({0: '{"protocol": {"minWriterVersion": 2}}'})
+    # unknown actions and multi-action lines stay loud
+    with pytest.raises(ValueError, match="unknown action"):
+        parse_log({0: '{"domainMetadata": {"domain": "x"}}'})
+    with pytest.raises(ValueError, match="unknown action"):
+        parse_log({0: '{"add": {"path": "a"}, "remove": {"path": "b"}}'})
+
+
+def test_checkpoint_roundtrip_matches_full_replay():
+    """write_checkpoint -> read_checkpoint -> tail replay must land on
+    the exact state of a full log replay at every post-checkpoint
+    version — protocol, metaData, txn and files all survive the
+    parquet struct-column roundtrip."""
+    from downloader_spark.tablelog import (
+        read_checkpoint,
+        snapshot_state,
+        snapshot_state_from_checkpoint,
+        write_checkpoint,
+    )
+
+    from downloader_spark.operators.round16_ext import _CP_LOG_FILES
+
+    log = parse_log(_CP_LOG_FILES)
+    for cp_version in (2, 4):
+        cp = write_checkpoint(log, cp_version)
+        tail = {v: _CP_LOG_FILES[v] for v in log if v > cp_version}
+        for v in range(cp_version, 7):
+            got = snapshot_state_from_checkpoint(cp, cp_version, tail, v)
+            assert got == snapshot_state(log, v), (cp_version, v)
+        # every checkpoint row carries exactly one action
+        acts = read_checkpoint(cp)
+        assert all(len(a) == 1 for a in acts)
+        kinds = [next(iter(a)) for a in acts]
+        assert kinds.count("protocol") == 1
+        assert kinds.count("metaData") == 1
+    # time travel below the checkpoint needs the full log — loud
+    cp = write_checkpoint(log, 4)
+    with pytest.raises(ValueError, match="predates"):
+        snapshot_state_from_checkpoint(cp, 4, {}, 2)
+    # a missing tail commit is corruption, not silence
+    with pytest.raises(ValueError, match="missing commit"):
+        snapshot_state_from_checkpoint(cp, 4, {6: _CP_LOG_FILES[6]}, 6)
+
+
+def test_checkpoint_parquet_is_externally_readable():
+    """The checkpoint is REAL parquet: pyarrow must see the same
+    struct rows our reader folds (guards against a self-twinned
+    writer/reader bug pair)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from downloader_spark.tablelog import write_checkpoint
+
+    from downloader_spark.operators.round16_ext import _CP_LOG_FILES
+
+    log = parse_log(_CP_LOG_FILES)
+    cp = write_checkpoint(log, 4)
+    t = pq.read_table(io.BytesIO(cp))
+    adds = [r for r in t.column("add").to_pylist() if r is not None]
+    assert sorted(a["path"] for a in adds) == [
+        "p2.parquet", "p3.parquet", "p4.parquet", "p5.parquet",
+    ]
+    protos = [r for r in t.column("protocol").to_pylist() if r is not None]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    txns = [r for r in t.column("txn").to_pylist() if r is not None]
+    assert txns == [{"appId": "loader", "version": 4}]
