@@ -1702,23 +1702,35 @@ def encode_gif_gray(pixels: np.ndarray) -> bytes:
 
 
 def decode_gif_gray(data: bytes) -> np.ndarray:
-    """Decode a GIF87a produced by :func:`encode_gif_gray` — or any
-    single-image, non-interlaced GIF87a/GIF89a with a 2^n global
-    table — back to the (h, w) uint8 index plane.  GIF89a extension
-    blocks (graphic control, comment, application: 0x21 introducer +
-    label + sub-block chain) are skipped, so real-world GIFs (mostly
-    89a) decode instead of erroring."""
+    """Decode a single-image GIF87a/GIF89a to an (h, w) uint8 gray
+    plane: global OR local color tables (local wins, per spec), the
+    4-pass interlace row order, and 89a extension blocks (graphic
+    control / comment / application) are all handled — the round-15
+    floor where sniff_format advertised 89a but only identity-palette
+    non-interlaced streams decoded.  Pixel values map each index
+    through the active palette's integer luma
+    ((299 r + 587 g + 114 b) // 1000), which is the identity on
+    :func:`encode_gif_gray`'s gray ramp; an index beyond the palette
+    raises instead of wrapping."""
     if not (data.startswith(_GIF_MAGIC) or data.startswith(b"GIF89a")):
         raise ValueError("not a GIF87a/GIF89a stream")
     if len(data) < 13:
         raise ValueError("truncated GIF screen descriptor")
     _, _, packed, _, _ = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
-    if packed & 0x80:
-        n_colors = 2 << (packed & 0x07)
-        if len(data) < pos + 3 * n_colors:
+
+    def read_table(p: int, pk: int) -> tuple[np.ndarray, int]:
+        n_colors = 2 << (pk & 0x07)
+        if len(data) < p + 3 * n_colors:
             raise ValueError("truncated GIF color table")
-        pos += 3 * n_colors
+        tbl = np.frombuffer(data, np.uint8, 3 * n_colors, p).reshape(
+            n_colors, 3
+        )
+        return tbl, p + 3 * n_colors
+
+    table = None
+    if packed & 0x80:
+        table, pos = read_table(pos, packed)
     while True:
         if pos >= len(data):
             raise ValueError("GIF stream ended before an image block")
@@ -1741,10 +1753,11 @@ def decode_gif_gray(data: bytes) -> np.ndarray:
         raise ValueError("truncated GIF image descriptor")
     _, _, _, w, h, ipacked = struct.unpack_from("<BHHHHB", data, pos)
     pos += 10
-    if ipacked & 0x40:
-        raise ValueError("interlaced GIF not supported")
-    if ipacked & 0x80:
-        pos += 3 * (2 << (ipacked & 0x07))  # skip local color table
+    interlaced = bool(ipacked & 0x40)
+    if ipacked & 0x80:  # local color table overrides the global one
+        table, pos = read_table(pos, ipacked)
+    if table is None:
+        raise ValueError("GIF image has neither global nor local table")
     if pos >= len(data):
         raise ValueError("truncated GIF before LZW code size")
     min_code_size = data[pos]
@@ -1766,7 +1779,24 @@ def decode_gif_gray(data: bytes) -> np.ndarray:
     indices = _lzw_decode_gif(bytes(lzw), min_code_size, h * w)
     if len(indices) != h * w:
         raise ValueError("LZW output does not fill the image")
-    return np.frombuffer(indices, np.uint8).reshape(h, w)
+    idx = np.frombuffer(indices, np.uint8).reshape(h, w)
+    if interlaced:
+        # spec appendix E: rows arrive pass-ordered 0/8.., 4/8..,
+        # 2/4.., 1/2.. — scatter them back to display order
+        order = np.concatenate(
+            [
+                np.arange(start, h, step)
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            ]
+        )
+        out = np.empty_like(idx)
+        out[order] = idx
+        idx = out
+    if int(idx.max(initial=0)) >= len(table):
+        raise ValueError("GIF index beyond the active color table")
+    t64 = table.astype(np.int64)
+    luma = (299 * t64[:, 0] + 587 * t64[:, 1] + 114 * t64[:, 2]) // 1000
+    return luma.astype(np.uint8)[idx]
 
 
 # --- DEFLATE (RFC 1951) / zlib (RFC 1950): from-scratch INFLATE --------

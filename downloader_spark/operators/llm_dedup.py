@@ -684,8 +684,27 @@ def scaled_sign_bits(emb) -> int:
     refinement of the checked one — the standard LSH recall/width
     trade, taken in the direction a 100 TB dedup must take it.  The
     fully-uncapped path (centered hyperplanes, no static oracle) is
-    ``sign_bits=None``."""
-    return max(SIGN_BITS, derive_sign_bits(emb.count()))
+    ``sign_bits=None``.
+
+    The width/oracle coupling is LOUD, not implicit: whenever the
+    derived width exceeds the static {SIGN_BITS}-bit oracle width, a
+    RuntimeWarning names the divergence — a checked fixture growing
+    past the boundary surfaces at plan-build time instead of as a
+    bare bench-time hash mismatch (round-15 ADVICE)."""
+    n = emb.count()
+    bits = max(SIGN_BITS, derive_sign_bits(n))
+    if bits != SIGN_BITS:
+        import warnings
+
+        warnings.warn(
+            f"scaled_sign_bits: {n} vectors derive a {bits}-bit LSH"
+            f" width; the static {SIGN_BITS}-bit DuckDB oracles no"
+            " longer describe this plan (wider buckets refine the"
+            " checked pair set) — exact-check only at fixture scale",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return bits
 
 
 def _spark_bucket_expr(

@@ -984,6 +984,102 @@ def test_gif_malformed_inputs_raise_value_error():
         body[off] ^= 0xFF
 
 
+def test_gif89a_local_table_and_interlace():
+    """The round-15 VERDICT's GIF89a floor: local color tables
+    (overriding or replacing the global one) and the 4-pass interlace
+    row order must decode — real-world 89a shapes — with indices
+    mapped through the ACTIVE palette's integer luma."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from downloader_spark.media import (
+        _lzw_encode_gif,
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    h, w = 16, 11
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 8, (h, w)).astype(np.uint8)  # 8-entry palette
+
+    def build(
+        indices: np.ndarray,
+        *,
+        local: bool,
+        interlace: bool,
+        palette: np.ndarray,
+        with_ext: bool = True,
+    ) -> bytes:
+        out = bytearray(b"GIF89a")
+        gflag = 0x00 if local else (0x80 | 0x70 | 0x02)  # 8-entry global
+        out += struct.pack("<HHBBB", w, h, gflag, 0, 0)
+        if not local:
+            out += palette.tobytes()
+        if with_ext:  # graphic control extension rides along
+            out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+        iflag = (0x80 | 0x02 if local else 0) | (0x40 if interlace else 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, iflag)
+        if local:
+            out += palette.tobytes()
+        rows = indices
+        if interlace:  # file order = pass order
+            order = np.concatenate(
+                [
+                    np.arange(s, h, t)
+                    for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))
+                ]
+            )
+            rows = indices[order]
+        out.append(3)  # LZW minimum code size for 8 colors
+        lzw = _lzw_encode_gif(rows.tobytes(), 3)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    # non-identity palette: (r, g, b) = (30i, 20i, 7i) stays inside
+    # uint8 for i < 8 and gives luma (299·30 + 587·20 + 114·7)i//1000
+    # = 21508i//1000
+    pal = np.stack(
+        [np.arange(8) * 30, np.arange(8) * 20, np.arange(8) * 7], axis=1
+    ).astype(np.uint8)
+    want = ((np.arange(8) * 21508) // 1000).astype(np.uint8)[px]
+    for local in (False, True):
+        for interlace in (False, True):
+            got = decode_gif_gray(
+                build(px, local=local, interlace=interlace, palette=pal)
+            )
+            assert np.array_equal(got, want), (local, interlace)
+    # no table anywhere is loud
+    no_tbl = bytearray(b"GIF89a")
+    no_tbl += struct.pack("<HHBBB", w, h, 0, 0, 0)
+    no_tbl += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    no_tbl.append(3)
+    lzw = _lzw_encode_gif(px.tobytes(), 3)
+    no_tbl.append(len(lzw))
+    no_tbl += lzw + b"\x00\x3b"
+    with pytest.raises(ValueError, match="neither"):
+        decode_gif_gray(bytes(no_tbl))
+    # an index beyond the active table is loud, not a wrap: 4-entry
+    # local table (flag bits 0b01) under indices that reach 7
+    hot = bytearray(b"GIF89a")
+    hot += struct.pack("<HHBBB", w, h, 0, 0, 0)
+    hot += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x80 | 0x01)
+    hot += pal[:4].tobytes()
+    hot.append(3)
+    hot.append(len(lzw))
+    hot += lzw + b"\x00\x3b"
+    with pytest.raises(ValueError, match="beyond"):
+        decode_gif_gray(bytes(hot))
+    # identity ramp stays the identity (the encoder's own contract)
+    ident = (np.indices((9, 7)).sum(0) % 256).astype(np.uint8)
+    assert np.array_equal(decode_gif_gray(encode_gif_gray(ident)), ident)
+
+
 # --- DEFLATE / zlib inflate ---------------------------------------------
 
 
