@@ -327,14 +327,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure (doc_a, doc_b) count over shared postings, never array
     intersections, and candidate generation stays bucketed by shingle
     hash (no all-pairs work at any scale).  The ``contained`` column
-    reports WHICH side is the contained one (tie → 'a')."""
+    reports WHICH side is the contained one (tie → 'a').
+
+    The df cap is an AGGREGATE + equi-join on h, not a count window:
+    Window.partitionBy(h) must SORT the full Heaps-law posting list
+    inside every partition (the round-15 sf1 probe adjudicated the
+    6.73x 10x wall exactly there), while groupBy(h) is a hash
+    aggregation with map-side partials and the join reuses the same
+    h-hash exchange the posting self-join needs anyway — identical
+    output, no sort of the long tail."""
     inv = hashed_shingle_sets(load_table(spark, sf_dir, "documents"))
-    w_df = Window.partitionBy("h")
-    inv2 = (
-        inv.withColumn("df", F.count("*").over(w_df))
+    keep = (
+        inv.groupBy("h")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= STOP_SHINGLE_DF)
-        .drop("df")
+        .select("h")
     )
+    inv2 = inv.join(keep, "h")
     sizes = inv2.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = inv2.alias("a")
     b = inv2.alias("b")

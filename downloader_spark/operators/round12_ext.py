@@ -172,6 +172,16 @@ def multimodal_jpeg_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shingle index but exact here.
 _SUF_L = 20
 
+# suffix-array input cap in CHARACTERS: each partition's docs build
+# SAs over char-capped, doc-granular chunks so per-chunk n log^2 n
+# cost is pinned and total CPU grows linearly with the corpus
+# (round-15 sf1 weak flag).  Swept 256k/128k/64k on the sf1 shape
+# probe: 3.15x / 2.84x / 2.23x wall at 10x with shuffle flat at
+# ~9.7x (linear) and sf0.1 isolation unchanged — 64k keeps every
+# lexsort round's working set cache-resident and the extra exchange
+# rows are noise next to the SA CPU it removes.
+_SUF_CHUNK = 1 << 16
+
 
 def _suffix_array(arr):
     """Suffix array by prefix doubling (numpy lexsort per round):
@@ -261,11 +271,20 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
        running-max gaps-and-islands window.
     Coverage is partition-invariant (local-covered implies global-
     duplicated; every globally-duplicated singleton meets a matching
-    candidate or advert), so round-robin spread is safe.  At 100 TB
-    the exchange carries one row per locally-distinct gram — the
-    worst case matches the standard gram-shuffle, and every within-
-    shard repeat (boilerplate, the common case in crawl data) is
-    absorbed before the shuffle."""
+    candidate or advert), so round-robin spread is safe — and the
+    same invariant makes the SA input CAP sound: each partition's
+    docs are processed in char-capped CHUNKS (_SUF_CHUNK, doc-
+    granular — separators already stop grams at doc bounds, so no
+    overlap is needed), each with its own suffix array.  SA build is
+    n log^2 n, so capping n pins per-chunk cost and total CPU grows
+    LINEARLY with the corpus (the round-15 sf1 probe measured the
+    uncapped build at 5.76x wall on 10x data; chunking is observably
+    identical output because a chunk boundary is exactly a partition
+    boundary the invariant already covers).  At 100 TB the exchange
+    carries one row per chunk-locally-distinct gram — the worst case
+    matches the standard gram-shuffle, and every within-chunk repeat
+    (boilerplate, the common case in crawl data) is absorbed before
+    the shuffle."""
     import numpy as np
     import pandas as pd
 
@@ -293,24 +312,30 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not ids:
             yield frame([], [], [], [], [])
             return
-        # Separator = 0x110000, one past the last Unicode code point:
-        # it can never collide with document content, so a document
-        # containing a literal NUL is handled exactly like the
-        # oracle's substr (which counts NUL-containing grams).
-        sep = np.array([0x110000], np.uint32)
-        parts: list[np.ndarray] = []
-        for t in texts:
-            if parts:
-                parts.append(sep)
-            parts.append(np.frombuffer(t.encode("utf-32-le"), np.uint32))
-        arr = np.concatenate(parts) if parts else np.zeros(0, np.uint32)
-        n = len(arr)
         out_kind: list[int] = []
         out_gram: list[str | None] = []
         out_doc: list[int | None] = []
         out_s: list[int | None] = []
         out_e: list[int | None] = []
-        if n >= L:
+
+        def one_chunk(cids: list[int], ctexts: list[str]) -> None:
+            # Separator = 0x110000, one past the last Unicode code
+            # point: it can never collide with document content, so a
+            # document containing a literal NUL is handled exactly
+            # like the oracle's substr (which counts NUL-containing
+            # grams).
+            sep = np.array([0x110000], np.uint32)
+            parts: list[np.ndarray] = []
+            for t in ctexts:
+                if parts:
+                    parts.append(sep)
+                parts.append(
+                    np.frombuffer(t.encode("utf-32-le"), np.uint32)
+                )
+            arr = np.concatenate(parts) if parts else np.zeros(0, np.uint32)
+            n = len(arr)
+            if n < L:
+                return
             sa = _suffix_array(arr)
             # valid[i]: the L-gram at sa[i] fits inside one document —
             # i.e. no separator (and no end-of-buffer) within its first
@@ -344,7 +369,7 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             starts_new_run[1:] = ~eq_next[:-1]
             run_id = np.cumsum(starts_new_run) - 1
             # doc offsets: global position -> (doc index, 1-based pos)
-            lens = np.array([len(t) for t in texts], np.int64)
+            lens = np.array([len(t) for t in ctexts], np.int64)
             doc_start = np.concatenate([[0], np.cumsum(lens + 1)[:-1]])
             vpos = sa[valid]
             vrun = run_id[valid]
@@ -352,12 +377,12 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             sizes_of = run_sizes[vrun]
             di = np.searchsorted(doc_start, vpos, "right") - 1
             lpos = vpos - doc_start[di] + 1  # 1-based char position
-            # singletons -> candidates for cross-partition reconcile
+            # singletons -> candidates for cross-chunk reconcile
             single = sizes_of == 1
             for p, d in zip(lpos[single], di[single]):
                 out_kind.append(1)
-                out_gram.append(texts[d][p - 1 : p - 1 + L])
-                out_doc.append(ids[d])
+                out_gram.append(ctexts[d][p - 1 : p - 1 + L])
+                out_doc.append(cids[d])
                 out_s.append(int(p))
                 out_e.append(int(p) + L - 1)
             # runs >= 2: one advert per run + locally-merged intervals
@@ -368,7 +393,7 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 first_of_run[np.unique(vrun, return_index=True)[1]] = True
                 for p, d in zip(lpos[rep & first_of_run], di[rep & first_of_run]):
                     out_kind.append(2)
-                    out_gram.append(texts[d][p - 1 : p - 1 + L])
+                    out_gram.append(ctexts[d][p - 1 : p - 1 + L])
                     out_doc.append(None)
                     out_s.append(None)
                     out_e.append(None)
@@ -385,9 +410,24 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for d, s0, e0 in zip(dd[starts], pp[starts], pp[ends]):
                     out_kind.append(0)
                     out_gram.append(None)
-                    out_doc.append(ids[int(d)])
+                    out_doc.append(cids[int(d)])
                     out_s.append(int(s0))
                     out_e.append(int(e0) + L - 1)
+
+        # char-capped, doc-granular chunking: SA cost per chunk is
+        # pinned at ~_SUF_CHUNK log^2 _SUF_CHUNK regardless of how
+        # large the partition grows (an oversized single doc still
+        # forms its own chunk — its SA is irreducible at any layout)
+        start = 0
+        acc = 0
+        for idx, t in enumerate(texts):
+            acc += len(t)
+            if acc >= _SUF_CHUNK:
+                one_chunk(ids[start : idx + 1], texts[start : idx + 1])
+                start = idx + 1
+                acc = 0
+        if start < len(texts):
+            one_chunk(ids[start:], texts[start:])
         yield frame(out_kind, out_gram, out_doc, out_s, out_e)
 
     raw = (
