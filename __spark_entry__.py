@@ -80,7 +80,6 @@ _REPLANNED: dict[str, int] = {
     # key: round in which its plan was rewritten
     "dedup_simhash": 9,
     "dedup_minhash": 9,
-    "dedup_containment": 9,
     "dedup_ngram_jaccard": 9,
     "text_repetition": 9,
     "text_winnow": 9,
@@ -88,9 +87,6 @@ _REPLANNED: dict[str, int] = {
     "text_tfidf": 9,
     "text_ngrams": 9,
     "text_collocations": 9,
-    # round-13 rewrite of the partition-local resolver (first-mismatch
-    # sweep + 0x110000 separator replacing the n x L gram matrix)
-    "dedup_suffix_spans": 13,
     # round-14 data-driven LPM ladders (+ planted off-ladder /20 and
     # /44 generators — output values changed) and the hardened
     # text_html_strip / graph_scc plans (values unchanged, plans not)
@@ -104,10 +100,6 @@ _REPLANNED: dict[str, int] = {
     # (values unchanged; join strategy now pinned, not estimated)
     "embed_ann_graph": 14,
     "embed_ann_graph_recall": 14,
-    # round-15 per-(file, column) fan-out via broadcast column dim +
-    # digest-slice hash loop (values unchanged, plan and stage split
-    # are new)
-    "multimodal_parquet_pages": 15,
     # round-15 loud fixture-precondition guard (values unchanged)
     "text_charset_detect": 15,
     # round-15 scale-derived LSH width (max(SIGN_BITS, derive) —
@@ -116,6 +108,22 @@ _REPLANNED: dict[str, int] = {
     "dedup_incremental": 15,
     "dedup_clusters": 15,
     "dedup_cluster_stats": 15,
+    # round-16 weak-flag clears (values unchanged, plans rewritten:
+    # window-df -> aggregate+join; chunked per-partition suffix
+    # arrays)
+    "dedup_containment": 16,
+    "dedup_suffix_spans": 16,
+    # round-16 H.264 dec_ref_pic_marking bits (pixel sums unchanged,
+    # in-stage bitstream changed) and the parquet reader/writer
+    # internals the snapshot/nested/pages keys ride (defs always
+    # collected; writer now emits statistics + column_orders)
+    "multimodal_h264_ipcm": 16,
+    "table_snapshot_read": 16,
+    "multimodal_parquet_nested": 16,
+    "multimodal_parquet_pages": 16,
+    # round-16 GIF palette/interlace decode (identity-ramp values
+    # unchanged)
+    "multimodal_gif_stats": 16,
 }
 
 

@@ -1897,3 +1897,49 @@ def test_parquet_footer_binaryfile_map_only(spark):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
     assert plan.count("Exchange") == 1  # the explicit repartition only
+
+
+# --- round 16 -----------------------------------------------------------
+
+
+def test_sim_search_ivfpq_broadcasts_everything_small(spark):
+    """IVF-PQ: the codebook, the per-query LUT and the truth queries
+    are all broadcast — the corpus never sits on the build side and
+    no candidate path degrades to a cartesian product."""
+    plan = plan_of(spark, "sim_search_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # ADC scoring shuffles only (query_id, vec_id, adc) triples: the
+    # aggregate over candidates must have a map-side partial
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_multimodal_parquet_prune_and_struct_map_only(spark):
+    """The prune and struct keys are map-only Arrow stages over tiny
+    shard dims: no joins, no sorts, one mergeable aggregation at
+    most — page/file bytes never cross an exchange."""
+    for key in ("multimodal_parquet_prune", "multimodal_parquet_struct"):
+        plan = plan_of(spark, key)
+        assert "MapInPandas" in plan, key
+        assert "CartesianProduct" not in plan, key
+        assert "SortMergeJoin" not in plan, key
+
+
+def test_table_checkpoint_read_partials_merge_mapside(spark):
+    """Checkpoint-resolved scan: per-(version, file) partials merge
+    through a partial-aggregation pair, and the fold itself is
+    driver-side metadata (no join in the plan)."""
+    plan = plan_of(spark, "table_checkpoint_read")
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dedup_containment_df_cap_is_aggregate_not_window(spark):
+    """The round-16 weak-flag clear must hold: the stop-shingle df
+    cap is a hash aggregate + join, never a count window (the window
+    sorts the full Heaps-law posting list — the adjudicated sf1
+    bottleneck)."""
+    plan = plan_of(spark, "dedup_containment")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
