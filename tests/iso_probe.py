@@ -25,7 +25,12 @@ from downloader_spark.session import get_spark
 
 
 def force(df) -> int:
-    return df.count()
+    # noop sink, NOT count(): count() lets the optimizer prune columns
+    # (and sometimes whole subtrees), so it can time a cheaper query
+    # than the one bench.py measures (guide §1.4).  Same action as
+    # bench.py's force() so isolation numbers are comparable.
+    df.write.format("noop").mode("overwrite").save()
+    return 0
 
 
 def main() -> None:

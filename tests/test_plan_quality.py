@@ -1908,7 +1908,16 @@ def test_sim_search_ivfpq_broadcasts_everything_small(spark):
     no candidate path degrades to a cartesian product."""
     plan = plan_of(spark, "sim_search_ivfpq")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
+    # The three broadcast attachments (codebook, LUT, truth queries)
+    # surface as BroadcastHashJoin for the equi-joins and
+    # BroadcastNestedLoopJoin for the condition-less tiny-frame
+    # expansions — the split between the two varies with SF/stats, so
+    # gate on their SUM (every small side broadcast, corpus never on
+    # a build side) rather than a per-strategy count.
+    n_bcast = plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert n_bcast >= 3, plan
     # ADC scoring shuffles only (query_id, vec_id, adc) triples: the
     # aggregate over candidates must have a map-side partial
     assert "partial_sum" in plan or "HashAggregate" in plan
@@ -1941,5 +1950,10 @@ def test_dedup_containment_df_cap_is_aggregate_not_window(spark):
     sorts the full Heaps-law posting list — the adjudicated sf1
     bottleneck)."""
     plan = plan_of(spark, "dedup_containment")
-    assert "Window" not in plan
+    # No COUNT window anywhere: the df cap must be the hash aggregate.
+    # (The shingling stage's lead() windows over (doc_id, pos) are a
+    # different, legitimate window — gate on the aggregate-function
+    # window the weak flag was about, not on WindowExec existing.)
+    assert "count(1) windowspecdefinition" not in plan
+    assert "count(*) windowspecdefinition" not in plan
     assert "HashAggregate" in plan
