@@ -65,6 +65,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, key: str | None = None, n: int | None = None) -> DataFrame:
+    """Fan a narrow scan out across the session's cores before
+    CPU-dense map-side work (optimization guide §2.5, "input skew":
+    one huge unsplittable file leaves the whole map stage on one
+    core — repartition immediately after the read).  The sf fixtures
+    are single-row-group parquet files, so Spark cannot split them:
+    without this, every md5/decode/explode pipeline that runs before
+    the first exchange executes on ONE of the session's cores.
+
+    Hash-partitions on ``key`` when given — deterministic, skips the
+    sort round-robin repartition pays (SPARK-23207), and lets a
+    downstream aggregation/join on the same key reuse the exchange —
+    else round-robin.
+
+    Production guard: fires only when the scan's planned partition
+    count is below the target width.  A 100 TB input arrives as
+    thousands of splits, so there this is a no-op and the payload is
+    never shuffled; only the pathological few-big-files layout pays
+    the (then tiny, then necessary) rebalance."""
+    target = n or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
+
+
 def load_csv(
     spark: SparkSession,
     path: str,

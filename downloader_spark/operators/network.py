@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from downloader_spark.io import load_table
+from downloader_spark.io import load_table, spread
 from downloader_spark.operators.llm_dedup import _duck_h60, _spark_h60
 from downloader_spark.plans.registry import query
 
@@ -193,7 +193,15 @@ def join_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of prefix-table size or skew — an interval join would
     instead pair every IP with every covering prefix range probe,
     melting down on popular /8s at 100 TB."""
-    ips = load_table(spark, sf_dir, "orders").select(
+    # spread: the md5-octet IP derivation + explode + broadcast probe
+    # is map-side CPU that otherwise runs in the single-split scan
+    # task (profiled r16); hash-partitioning on o_orderkey lets the
+    # longest-match groupBy below reuse the exchange (o_orderkey is a
+    # subset of its grouping key)
+    ips = spread(
+        load_table(spark, sf_dir, "orders").select("o_orderkey"),
+        key="o_orderkey",
+    ).select(
         "o_orderkey", F.expr(_ip_expr(_spark_oct, "o_orderkey")).alias("ip")
     )
     prefixes = _spark_prefixes(spark, sf_dir)
@@ -456,7 +464,12 @@ def join_ip_prefix6(spark: SparkSession, sf_dir: str) -> DataFrame:
     128-bit arithmetic, no skew sensitivity: per-IP work is
     O(|plens|) ≤ 129 regardless of how many announcements cover a
     popular /16."""
-    ips = load_table(spark, sf_dir, "orders").select(
+    # spread before the md5-octet (hi, lo) derivation — same posture
+    # and rationale as join_ip_prefix above
+    ips = spread(
+        load_table(spark, sf_dir, "orders").select("o_orderkey"),
+        key="o_orderkey",
+    ).select(
         "o_orderkey",
         F.expr(_hi_expr(_spark_oct, "o_orderkey")).alias("ip_hi"),
         F.expr(_lo_expr(_spark_oct, "o_orderkey")).alias("ip_lo"),
@@ -537,7 +550,11 @@ def scalar_ip6(spark: SparkSession, sf_dir: str) -> DataFrame:
     v6 addressing is built around, the /16 registry block, and a
     containment predicate — all pure integer div/mod + printf so both
     engines agree byte-for-byte."""
-    ips = load_table(spark, sf_dir, "orders").select(
+    # spread: 10 md5 octet derivations + hex formatting per row are
+    # map-side CPU stuck in the single-split scan task otherwise
+    ips = spread(
+        load_table(spark, sf_dir, "orders").select("o_orderkey"),
+    ).select(
         "o_orderkey",
         F.expr(_hi_expr(_spark_oct, "o_orderkey")).alias("ip_hi"),
         F.expr(_lo_expr(_spark_oct, "o_orderkey")).alias("ip_lo"),

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from downloader_spark.io import load_table
+from downloader_spark.io import load_table, spread
 from downloader_spark.plans.registry import query
 from downloader_spark.operators.round11_ext import (
     _duck_clamp255,
@@ -725,7 +725,15 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     large enough for the copy to dominate, the right form is a
     mapInPandas boundary scan (the dedup_suffix_spans posture), not
     the HOF."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread: the boundary scan (one md5 per char position) is the
+    # dominant cost and otherwise runs in the scan's single task
+    # (profiled r16: one 2.35 s single-task stage of a 3.6 s key);
+    # hash-partitioning on doc_id also lets the per-doc boundary
+    # aggregation below reuse the exchange
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    )
     pos = docs.selectExpr(
         "doc_id",
         "text",

@@ -155,6 +155,10 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{EVDIR}",
+            # Spark 4 defaults write a zstd-compressed rolling event
+            # log DIRECTORY; parse_event_log wants one plain-text file
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
