@@ -15,7 +15,7 @@ import pandas as pd  # noqa: F401 — resolves stringified UDF type hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from downloader_spark.io import load_table
+from downloader_spark.io import load_table, spread
 from downloader_spark.plans.registry import query
 
 # ------------------------------------------------------------------
@@ -290,12 +290,22 @@ def _nsw_duck_parts() -> tuple[str, str]:
     return f"{_nsw_duck_base()},\n    {_nsw_duck_search()}", "scored"
 
 
-def _nsw_build(spark: SparkSession, sf_dir: str) -> dict:
+def _nsw_build(
+    spark: SparkSession, sf_dir: str, defer_edges: bool = False
+) -> dict:
     """Shared NSW graph construction: query/corpus frames with
     precomputed norms, the bucketed kNN + long-range edge table, and
     the scorer closure — reused by the flat search (embed_ann_graph),
     the recall differential, and round 14's hierarchical HNSW entry
-    layer.  The Spark construction mirrors the oracle CTE-for-CTE."""
+    layer.  The Spark construction mirrors the oracle CTE-for-CTE.
+
+    ``defer_edges=True`` returns the edge table LAZY under
+    ``edges_lazy`` (no ``edges`` key) so the caller can materialize
+    the checkpoint on a driver thread concurrently with other
+    independent checkpoint chains (guide §2.6 — actions are only
+    sequential because the driver calls them sequentially; the edge
+    build and e.g. the entry-point build share no dependency beyond
+    ``c``)."""
     from pyspark.sql import Window
 
     from downloader_spark.operators.llm_dedup import _spark_h60
@@ -326,7 +336,14 @@ def _nsw_build(spark: SparkSession, sf_dir: str) -> dict:
         )
     )
     c = (
-        emb.filter(F.col("vec_id") >= N_QUERIES)
+        # spread() before the CPU-dense chain (guide §2.5 input skew):
+        # a single-split corpus scan otherwise leaves the interpreted
+        # HOF norm fold AND every downstream md5-bucket/edge map stage
+        # that reads the cached frame on ONE core (profiled r16: the
+        # edge-construction map stage alone was 0.83 s single-task);
+        # at 100 TB the scan arrives as thousands of splits and
+        # spread() is a no-op
+        spread(emb.filter(F.col("vec_id") >= N_QUERIES), key="vec_id")
         .filter(_norm_nonzero())
         .select(
             "vec_id",
@@ -426,7 +443,7 @@ def _nsw_build(spark: SparkSession, sf_dir: str) -> dict:
     # 4-hop search into ~4x the build cost.  The checkpointed frames
     # are tiny: |corpus|*(M+1) edge rows and <= W rows/query frontiers
     # — same trick as graph_pagerank's checkpointed edge table.
-    edges = near.unionByName(longe).distinct().localCheckpoint()
+    edges_lazy = near.unionByName(longe).distinct()
 
     def score(nodes: DataFrame) -> DataFrame:
         # the probe frame is <= W*(M+1) rows/query: broadcast IT so the
@@ -445,16 +462,20 @@ def _nsw_build(spark: SparkSession, sf_dir: str) -> dict:
             .select("query_id", "node", "cos")
         )
 
-    return {
+    parts = {
         "q": q,
         "c": c,
         "ncnt": ncnt,
         "reps": reps,
-        "edges": edges,
         "score": score,
         "pair_cos": _pair_cos,
         "h": h,
     }
+    if defer_edges:
+        parts["edges_lazy"] = edges_lazy
+    else:
+        parts["edges"] = edges_lazy.localCheckpoint()
+    return parts
 
 
 def _nsw_default_entry(parts: dict) -> DataFrame:
@@ -526,9 +547,21 @@ def _nsw_search(parts: dict, entry: DataFrame) -> DataFrame:
 
 def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every (query_id, node, cos) the flat greedy graph search
-    scores — entry point plus all unseen frontier expansions."""
-    parts = _nsw_build(spark, sf_dir)
-    return _nsw_search(parts, _nsw_default_entry(parts))
+    scores — entry point plus all unseen frontier expansions.
+
+    The edge-table checkpoint and the entry-point checkpoint depend
+    only on ``c``, not on each other — materialize them concurrently
+    from two driver threads (guide §2.6) so the second chain's jobs
+    back-fill the first's idle cores instead of queueing behind it."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    parts = _nsw_build(spark, sf_dir, defer_edges=True)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_edges = pool.submit(parts.pop("edges_lazy").localCheckpoint)
+        f_entry = pool.submit(_nsw_default_entry, parts)
+        parts["edges"] = f_edges.result()
+        entry = f_entry.result()
+    return _nsw_search(parts, entry)
 
 
 def _nsw_graph_oracle() -> str:

@@ -819,9 +819,21 @@ def embed_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nsw_search,
     )
 
-    parts = _nsw_build(spark, sf_dir)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Base-layer EDGE construction is independent of the layer-1
+    # construction + greedy descent (both need only the checkpointed
+    # corpus frame), and the FLAT search chain is independent of the
+    # hierarchical chain once edges exist — run each independent
+    # checkpoint chain on its own driver thread (guide §2.6) so the
+    # ~25 sequential tiny jobs overlap instead of queueing.  Results
+    # are unchanged: checkpoint materialization order is invisible to
+    # the plans that consume them (parity re-proven vs the oracle).
+    parts = _nsw_build(spark, sf_dir, defer_edges=True)
     q, c, h, score = parts["q"], parts["c"], parts["h"], parts["score"]
     pair_cos = parts["pair_cos"]
+    pool = ThreadPoolExecutor(max_workers=2)
+    f_edges = pool.submit(parts.pop("edges_lazy").localCheckpoint)
 
     # --- layer-1 construction (same recipe, its own hash tags) ---
     l1 = c.filter(
@@ -917,10 +929,16 @@ def embed_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     seed = frontier.localCheckpoint()
 
-    # --- base-layer beam search from the descended seed ---
+    # --- base-layer beam search from the descended seed, with the
+    # flat search's independent chain on the second driver thread ---
+    parts["edges"] = f_edges.result()
+    f_flat = pool.submit(
+        lambda: _nsw_search(parts, _nsw_default_entry(parts)).localCheckpoint()
+    )
     hscored = _nsw_search(parts, seed)
     hall = all_sc.unionByName(hscored).distinct().localCheckpoint()
-    flat = _nsw_search(parts, _nsw_default_entry(parts)).localCheckpoint()
+    flat = f_flat.result()
+    pool.shutdown()
 
     def topk(df):
         return (
