@@ -251,29 +251,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 100 TB those are redundant fact shuffles.  A/B at sf0.1:
     # 2.44 s -> 2.18 s median locally, identical hashes (PERF.md r7).
     edges = _pagerank_edges(spark, sf_dir).localCheckpoint()
+    # edges_deg and nodes depend only on edges, not on each other —
+    # materialize the two checkpoints concurrently from driver threads
+    # (guide §2.6) so the second chain back-fills the first's tail.
+    from concurrent.futures import ThreadPoolExecutor
+
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    edges_deg = edges.join(deg, "src").localCheckpoint()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_ed = pool.submit(edges.join(deg, "src").localCheckpoint)
+        f_no = pool.submit(
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint
+        )
+        edges_deg = f_ed.result()
+        nodes = f_no.result()
     pr = nodes.withColumn("pr", F.lit(PR_BASE_PPM).cast("long"))
     base = 1_000_000 - PR_DAMP_PPT * 1000
+    # zero-mass rows for nodes with no in-edges, unioned into the
+    # contribution aggregate: sum(c) over (contributions ∪ one 0/node)
+    # == COALESCE(mass, 0) of the former per-iteration LEFT JOIN
+    # against nodes, so each iteration drops one join + one exchange
+    # (3 SortMergeJoin → 1 join per hop).  The rank-state side of the
+    # remaining join carries a SHUFFLE_HASH hint: |V|-bounded (pr,
+    # outdeg) rows build the per-partition hash table and the |E|-row
+    # edge table streams past without the sort-merge sort (guide §3.1)
+    # — strategy, not config, so the driver's vanilla session plans it
+    # identically.
+    zero = nodes.select("node", F.lit(0).cast("long").alias("c"))
     for _ in range(PR_ITERS):
         contrib = (
-            edges_deg.join(pr, edges_deg.src == pr.node)
-            .select("dst", F.expr("pr DIV outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("mass"))
+            edges_deg.join(pr.hint("shuffle_hash"), edges_deg.src == pr.node)
+            .select(F.col("dst").alias("node"), F.expr("pr DIV outdeg").alias("c"))
         )
-        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            F.expr(
-                f"CAST({base} + {PR_DAMP_PPT} * COALESCE(mass, 0) DIV 1000"
-                " AS BIGINT)"
-            ).alias("pr"),
+        pr = (
+            contrib.unionAll(zero)
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + {PR_DAMP_PPT} * mass DIV 1000"
+                    " AS BIGINT)"
+                ).alias("pr"),
+            )
         )
     return pr.select(
         "node",

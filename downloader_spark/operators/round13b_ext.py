@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pandas as pd  # noqa: F401 — resolves stringified UDF type hints
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -659,8 +659,8 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     remaining = nodes
     parts = []
+    n_active = remaining.count()  # 1-row control scalar
     for _outer in range(8):
-        n_active = remaining.count()  # 1-row control scalar
         if n_active == 0:
             break
         if _outer == 0:  # round 1: every node is active, skip the trim
@@ -681,78 +681,96 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # be checkpointed each hop or the lineage recomputes the prior
         # hop twice; probing every hop beats probing every other hop —
         # a skipped probe costs up to two EXTRA HOPS per fixpoint, and
-        # hops are ~3x a probe — both variants were measured)
+        # hops are ~3x a probe — both variants were measured).
+        # Hop shape (r16): UNION + groupBy-max instead of the original
+        # groupBy(dst) + left-join + greatest — identical fixpoint
+        # (new color(n) = max of n's current color and every in-edge
+        # source's color; nodes without in-edges keep their row via
+        # the union's left branch) but 2 exchanges per hop instead of
+        # 3, which matters because this key is driver-job-latency
+        # bound (profiled: 177 tiny jobs, ~0 task seconds — every
+        # exchange is an extra AQE sub-job per hop).
+        # The convergence probe rides ON the checkpoint materialization
+        # via observe() (CollectMetrics): one driver action per hop
+        # computes the hop AND yields the monotone sum — the former
+        # separate agg-collect per hop (its own analysis + job) is gone.
         color = remaining.select("node", F.col("node").alias("color"))
         prev_sum = None
         for it in range(64):
-            inc = (
-                act_edges.join(
-                    color.select(
-                        F.col("node").alias("src"), F.col("color").alias("c")
-                    ),
-                    "src",
-                )
-                .groupBy("dst")
-                .agg(F.max("c").alias("inc"))
-            )
+            prop = act_edges.join(
+                color.select(
+                    F.col("node").alias("src"), F.col("color").alias("c")
+                ),
+                "src",
+            ).select(F.col("dst").alias("node"), F.col("c").alias("color"))
+            obs = Observation()
             color = (
-                color.join(inc, color["node"] == inc["dst"], "left")
-                .select(
-                    "node",
-                    F.greatest(
-                        F.col("color"), F.coalesce(F.col("inc"), F.col("color"))
-                    ).alias("color"),
-                )
-                # lazy checkpoint: the probe action below materializes
-                # it, so each hop costs ONE driver action, not two,
-                # and the next hop's double use still reads the cache
-                .localCheckpoint(eager=False)
+                color.unionAll(prop)
+                .groupBy("node")
+                .agg(F.max("color").alias("color"))
+                .observe(obs, F.sum("color").alias("s"))
+                .localCheckpoint()
             )
-            s = color.agg(F.sum("color")).collect()[0][0]  # monotone
+            s = obs.get["s"]  # monotone
             if s == prev_sum:
                 break
             prev_sum = s
         else:
             raise RuntimeError("graph_scc: forward coloring did not converge")
-        # (2)+(3) roots, then backward marking within the color class
+        # (2)+(3) roots, then backward marking within the color class.
+        # The color fixpoint is FINAL here, so the "mark may only
+        # spread where src and dst share a color" condition can be
+        # pre-joined ONCE into a same-color edge subgraph (carrying
+        # the shared color) instead of re-checked per hop — the
+        # original per-hop reach-distinct + node-join + wc==color
+        # filter collapses to one dst-join + union-groupBy per hop
+        # (same fixpoint: a backward step dst→src marks src iff
+        # src.color == dst.color, which is exactly eq-edge membership).
+        csrc = color.select(F.col("node").alias("src"), F.col("color").alias("sc"))
+        cdst = color.select(F.col("node").alias("dst"), F.col("color").alias("dc"))
+        eqedges = (
+            act_edges.join(csrc, "src")
+            .join(cdst, "dst")
+            .filter(F.col("sc") == F.col("dc"))
+            .select("src", "dst", F.col("sc").alias("color"))
+            .repartition(32, "dst")
+            .localCheckpoint(eager=False)
+        )
         mark = color.select(
             "node", "color", (F.col("node") == F.col("color")).alias("m")
         )
         prev_n = -1
         for it in range(64):
-            reach = (
-                act_edges.join(
-                    mark.filter("m").select(
-                        F.col("node").alias("dst"), F.col("color").alias("wc")
-                    ),
-                    "dst",
-                )
-                .select(F.col("src").alias("node"), "wc")
-                .distinct()
+            reach = eqedges.join(
+                mark.filter("m").select(F.col("node").alias("dst")), "dst"
+            ).select(
+                F.col("src").alias("node"), "color", F.lit(True).alias("m")
             )
+            obs = Observation()
             mark = (
-                mark.join(reach, ["node"], "left")
-                .select(
-                    "node",
-                    "color",
-                    (
-                        F.col("m")
-                        | (F.col("wc").isNotNull() & (F.col("wc") == F.col("color")))
-                    ).alias("m"),
-                )
+                mark.unionAll(reach)
                 .groupBy("node", "color")
                 .agg(F.max("m").alias("m"))
-                .localCheckpoint(eager=False)
+                .observe(obs, F.sum(F.col("m").cast("long")).alias("n"))
+                .localCheckpoint()
             )
-            n = mark.filter("m").count()  # monotone
+            n = obs.get["n"]  # monotone marked-node count
             if n == prev_n:
                 break
             prev_n = n
         else:
             raise RuntimeError("graph_scc: backward marking did not converge")
-        done = mark.filter("m").select("node", F.col("color").alias("scc_id"))
-        parts.append(done.localCheckpoint())
-        remaining = remaining.join(done, "node", "left_anti").localCheckpoint()
+        done = mark.filter("m").select(
+            "node", F.col("color").alias("scc_id")
+        ).localCheckpoint(eager=False)
+        parts.append(done)
+        obs_r = Observation()
+        remaining = (
+            remaining.join(done, "node", "left_anti")
+            .observe(obs_r, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n_active = obs_r.get["n"]
     else:
         raise RuntimeError("graph_scc: outer peel did not finish in 8 rounds")
 
