@@ -570,12 +570,30 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     # df cap as a whole-partition window count, NOT groupBy-then-join:
     # count(*) OVER (PARTITION BY h) needs no sort (whole-partition
     # frame) and leaves the output hash-partitioned on h — exactly the
-    # partitioning the self-join needs, so Catalyst plans the join with
-    # a ReusedExchange instead of two fresh ones.  Measured 3.1 → 2.2 s
-    # at sf0.1 vs the groupBy+join form (same rows, same hash).
+    # partitioning the self-join needs.  The filtered postings are
+    # then MATERIALIZED (localCheckpoint): under AQE the self-join's
+    # two sides are otherwise compiled as two independent query
+    # stages that materialize CONCURRENTLY, so exchange reuse never
+    # fires and the whole shingle+md5+window pipeline runs twice
+    # (profiled at r16: two identical 260k-row exchange writes per
+    # pass, the md5 stage being the key's dominant CPU).  The
+    # checkpoint pins ONE evaluation and preserves the h hash
+    # partitioning, so the self-join and the co-occurrence groupBy
+    # read it exchange-free at the full partition width — which also
+    # undoes AQE's byte-based coalescing of the pair stage (3 tasks
+    # for a CPU-dense 1.2M-row join fanout).
+    # The h exchange is an EXPLICIT fixed-width repartition, not the
+    # window's implicit one: AQE byte-coalesces an implicit exchange
+    # (3.5 MB of (long,long) rows -> ~3 partitions), which would bake
+    # a 3-partition layout into the checkpoint and run the CPU-dense
+    # 1.2M-row pair join at width 3 (measured 3.2 -> 7.0 s — worse
+    # than no checkpoint at all).  A user repartition keeps the full
+    # width; the window then rides it with no exchange of its own.
+    n = docs.sparkSession.sparkContext.defaultParallelism
     w_df = Window.partitionBy("h")
     inv2 = (
-        inv.withColumn("df", F.count("*").over(w_df))
+        inv.repartition(n, "h")
+        .withColumn("df", F.count("*").over(w_df))
         .filter(F.col("df") <= STOP_SHINGLE_DF)
         .drop("df")
     )

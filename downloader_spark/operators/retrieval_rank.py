@@ -336,7 +336,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation with map-side partials and the join reuses the same
     h-hash exchange the posting self-join needs anyway — identical
     output, no sort of the long tail."""
-    inv = hashed_shingle_sets(load_table(spark, sf_dir, "documents"))
+    # The hashed index feeds FOUR consumers (the df-count, the join
+    # probe, both posting self-join sides via inv2, and the sizes
+    # aggregate), and its distinct rides the raw-docs doc_id exchange
+    # (no exchange of its own sits above the md5 work) — so without a
+    # materialization every consumer re-runs the whole shingle+md5
+    # pipeline from the tiny docs exchange (profiled at r16: the md5
+    # stage executed 4x per pass).  localCheckpoint pins one
+    # evaluation; the (long, long) rows it stores are the cheapest
+    # form the index ever takes.
+    inv = hashed_shingle_sets(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint()
     keep = (
         inv.groupBy("h")
         .agg(F.count("*").alias("df"))

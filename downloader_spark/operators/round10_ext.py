@@ -1645,7 +1645,18 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = bands.unionByName(f)
     a = bands.alias("a")
     b_ = bands.alias("b")
-    cand = (
+    # ONE (doc_a, doc_b) aggregation replaces the former
+    # distinct(cfg, a, b) + distinct(a, b) + join-back chain: the
+    # band self-join's raw hits group straight into per-pair config
+    # SETS (collect_set dedupes multi-band hits within a config
+    # exactly like the old distinct), the pair list for verification
+    # falls out as the group keys, and the per-config candidate
+    # rows are re-expanded by an explode AFTER the verdict join —
+    # 2 fewer aggregation exchanges and 2 fewer sequential AQE
+    # stages on a key that is driver-latency-bound (profiled at r16:
+    # ~18 sequential sub-second query stages).  Identical rows: cfg
+    # sets per pair == the old distinct candidate triples.
+    pair_cfgs = (
         a.join(
             b_,
             (F.col("a.cfg") == F.col("b.cfg"))
@@ -1657,16 +1668,15 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.collect_set("cfg").alias("cfgs"))
     )
-    # verify each DISTINCT pair once, then join the verdict back to
-    # the per-config candidate lists
-    pairs = cand.select("doc_a", "doc_b").distinct()
-    verified = _verified_pairs(ss, pairs, keep_ratio=2).select(
-        "doc_a", "doc_b", F.lit(True).alias("is_true")
-    )
-    scored = cand.join(verified, ["doc_a", "doc_b"], "left").select(
-        "cfg", F.coalesce(F.col("is_true"), F.lit(False)).alias("is_true")
+    verified = _verified_pairs(
+        ss, pair_cfgs.select("doc_a", "doc_b"), keep_ratio=2
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+    scored = pair_cfgs.join(verified, ["doc_a", "doc_b"], "left").select(
+        F.explode("cfgs").alias("cfg"),
+        F.coalesce(F.col("is_true"), F.lit(False)).alias("is_true"),
     )
     return scored.groupBy("cfg").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
