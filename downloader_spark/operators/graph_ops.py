@@ -130,48 +130,63 @@ def connected_components(
     ~10% here; the dominant round cost is checkpoint materialization,
     which is the price of bounded lineage).  Big graphs widen
     naturally with the edge count."""
+    from pyspark.sql import Observation
+
+    # Counts and convergence sums ride ON each round's checkpoint
+    # materialization via observe() (CollectMetrics) — the graph_scc
+    # posture: iterative jobs here are driver-job-latency bound, so
+    # every separate agg-collect per round is a whole extra job.
+    obs_e = Observation()
     sym0 = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
     spark = sym0.sparkSession
     default_parts = spark.sparkContext.defaultParallelism
-    n_edges = sym0.count()  # cheap: checkpointed
+    n_edges = obs_e.get["n"]  # rode the checkpoint materialization
     parts = max(2, min(default_parts, n_edges // 100_000 + 2))
     sym = sym0.repartition(parts, "dst").localCheckpoint()
     sym0.unpersist()
+    obs0 = Observation()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .repartition(parts, "node")
+        .observe(obs0, F.sum("label").alias("s"))
         .localCheckpoint()
     )
     converged = False
     # labels start as node ids and only ever DECREASE, so the label sum
     # is strictly monotone until the fixpoint: an unchanged sum IS
-    # convergence — one tiny aggregation per round instead of a
-    # change-detection join
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # convergence
+    prev_sum = obs0.get["s"]
     for _ in range(max_rounds):
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        # Round shape (r16): UNION + groupBy-min instead of the
+        # original groupBy(dst-neighbor min) + left-join + least —
+        # identical fixpoint (each node's new label = min of its own
+        # and its in-neighbors'; the union's left branch keeps every
+        # node's row), one join + one aggregation instead of two
+        # joins.  sym (dst-partitioned) and labels (node-partitioned,
+        # same width) are co-partitioned, so the join itself plans no
+        # exchange; SHUFFLE_HASH builds the V-bounded label side as a
+        # hash table instead of sort-merging both sides every round
+        # (the graph_pagerank posture).
+        prop = sym.join(
+            labels.hint("shuffle_hash"), sym.dst == labels.node
+        ).select(F.col("src").alias("node"), "label")
+        obs = Observation()
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            labels.unionAll(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()  # truncate lineage each round
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = obs.get["s"]
         labels.unpersist()  # free the previous round's cached blocks
         labels = new_labels
         if new_sum == prev_sum:

@@ -306,6 +306,14 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     # across jobs.
     ss = hashed_shingle_sets(docs).localCheckpoint()
     hp = ss.withColumn("hp", F.expr(f"pmod(h, {MINHASH_P})"))
+    # The signature aggregate rides ss's doc_id partitioning (no
+    # exchange of its own), so the band self-join's two sides would
+    # otherwise each recompute the 12 min-aggregates from the
+    # checkpoint — AQE materializes the twin band exchanges as
+    # concurrent independent stages, so exchange reuse never fires
+    # (the same effect profiled on dedup_ngram_jaccard).  Checkpoint
+    # the V-sized signature table once; partitioning (doc_id, full
+    # width) is inherited, so no AQE-coalesce risk is baked in.
     sigs = hp.groupBy("doc_id").agg(
         *[
             F.min(
@@ -313,7 +321,7 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
             ).alias(f"m{i}")
             for i in range(N_HASHES)
         ]
-    )
+    ).localCheckpoint()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -879,6 +887,14 @@ def sign_buckets(
     becomes dot >= s_j·mu, still a static scalar in the plan.
     Explicit ``sign_bits`` (the static-oracle check) defaults to
     uncentered so the oracle SQL stays a fixed string."""
+    from downloader_spark.io import spread
+
+    # The bucket expression is an interpreted HOF fold (sign_bits
+    # zip_with dots per row over the 64-dim vector) — CPU-dense map
+    # work that would otherwise run on the fixture's ONE input split
+    # until the pair join's exchange (guide §2.5 input skew; no-op at
+    # scale where the scan arrives as many splits).
+    emb = spread(emb, key="vec_id")
     if sign_bits is None:
         sign_bits = derive_sign_bits(emb.count())
         if center is None:

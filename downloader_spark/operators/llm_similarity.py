@@ -287,17 +287,33 @@ def _km_oracle() -> str:
 
 def km_quantized_points(emb: DataFrame) -> DataFrame:
     """Floor-quantized first-{KM_DIMS}-component point table — the
-    shared input of the fit loop and any post-fit assignment pass."""
+    shared input of the fit loop and any post-fit assignment pass.
+
+    spread() fans the quantization off the fixture's single input
+    split (no-op at scale); localCheckpoint materializes the compact
+    (vec_id, q0..q{KM_DIMS}) integer rows ONCE, because km_fit's
+    Lloyd loop runs {KM_ITERS}+1 full aggregation passes over this
+    table — without it every iteration re-reads the parquet and
+    re-quantizes on however many splits the scan planned (locally:
+    one).  The checkpoint is the canonical iterative-reuse artifact,
+    same discipline as connected_components' per-round state."""
+    from downloader_spark.io import spread
+
     d = range(KM_DIMS)
-    return emb.filter(F.size("embedding") >= KM_DIMS).select(
-        "vec_id",
-        *[
-            F.expr(
-                f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {KM_SCALE})"
-                " AS BIGINT)"
-            ).alias(f"q{i}")
-            for i in d
-        ],
+    return (
+        spread(emb, key="vec_id")
+        .filter(F.size("embedding") >= KM_DIMS)
+        .select(
+            "vec_id",
+            *[
+                F.expr(
+                    f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {KM_SCALE})"
+                    " AS BIGINT)"
+                ).alias(f"q{i}")
+                for i in d
+            ],
+        )
+        .localCheckpoint()
     )
 
 

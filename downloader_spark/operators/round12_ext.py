@@ -377,26 +377,44 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             sizes_of = run_sizes[vrun]
             di = np.searchsorted(doc_start, vpos, "right") - 1
             lpos = vpos - doc_start[di] + 1  # 1-based char position
+            cid_arr = np.asarray(cids, np.int64)
+
+            def grams_at(gp: np.ndarray) -> list[str]:
+                # bulk gram extraction: gather the m x L codepoint
+                # windows from the chunk buffer, decode utf-32 ONCE,
+                # slice the L-char pieces off the one big string —
+                # replaces a per-row python str slice (the former
+                # per-singleton loop was the stage's hottest python
+                # line at ~1.35M candidates/pass)
+                if gp.size == 0:
+                    return []
+                win = arr[gp[:, None] + np.arange(L)]
+                big = win.tobytes().decode("utf-32-le")
+                return [big[i : i + L] for i in range(0, len(big), L)]
+
             # singletons -> candidates for cross-chunk reconcile
             single = sizes_of == 1
-            for p, d in zip(lpos[single], di[single]):
-                out_kind.append(1)
-                out_gram.append(ctexts[d][p - 1 : p - 1 + L])
-                out_doc.append(cids[d])
-                out_s.append(int(p))
-                out_e.append(int(p) + L - 1)
+            m = int(single.sum())
+            if m:
+                out_kind.extend([1] * m)
+                out_gram.extend(grams_at(vpos[single]))
+                out_doc.extend(cid_arr[di[single]].tolist())
+                sp = lpos[single]
+                out_s.extend(sp.tolist())
+                out_e.extend((sp + (L - 1)).tolist())
             # runs >= 2: one advert per run + locally-merged intervals
             rep = single.copy()
             np.logical_not(rep, out=rep)
             if rep.any():
                 first_of_run = np.zeros(len(vrun), bool)
                 first_of_run[np.unique(vrun, return_index=True)[1]] = True
-                for p, d in zip(lpos[rep & first_of_run], di[rep & first_of_run]):
-                    out_kind.append(2)
-                    out_gram.append(ctexts[d][p - 1 : p - 1 + L])
-                    out_doc.append(None)
-                    out_s.append(None)
-                    out_e.append(None)
+                adv = rep & first_of_run
+                k = int(adv.sum())
+                out_kind.extend([2] * k)
+                out_gram.extend(grams_at(vpos[adv]))
+                out_doc.extend([None] * k)
+                out_s.extend([None] * k)
+                out_e.extend([None] * k)
                 # merge covered positions into intervals per doc:
                 # sorted (doc, pos), group starts where the doc
                 # changes or the gap exceeds adjacency, group end =
@@ -407,12 +425,12 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 brk[1:] = (dd[1:] != dd[:-1]) | (pp[1:] > pp[:-1] + L)
                 starts = np.flatnonzero(brk)
                 ends = np.concatenate([starts[1:] - 1, [len(pp) - 1]])
-                for d, s0, e0 in zip(dd[starts], pp[starts], pp[ends]):
-                    out_kind.append(0)
-                    out_gram.append(None)
-                    out_doc.append(cids[int(d)])
-                    out_s.append(int(s0))
-                    out_e.append(int(e0) + L - 1)
+                g = len(starts)
+                out_kind.extend([0] * g)
+                out_gram.extend([None] * g)
+                out_doc.extend(cid_arr[dd[starts]].tolist())
+                out_s.extend(pp[starts].tolist())
+                out_e.extend((pp[ends] + (L - 1)).tolist())
 
         # char-capped, doc-granular chunking: SA cost per chunk is
         # pinned at ~_SUF_CHUNK log^2 _SUF_CHUNK regardless of how

@@ -144,6 +144,7 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(col_dim), "tbl").repartition(n)
 
     def run(batches):
+        from collections import Counter
         from hashlib import md5
 
         fb = int.from_bytes
@@ -156,8 +157,31 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nulls = values.count(None)
                 # 40-bit md5 prefix == big-endian first 5 digest
                 # bytes; C-level int formatting and bound locals keep
-                # the per-value cost at the md5 call itself
-                if kind == "int":
+                # the per-value cost at the md5 call itself.  For
+                # repetition-heavy columns (the dictionary-encoded
+                # common case — flags, priorities, enum names) hash
+                # each DISTINCT value once and multiply by its count:
+                # sum(c_v * h(v)) == sum over rows, integer-exact and
+                # order-free, at one dict insert (~0.1 us) instead of
+                # one md5+format (~1 us) per repeated row.  A 1k-row
+                # probe picks the path so unique-key columns skip the
+                # Counter overhead.
+                probe = values[:1024]
+                if probe and len(set(probe)) * 2 <= len(probe):
+                    items = Counter(values).items()
+                    if kind == "int":
+                        hsum = sum(
+                            c * fb(md5(b"%d" % v).digest()[:5], "big")
+                            for v, c in items
+                            if v is not None
+                        )
+                    else:
+                        hsum = sum(
+                            c * fb(md5(v).digest()[:5], "big")
+                            for v, c in items
+                            if v is not None
+                        )
+                elif kind == "int":
                     hsum = sum(
                         fb(md5(b"%d" % v).digest()[:5], "big")
                         for v in values
