@@ -412,12 +412,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        # e feeds the degree table AND the orientation join: pin the
+        # capped self-join + distinct to one pass (kcore/common_neighbors
+        # edge-recipe posture)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select("b"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        # deg feeds two broadcast sides and the final report join
+        .localCheckpoint(eager=False)
     )
     # Orient each edge by (degree, id) rank: low -> high.
     ranked = (
@@ -485,8 +491,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri_count"))
     )
+    # node_tri is V-bounded (one row per triangle-bearing node) — same
+    # broadcast class as the degree table the orientation join ships;
+    # the hint is needed explicitly because the checkpointed deg leaf
+    # carries no size statistics for the planner to decide from
     return (
-        deg.join(node_tri, "node", "left")
+        deg.join(F.broadcast(node_tri), "node", "left")
         .select(
             F.col("node").alias("s_suppkey"),
             "degree",

@@ -246,6 +246,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ss = hashed_shingle_sets(docs).localCheckpoint()
     hp = ss.withColumn("hp", F.expr(f"pmod(h, {MINHASH_P})"))
+    # the band self-join's two sides are compiled by AQE as independent
+    # query stages that materialize CONCURRENTLY, so exchange reuse
+    # never fires and the 12-min-aggregate signature pass would run
+    # twice — checkpoint the V-sized signature table once (the
+    # dedup_minhash_estimate_error / dedup_lsh_tuning posture)
     sigs = hp.groupBy("doc_id").agg(
         *[
             F.min(
@@ -253,7 +258,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"m{i}")
             for i in range(N_HASHES)
         ]
-    )
+    ).localCheckpoint()
     bands = sigs.select(
         "doc_id",
         F.explode(

@@ -184,22 +184,31 @@ _SUF_CHUNK = 1 << 16
 
 
 def _suffix_array(arr):
-    """Suffix array by prefix doubling (numpy lexsort per round):
-    O(n log^2 n) with every comparison vectorized.  ``arr`` is a
-    codepoint array; returns the permutation sorting all suffixes."""
+    """Suffix array by prefix doubling: O(n log^2 n) with every
+    comparison vectorized.  ``arr`` is a codepoint array; returns the
+    permutation sorting all suffixes.
+
+    Each doubling round sorts by the (rank, rank-at-offset-k) pair.
+    The pair is PACKED into one int64 — rank * (n+2) + (second+1) —
+    so the round is ONE unstable argsort instead of lexsort's two
+    stable radix passes (~2x less sort work per round; stability is
+    irrelevant because tied packed keys are exactly the pairs that
+    receive equal new ranks).  Ranks are DENSIFIED up front
+    (np.unique inverse, order-preserving), so every rank and every
+    offset-k rank is < n and the packing never overflows its slot."""
     import numpy as np
 
     n = len(arr)
-    rank = arr.astype(np.int64)
+    rank = np.unique(arr, return_inverse=True)[1].astype(np.int64)
     k = 1
     while True:
-        second = np.full(n, -1, np.int64)
-        second[: n - k] = rank[k:]
-        order = np.lexsort((second, rank))
-        r_ord, s_ord = rank[order], second[order]
+        packed = rank * (n + 2)
+        packed[: n - k] += rank[k:] + 1
+        order = np.argsort(packed)
+        p_ord = packed[order]
         new = np.empty(n, np.int64)
         diff = np.ones(n, bool)
-        diff[1:] = (r_ord[1:] != r_ord[:-1]) | (s_ord[1:] != s_ord[:-1])
+        diff[1:] = p_ord[1:] != p_ord[:-1]
         new[order] = np.cumsum(diff) - 1
         rank = new
         if rank[order[-1]] == n - 1:
@@ -457,15 +466,22 @@ def dedup_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # three consumers below; resolve runs once
     )
     cand = raw.filter(F.col("kind") == 1).select("gram", "doc_id", "s", "e")
-    advert = raw.filter(F.col("kind") == 2).select("gram")
     local_iv = raw.filter(F.col("kind") == 0).select("doc_id", "s", "e")
+    # dup verdict in ONE aggregation over the non-interval rows:
+    # a gram is corpus-duplicated iff >= 2 candidates OR any advert —
+    # sum/max over kind computes both in one map-combinable pass,
+    # where the former count-then-unionByName-then-distinct chain paid
+    # an extra exchange + aggregation for the advert dedup and one
+    # more full read of the checkpointed resolve output (guide §2.4)
     dup_gram = (
-        cand.groupBy("gram")
-        .count()
-        .filter(F.col("count") >= 2)
+        raw.filter(F.col("kind") != 0)
+        .groupBy("gram")
+        .agg(
+            F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).alias("n_cand"),
+            F.max("kind").alias("mxk"),
+        )
+        .filter((F.col("n_cand") >= 2) | (F.col("mxk") == 2))
         .select("gram")
-        .unionByName(advert)
-        .distinct()
     )
     cross_iv = cand.join(dup_gram, "gram", "left_semi").select(
         "doc_id", "s", "e"

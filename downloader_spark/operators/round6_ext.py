@@ -962,12 +962,27 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (two corpus count tables + the scoring join):
     # materialize the per-doc bigram counts once
     bgd = bgd.localCheckpoint()
-    cbg = bgd.groupBy("bg").agg(F.sum("n").alias("c_bg"))
+    # p(w2|w1) is a property of the BIGRAM, not of the (doc, bigram)
+    # row: resolve c_bg DIV c_w1 at vocabulary level (w1 is determined
+    # by bg — tokens are space-free, bg = concat(w1,' ',w2) — so
+    # groupBy(w1, bg) has exactly cbg's cardinality) and attach ONE
+    # precomputed ppm per bigram.  The token-stream-sized bgd then
+    # crosses two exchanges (bg join, doc_id rollup) instead of three
+    # (bg join, w1 join, doc_id rollup); the w1 join moves to the
+    # vocabulary-bounded count table (guide §2.3 "shuffle fewer
+    # bytes").  Arithmetic per row is unchanged:
+    # n * (c_bg * 1000000 DIV c_w1).
     cw1 = bgd.groupBy("w1").agg(F.sum("n").alias("c_w1"))
-    scored = bgd.join(cbg, "bg").join(cw1, "w1")
+    pbg = (
+        bgd.groupBy("w1", "bg")
+        .agg(F.sum("n").alias("c_bg"))
+        .join(cw1, "w1")
+        .select("bg", F.expr("c_bg * 1000000 DIV c_w1").alias("p_ppm"))
+    )
+    scored = bgd.join(pbg, "bg")
     return scored.groupBy("doc_id").agg(
         F.sum("n").alias("n_bigrams"),
         F.expr(
-            "CAST(sum(n * (c_bg * 1000000 DIV c_w1)) DIV sum(n) AS BIGINT)"
+            "CAST(sum(n * p_ppm) DIV sum(n) AS BIGINT)"
         ).alias("lm_score_ppm"),
     )

@@ -928,19 +928,33 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d0"))
+        # feeds round-1 peeling AND the final report join: pin one pass
+        .localCheckpoint(eager=False)
     )
-    nodes = deg_init.select("node")
-    for _ in range(_KCORE_ROUNDS):
-        na = nodes.select(F.col("node").alias("a"))
-        nb = nodes.select(F.col("node").alias("b"))
-        live = edges.join(na, "a").join(nb, "b")
+    # Round 1's induced subgraph IS the full edge list (nodes0 = every
+    # endpoint), so its degree table IS deg_init — no join, no second
+    # degree pass.  Subsequent rounds subtract edges touching the
+    # (typically SMALL, ever-shrinking) set of nodes dropped by the
+    # previous round via anti-joins, instead of re-filtering the FULL
+    # edge list against the (large) survivor set twice per round:
+    # 3 exchanges/round -> 1 degree exchange/round, and AQE is free to
+    # broadcast the dropped set (guide §2.4/§3.1).  Fixpoint identical:
+    # live(r) = edges with both endpoints surviving round r-1, by
+    # induction over dropped(r-1) = nodes(r-2) - nodes(r-1).
+    deg = deg_init.select("node", F.col("d0").alias("d"))
+    live = edges
+    for r in range(_KCORE_ROUNDS - 1):
+        dropped = deg.where(F.col("d") < _KCORE_K).select("node")
+        live = live.join(
+            dropped.select(F.col("node").alias("a")), "a", "left_anti"
+        ).join(dropped.select(F.col("node").alias("b")), "b", "left_anti")
         deg = (
             live.select(F.col("a").alias("node"))
             .unionAll(live.select(F.col("b").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        nodes = deg.where(F.col("d") >= _KCORE_K).select("node")
+    nodes = deg.where(F.col("d") >= _KCORE_K).select("node")
     surv = nodes.withColumn("in_core_flag", F.lit(True))
     return (
         deg_init.join(surv, "node", "left")
