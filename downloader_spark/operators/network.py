@@ -142,7 +142,10 @@ def _spark_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("start"),
         F.lit(24).alias("plen"),
     ).agg(F.min(F.expr("300000 + c_custkey")).alias("asn"))
-    return p8.unionByName(p16).unionByName(p20).unionByName(p24)
+    return (
+        p8.unionByName(p16).unionByName(p20).unionByName(p24)
+        .localCheckpoint()
+    )
 
 
 @query(
@@ -413,6 +416,7 @@ def _spark_prefixes6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q16.unionByName(q32).unionByName(q44)
         .unionByName(q48).unionByName(q64)
+        .localCheckpoint()
     )
 
 

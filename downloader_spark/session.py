@@ -46,6 +46,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a sort-merge join to a shuffled hash join at
+        # runtime when EVERY post-shuffle partition of the build side
+        # is under this threshold (default 0 = never) — the
+        # optimization-guide §3.1 knob.  Size-gated per partition, so
+        # it is scale-adaptive by construction: on a 100 TB cluster a
+        # partition over the threshold keeps the sort-merge plan;
+        # locally it removes both sort passes from qualifying joins
+        # (r16 A/B/A basket: ~6-8% on join-heavy keys, no per-key
+        # regression — unlike preferSortMergeJoin=false, which forced
+        # regressions on join_range/dedup_ngram_jaccard and was
+        # measured-and-rejected).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "67108864"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
