@@ -57,6 +57,26 @@ def _morton_terms(xcol: str, ycol: str, div: str = "DIV") -> str:
     return " + ".join(terms)
 
 
+def _morton_terms_bits(xcol: str, ycol: str) -> str:
+    """Spark-side Morton interleave via shift/mask: identical value to
+    _morton_terms for non-negative inputs ((x DIV 2^i) % 2 ==
+    shiftright(x, i) & 1 when x >= 0), but each bit costs one shift +
+    one AND instead of an integer division + modulo — measured ~2x on
+    the scan-side z keys (r16), where the 2*ZBITS-term projection IS
+    the stage.  DuckDB oracles keep the arithmetic form (the oracle
+    never computes z at all in the range key, and the scalar key's
+    oracle is engine-local)."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(
+            f"shiftleft(shiftright({xcol}, {i}) & 1, {2 * i})"
+        )
+        terms.append(
+            f"shiftleft(shiftright({ycol}, {i}) & 1, {2 * i + 1})"
+        )
+    return " + ".join(terms)
+
+
 @query(
     "scalar_zorder",
     oracle=f"""
@@ -83,9 +103,9 @@ def scalar_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     technique).  ``zbucket`` (zval DIV 2^16) is the file-assignment
     key a layout job would repartitionByRange on.
 
-    Pure projection — the interleave is {2 * ZBITS} integer
-    DIV/%/multiply terms, whole-stage-codegen'd, no shuffle, no UDF;
-    the oracle runs the same expression text in DuckDB."""
+    Pure projection — the interleave is {2 * ZBITS} shift/mask terms
+    (value-identical to the oracle's DIV/%/multiply form for these
+    non-negative inputs), whole-stage-codegen'd, no shuffle, no UDF."""
     orders = load_table(spark, sf_dir, "orders")
     c = orders.selectExpr(
         "o_orderkey",
@@ -93,7 +113,7 @@ def scalar_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000)"
         f" % {_ZMASK + 1} AS y",
     )
-    z = _morton_terms("x", "y")
+    z = _morton_terms_bits("x", "y")
     return c.selectExpr(
         "o_orderkey",
         "CAST(x AS BIGINT) AS x",

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from downloader_spark.io import load_table
+from downloader_spark.io import load_table, spread
 from downloader_spark.plans.registry import query
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, non-alnum runs, each
@@ -720,7 +720,14 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable, broadcastable to any probe side.  Positions
     are md5-derived, so DuckDB rebuilds the identical grid and the
     per-token estimates match exactly."""
-    docs = load_table(spark, sf_dir, "documents")
+    # the token explode + 3x md5 cell derivation is CPU-dense map work
+    # over the single-split scan (one core without spread; no-op at
+    # 100 TB where the scan has thousands of splits) — fan it out
+    # before the explode (the text_cdc_chunks posture)
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    )
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     exact = toks.groupBy("tok").agg(F.count("*").alias("n"))
     rows = toks.select(

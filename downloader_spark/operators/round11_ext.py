@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from downloader_spark.io import load_table
+from downloader_spark.io import load_table, spread
 from downloader_spark.plans.registry import query
 
 # image geometry: 3x2 grid of constant 8x8 blocks (deliberately
@@ -1136,7 +1136,14 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer milli-units), and the phrase score re-joins word
     scores back to the islands.  Everything shuffles (long, string)
     rows; the global top-k is a 40-row TakeOrdered tail."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the single-split scan before the explode + per-token
+    # regex (CPU-dense map work; no-op at 100 TB) — hash-partitioning
+    # on doc_id is the distribution the island window needs, so no
+    # further exchange is planned for it
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    )
     toks = (
         docs.select(
             "doc_id",
