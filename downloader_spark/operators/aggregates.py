@@ -19,7 +19,7 @@ from downloader_spark.functions.numeric import (
     sql_money_avg,
     sql_money_sum,
 )
-from downloader_spark.io import load_table
+from downloader_spark.io import load_table, spread
 from downloader_spark.plans.registry import query
 
 
@@ -48,8 +48,17 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     The headline aggregation benchmark: one pushed filter, one
     6-group hash agg, everything whole-stage-codegen'd.
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    # CPU-dense decimal partials over the single-split fixture scan:
+    # spread across cores before the aggregation (no-op on multi-split
+    # inputs; the sql_q1_pricing posture)
+    li = spread(
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .select(
+            "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ),
+        key="l_orderkey",
     )
     disc_price = dec("l_extendedprice", 2) * (F.lit(1.0) - F.col("l_discount")).cast(
         "decimal(18,2)"

@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from downloader_spark.io import load_table
+from downloader_spark.io import load_table, spread
 from downloader_spark.plans.registry import query
 
 _TABLES = ("customer", "orders", "lineitem", "supplier", "part", "nation")
@@ -110,8 +110,19 @@ def sql_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelled explicitly (no SQL parser in the path); the oracle keeps
     the SQL text — a parser-vs-API differential for the decimal
     promotion rules, the weakest-but-nonzero differential class."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-06-01")
+    # the 6-decimal-sum partial aggregation is CPU-dense map work and
+    # the fixture scan is one split — spread it across cores before
+    # the aggregation (no-op on multi-split inputs); the projection
+    # keeps the exchange narrow and the pushed shipdate filter stays
+    # scan-side
+    li = spread(
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2001-06-01"))
+        .select(
+            "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ),
+        key="l_orderkey",
     )
     qty = F.expr("CAST(l_quantity AS DECIMAL(18,2))")
     price = F.expr("CAST(l_extendedprice AS DECIMAL(18,2))")
