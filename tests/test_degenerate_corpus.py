@@ -16,8 +16,11 @@ import os
 import pytest
 
 from downloader_spark.plans.registry import registry
+from tests.par import chunk_ids, chunks, run_chunk
 
 _SPECS = registry()
+_CHUNKS = chunks(_SPECS)
+_IDS = chunk_ids(_SPECS)
 _TABLES = (
     "region",
     "nation",
@@ -46,11 +49,15 @@ def empty_dir(spark, tmp_path_factory) -> str:
     return d
 
 
-@pytest.mark.parametrize("name", sorted(_SPECS))
-def test_key_survives_empty_corpus(spark, empty_dir, name):
-    df = _SPECS[name].fn(spark, empty_dir)
+def _survives(spark, data_dir: str, name: str) -> None:
+    df = _SPECS[name].fn(spark, data_dir)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+@pytest.mark.parametrize("keys", _CHUNKS, ids=_IDS)
+def test_key_survives_empty_corpus(spark, empty_dir, keys):
+    run_chunk(keys, lambda k: _survives(spark, empty_dir, k))
 
 
 @pytest.fixture(scope="module")
@@ -69,11 +76,9 @@ def single_row_dir(spark, tmp_path_factory) -> str:
     return d
 
 
-@pytest.mark.parametrize("name", sorted(_SPECS))
-def test_key_survives_single_row_corpus(spark, single_row_dir, name):
-    df = _SPECS[name].fn(spark, single_row_dir)
-    assert df.count() >= 0
-    assert df.schema is not None
+@pytest.mark.parametrize("keys", _CHUNKS, ids=_IDS)
+def test_key_survives_single_row_corpus(spark, single_row_dir, keys):
+    run_chunk(keys, lambda k: _survives(spark, single_row_dir, k))
 
 
 _CLONES = 64
@@ -100,8 +105,6 @@ def identical_dir(spark, tmp_path_factory) -> str:
     return d
 
 
-@pytest.mark.parametrize("name", sorted(_SPECS))
-def test_key_survives_identical_corpus(spark, identical_dir, name):
-    df = _SPECS[name].fn(spark, identical_dir)
-    assert df.count() >= 0
-    assert df.schema is not None
+@pytest.mark.parametrize("keys", _CHUNKS, ids=_IDS)
+def test_key_survives_identical_corpus(spark, identical_dir, keys):
+    run_chunk(keys, lambda k: _survives(spark, identical_dir, k))

@@ -16,9 +16,49 @@ from tests.conftest import SF_DIR
 _SPECS = registry()
 
 
+_PLAN_CACHE: dict[str, str] = {}
+_FINAL_PLAN_CACHE: dict[str, str] = {}
+
+
 def plan_of(spark, name: str) -> str:
-    df = _SPECS[name].fn(spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = _PLAN_CACHE.get(name)
+    if plan is None:
+        df = _SPECS[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        _PLAN_CACHE[name] = plan
+    return plan
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _prewarm_plans(spark):
+    """Build every gated key's plan ONCE, concurrently, before the
+    per-test asserts read the cache.  Plan construction is driver
+    latency (analysis + the operators' eager localCheckpoints), so a
+    driver thread pool overlaps it (guide §2.6) — the sequential
+    per-test builds were ~150 s of the suite's wall.  A key that
+    fails to build here is left out of the cache so its own test
+    rebuilds it sequentially and reports the real error."""
+    import re
+    from concurrent.futures import ThreadPoolExecutor
+
+    with open(__file__) as f:
+        src = f.read()
+    keys = sorted(set(re.findall(r'plan_of\(spark, "([a-z0-9_]+)"\)', src)))
+    final_keys = sorted(
+        set(re.findall(r'final_plan_of\(spark, "([a-z0-9_]+)"\)', src))
+    )
+
+    def warm(fn, k):
+        try:
+            fn(spark, k)
+        except Exception:  # noqa: BLE001 — rebuilt in the owning test
+            pass
+
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        futs = [pool.submit(warm, plan_of, k) for k in keys]
+        futs += [pool.submit(warm, final_plan_of, k) for k in final_keys]
+        for fu in futs:
+            fu.result()
 
 
 def test_filter_watermark_pushes_predicate_to_scan(spark):
@@ -1507,9 +1547,13 @@ def test_multimodal_video_luma_parallelizes_codec_work(spark):
 
 def final_plan_of(spark, name: str) -> str:
     """Post-execution (AQE-final) physical plan."""
-    df = _SPECS[name].fn(spark, SF_DIR)
-    df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = _FINAL_PLAN_CACHE.get(name)
+    if plan is None:
+        df = _SPECS[name].fn(spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        _FINAL_PLAN_CACHE[name] = plan
+    return plan
 
 
 def test_lsh_tuning_band_configs_share_one_signature_computation(spark):

@@ -14,17 +14,26 @@ from pyspark.sql import types as T
 
 from downloader_spark.plans.registry import registry
 from tests.conftest import SF_DIR
+from tests.par import chunk_ids, chunks, run_chunk
 
 _SPECS = registry()
 
 
-@pytest.mark.parametrize("name", sorted(_SPECS))
-def test_output_schema_is_driver_hashable(spark, name):
-    df = _SPECS[name].fn(spark, SF_DIR)
-    for f in df.schema.fields:
-        assert not isinstance(
-            f.dataType, (T.ArrayType, T.MapType, T.StructType)
-        ), f"{name}.{f.name}: complex type {f.dataType} breaks the driver canonicalizer"
+@pytest.mark.parametrize(
+    "keys", chunks(_SPECS), ids=chunk_ids(_SPECS)
+)
+def test_output_schema_is_driver_hashable(spark, keys):
+    def check(name: str) -> None:
+        df = _SPECS[name].fn(spark, SF_DIR)
+        for f in df.schema.fields:
+            assert not isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ), (
+                f"{name}.{f.name}: complex type {f.dataType} breaks the"
+                " driver canonicalizer"
+            )
+
+    run_chunk(keys, check)
 
 
 def test_every_key_has_unique_callable():
@@ -277,11 +286,20 @@ def test_pipeline_corpus_dedup_keeps_min_doc_payload(spark):
     assert rows[3].lang == "it"
 
 
-@pytest.mark.parametrize("name", sorted(_SPECS))
-def test_every_key_executes_on_tiny_sf(spark, name):
+@pytest.mark.parametrize(
+    "keys", chunks(_SPECS), ids=chunk_ids(_SPECS)
+)
+def test_every_key_executes_on_tiny_sf(spark, keys):
     """EXECUTE every plan at sf0.001 — the smallest fixture surfaces
     empty groups, degenerate variances, and sparse joins that sf0.01
     never hits; under Spark's ANSI mode those turned into runtime
     DIVIDE_BY_ZERO crashes twice this round (dedup_embed, agg_corr).
     Building the plan (the schema test above) does not run it."""
-    _SPECS[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    run_chunk(
+        keys,
+        lambda name: _SPECS[name]
+        .fn(spark, SF_DIR)
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
