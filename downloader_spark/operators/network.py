@@ -708,12 +708,18 @@ def agg_as_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     per IP with map-side partial counts, and the family share is a
     two-value-partition window over the ALREADY-aggregated per-AS
     rows (|ASNs| rows, not |IPs|)."""
-    v4 = join_ip_prefix(spark, sf_dir).select(
-        F.lit("v4").alias("family"), "asn"
-    )
-    v6 = join_ip_prefix6(spark, sf_dir).select(
-        F.lit("v6").alias("family"), "asn"
-    )
+    # The two family plans are independent until the union, and each
+    # builder eagerly checkpoints its own prefix dimension — build
+    # them on two driver threads so the dimension-materialization
+    # jobs overlap instead of queueing (guide §2.6; plan construction
+    # and checkpoint order are invisible to the consuming plan).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f4 = pool.submit(join_ip_prefix, spark, sf_dir)
+        f6 = pool.submit(join_ip_prefix6, spark, sf_dir)
+        v4 = f4.result().select(F.lit("v4").alias("family"), "asn")
+        v6 = f6.result().select(F.lit("v6").alias("family"), "asn")
     counted = (
         v4.unionByName(v6).groupBy("family", "asn").agg(
             F.count(F.lit(1)).alias("n_ips")

@@ -857,7 +857,32 @@ def embed_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, c, h, score = parts["q"], parts["c"], parts["h"], parts["score"]
     pair_cos = parts["pair_cos"]
     pool = ThreadPoolExecutor(max_workers=2)
-    f_edges = pool.submit(parts.pop("edges_lazy").localCheckpoint)
+    edges_lazy = parts.pop("edges_lazy")
+    from concurrent.futures import Future
+
+    f_edges: Future = Future()
+
+    def _edges_then_flat():
+        # The WHOLE flat-search chain (edge checkpoint -> entry
+        # checkpoint -> per-hop beam checkpoints) depends only on the
+        # checkpointed corpus, never on the layer-1/descent chain the
+        # main thread runs — chaining it here overlaps its ~8
+        # sequential tiny jobs with the hierarchy construction AND the
+        # hierarchical beam search (guide §2.6).  The edge table is
+        # published through its own future the moment it exists so the
+        # main thread can seed the hierarchical search without waiting
+        # for the flat chain to finish.
+        try:
+            edges = edges_lazy.localCheckpoint()
+            f_edges.set_result(edges)
+        except BaseException as e:  # noqa: BLE001 — unblock the main thread
+            f_edges.set_exception(e)
+            raise
+        p2 = dict(parts)
+        p2["edges"] = edges
+        return _nsw_search(p2, _nsw_default_entry(p2)).localCheckpoint()
+
+    f_flat = pool.submit(_edges_then_flat)
 
     # --- layer-1 construction (same recipe, its own hash tags) ---
     l1 = c.filter(
@@ -928,14 +953,17 @@ def embed_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = dentry
     all_sc = score(dentry)
     for _i in range(_HNSW_H1):
-        # cand is <= (M1+1) rows/query; checkpointing IT (not the
-        # growing unions) keeps every later lineage short
+        # cand is <= (M1+1) rows/query and every frame it references
+        # (dentry, l1edges, the previous hop's checkpointed all_sc) is
+        # already materialized, so its lineage is one join+distinct+
+        # anti-join deep — recomputing it in the next hop's anti-join
+        # is cheaper than its own eager checkpoint job (H1=2 hops, so
+        # the chain never grows past two of these)
         cand = (
             frontier.join(l1edges, frontier.node == l1edges.src)
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
             .join(visited, ["query_id", "node"], "left_anti")
-            .localCheckpoint()
         )
         all_sc = all_sc.unionByName(score(cand)).localCheckpoint()
         visited = visited.unionByName(cand)
@@ -953,12 +981,9 @@ def embed_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     seed = frontier.localCheckpoint()
 
-    # --- base-layer beam search from the descended seed, with the
-    # flat search's independent chain on the second driver thread ---
+    # --- base-layer beam search from the descended seed; the flat
+    # chain keeps running on the pool thread until the final union ---
     parts["edges"] = f_edges.result()
-    f_flat = pool.submit(
-        lambda: _nsw_search(parts, _nsw_default_entry(parts)).localCheckpoint()
-    )
     hscored = _nsw_search(parts, seed)
     hall = all_sc.unionByName(hscored).distinct().localCheckpoint()
     flat = f_flat.result()

@@ -54,7 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from downloader_spark.io import load_table
+from downloader_spark.io import load_table, spread
 from downloader_spark.operators.llm_similarity import (
     km_assign_expr,
     km_cte_chain,
@@ -936,7 +936,15 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     three times.  The count tables themselves are
     vocabulary-bounded, not corpus-bounded.  All divisions are
     non-negative integer floor (Spark DIV == DuckDB //)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the tokenize + zip_with + explode + partial-aggregation
+    # stage otherwise runs on the single-split scan task (profiled
+    # r17: 1.31 s single-task stage, 1.27 s CPU — the key's dominant
+    # stage); the doc_id exchange moves only the raw (doc_id, text)
+    # rows once and is a no-op at 100 TB where the scan is already
+    # thousands of splits.  (An earlier r16 A/B rejected this spread
+    # against the PRE-vocab-level plan; re-measured A/B/A on the
+    # current plan it wins ~0.7 s.)
+    docs = spread(load_table(spark, sf_dir, "documents"), key="doc_id")
     bg = (
         docs.selectExpr("doc_id", f"{_SPAN_NORM_SPARK} AS toks")
         .selectExpr(
@@ -972,12 +980,15 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary-bounded count table (guide §2.3 "shuffle fewer
     # bytes").  Arithmetic per row is unchanged:
     # n * (c_bg * 1000000 DIV c_w1).
-    cw1 = bgd.groupBy("w1").agg(F.sum("n").alias("c_w1"))
-    pbg = (
-        bgd.groupBy("w1", "bg")
-        .agg(F.sum("n").alias("c_bg"))
-        .join(cw1, "w1")
-        .select("bg", F.expr("c_bg * 1000000 DIV c_w1").alias("p_ppm"))
+    # c_w1 folds out of the bigram count table instead of its own
+    # pass over token-stream-sized bgd: sum(n) grouped by w1 ==
+    # sum(c_bg) grouped by w1 (both integer sums over the same rows,
+    # regrouped) — one fewer full-token-stream aggregation pass
+    # (guide §2.3/§2.4); cbg itself is vocabulary-bounded.
+    cbg = bgd.groupBy("w1", "bg").agg(F.sum("n").alias("c_bg"))
+    cw1 = cbg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    pbg = cbg.join(cw1, "w1").select(
+        "bg", F.expr("c_bg * 1000000 DIV c_w1").alias("p_ppm")
     )
     scored = bgd.join(pbg, "bg")
     return scored.groupBy("doc_id").agg(
