@@ -334,6 +334,12 @@ def _nsw_build(
             F.col("embedding").alias("q_emb"),
             F.expr(f"sqrt({dot('embedding', 'embedding')})").alias("q_nrm"),
         )
+        # checkpointed: q is broadcast-joined by EVERY hop's scorer,
+        # and each of those broadcasts is a separate AQE query whose
+        # build side would otherwise re-run the parquet scan + the
+        # interpreted norm filter/fold (exchange/broadcast reuse never
+        # crosses query boundaries) — 7-10 redundant scans per ANN key
+        .localCheckpoint()
     )
     c = (
         # spread() before the CPU-dense chain (guide §2.5 input skew):
@@ -542,7 +548,11 @@ def _nsw_search(parts: dict, entry: DataFrame) -> DataFrame:
     out = scored_parts[0]
     for p in scored_parts[1:]:
         out = out.unionByName(p)
-    return out
+    # the union of per-hop checkpointed frames carries one partition
+    # per source partition (hops x session width ~ 160 tasks for a few
+    # hundred rows); coalesce merges them shuffle-free so downstream
+    # stages launch session-width tasks, not hops x width
+    return out.coalesce(out.sparkSession.sparkContext.defaultParallelism)
 
 
 def _nsw_scored_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
