@@ -1621,33 +1621,41 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_HASHES)
         ]
     ).localCheckpoint()
-    band_frames = []
+    # All four configs' band rows come out of ONE explode over the
+    # checkpointed signature table instead of a 4-way union of
+    # per-config selects: identical rows (same cfg labels, same
+    # "k:"+md5 band keys), but the logical tree the self-join below
+    # duplicates — and that AQE re-optimizes at every stage boundary
+    # — is one project+generate, not four unioned scans.  The frame
+    # is then checkpointed: both self-join sides and the band
+    # exchange read the |docs| x sum(b) materialized rows rather
+    # than re-expanding the explode per side (guide §2.4, §3.3
+    # "materialising an intermediate truncates the plan").
+    cb = []
     for b, r in _LSH_CONFIGS:
-        cols = []
         for k in range(b):
-            cols.append(
-                F.concat(
-                    F.lit(f"{k}:"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"m{k * r + j}").cast("string")
-                                for j in range(r)
-                            ],
-                        )
-                    ),
-                ).alias(f"b{k}")
+            cb.append(
+                F.struct(
+                    F.lit(f"{b}x{r}").alias("cfg"),
+                    F.concat(
+                        F.lit(f"{k}:"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{k * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ),
+                    ).alias("band"),
+                )
             )
-        band_frames.append(
-            sigs.select(
-                "doc_id", F.lit(f"{b}x{r}").alias("cfg"),
-                F.explode(F.array(*cols)).alias("band"),
-            )
-        )
-    bands = band_frames[0]
-    for f in band_frames[1:]:
-        bands = bands.unionByName(f)
+    bands = (
+        sigs.select("doc_id", F.explode(F.array(*cb)).alias("cb"))
+        .select("doc_id", "cb.cfg", "cb.band")
+        .localCheckpoint()
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     # ONE (doc_a, doc_b) aggregation replaces the former

@@ -47,6 +47,13 @@ _PQ_PAGE_COLS = (
     ("events", "event_type", "str"),
 )
 
+# Intra-chunk split width for the pages audit: each (file, column)
+# fans out to this many page-group tasks (task g decodes data pages
+# with index % groups == g).  8 covers the deepest fixture chunk (5
+# data pages) with headroom; on a real lake the same explode bounds
+# the per-task decode at ~pages/groups regardless of chunk size.
+_PQ_PAGE_GROUPS = 8
+
 
 def _h40_py(payload: bytes) -> int:
     """40-bit md5 prefix; per-file partial sums are reduced mod 2^40
@@ -105,17 +112,23 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     files.
 
     At 100 TB this layer IS the scan: engines that cannot decode
-    pages cannot prune, vectorize, or verify a lake.  Shape: one
-    binaryFile row per data file (a "table" may be one file or a
-    directory of part files — both layouts resolve to the owning
-    table), fanned out to one Arrow row per (file, COLUMN) via a
-    broadcast join against the tiny column dim — so a fat fact file's
-    columns hash in parallel tasks instead of serially in one — then
-    PER-(FILE, COLUMN) PARTIALS merged by one map-side-combinable
-    sum, the partial → merge shape a 100 TB audit actually runs."""
+    pages cannot prune, vectorize, or verify a lake.  Shape: a
+    binaryFile LISTING (path only — no payload crosses any exchange,
+    guide §8 "shuffle keys and metadata instead of payloads") fanned
+    out to one row per (file, COLUMN, PAGE-GROUP) via a broadcast
+    join against the tiny column dim plus an 8-way page-group
+    explode — so a fat fact column's PAGES hash in
+    parallel tasks instead of serially in one (the former per-(file,
+    column) grain left the largest column chunk as a one-task
+    straggler); each task range-reads its file from storage and
+    decodes only its modulo share of page bodies
+    (read_parquet_column_page_group), then PER-(FILE, COLUMN, GROUP)
+    PARTIALS — all order-free sums — merge in one map-side-
+    combinable aggregation, the split → partial → merge shape a
+    100 TB audit actually runs."""
     import os
 
-    from downloader_spark.media import read_parquet_column
+    from downloader_spark.media import read_parquet_column_page_group
 
     tables = sorted({t for t, _c, _k in _PQ_PAGE_COLS})
     paths = [os.path.join(sf_dir, f"{t}.parquet") for t in tables]
@@ -125,7 +138,7 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .load(paths)
-        .select("path", "content")
+        .select("path")
     )
     # owning table, JVM-side: /x/documents.parquet (one file) OR
     # /x/documents.parquet/part-0007.parquet (directory of parts)
@@ -139,21 +152,40 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     col_dim = spark.createDataFrame(
         list(_PQ_PAGE_COLS), "tbl string, col string, kind string"
     )
-    work = files.withColumn(
-        "tbl", F.when(base.isin(tables), base).otherwise(parent)
-    ).join(F.broadcast(col_dim), "tbl").repartition(n)
+    work = (
+        files.withColumn(
+            "tbl", F.when(base.isin(tables), base).otherwise(parent)
+        )
+        .join(F.broadcast(col_dim), "tbl")
+        .withColumn(
+            "grp",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_PQ_PAGE_GROUPS)])
+            ),
+        )
+        .repartition(n)
+    )
 
     def run(batches):
         from collections import Counter
         from hashlib import md5
 
         fb = int.from_bytes
+        raw_path = None  # one-file cache: rows for a path often batch
+        raw = b""
         for pdf in batches:
             out = []
-            for tbl, col, kind, content in zip(
-                pdf["tbl"], pdf["col"], pdf["kind"], pdf["content"]
+            for tbl, col, kind, path, grp in zip(
+                pdf["tbl"], pdf["col"], pdf["kind"], pdf["path"], pdf["grp"]
             ):
-                values = read_parquet_column(bytes(content), col)
+                if path != raw_path:
+                    lp = path[5:] if path.startswith("file:") else path
+                    with open(lp, "rb") as f:
+                        raw = f.read()
+                    raw_path = path
+                values = read_parquet_column_page_group(
+                    raw, col, int(grp), _PQ_PAGE_GROUPS
+                )
                 nulls = values.count(None)
                 # 40-bit md5 prefix == big-endian first 5 digest
                 # bytes; C-level int formatting and bound locals keep
@@ -201,7 +233,7 @@ def multimodal_parquet_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["tbl", "col", "n_rows", "null_count", "value_hash_sum"],
             )
 
-    partials = work.select("tbl", "col", "kind", "content").mapInPandas(
+    partials = work.select("tbl", "col", "kind", "path", "grp").mapInPandas(
         run,
         "tbl string, col string, n_rows long, null_count long,"
         " value_hash_sum long",

@@ -185,12 +185,14 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             plan = buf.getvalue()
+            rnd = os.environ.get("SPARK_GRAFT_PROF_ROUND", "r17")
             out = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "plans",
-                "r16",
+                rnd,
                 f"{k}_{tag}.txt",
             )
+            os.makedirs(os.path.dirname(out), exist_ok=True)
             with open(out, "w") as f:
                 f.write(plan)
     spark.sparkContext.setJobDescription(None)
