@@ -604,6 +604,7 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .withColumn("df", F.count("*").over(w_df))
         .filter(F.col("df") <= STOP_SHINGLE_DF)
         .drop("df")
+        .localCheckpoint()
     )
     sizes = inv2.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     a = inv2.alias("a")

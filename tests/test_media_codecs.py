@@ -2136,6 +2136,49 @@ def test_parquet_pages_byte_stream_split_matches_pyarrow():
                     assert g == w or abs(g - w) < 1e-6
 
 
+def test_parquet_page_group_union_matches_full_decode():
+    """read_parquet_column_page_group (the r17 intra-chunk parallel
+    unit behind multimodal_parquet_pages): for every column, every
+    group width, and both page versions, the multiset union of all
+    groups' values equals the full decode, per-group order follows
+    file order, and out-of-range groups raise."""
+    from collections import Counter
+
+    import pytest
+
+    from downloader_spark.media import (
+        read_parquet_column,
+        read_parquet_column_page_group,
+    )
+
+    tbl = _col_table()
+    for kw in (
+        dict(compression="snappy", data_page_size=1024),  # many pages
+        dict(compression="gzip", data_page_size=4096, use_dictionary=False),
+        dict(compression="snappy", data_page_version="2.0", data_page_size=2048),
+        dict(compression="snappy", row_group_size=700),  # 5 row groups
+        dict(compression="none"),  # single data page per chunk
+    ):
+        data = _pq_write(tbl, **kw)
+        for name in tbl.column_names:
+            full = read_parquet_column(data, name)
+            for n_groups in (1, 3, 8):
+                parts = [
+                    read_parquet_column_page_group(data, name, g, n_groups)
+                    for g in range(n_groups)
+                ]
+                assert Counter(map(repr, full)) == Counter(
+                    repr(v) for p in parts for v in p
+                ), (kw, name, n_groups)
+            # n_groups=1 must ALSO preserve exact order (it is the
+            # full walk)
+            assert read_parquet_column_page_group(data, name, 0, 1) == full
+        with pytest.raises(ValueError):
+            read_parquet_column_page_group(data, "i64", 8, 8)
+        with pytest.raises(ValueError):
+            read_parquet_column_page_group(data, "i64", -1, 8)
+
+
 def test_parquet_pages_lz4_raw_codec_and_block_decoder():
     """LZ4_RAW pages (pyarrow compression='lz4') through the
     from-scratch LZ4 block decoder, plus raw-block differentials
